@@ -1,0 +1,114 @@
+"""Text-analysis functions for the training-data pipeline (north-star M4).
+
+All deterministic, built-in-function compositions (JVM-side) so each has an
+exact DuckDB-oracle equivalent. At 100 TB these run as one codegen'd map
+stage over the documents scan — no shuffle, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny embedded stopword lists for n-gram/stopword-ratio language ID. A real
+# deployment plugs in fastText/CLD3 via a Pandas UDF; the heuristic keeps
+# this container dependency-free while exercising the same plumbing.
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "de", "que", "pour"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "de", "que", "por"],
+}
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization of trimmed text → array<string>."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count; 0 for empty/blank text."""
+    return F.when(F.trim(col) == "", 0).otherwise(F.size(tokens(col)))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """BPE-ish subword proxy: count of word/number/punctuation units via the
+    common GPT-2-style pre-tokenizer classes (letters runs, digit runs,
+    single punctuation). Cheap upper-bound estimator for token budgeting."""
+    units = F.regexp_extract_all(col, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)
+    return F.size(units)
+
+
+def char_count(col: Column) -> Column:
+    return F.length(col)
+
+
+def punct_ratio(col: Column) -> Column:
+    """Fraction of non-alphanumeric, non-space chars. 0.0 for empty text."""
+    punct = F.length(F.regexp_replace(col, r"[A-Za-z0-9\s]", ""))
+    return F.when(F.length(col) == 0, 0.0).otherwise(
+        punct.cast("double") / F.length(col)
+    )
+
+
+def stopword_ratio(col: Column, lang: str = "en") -> Column:
+    """Fraction of tokens that are stopwords for `lang`. 0.0 for blank."""
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    toks = tokens(F.lower(col))
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.when(F.trim(col) == "", 0.0).otherwise(
+        hits.cast("double") / F.size(toks)
+    )
+
+
+def quality_score(col: Column) -> Column:
+    """Composite quality score in [0,1]: length band + low punctuation +
+    stopword presence. The exact C4/Gopher-style rules vary per deployment;
+    this pins a deterministic, oracle-checkable instance of the pattern."""
+    n_tok = token_count(col).cast("double")
+    length_ok = F.when((n_tok >= 10) & (n_tok <= 1000), 1.0).otherwise(0.0)
+    punct_ok = F.when(punct_ratio(col) <= 0.2, 1.0).otherwise(0.0)
+    stop_ok = F.when(stopword_ratio(col) >= 0.05, 1.0).otherwise(0.0)
+    return F.round((length_ok + punct_ok + stop_ok) / 3.0, 6)
+
+
+def language_id(col: Column) -> Column:
+    """Heuristic language ID: argmax stopword-hit-rate across languages;
+    'und' (undetermined) when no stopword hits at all."""
+    toks = tokens(F.lower(col))
+    scores = []
+    for lang, words in STOPWORDS.items():
+        sw = F.array(*[F.lit(w) for w in words])
+        scores.append(
+            F.struct(
+                F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    # array_max on struct(hits, lang): max hits, ties → lexicographically
+    # greatest lang. Deterministic; matched by the oracle.
+    best = F.array_max(F.array(*scores))
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint(col: Column) -> Column:
+    """Document fingerprint: md5 of normalized text (lowercase, collapsed
+    whitespace). Stable across engines — DuckDB md5 produces the same hex."""
+    normalized = F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+    return F.md5(normalized)
+
+
+def profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One-pass text profile: all metrics as a single projection."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        token_count(t).alias("n_tokens"),
+        bpe_ish_token_count(t).alias("n_subwords"),
+        char_count(t).alias("n_chars_m"),
+        F.round(punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(t), 6).alias("stopword_ratio"),
+        quality_score(t).alias("quality"),
+        language_id(t).alias("lang_pred"),
+        fingerprint(t).alias("fingerprint"),
+    )

@@ -1,0 +1,209 @@
+"""Deduplication operators (SURVEY §2.6 D1 + LLM-pipeline extensions).
+
+Scale posture: every variant is a single shuffle on a derived key (hash,
+band, bucket). Nothing collects to the driver; candidate generation always
+goes through a key-equality join so Spark can hash-partition it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def first_wins(df: DataFrame, keys: list[str], order: list[Column]) -> DataFrame:
+    """D1 — keep the first row per key under an explicit arrival order.
+
+    The reference's ``Set<String> rk`` skip (RdlETL.java:106,112-114) is
+    order-sensitive on a nondeterministic stream; Spark needs the tiebreaker
+    explicit (SURVEY §7.3) — pass e.g. ``[F.col("seq")]``.
+    """
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline dedup family (north-star extensions, SURVEY §7.2 M4)
+# ---------------------------------------------------------------------------
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical form for content hashing: lowercase, collapse whitespace."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact near-identical dedup: hash-groupBy on normalized content, keep
+    the lowest id. One shuffle on a 32-char key regardless of document size —
+    the md5 digest, not the document body, is the shuffle payload."""
+    keyed = df.withColumn("_h", F.md5(normalize_text(F.col(text_col))))
+    w = Window.partitionBy("_h").orderBy(F.col(id_col).asc())
+    return (
+        keyed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_h")
+    )
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles of normalized text (array<string>).
+
+    Documents shorter than n words yield a single whole-text shingle so they
+    still participate (and exact-duplicate short docs still collide).
+    """
+    words = F.split(normalize_text(col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+    )
+    return F.array_distinct(grams)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """N-gram Jaccard near-duplicate pairs: explode shingles → self-join on
+    shingle → |intersection| per pair → |union| via per-doc counts.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
+    At scale the shingle join is the standard document-pair candidate
+    generator; feed it through ``minhash_bucket_pairs`` first to cap the
+    candidate set when corpora are huge.
+    """
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(shingles(F.col(text_col), n)).alias("_sh"),
+    )
+    sizes = sh.groupBy("_id").agg(F.count("*").alias("_sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a._sh") == F.col("b._sh")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count("*").alias("_inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("_sz", "_sza"), "id_a")
+        .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("_sz", "_szb"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("_inter") / (F.col("_sza") + F.col("_szb") - F.col("_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def minhash_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signatures, deterministic and oracle-friendly.
+
+    Hash family: ``md5(shingle || '#' || seed)`` for seed in [0, num_hashes);
+    the per-seed minimum over a document's shingles is the signature element.
+    md5-hex min over strings is identical in any engine — the DuckDB oracle
+    can reproduce it exactly. All JVM-side: explode → groupBy(id) → min per
+    seed, one shuffle.
+    """
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("_sh"),
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.col("_sh"), F.lit(f"#{i}")))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("_id").agg(*aggs).withColumnRenamed("_id", id_col)
+
+
+def minhash_bucket_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash + LSH banding: signature → band keys → bucket self-join.
+
+    Returns distinct candidate pairs (id_a < id_b) that collide in at least
+    one band. Probability of collision rises sharply with Jaccard similarity
+    (standard banding argument, Mining of Massive Datasets ch.3). The bucket
+    join shuffles only (band_key, id) pairs — constant-size rows — so it
+    scales to corpora whose text would never fit a pairwise comparison.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(df, text_col, id_col, num_hashes, shingle_n)
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.lit(str(b)),
+                *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)],
+            )
+        ).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select(F.col(id_col).alias("_id"), *band_cols)
+    long_bands = banded.select(
+        "_id",
+        F.explode(F.array(*[F.col(f"band_{b}") for b in range(bands)])).alias("_bk"),
+    )
+    a = long_bands.alias("a")
+    b = long_bands.alias("b")
+    return (
+        a.join(b, (F.col("a._bk") == F.col("b._bk")) & (F.col("a._id") < F.col("b._id")))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+) -> DataFrame:
+    """SimHash fingerprint over word features (Charikar 2002).
+
+    Each word hashes to `bits` bits (xxhash64 with per-bit derived masks);
+    the fingerprint's bit i is 1 iff the majority of words set bit i.
+    Near-duplicates differ in few bits (compare with ``bit_count(a ^ b)``).
+    Entirely JVM expression tree: explode words → per-bit sum signs →
+    reassemble. One shuffle.
+    """
+    words = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("_w"),
+    ).withColumn("_h", F.xxhash64("_w"))
+    # per bit: +1 if set else -1; sum over words; fingerprint bit = sum > 0.
+    # shiftleft wraps in the JVM long domain, so bit 63 is safe.
+    one = F.lit(1).cast("long")
+    bit_aggs = [
+        F.sum(
+            F.when(F.col("_h").bitwiseAND(F.shiftleft(one, i)) != 0, 1).otherwise(-1)
+        ).alias(f"_b{i}")
+        for i in range(bits)
+    ]
+    sums = words.groupBy("_id").agg(*bit_aggs)
+    fp = F.lit(0).cast("long")
+    for i in range(bits):
+        fp = fp.bitwiseOR(
+            F.when(F.col(f"_b{i}") > 0, F.shiftleft(one, i)).otherwise(F.lit(0).cast("long"))
+        )
+    return sums.select(F.col("_id").alias(id_col), fp.alias("simhash"))

@@ -1,0 +1,103 @@
+"""Multimodal (image/audio/video) column plumbing (north-star M4).
+
+Media are opaque ``binary`` columns plus a typed metadata struct; decode /
+feature-extract run as Arrow-batched functions over ``mapInPandas`` so each
+task processes a columnar batch without per-row Python overhead. The actual
+codecs (PIL/ffmpeg/torchaudio) are NOT in this container, so the decode body
+is a deterministic fake behind ``_decode_bytes`` — the Spark-side contract
+(schema, batching, partition flow) is real and tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),  # image | audio | video
+        StructField("payload", BinaryType(), True),
+        StructField("mime", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("duration_ms", IntegerType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("n_bytes", LongType(), True),
+        StructField("checksum", LongType(), True),
+        StructField("feature_dim", IntegerType(), True),
+    ]
+)
+
+
+def _decode_bytes(payload: bytes | None) -> tuple[int, int]:
+    """STUB decode. A real deployment replaces this body with PIL/ffmpeg;
+    the deterministic fake keeps tests runnable in this container.
+
+    Returns (n_bytes, checksum).
+    """
+    if payload is None:
+        return 0, 0
+    return len(payload), sum(payload) % (2**31)
+
+
+def extract_features(media: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
+    """Arrow-batched feature extraction over media payloads.
+
+    `mapInPandas` streams column batches into Python once per batch — the
+    only sane shape for binary-heavy data (row-at-a-time UDFs would
+    serialize each payload separately).
+    """
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [_decode_bytes(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": [d[0] for d in decoded],
+                    "checksum": [d[1] for d in decoded],
+                    "feature_dim": [64] * len(pdf),
+                }
+            )
+
+    return media.mapInPandas(_extract, schema=FEATURE_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling *plan*: one output row per frame timestamp.
+
+    The explode happens JVM-side (sequence over duration); only the actual
+    pixel decode would cross into Python. Decode itself is stubbed."""
+    return (
+        media.filter(F.col("kind") == "video")
+        .withColumn(
+            "frame_ms",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.coalesce(F.col("duration_ms"), F.lit(0)) - 1, F.lit(0)),
+                    F.lit(every_ms),
+                )
+            ),
+        )
+        .select("media_id", "frame_ms", "payload")
+    )

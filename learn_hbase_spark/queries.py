@@ -1,0 +1,778 @@
+"""Query registry: every implemented operator as a (Spark callable, DuckDB
+oracle SQL) pair, exercised by the driver at sf0.01.
+
+Conventions (driver contract, __spark_entry__.py):
+- each callable takes (spark, sf_dir) and returns a DataFrame;
+- column names match the oracle exactly (aliases on every computed column);
+- float determinism: aggregates go through exact DECIMAL(18,4) sums and are
+  cast to DOUBLE at the end, so Spark and DuckDB produce bit-identical
+  values regardless of accumulation order; row-level arithmetic uses the
+  same IEEE ops in both engines.
+
+Operator codes (SURVEY §2): F=filter, J=join, W=window/timeseries,
+D=dedup/sort/limit, S=source/sink, X=scalar.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions import text as T
+from .operators import dedup, similarity
+from .operators.window import date_spine, guarded_lead_diff
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        # events.parquet carries TIMESTAMP(NANOS) which Spark's reader
+        # rejects; read nanos as long and truncate to microseconds (the
+        # generator emits µs-precision values, so truncation is lossless).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return spark.read.parquet(path)
+
+
+def queries() -> dict[str, QueryFn]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLES)
+
+
+# ---------------------------------------------------------------------------
+# Flagship — the reference's core analytic (W1+W2 guarded lead-diff), on the
+# events stream: per user, consecutive-event consumption delta with the
+# meter-rollover guard (RdlETL2.java:83-104 semantics).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "rdl_flagship",
+    """
+    SELECT user_id, event_id,
+           CASE WHEN value > 0 AND nxt > 0 AND nxt >= value
+                THEN (nxt - value) * 1.0 END AS rdl
+    FROM (
+      SELECT user_id, event_id, value,
+             lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+      FROM events
+    )
+    """,
+)
+def rdl_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/F9 — guarded lead-difference per key (RdlETL2.java:96-100)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cur = F.col("value")
+    nxt = F.lead("value", 1).over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.when((cur > 0) & (nxt > 0) & (nxt >= cur), (nxt - cur) * F.lit(1.0)).alias(
+            "rdl"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scans / filters / projection (F1-F8, S3/S4)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "filter_scan",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_returnflag = 'R'
+      AND l_shipdate >= TIMESTAMP '1998-01-01'
+      AND l_quantity IS NOT NULL
+    """,
+)
+def filter_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1+F2+F3+F7 — pushed equality/date/not-null predicates + pruned
+    projection (the reference pushes these into SQL strings,
+    YhCldETL.java:58-63; Catalyst pushes them into the parquet scan)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_returnflag") == "R")
+            & (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+            & F.col("l_quantity").isNotNull()
+        )
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    )
+
+
+@_register(
+    "prefix_scan",
+    """
+    SELECT p_partkey, p_name, p_type
+    FROM part
+    WHERE substr(p_type, 1, 5) = 'PROMO'
+    """,
+)
+def prefix_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 — SUBSTR prefix predicate (RdlETL.java:88). `startswith` compiles
+    to a pushable StringStartsWith parquet filter."""
+    return (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type").startswith("PROMO"))
+        .select("p_partkey", "p_name", "p_type")
+    )
+
+
+@_register(
+    "rowkey_range_scan",
+    """
+    SELECT lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS rowkey, o_totalprice
+    FROM orders
+    WHERE lpad(CAST(o_orderkey AS VARCHAR), 12, '0') >= '000000001000'
+      AND lpad(CAST(o_orderkey AS VARCHAR), 12, '0') <  '000000002000'
+    """,
+)
+def rowkey_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 — [start, stop) range scan on a composite string rowkey
+    (RdlETL2.java:59-60). On prefix-partitioned storage this is partition
+    pruning; here the same predicate semantics on a derived key."""
+    o = _t(spark, sf_dir, "orders")
+    rowkey = F.lpad(F.col("o_orderkey").cast("string"), 12, "0")
+    return (
+        o.withColumn("rowkey", rowkey)
+        .filter((F.col("rowkey") >= "000000001000") & (F.col("rowkey") < "000000002000"))
+        .select("rowkey", "o_totalprice")
+    )
+
+
+@_register(
+    "point_get",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey = 42
+    """,
+)
+def point_get(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 — point get (HBaseClient.getData, HBaseClient.java:149-158)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") == 42)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (J1/J2 + anti)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "lookup_join",
+    """
+    SELECT o.o_orderkey, c.c_name, o.o_totalprice
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 — broadcast-hash lookup join, inner (RdlETL.java:53-79,110-114).
+    The dim side is broadcast — the Spark analog of the reference's
+    client-heap HashMap, minus the heap ceiling."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
+        .select("o_orderkey", "c_name", "o_totalprice")
+    )
+
+
+@_register(
+    "semi_join",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 — left-semi join; replaces the reference's materialized DATA="1"
+    marker (written RdlETL.java:122, consumed RdlETL2.java:45-49)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@_register(
+    "anti_join",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join — complement of J2 (filterIfMissing(false) family, F6)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# Dedup / sort / limit (D1-D3)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "dedup_first_wins",
+    """
+    SELECT user_id, event_type, event_id, value FROM (
+      SELECT user_id, event_type, event_id, value,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def dedup_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 — first-wins dedup with explicit arrival order
+    (RdlETL.java:106,112-114; SURVEY §7.3 determinism note)."""
+    ev = _t(spark, sf_dir, "events")
+    out = dedup.first_wins(
+        ev, keys=["user_id", "event_type"], order=[F.col("ts").asc(), F.col("event_id").asc()]
+    )
+    return out.select("user_id", "event_type", "event_id", "value")
+
+
+@_register(
+    "sort_limit",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100
+    """,
+)
+def sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2+D3 — global sort + limit (the reference's commented setLimit,
+    RdlETL2.java:57,61). Spark executes this as TakeOrderedAndProject —
+    per-partition top-K then a K-row merge, no global sort materialized."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window / time-series (W1-W4) + aggregation
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "date_spine",
+    """
+    SELECT u.user_id, CAST(d.d AS DATE) AS rd_date
+    FROM (SELECT DISTINCT user_id FROM events) u
+    CROSS JOIN (
+      SELECT unnest(generate_series(DATE '2024-01-01', DATE '2024-01-31',
+                                    INTERVAL 1 DAY)) AS d
+    ) d
+    """,
+)
+def date_spine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 — dense per-key calendar spine (RdlETL2.java:80-83)."""
+    ev = _t(spark, sf_dir, "events")
+    return date_spine(ev, ["user_id"], "2024-01-01", "2024-01-31", "rd_date")
+
+
+@_register(
+    "pivot_events",
+    """
+    SELECT user_id,
+      CAST(SUM(CASE WHEN event_type='click'    THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS click_sum,
+      CAST(SUM(CASE WHEN event_type='error'    THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS error_sum,
+      CAST(SUM(CASE WHEN event_type='purchase' THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS purchase_sum,
+      CAST(SUM(CASE WHEN event_type='signup'   THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS signup_sum,
+      CAST(SUM(CASE WHEN event_type='view'     THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS view_sum
+    FROM events GROUP BY user_id
+    """,
+)
+def pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 — long→wide pivot with explicit value list (one pass; the
+    reference pivots on write, RdlETL.java:120-122)."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.sum(F.col("value").cast("decimal(18,4)")))
+    )
+    return wide.select(
+        "user_id",
+        *[F.col(t).cast("double").alias(f"{t}_sum") for t in types],
+    )
+
+
+@_register(
+    "unpivot_roundtrip",
+    """
+    SELECT user_id, event_type,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY user_id, event_type
+    """,
+)
+def unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 — wide→long unpivot (RdlETL2.java:87-93 reads day-columns back).
+    Pivot then unpivot: the oracle is the direct groupBy, which proves the
+    roundtrip is lossless."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.sum(F.col("value").cast("decimal(18,4)")))
+    )
+    long_df = wide.unpivot(
+        ids=["user_id"], values=types,
+        variableColumnName="event_type", valueColumnName="_v",
+    )
+    return (
+        long_df.filter(F.col("_v").isNotNull())
+        .select("user_id", "event_type", F.col("_v").cast("double").alias("sum_value"))
+    )
+
+
+@_register(
+    "agg_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+               (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
+           AS DOUBLE) AS sum_disc_price,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped aggregation (free in Spark — SURVEY §2.4: the
+    reference has zero aggregates; this is north-star surface). Decimal-exact
+    partial aggregation (map-side combine) → double at the edge."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(
+                dec("l_extendedprice")
+                * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))
+            ).cast("double").alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@_register(
+    "group_topk",
+    """
+    SELECT c_custkey, o_orderkey, rnk FROM (
+      SELECT o_custkey AS c_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+      FROM orders
+    ) WHERE rnk <= 3
+    """,
+)
+def group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group via rank window (north-star; D-family extension)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(F.col("o_custkey").alias("c_custkey"), "o_orderkey", "rnk")
+    )
+
+
+@_register(
+    "sessionize",
+    """
+    SELECT user_id, event_id,
+           CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS session_id
+    FROM (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                  OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    )
+    """,
+)
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session assignment: 30-min-gap cut via lag + running sum (time-series
+    extension of W1; streaming analog is session windows)."""
+    ev = _t(spark, sf_dir, "events")
+    order = [F.col("ts").asc(), F.col("event_id").asc()]
+    w = Window.partitionBy("user_id").orderBy(*order)
+    prev = F.lag("ts").over(w)
+    new_session = F.when(
+        prev.isNull()
+        | ((F.unix_micros(F.col("ts")) - F.unix_micros(prev)) > 30 * 60 * 1_000_000),
+        1,
+    ).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(new_session).over(run).alias("session_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions (X1-X10)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "scalar_funcs",
+    """
+    SELECT o_orderkey,
+      o_orderpriority || '_' || CAST(o_orderkey AS VARCHAR) AS rowkey,
+      substr(o_orderpriority || '_' || CAST(o_orderkey AS VARCHAR), 1, 4) AS pfx,
+      strftime(o_orderdate, '%Y%m%d') AS day_str,
+      COALESCE(TRY_CAST(o_orderstatus AS DOUBLE), 0.0) AS status_num,
+      COALESCE(CAST(o_totalprice AS VARCHAR), '') AS price_str,
+      (o_orderstatus IS NULL OR trim(o_orderstatus) = '') AS status_blank,
+      '0' || CAST(TRY_CAST(substr(lpad(CAST(o_orderkey AS VARCHAR), 12, '0'), 1, 4)
+                  AS INTEGER) + 1 AS VARCHAR) AS stop_key
+    FROM orders
+    """,
+)
+def scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1-X10 in one projection (SURVEY §2.7): composite key, prefix,
+    yyyyMMdd format, string→double default, null→'', blank test, stop-key
+    successor, double→string render."""
+    o = _t(spark, sf_dir, "orders")
+    rowkey = F.concat_ws("_", "o_orderpriority", F.col("o_orderkey").cast("string"))
+    lpad_key = F.lpad(F.col("o_orderkey").cast("string"), 12, "0")
+    return o.select(
+        "o_orderkey",
+        rowkey.alias("rowkey"),
+        F.substring(rowkey, 1, 4).alias("pfx"),
+        F.date_format("o_orderdate", "yyyyMMdd").alias("day_str"),
+        F.coalesce(F.col("o_orderstatus").try_cast("double"), F.lit(0.0)).alias(
+            "status_num"
+        ),
+        F.coalesce(F.col("o_totalprice").cast("string"), F.lit("")).alias("price_str"),
+        (
+            F.col("o_orderstatus").isNull() | (F.trim("o_orderstatus") == "")
+        ).alias("status_blank"),
+        F.concat(
+            F.lit("0"),
+            (F.substring(lpad_key, 1, 4).try_cast("int") + 1).cast("string"),
+        ).alias("stop_key"),
+    )
+
+
+@_register(
+    "json_extract",
+    """
+    SELECT event_id, TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+    FROM events
+    """,
+)
+def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from the events `props` payload (north-star;
+    the reference has no JSON surface, SURVEY §2.7)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").try_cast("int").alias("k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline: dedup family (north-star M4)
+# ---------------------------------------------------------------------------
+
+_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+# DuckDB shingle expression: 3-gram word shingles of normalized text,
+# whole-text fallback for short docs — mirrors operators.dedup.shingles.
+_SHINGLES = (
+    "list_distinct(list_transform("
+    "  range(1, greatest(len(string_split({norm}, ' ')) - 2, 1) + 1),"
+    "  i -> array_to_string(string_split({norm}, ' ')[i:i+2], ' ')))"
+).format(norm=_NORM)
+
+
+@_register(
+    "dedup_exact",
+    f"""
+    SELECT doc_id, fingerprint FROM (
+      SELECT doc_id, md5({_NORM}) AS fingerprint,
+             row_number() OVER (PARTITION BY md5({_NORM}) ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5 of normalized text, keep lowest doc_id per digest.
+    Shuffle payload is the 32-char digest, never the document body."""
+    docs = _t(spark, sf_dir, "documents")
+    kept = dedup.exact_dedup(docs, "text", "doc_id")
+    return kept.select("doc_id", T.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+@_register(
+    "minhash_signature",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_SHINGLES}) AS s
+      FROM documents
+    )
+    SELECT doc_id,
+      {", ".join(f"min(md5(s || '#{i}')) AS mh_{i}" for i in range(8))}
+    FROM sh GROUP BY doc_id
+    """,
+)
+def minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (8 hashes, md5 family) — deterministic across
+    engines, so the oracle reproduces them exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_signature(docs, "text", "doc_id", num_hashes=8)
+
+
+@_register(
+    "minhash_lsh_pairs",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_SHINGLES}) AS s FROM documents
+    ),
+    sig AS (
+      SELECT doc_id,
+        {", ".join(f"min(md5(s || '#{i}')) AS mh_{i}" for i in range(8))}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, md5('0' || '|' || mh_0 || '|' || mh_1) AS bk FROM sig
+      UNION ALL
+      SELECT doc_id, md5('1' || '|' || mh_2 || '|' || mh_3) AS bk FROM sig
+      UNION ALL
+      SELECT doc_id, md5('2' || '|' || mh_4 || '|' || mh_5) AS bk FROM sig
+      UNION ALL
+      SELECT doc_id, md5('3' || '|' || mh_6 || '|' || mh_7) AS bk FROM sig
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
+    """,
+)
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH banding (8 hashes, 4 bands × 2 rows): near-duplicate
+    candidate pairs via band-bucket self-join. The shuffle carries only
+    (32-char band key, id) rows — the 100 TB-safe candidate generator."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_bucket_pairs(
+        docs, "text", "doc_id", num_hashes=8, bands=4
+    )
+
+
+@_register(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_SHINGLES}) AS s FROM documents
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.05
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram Jaccard near-dup pairs (3-gram shingles, threshold 0.05 so the
+    synthetic corpus yields a non-trivial pair set)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.05)
+
+
+@_register("simhash_fingerprints")  # xxhash64 has no DuckDB twin → rows-only
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash 64-bit fingerprints (Charikar 2002). Oracle omitted: the hash
+    family (xxhash64) has no DuckDB equivalent; driver records rows-only."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash(docs, "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline: text analysis (north-star M4)
+# ---------------------------------------------------------------------------
+
+_DUCK_TOKENS = f"string_split_regex(trim(text), '\\s+')"
+_SW = {
+    "en": "['the','a','and','of','to','in','is','it','that','for']",
+    "de": "['der','die','das','und','ist','nicht','ein','mit','von','zu']",
+    "fr": "['le','la','les','et','est','un','une','de','que','pour']",
+    "es": "['el','la','los','y','es','un','una','de','que','por']",
+}
+_HITS = {
+    lang: (
+        f"len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),"
+        f" x -> list_contains({words}, x)))"
+    )
+    for lang, words in _SW.items()
+}
+
+
+@_register(
+    "text_profile",
+    f"""
+    SELECT doc_id,
+      CASE WHEN trim(text) = '' THEN 0 ELSE len({_DUCK_TOKENS}) END AS n_tokens,
+      len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_subwords,
+      CASE WHEN len(text) = 0 THEN 0.0
+           ELSE CAST(len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                / len(text) END AS punct_ratio,
+      CASE WHEN trim(text) = '' THEN 0.0
+           ELSE CAST({_HITS['en']} AS DOUBLE) / len({_DUCK_TOKENS}) END
+           AS stopword_ratio,
+      md5({_NORM}) AS fingerprint
+    FROM documents
+    """,
+)
+def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-quality metrics in one codegen'd projection: token count,
+    BPE-ish subword count, punctuation ratio, stopword ratio, fingerprint."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        T.token_count(t).alias("n_tokens"),
+        T.bpe_ish_token_count(t).alias("n_subwords"),
+        T.punct_ratio(t).alias("punct_ratio"),
+        T.stopword_ratio(t).alias("stopword_ratio"),
+        T.fingerprint(t).alias("fingerprint"),
+    )
+
+
+@_register(
+    "language_id",
+    f"""
+    SELECT doc_id,
+      CASE
+        WHEN {_HITS['en']} = 0 AND {_HITS['de']} = 0
+         AND {_HITS['fr']} = 0 AND {_HITS['es']} = 0 THEN 'und'
+        WHEN {_HITS['fr']} >= {_HITS['es']} AND {_HITS['fr']} >= {_HITS['en']}
+         AND {_HITS['fr']} >= {_HITS['de']} THEN 'fr'
+        WHEN {_HITS['es']} >= {_HITS['en']} AND {_HITS['es']} >= {_HITS['de']}
+         THEN 'es'
+        WHEN {_HITS['en']} >= {_HITS['de']} THEN 'en'
+        ELSE 'de'
+      END AS lang_pred
+    FROM documents
+    """,
+)
+def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: argmax stopword hits across 4 languages;
+    ties resolve to the lexicographically greatest language (both engines
+    encode the same rule)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.language_id(F.col("text")).alias("lang_pred"))
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline: similarity search (north-star M4)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "ann_cosine_topk",
+    """
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                              CAST(c.embedding AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(q.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                        CAST(c.embedding AS DOUBLE[])))) AS s
+      FROM embeddings c, q
+      WHERE q.vec_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, rank, sim FROM (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY s DESC, neighbor_id ASC) AS rank,
+             round(s, 6) AS sim
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-10 for query vectors vec_id<10 — the
+    correctness baseline for similarity search. Query side broadcast; dot
+    products as JVM fold expressions (no Python)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    return similarity.cosine_topk(q, emb, k=10)
+
+
+@_register("ann_lsh_topk")  # approximate by design → rows-only check
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (random-hyperplane signs). The scale
+    path for ANN: only bucket-colliding vectors are compared. Approximate ⇒
+    no SQL oracle; correctness is recall-tested against brute force in
+    tests/test_similarity.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    # deterministic pseudo-random hyperplanes (fixed seed, 4 planes → 16 buckets)
+    import random
+
+    rng = random.Random(7)
+    planes = [[rng.uniform(-1, 1) for _ in range(64)] for _ in range(4)]
+    return similarity.lsh_topk(q, emb, planes, k=10)

@@ -1,0 +1,60 @@
+"""S1/S2 — JDBC sources behind a substitutable interface.
+
+The reference streams two JDBC sources single-threaded (MySQL-protocol dim
+scan with ``fetchSize=Integer.MIN_VALUE``, YhCldETL.java:54-68; Oracle fact
+scan with ``fetchSize=1000``, RdlETL.java:92-101) and parallelizes manually
+by looping region codes. Spark-first: one partitioned ``spark.read.jdbc``
+whose `partitionColumn` IS that loop — N concurrent range queries, one per
+task, with predicate pushdown from Catalyst.
+
+No live DBMS exists in the test container, so `read_jdbc` is exercised via
+`ParquetStandin` in tests; the option plumbing is identical.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class JdbcSource:
+    """Config for a partitioned JDBC read."""
+
+    url: str
+    table: str  # table name or "(subquery) alias" — pushes the SQL down
+    partition_column: str | None = None  # e.g. "dqbh" (YhCldETL.java:29-31)
+    lower_bound: int | None = None
+    upper_bound: int | None = None
+    num_partitions: int | None = None
+    fetch_size: int = 1000  # RdlETL.java:98
+    options: dict[str, str] = field(default_factory=dict)
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        reader = (
+            spark.read.format("jdbc")
+            .option("url", self.url)
+            .option("dbtable", self.table)
+            .option("fetchsize", str(self.fetch_size))
+        )
+        if self.partition_column is not None:
+            reader = (
+                reader.option("partitionColumn", self.partition_column)
+                .option("lowerBound", str(self.lower_bound))
+                .option("upperBound", str(self.upper_bound))
+                .option("numPartitions", str(self.num_partitions or 8))
+            )
+        for k, v in self.options.items():
+            reader = reader.option(k, v)
+        return reader.load()
+
+
+@dataclass
+class ParquetStandin:
+    """Drop-in test substitute: same `read(spark)` contract, parquet-backed."""
+
+    path: str
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.path)

@@ -1,0 +1,214 @@
+"""WideTable — the engine's wide-column table abstraction.
+
+Covers the reference's HBase client capability surface (``HBaseClient.java``:
+create table :80-93, exists :75-78, point get :149-158, single/batched put
+:95-147, range scan with projection+filter ``RdlETL2.java:42-63``) as a thin,
+typed layer over partitioned Parquet — Spark-first, not a KV-store port.
+
+Design (SURVEY §1.6, §7.1):
+
+- Canonical layout is **long/normalized**: one row per cell,
+  ``(rowkey, family, qualifier, value, version)``; dynamic data-dependent
+  qualifiers (the reference's per-day ``yyyyMMdd`` columns,
+  ``RdlETL.java:121``) are plain data here, so schema never churns.
+- Files are hash-partitioned by ``prefix = substring(rowkey, 1, 4)`` — the
+  same 4-char grid-branch prefix every reference stage range-scans on
+  (``RdlETL.java:63-64``). Prefix predicates become Parquet **partition
+  pruning** instead of start/stop row handles.
+- Writes are LSM-ish: every ``put`` appends a new batch stamped with a
+  monotonically increasing ``version``; reads resolve latest-wins per cell
+  (the HBase upsert semantic, SURVEY §1.4) with a window; ``compact()``
+  rewrites to one version. At 100 TB the same design holds: appends are
+  cheap blind writes, compaction is an idempotent per-partition rewrite,
+  and scans prune partitions before touching data.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+CELL_SCHEMA = StructType(
+    [
+        StructField("rowkey", StringType(), False),
+        StructField("family", StringType(), False),
+        StructField("qualifier", StringType(), False),
+        StructField("value", StringType(), True),
+        StructField("version", LongType(), False),
+    ]
+)
+
+PREFIX_LEN = 4  # the reference's grid-branch prefix width (YhCldETL.java:30)
+
+
+class WideTable:
+    """A wide-column table persisted as prefix-partitioned Parquet."""
+
+    def __init__(self, spark: SparkSession, path: str, families: list[str]):
+        self.spark = spark
+        self.path = path
+        self.families = list(families)
+
+    # -- DDL (S8/S9: HBaseClient.createTable/tableExists) -------------------
+
+    @classmethod
+    def create(
+        cls, spark: SparkSession, path: str, families: list[str]
+    ) -> "WideTable":
+        """Create-if-not-exists (HBaseClient.java:80-93 semantics)."""
+        table = cls(spark, path, families)
+        if not table.exists():
+            empty = spark.createDataFrame([], CELL_SCHEMA)
+            (
+                empty.withColumn("prefix", F.substring("rowkey", 1, PREFIX_LEN))
+                .write.partitionBy("prefix")
+                .mode("overwrite")
+                .parquet(path)
+            )
+        return table
+
+    def exists(self) -> bool:
+        jvm_path = os.path.join(self.path, "_SUCCESS")
+        return os.path.exists(jvm_path) or os.path.isdir(self.path)
+
+    # -- writes (S5/S6: batched + single put, latest-wins upsert) -----------
+
+    def put(self, cells: DataFrame) -> None:
+        """Append a batch of cells; latest-wins resolution happens at read.
+
+        ``cells`` must have (rowkey, family, qualifier, value). Batching,
+        buffering and backpressure (the reference's hand-rolled
+        ``List<Put>`` + sleeps, YhCldETL.java:94-102) are Spark's job.
+        """
+        unknown = {
+            r["family"]
+            for r in cells.select("family").distinct().collect()
+            if r["family"] not in self.families
+        }
+        if unknown:
+            raise ValueError(f"unknown column families: {sorted(unknown)}")
+        stamped = (
+            cells.select("rowkey", "family", "qualifier", "value")
+            .withColumn("version", F.lit(self._next_version()))
+            .withColumn("prefix", F.substring("rowkey", 1, PREFIX_LEN))
+        )
+        stamped.write.partitionBy("prefix").mode("append").parquet(self.path)
+
+    def put_row(self, rowkey: str, family: str, pairs: dict[str, str]) -> None:
+        """Single-row put (HBaseClient.java:113-147 overloads)."""
+        rows = [(rowkey, family, q, v) for q, v in pairs.items()]
+        df = self.spark.createDataFrame(
+            rows, "rowkey string, family string, qualifier string, value string"
+        )
+        self.put(df)
+
+    def _next_version(self) -> int:
+        try:
+            current = (
+                self.spark.read.schema(CELL_SCHEMA)
+                .parquet(self.path)
+                .agg(F.max("version"))
+                .first()[0]
+            )
+        except Exception:
+            current = None
+        return (current or 0) + 1
+
+    # -- reads (S3 range scan, S4 point get) --------------------------------
+
+    def _cells(self) -> DataFrame:
+        return self.spark.read.parquet(self.path)
+
+    def _latest(self, cells: DataFrame) -> DataFrame:
+        """Latest-wins per (rowkey, family, qualifier) — HBase cell upsert."""
+        w = Window.partitionBy("rowkey", "family", "qualifier").orderBy(
+            F.col("version").desc()
+        )
+        return (
+            cells.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "version")
+        )
+
+    def scan(
+        self,
+        start: str | None = None,
+        stop: str | None = None,
+        families: list[str] | None = None,
+        qualifiers: list[str] | None = None,
+        predicate: Column | None = None,
+    ) -> DataFrame:
+        """Range scan with projection + filter pushdown.
+
+        Mirrors ``Scan.withStartRow/withStopRow/addFamily/addColumn/setFilter``
+        (RdlETL2.java:42-63). When start/stop share the 4-char prefix, the
+        filter lands on the ``prefix`` partition column → partition pruning,
+        exactly like HBase region pruning but optimizer-driven.
+        """
+        df = self._cells()
+        if start is not None:
+            df = df.filter(F.col("prefix") >= start[:PREFIX_LEN]).filter(
+                F.col("rowkey") >= start
+            )
+        if stop is not None:
+            df = df.filter(F.col("prefix") <= stop[:PREFIX_LEN]).filter(
+                F.col("rowkey") < stop
+            )
+        if families:
+            df = df.filter(F.col("family").isin(families))
+        if qualifiers:
+            df = df.filter(F.col("qualifier").isin(qualifiers))
+        df = self._latest(df)
+        if predicate is not None:
+            df = df.filter(predicate)
+        return df.select("rowkey", "family", "qualifier", "value")
+
+    def get(
+        self, rowkey: str, family: str | None = None, qualifier: str | None = None
+    ) -> DataFrame:
+        """Point get (HBaseClient.getData, HBaseClient.java:149-158)."""
+        df = self._cells().filter(F.col("prefix") == rowkey[:PREFIX_LEN]).filter(
+            F.col("rowkey") == rowkey
+        )
+        if family:
+            df = df.filter(F.col("family") == family)
+        if qualifier:
+            df = df.filter(F.col("qualifier") == qualifier)
+        return self._latest(df).select("rowkey", "family", "qualifier", "value")
+
+    def to_wide(self, family: str, qualifiers: list[str]) -> DataFrame:
+        """Pivot one family long→wide with an explicit qualifier list
+        (one-pass pivot, SURVEY §2.5 W3)."""
+        cells = self._latest(self._cells().filter(F.col("family") == family))
+        return (
+            cells.groupBy("rowkey")
+            .pivot("qualifier", qualifiers)
+            .agg(F.first("value"))
+        )
+
+    # -- maintenance ---------------------------------------------------------
+
+    def compact(self) -> None:
+        """Rewrite to latest-wins only. Idempotent; per-partition rewrite."""
+        resolved = self._latest(self._cells()).withColumn(
+            "version", F.lit(1).cast("long")
+        )
+        out = self.path + "__compact"
+        (
+            resolved.withColumn("prefix", F.substring("rowkey", 1, PREFIX_LEN))
+            .write.partitionBy("prefix")
+            .mode("overwrite")
+            .parquet(out)
+        )
+        import shutil
+
+        shutil.rmtree(self.path)
+        os.rename(out, self.path)
