@@ -11,6 +11,11 @@ from __future__ import annotations
 import datetime as dt
 import random
 from dataclasses import dataclass
+from decimal import Decimal
+
+
+def _dec(x: float | int | None) -> Decimal | None:
+    return None if x is None else Decimal(str(x))
 
 START = dt.date(2019, 5, 1)
 END = dt.date(2019, 8, 1)  # compute end (93 days); export ends END-1
@@ -52,7 +57,7 @@ def generate(n_meters_per_prefix: int = 40, n_prefixes: int = 3) -> Fixture:
                 yhbh = "  "
             dim_rows.append(
                 dict(gdfj_key=gdfj_key, cldbs=cldbs, yhbh=yhbh,
-                     zhbl=zhbl, dqbh=dqbh)
+                     zhbl=_dec(zhbl), dqbh=dqbh)
             )
             # checklist 8: meter with no readings at all (excluded by F6)
             if kind == 5:
@@ -74,7 +79,7 @@ def generate(n_meters_per_prefix: int = 40, n_prefixes: int = 3) -> Fixture:
                 if kind == 8 and i % 7 == 0:
                     zxygz = None  # NULL register values (X7 edge)
                 reading_rows.append(
-                    dict(cldbs=cldbs, sjsj=day, zxygz=zxygz,
+                    dict(cldbs=cldbs, sjsj=day, zxygz=_dec(zxygz),
                          gddwbm=f"{prefix}D{rng.randint(10, 99)}", seq=seq)
                 )
                 seq += 1
@@ -82,7 +87,7 @@ def generate(n_meters_per_prefix: int = 40, n_prefixes: int = 3) -> Fixture:
                 if rng.random() < 0.02:
                     reading_rows.append(
                         dict(cldbs=cldbs, sjsj=day,
-                             zxygz=round((zxygz or 0) + 999, 4),
+                             zxygz=_dec(round((zxygz or 0) + 999, 4)),
                              gddwbm=f"{prefix}D{rng.randint(10, 99)}", seq=seq)
                     )
                     seq += 1
@@ -91,7 +96,7 @@ def generate(n_meters_per_prefix: int = 40, n_prefixes: int = 3) -> Fixture:
         day = rng.choice(days)
         reading_rows.append(
             dict(cldbs=f"ORPHAN{i:03d}", sjsj=day,
-                 zxygz=round(rng.uniform(1, 100), 4),
+                 zxygz=_dec(round(rng.uniform(1, 100), 4)),
                  gddwbm=f"0401D{rng.randint(10, 99)}", seq=seq)
         )
         seq += 1
@@ -122,7 +127,7 @@ def golden_export(fx: Fixture) -> dict[str, dict[str, float | None]]:
         per = bmz.setdefault(d["rowkey"], {})
         if r["sjsj"] in per:
             continue  # first wins
-        per[r["sjsj"]] = r["zxygz"]
+        per[r["sjsj"]] = None if r["zxygz"] is None else float(r["zxygz"])
 
     # stage 2+3: spine, defaults, guarded lead-diff, export filter
     n_days = (END - START).days + 1

@@ -1,0 +1,147 @@
+"""LLM-pipeline extension operators: dedup family, similarity, text,
+multimodal (north-star M4)."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from learn_hbase_spark.operators import multimodal, similarity
+from learn_hbase_spark.operators.dedup import (
+    exact_dedup,
+    minhash_bucket_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy dog"),        # exact dup of 0
+    (2, "the quick brown fox jumps over the lazy cat"),        # near dup of 0
+    (3, "completely different content about spark engines"),
+    (4, "  The  QUICK brown fox jumps over the lazy dog  "),   # normalized dup of 0
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup_normalized(spark, docs):
+    kept = sorted(r["doc_id"] for r in exact_dedup(docs).collect())
+    # 0, 1 and 4 collapse (case/whitespace-normalized); lowest id wins
+    assert kept == [0, 2, 3]
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_bucket_pairs(docs, num_hashes=16, bands=8).collect()
+    }
+    assert (0, 1) in pairs and (0, 4) in pairs  # exact dups always collide
+    assert (0, 2) in pairs                       # near dup collides in ≥1 band
+    assert (0, 3) not in pairs                   # unrelated docs don't
+
+
+def test_ngram_jaccard_scores(spark, docs):
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.1).collect()
+    }
+    assert got[(0, 1)] == 1.0
+    assert 0.5 < got[(0, 2)] < 1.0
+    assert (0, 3) not in got
+
+
+def test_simhash_close_for_near_dups(spark, docs):
+    fp = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert fp[0] == fp[1] == fp[4]
+    ham_near = bin((fp[0] ^ fp[2]) & (2**64 - 1)).count("1")
+    ham_far = bin((fp[0] ^ fp[3]) & (2**64 - 1)).count("1")
+    assert ham_near < ham_far
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = random.Random(3)
+    rows = []
+    for i in range(60):
+        rows.append((i, [rng.uniform(-1, 1) for _ in range(16)]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_cosine_matches_numpy(spark, vectors):
+    import numpy as np
+
+    rows = {r["vec_id"]: np.array(r["embedding"]) for r in vectors.collect()}
+    out = similarity.cosine_topk(
+        vectors.filter(F.col("vec_id") == 0), vectors, k=5
+    ).collect()
+    v0 = rows[0]
+    want = sorted(
+        (
+            (float(v0 @ v / (np.linalg.norm(v0) * np.linalg.norm(v))), -i)
+            for i, v in rows.items()
+            if i != 0
+        ),
+        reverse=True,
+    )[:5]
+    got = [(r["rank"], r["neighbor_id"], r["sim"]) for r in sorted(out, key=lambda r: r["rank"])]
+    for (rank, nid, sim), (wsim, wnid) in zip(got, want):
+        assert nid == -wnid
+        assert math.isclose(sim, round(wsim, 6), abs_tol=1e-6)
+
+
+def test_lsh_recall_vs_bruteforce(spark, vectors):
+    """LSH with few planes must recover most of the true top-5."""
+    rng = random.Random(11)
+    planes = [[rng.uniform(-1, 1) for _ in range(16)] for _ in range(2)]
+    q = vectors.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk(q, vectors, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.lsh_topk(q, vectors, planes, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, f"recall {recall} too low even for 2-plane LSH"
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (1, "image", bytearray(b"\x89PNG fake"), "image/png", 8, 8, None),
+        (2, "video", bytearray(b"\x00\x00vid"), "video/mp4", 16, 16, 3500),
+        (3, "audio", None, "audio/wav", None, None, 2000),
+    ]
+    return spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+
+
+def test_extract_features_batched(spark, media):
+    got = {r["media_id"]: r.asDict() for r in multimodal.extract_features(media).collect()}
+    assert got[1]["n_bytes"] == 9
+    assert got[1]["checksum"] == sum(b"\x89PNG fake") % (2**31)
+    assert got[3]["n_bytes"] == 0  # null payload handled
+    assert all(v["feature_dim"] == 64 for v in got.values())
+
+
+def test_frame_sample_plan(spark, media):
+    frames = multimodal.frame_sample_plan(media, every_ms=1000).collect()
+    # one video, 3500ms → frames at 0, 1000, 2000, 3000
+    assert [r["frame_ms"] for r in frames] == [0, 1000, 2000, 3000]

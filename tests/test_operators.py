@@ -1,0 +1,96 @@
+"""Operator-level unit/property tests (SURVEY §5.3)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+from pyspark.sql import functions as F
+
+from learn_hbase_spark.operators.dedup import first_wins, shingles
+from learn_hbase_spark.operators.window import (
+    date_spine,
+    guarded_lead_diff,
+    pivot_days,
+    unpivot_days,
+)
+
+
+def test_lead_diff_telescoping_property(spark):
+    """Property (SURVEY §5.3): for a strictly positive non-decreasing series,
+    sum(rdl/ratio) == last - first; any rollover day yields null."""
+    rng = random.Random(7)
+    rows = []
+    vals = {}
+    for key in ["a", "b", "c"]:
+        v = rng.uniform(10, 100)
+        series = []
+        for d in range(30):
+            v += rng.uniform(0, 5)
+            series.append(v)
+            rows.append((key, dt.date(2019, 5, 1) + dt.timedelta(days=d), v))
+        vals[key] = series
+    df = spark.createDataFrame(rows, "k string, d date, bmz double")
+    out = guarded_lead_diff(df, "k", "d", "bmz", ratio=F.lit(2.0)).collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r["k"], []).append(r)
+    for key, series in vals.items():
+        got = sorted(by_key[key], key=lambda r: r["d"])
+        total = sum(r["rdl"] / 2.0 for r in got if r["rdl"] is not None)
+        assert abs(total - (series[-1] - series[0])) < 1e-6
+        assert got[-1]["rdl"] is None  # last day has no lead
+
+
+def test_lead_diff_rollover_null(spark):
+    df = spark.createDataFrame(
+        [("a", dt.date(2019, 5, 1), 100.0),
+         ("a", dt.date(2019, 5, 2), 40.0),   # rollover: decrease
+         ("a", dt.date(2019, 5, 3), 45.0),
+         ("a", dt.date(2019, 5, 4), 0.0),    # zero day
+         ("a", dt.date(2019, 5, 5), 50.0)],
+        "k string, d date, bmz double",
+    )
+    out = {r["d"].day: r["rdl"] for r in guarded_lead_diff(df, "k", "d", "bmz").collect()}
+    assert out[1] is None          # next < cur (rollover guard, F9)
+    assert out[2] == 5.0
+    assert out[3] is None          # next == 0
+    assert out[4] is None          # cur == 0
+    assert out[5] is None          # no lead
+
+
+def test_first_wins_order(spark):
+    df = spark.createDataFrame(
+        [("k1", 2, "late"), ("k1", 1, "early"), ("k2", 5, "only")],
+        "k string, seq int, v string",
+    )
+    out = {r["k"]: r["v"] for r in first_wins(df, ["k"], [F.col("seq")]).collect()}
+    assert out == {"k1": "early", "k2": "only"}
+
+
+def test_date_spine_dense(spark):
+    df = spark.createDataFrame([("a",), ("b",)], "k string")
+    out = date_spine(df, ["k"], dt.date(2019, 5, 1), dt.date(2019, 8, 1))
+    assert out.count() == 2 * 93  # 93 days inclusive (W2)
+
+
+def test_pivot_unpivot_roundtrip(spark):
+    rows = [
+        ("a", dt.date(2019, 5, 1), 1.0),
+        ("a", dt.date(2019, 5, 2), 2.0),
+        ("b", dt.date(2019, 5, 1), 3.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, rd_date date, v double")
+    days = ["20190501", "20190502"]
+    wide = pivot_days(df, "k", "rd_date", "v", days)
+    back = unpivot_days(wide, "k", days, value="v")
+    got = {(r["k"], r["rd_date"], r["v"]) for r in back.filter(F.col("v").isNotNull()).collect()}
+    assert got == set(rows)
+
+
+def test_shingles_short_doc(spark):
+    df = spark.createDataFrame([("one two",), ("a b c d",), ("",)], "text string")
+    out = df.select(shingles(F.col("text"), 3).alias("s")).collect()
+    assert out[0]["s"] == ["one two"]            # shorter than n → whole text
+    assert out[1]["s"] == ["a b c", "b c d"]
+    assert out[2]["s"] == [""]                    # degenerate but non-crashing

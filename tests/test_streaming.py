@@ -1,0 +1,59 @@
+"""Structured Streaming extension: bounded (availableNow) run must agree
+with the equivalent batch aggregation."""
+
+from __future__ import annotations
+
+from learn_hbase_spark.streaming.events import (
+    read_event_stream,
+    run_bounded,
+    windowed_event_counts,
+)
+from learn_hbase_spark.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_windowed_counts_match_batch(spark, tmp_path):
+    src = str(tmp_path / "src")
+    # re-materialize events with µs timestamps so the stream reader's schema
+    # (EVENTS, TimestampType) matches the files
+    load_table(spark, SF, "events").write.parquet(src)
+
+    stream = read_event_stream(spark, src)
+    agg = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    run_bounded(agg, out_dir, ckpt)
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], round(r["sum_value"], 6))
+        for r in spark.read.parquet(out_dir).collect()
+    }
+
+    from pyspark.sql import functions as F
+
+    batch = (
+        load_table(spark, SF, "events")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .select(
+            F.col("window.start").alias("ws"),
+            F.col("window.end").alias("we"),
+            "event_type", "n", "s",
+        )
+    )
+    rows = batch.collect()
+    want = {(r["ws"], r["event_type"]): (r["n"], round(r["s"], 6)) for r in rows}
+    # append mode emits a window only once the watermark (max_ts - 2h)
+    # passes its end — the trailing windows legitimately stay open
+    max_ts = load_table(spark, SF, "events").agg(F.max("ts")).first()[0]
+    import datetime as dt
+
+    closed = {
+        (r["ws"], r["event_type"]): (r["n"], round(r["s"], 6))
+        for r in rows
+        if r["we"] <= max_ts - dt.timedelta(hours=2)
+    }
+    assert got, "stream produced no finalized windows"
+    for k, v in got.items():
+        assert want[k] == v, f"window {k}: stream {v} != batch {want[k]}"
+    missing = set(closed) - set(got)
+    assert not missing, f"closed windows not emitted: {sorted(missing)[:5]}"

@@ -1,0 +1,88 @@
+"""WideTable: the HBase-capability surface (S3-S6, S8-S9) over parquet."""
+
+from __future__ import annotations
+
+import pytest
+
+from learn_hbase_spark.widetable import WideTable
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return WideTable.create(spark, str(tmp_path / "t"), ["info", "bmz", "rdl"])
+
+
+def _cells(spark, rows):
+    return spark.createDataFrame(
+        rows, "rowkey string, family string, qualifier string, value string"
+    )
+
+
+def test_create_and_exists(table):
+    assert table.exists()
+
+
+def test_put_get_point(spark, table):
+    table.put(_cells(spark, [("0401_M1", "info", "yhbh", "U1")]))
+    got = table.get("0401_M1", "info", "yhbh").collect()
+    assert len(got) == 1 and got[0]["value"] == "U1"
+
+
+def test_latest_wins_upsert(spark, table):
+    table.put(_cells(spark, [("0401_M1", "bmz", "20190501", "100")]))
+    table.put(_cells(spark, [("0401_M1", "bmz", "20190501", "200")]))
+    got = table.get("0401_M1", "bmz", "20190501").collect()
+    assert len(got) == 1 and got[0]["value"] == "200"
+
+
+def test_scan_range_and_projection(spark, table):
+    table.put(
+        _cells(
+            spark,
+            [
+                ("0401_A", "info", "yhbh", "U1"),
+                ("0402_B", "info", "yhbh", "U2"),
+                ("0402_B", "bmz", "20190501", "5"),
+                ("0403_C", "info", "yhbh", "U3"),
+            ],
+        )
+    )
+    rows = table.scan(start="0402", stop="0403", families=["info"]).collect()
+    assert [(r["rowkey"], r["value"]) for r in rows] == [("0402_B", "U2")]
+
+
+def test_scan_prunes_partitions(spark, table):
+    table.put(
+        _cells(spark, [("0401_A", "info", "q", "1"), ("0402_B", "info", "q", "2")])
+    )
+    plan = table.scan(start="0402", stop="0403")._jdf.queryExecution().executedPlan().toString()
+    # the prefix predicate must reach the scan as a partition filter
+    assert "prefix" in plan
+
+
+def test_unknown_family_rejected(spark, table):
+    with pytest.raises(ValueError):
+        table.put(_cells(spark, [("0401_A", "nope", "q", "1")]))
+
+
+def test_to_wide_pivot(spark, table):
+    table.put(
+        _cells(
+            spark,
+            [
+                ("0401_A", "bmz", "20190501", "10"),
+                ("0401_A", "bmz", "20190502", "20"),
+            ],
+        )
+    )
+    wide = table.to_wide("bmz", ["20190501", "20190502"]).collect()
+    assert len(wide) == 1
+    assert wide[0]["20190501"] == "10" and wide[0]["20190502"] == "20"
+
+
+def test_compact_preserves_latest(spark, table):
+    table.put(_cells(spark, [("0401_A", "info", "q", "old")]))
+    table.put(_cells(spark, [("0401_A", "info", "q", "new")]))
+    table.compact()
+    got = table.get("0401_A", "info", "q").collect()
+    assert len(got) == 1 and got[0]["value"] == "new"
