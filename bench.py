@@ -1,0 +1,74 @@
+"""Benchmark harness (driver contract): run the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON line:
+``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``.
+
+Each query is forced to full materialization via the noop sink (no driver
+collect; measures the whole distributed plan, not a count shortcut).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from learn_hbase_spark import queries as Q  # noqa: E402
+from learn_hbase_spark.session import get_session  # noqa: E402
+
+BENCH_QUERIES = [
+    # reference-parity surface
+    "rdl_flagship",        # W1 guarded lead-diff (the core analytic)
+    "filter_scan",         # pushed predicates + pruned projection
+    "lookup_join",         # J1 broadcast lookup join
+    "semi_join",           # J2
+    "dedup_first_wins",    # D1
+    "sort_limit",          # D2/D3 top-k
+    "pivot_events",        # W3
+    "agg_pricing_summary", # group-by aggregation
+    "sessionize",          # time-series sessionization
+    "scalar_funcs",        # X1-X10 projection
+    # LLM-pipeline surface
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "text_profile",
+    "ann_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_session("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = Q.queries()
+    timings: dict[str, float] = {}
+    # JVM/codegen warmup on the smallest table so the first measured query
+    # doesn't pay session bring-up
+    qs["point_get"](spark, sf_dir).write.mode("overwrite").format("noop").save()
+
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
