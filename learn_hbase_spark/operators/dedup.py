@@ -56,13 +56,36 @@ def shingles(col: Column, n: int = 3) -> Column:
 
     Documents shorter than n words yield a single whole-text shingle so they
     still participate (and exact-duplicate short docs still collide).
+
+    NOTE: when `col` is a raw text column, the split is re-evaluated inside
+    the lambda per shingle (no CSE across HOF iterations) — O(words²) per
+    doc. Hot paths should use :func:`shingle_rows`, which materializes the
+    word array in its own projection first.
     """
-    words = F.split(normalize_text(col), " ")
+    return _grams_from_words(F.split(normalize_text(col), " "), n)
+
+
+def _grams_from_words(words: Column, n: int) -> Column:
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
         lambda i: F.array_join(F.slice(words, i + 1, n), " "),
     )
     return F.array_distinct(grams)
+
+
+def shingle_rows(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """Exploded (id, shingle) rows, computed in two projections so the word
+    array is an attribute by the time the n-gram lambda runs (Catalyst does
+    not collapse the projects because the alias is referenced repeatedly by
+    a non-cheap expression). Turns the per-doc cost from O(words²) string
+    splitting into O(words)."""
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    return (
+        df.select(F.col(id_col).alias("_id"), words.alias("_w"))
+        .select("_id", F.explode(_grams_from_words(F.col("_w"), n)).alias("_sh"))
+    )
 
 
 def ngram_jaccard_pairs(

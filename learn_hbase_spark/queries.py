@@ -88,13 +88,17 @@ def rdl_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     cur = F.col("value")
-    nxt = F.lead("value", 1).over(w)
-    return ev.select(
-        "user_id",
-        "event_id",
-        F.when((cur > 0) & (nxt > 0) & (nxt >= cur), (nxt - cur) * F.lit(1.0)).alias(
-            "rdl"
-        ),
+    nxt = F.col("_nxt")
+    # materialize the lead once so the Window operator evaluates a single
+    # window expression instead of one per reference in the guard
+    return (
+        ev.withColumn("_nxt", F.lead("value", 1).over(w))
+        .select(
+            "user_id",
+            "event_id",
+            F.when((cur > 0) & (nxt > 0) & (nxt >= cur), (nxt - cur) * F.lit(1.0))
+            .alias("rdl"),
+        )
     )
 
 
