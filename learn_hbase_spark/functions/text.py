@@ -98,6 +98,22 @@ def fingerprint(col: Column) -> Column:
     return F.md5(normalized)
 
 
+def rolling_hash(col: Column, base: int = 131, mod: int = 2147483647) -> Column:
+    """Polynomial rolling hash over the character stream (Rabin-Karp style):
+    ``h = fold(chars, 0, (acc, c) -> (acc*base + code(c)) % mod)``.
+
+    Runs as one JVM fold expression per row — no shuffle, no Python. The
+    modulus keeps every intermediate < 2^38 so ANSI mode never overflows;
+    DuckDB reproduces it exactly with list_reduce (same base/mod).
+    """
+    codes = F.transform(F.split(col, ""), lambda c: F.ascii(c).cast("long"))
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * base + x) % mod,
+    )
+
+
 def profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One-pass text profile: all metrics as a single projection."""
     t = F.col(text_col)

@@ -36,19 +36,35 @@ def normalize_text(col: Column) -> Column:
     return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
 
 
+def exact_fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, fingerprint) winners of exact dedup: md5 of normalized content,
+    lowest id per digest. ``groupBy.agg(min)`` instead of a row_number window
+    so the shuffle gets map-side partial aggregation and carries only the
+    (32-char digest, id) pair — never the document body."""
+    keyed = df.select(
+        F.col(id_col).alias(id_col),
+        F.md5(normalize_text(F.col(text_col))).alias("fingerprint"),
+    )
+    return (
+        keyed.groupBy("fingerprint")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col, "fingerprint")
+    )
+
+
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Exact near-identical dedup: hash-groupBy on normalized content, keep
-    the lowest id. One shuffle on a 32-char key regardless of document size —
-    the md5 digest, not the document body, is the shuffle payload."""
-    keyed = df.withColumn("_h", F.md5(normalize_text(F.col(text_col))))
-    w = Window.partitionBy("_h").orderBy(F.col(id_col).asc())
-    return (
-        keyed.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "_h")
-    )
+    """Exact near-identical dedup, returning the surviving full rows.
+
+    Two narrow shuffles — (digest, id) partial-agg, then a semi join back on
+    the id — instead of one window shuffle that would carry every document
+    body. At 100 TB the body-free shuffle is the difference between a
+    digest-sized exchange and re-exchanging the corpus."""
+    winners = exact_fingerprints(df, text_col, id_col).select(id_col)
+    return df.join(winners, on=id_col, how="left_semi")
 
 
 def shingles(col: Column, n: int = 3) -> Column:
@@ -103,10 +119,7 @@ def ngram_jaccard_pairs(
     generator; feed it through ``minhash_bucket_pairs`` first to cap the
     candidate set when corpora are huge.
     """
-    sh = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(shingles(F.col(text_col), n)).alias("_sh"),
-    )
+    sh = shingle_rows(df, text_col, id_col, n)
     sizes = sh.groupBy("_id").agg(F.count("*").alias("_sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -143,10 +156,7 @@ def minhash_signature(
     can reproduce it exactly. All JVM-side: explode → groupBy(id) → min per
     seed, one shuffle.
     """
-    sh = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(shingles(F.col(text_col), shingle_n)).alias("_sh"),
-    )
+    sh = shingle_rows(df, text_col, id_col, shingle_n)
     aggs = [
         F.min(F.md5(F.concat(F.col("_sh"), F.lit(f"#{i}")))).alias(f"mh_{i}")
         for i in range(num_hashes)

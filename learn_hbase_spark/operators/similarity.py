@@ -74,6 +74,40 @@ def cosine_topk(
     )
 
 
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, sim) for every
+    pair with cosine >= threshold, id_a < id_b.
+
+    Norms are computed once per vector in a pre-join projection, so the
+    pairwise stage evaluates one dot product per pair. The id inequality is
+    a join condition, which on the all-pairs form makes this a broadcast
+    nested-loop join — the exact baseline. The 100 TB path prefixes it with
+    ``hyperplane_bucket`` partitioning (compare only within buckets), same
+    scoring expression.
+    """
+    prepped = df.select(
+        F.col(id_col).alias("_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    ).withColumn("_n", _norm(F.col("_v")))
+    a, b = prepped.alias("a"), prepped.alias("b")
+    sim = _dot(F.col("a._v"), F.col("b._v")) / (F.col("a._n") * F.col("b._n"))
+    return (
+        a.join(b, F.col("a._id") < F.col("b._id"))
+        .withColumn("_sim", sim)
+        .filter(F.col("_sim") >= threshold)
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.round("_sim", 6).alias("sim"),
+        )
+    )
+
+
 def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-pattern bucket id for a vector under fixed hyperplanes.
 

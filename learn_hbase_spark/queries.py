@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions import text as T
-from .operators import dedup, similarity
+from .operators import dedup, multimodal, similarity
 from .operators.window import date_spine, guarded_lead_diff
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -549,19 +549,16 @@ _SHINGLES = (
 @_register(
     "dedup_exact",
     f"""
-    SELECT doc_id, fingerprint FROM (
-      SELECT doc_id, md5({_NORM}) AS fingerprint,
-             row_number() OVER (PARTITION BY md5({_NORM}) ORDER BY doc_id) AS rn
-      FROM documents
-    ) WHERE rn = 1
+    SELECT min(doc_id) AS doc_id, md5({_NORM}) AS fingerprint
+    FROM documents GROUP BY md5({_NORM})
     """,
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: md5 of normalized text, keep lowest doc_id per digest.
-    Shuffle payload is the 32-char digest, never the document body."""
+    groupBy/min (partial-aggregable) — the shuffle carries the 32-char
+    digest + id, never the document body."""
     docs = _t(spark, sf_dir, "documents")
-    kept = dedup.exact_dedup(docs, "text", "doc_id")
-    return kept.select("doc_id", T.fingerprint(F.col("text")).alias("fingerprint"))
+    return dedup.exact_fingerprints(docs, "text", "doc_id")
 
 
 @_register(
@@ -642,6 +639,29 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthetic corpus yields a non-trivial pair set)."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.05)
+
+
+@_register(
+    "embedding_neardup",
+    """
+    WITH n AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS sim
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.3
+    """,
+)
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (threshold 0.3 — the synthetic
+    corpus tops out at cosine ~0.51, so this yields a real tail). Exact
+    all-pairs baseline; hyperplane-bucket prefilter is the scale path."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_neardup_pairs(emb, threshold=0.3)
 
 
 @_register("simhash_fingerprints")  # xxhash64 has no DuckDB twin → rows-only
@@ -726,6 +746,97 @@ def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     encode the same rule)."""
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", T.language_id(F.col("text")).alias("lang_pred"))
+
+
+@_register(
+    "rolling_fingerprint",
+    """
+    SELECT doc_id,
+      list_reduce(
+        list_prepend(CAST(0 AS BIGINT),
+                     list_transform(string_split(text, ''),
+                                    c -> CAST(ord(c) AS BIGINT))),
+        (acc, x) -> (acc * 131 + x) % 2147483647) AS rhash
+    FROM documents
+    """,
+)
+def rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rabin-Karp polynomial rolling hash per document — the fingerprint
+    primitive for content-defined chunking. One codegen'd fold per row."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.rolling_hash(F.col("text")).alias("rhash"))
+
+
+@_register(
+    "quality_score",
+    f"""
+    SELECT doc_id,
+      round((
+        CASE WHEN (CASE WHEN trim(text) = '' THEN 0
+                        ELSE len({_DUCK_TOKENS}) END) BETWEEN 10 AND 1000
+             THEN 1.0 ELSE 0.0 END
+        + CASE WHEN (CASE WHEN len(text) = 0 THEN 0.0
+                     ELSE CAST(len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                               AS DOUBLE) / len(text) END) <= 0.2
+               THEN 1.0 ELSE 0.0 END
+        + CASE WHEN (CASE WHEN trim(text) = '' THEN 0.0
+                     ELSE CAST({_HITS['en']} AS DOUBLE) / len({_DUCK_TOKENS}) END)
+                    >= 0.05
+               THEN 1.0 ELSE 0.0 END
+      ) / 3.0, 6) AS quality
+    FROM documents
+    """,
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite C4/Gopher-style quality score: length band + punctuation
+    ceiling + stopword floor, averaged. Deterministic and oracle-checked."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.quality_score(F.col("text")).alias("quality"))
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline: multimodal columns (north-star M4). Media rows are derived
+# deterministically from `documents` (payload = UTF-8 bytes of text) since
+# the testdata has no binary table; the Spark-side plumbing — binary column,
+# Arrow batching, mapInPandas schema — is the real surface under test.
+# ---------------------------------------------------------------------------
+
+
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    kinds = F.array(F.lit("image"), F.lit("audio"), F.lit("video"))
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(kinds, (F.col("doc_id") % 3 + 1).cast("int")).alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        ((F.col("doc_id") % 10 + 1) * 1000).cast("int").alias("duration_ms"),
+    )
+
+
+@_register("multimodal_features")  # stubbed binary decode → rows-only check
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched media feature extraction via mapInPandas (decode body
+    stubbed — codecs absent in this container; plumbing real)."""
+    return multimodal.extract_features(_media(spark, sf_dir))
+
+
+@_register(
+    "multimodal_frame_plan",
+    """
+    SELECT doc_id AS media_id,
+           unnest(generate_series(0, greatest((doc_id % 10 + 1) * 1000 - 1, 0),
+                                  1000)) AS frame_ms
+    FROM documents WHERE doc_id % 3 = 2
+    """,
+)
+def multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan: JVM-side explode of frame timestamps (one
+    row per frame to decode); the pixel decode itself stays stubbed."""
+    plan = multimodal.frame_sample_plan(_media(spark, sf_dir), every_ms=1000)
+    return plan.select("media_id", F.col("frame_ms").cast("long").alias("frame_ms"))
 
 
 # ---------------------------------------------------------------------------
