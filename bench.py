@@ -31,11 +31,16 @@ BENCH_QUERIES = [
     "agg_pricing_summary", # group-by aggregation
     "sessionize",          # time-series sessionization
     "scalar_funcs",        # X1-X10 projection
+    "asof_join",           # as-of join (union + ordered-window fill)
     # LLM-pipeline surface
     "dedup_exact",
     "minhash_lsh_pairs",
     "text_profile",
     "ann_cosine_topk",
+    "embedding_neardup",
+    "rolling_fingerprint",
+    "quality_score",
+    "multimodal_frame_plan",
 ]
 
 

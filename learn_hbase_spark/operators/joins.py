@@ -8,7 +8,7 @@ AQE pick sort-merge + skew splitting when the build side grows at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -35,3 +35,89 @@ def semi_join(left: DataFrame, right: DataFrame, on: str | list[str]) -> DataFra
 def anti_join(left: DataFrame, right: DataFrame, on: str | list[str]) -> DataFrame:
     """Complement of J2 (not in the reference; needed by dedup/quality ops)."""
     return left.join(right, on=on, how="left_anti")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_time: str,
+    right_time: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Backward as-of join: for each left row, the values from the latest
+    right row with ``right_time <= left_time`` within the same key (the J3
+    generalization — the reference's adjacent-day self-align,
+    RdlETL2.java:83-93, is the trivial per-row case).
+
+    Implemented as union + last(ignorenulls) over one ordered window, NOT a
+    range join: a theta/range join explodes to |L|x|R| candidate pairs per
+    key before filtering, while this shape is one shuffle on the key and a
+    single ordered pass — the 100 TB-safe plan. Right rows sort before left
+    rows at equal timestamps, so the match is inclusive (same semantics as
+    DuckDB ``ASOF JOIN ... ON l.t >= r.t``).
+
+    `right` must be unique per (on..., right_time); pre-aggregate otherwise.
+    """
+    l_marked = left.select(
+        *on,
+        F.col(left_time).alias("_t"),
+        F.lit(1).alias("_is_left"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
+        F.struct(*left.columns).alias("_lrow"),
+    )
+    r_marked = right.select(
+        *on,
+        F.col(right_time).alias("_t"),
+        F.lit(0).alias("_is_left"),
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+        F.lit(None).cast(l_marked.schema["_lrow"].dataType).alias("_lrow"),
+    )
+    u = l_marked.unionByName(r_marked)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("_t").asc(), F.col("_is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.select(
+        "*",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(c)
+            for c in value_cols
+        ],
+    )
+    return filled.filter(F.col("_is_left") == 1).select(
+        *[F.col(f"_lrow.{c}").alias(c) for c in left.columns],
+        *value_cols,
+    )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    how: str = "inner",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-mitigated equi join: split each hot left key across
+    `salt_buckets` sub-keys and replicate the (small) right side once per
+    bucket, so one dominant key spreads over `salt_buckets` tasks instead of
+    pinning a single straggler.
+
+    This is the manual form of what AQE skew-join does adaptively; keep it
+    for deterministic plans (e.g. when the skew is known a priori, like the
+    reference's 15 coarse rowkey prefixes — SURVEY §7.3 hot-prefix note).
+    Left salt is hash-derived from the WHOLE row (deterministic, and — the
+    point — independent of the join key, so a hot key's rows spread across
+    buckets); right is exploded — correct for inner/left joins on keys, at
+    the cost of a `salt_buckets`x right duplication, so only salt when right
+    is the small side.
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt_buckets))
+    l_salted = left.withColumn("_salt", salt.cast("int"))
+    r_salted = right.withColumn(
+        "_salt",
+        F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))),
+    )
+    out = l_salted.join(r_salted, on=[*on, "_salt"], how=how)
+    return out.drop("_salt")

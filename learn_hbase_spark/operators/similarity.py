@@ -79,32 +79,86 @@ def embedding_neardup_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    blocks: int = 8,
+    impl: str = "pandas",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, sim) for every
     pair with cosine >= threshold, id_a < id_b.
 
-    Norms are computed once per vector in a pre-join projection, so the
-    pairwise stage evaluates one dot product per pair. The id inequality is
-    a join condition, which on the all-pairs form makes this a broadcast
-    nested-loop join — the exact baseline. The 100 TB path prefixes it with
-    ``hyperplane_bucket`` partitioning (compare only within buckets), same
-    scoring expression.
+    ``impl="pandas"`` (default) is a block nested-loop: vectors hash into
+    `blocks` blocks, every row is replicated to each block pair it belongs
+    to (shuffle volume N x blocks rows — NOT N^2), and one Arrow-batched
+    ``applyInPandas`` task scores a (block_a x block_b) NumPy matmul. Block
+    count bounds per-task memory; at 100 TB raise `blocks` so each block
+    matrix stays executor-sized, or prefix with ``hyperplane_bucket``
+    partitioning to skip far pairs entirely.
+
+    ``impl="jvm"`` is the pure-expression form (broadcast nested-loop with
+    one fold-dot per pair) — exact same results, no Python workers, but
+    higher-order-function lambdas are interpreted per element, so it's the
+    slow path for large pair counts; kept for environments without Arrow.
     """
+    if impl == "jvm":
+        prepped = df.select(
+            F.col(id_col).alias("_id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+        ).withColumn("_n", _norm(F.col("_v")))
+        a, b = prepped.alias("a"), prepped.alias("b")
+        sim = _dot(F.col("a._v"), F.col("b._v")) / (F.col("a._n") * F.col("b._n"))
+        return (
+            a.join(b, F.col("a._id") < F.col("b._id"))
+            .withColumn("_sim", sim)
+            .filter(F.col("_sim") >= threshold)
+            .select(
+                F.col("a._id").alias("id_a"),
+                F.col("b._id").alias("id_b"),
+                F.round("_sim", 6).alias("sim"),
+            )
+        )
+
+    import numpy as np
+    import pandas as pd
+
     prepped = df.select(
         F.col(id_col).alias("_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
-    ).withColumn("_n", _norm(F.col("_v")))
-    a, b = prepped.alias("a"), prepped.alias("b")
-    sim = _dot(F.col("a._v"), F.col("b._v")) / (F.col("a._n") * F.col("b._n"))
-    return (
-        a.join(b, F.col("a._id") < F.col("b._id"))
-        .withColumn("_sim", sim)
-        .filter(F.col("_sim") >= threshold)
-        .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.round("_sim", 6).alias("sim"),
-        )
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(blocks)).cast("int").alias("_b"),
+    )
+    # replicate each row to every block pair (min(b,o), max(b,o)) it joins
+    rep = prepped.select(
+        "_id", "_v", "_b",
+        F.explode(F.sequence(F.lit(0), F.lit(blocks - 1))).alias("_o"),
+    ).select(
+        "_id", "_v", "_b",
+        F.least("_b", "_o").alias("_p"),
+        F.greatest("_b", "_o").alias("_q"),
+    )  # pairs are distinct per row (partner index varies), no dedup needed
+
+    def _score(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        p, q = key
+        m_all = np.stack(pdf["_v"].to_numpy())
+        ids = pdf["_id"].to_numpy()
+        norms = np.linalg.norm(m_all, axis=1)
+        blk = pdf["_b"].to_numpy()
+        if p == q:
+            sims = (m_all @ m_all.T) / np.outer(norms, norms)
+            ia, ib = np.triu_indices(len(ids), k=1)
+            ids_a = ids_b = ids
+        else:
+            a_mask, b_mask = blk == p, blk == q
+            sims = (m_all[a_mask] @ m_all[b_mask].T) / np.outer(
+                norms[a_mask], norms[b_mask]
+            )
+            ia, ib = np.indices(sims.shape).reshape(2, -1)
+            ids_a, ids_b = ids[a_mask], ids[b_mask]
+        keep = sims[ia, ib] >= threshold
+        ia, ib = ia[keep], ib[keep]
+        lo = np.minimum(ids_a[ia], ids_b[ib])
+        hi = np.maximum(ids_a[ia], ids_b[ib])
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "sim": np.round(sims[ia, ib], 6)})
+
+    return rep.groupBy("_p", "_q").applyInPandas(
+        _score, schema="id_a long, id_b long, sim double"
     )
 
 

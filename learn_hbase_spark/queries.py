@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions import text as T
-from .operators import dedup, multimodal, similarity
+from .operators import dedup, joins, multimodal, similarity
 from .operators.window import date_spine, guarded_lead_diff
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -243,6 +243,41 @@ def anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.join(
         o, c.c_custkey == o.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")
+
+
+@_register(
+    "asof_join",
+    """
+    WITH c AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT user_id, ts, max(value) AS purchase_value
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    )
+    SELECT c.user_id, c.event_id, p.purchase_value
+    FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (J3 generalized): each click annotated with the most
+    recent prior-or-equal purchase value per user. Union + ordered-window
+    fill — one shuffle, no range-join pair explosion; oracle is DuckDB's
+    native ASOF JOIN."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    out = joins.asof_join(
+        clicks, purchases, on=["user_id"], left_time="ts", right_time="ts",
+        value_cols=["purchase_value"],
+    )
+    return out.select("user_id", "event_id", "purchase_value")
 
 
 # ---------------------------------------------------------------------------

@@ -145,3 +145,58 @@ def test_frame_sample_plan(spark, media):
     frames = multimodal.frame_sample_plan(media, every_ms=1000).collect()
     # one video, 3500ms → frames at 0, 1000, 2000, 3000
     assert [r["frame_ms"] for r in frames] == [0, 1000, 2000, 3000]
+
+
+def test_embedding_neardup_matches_numpy(spark, vectors):
+    """All-pairs cosine near-dup agrees with a NumPy reference on both the
+    surviving pair set and the scores."""
+    import numpy as np
+
+    from learn_hbase_spark.operators.similarity import embedding_neardup_pairs
+
+    rows = vectors.select("vec_id", "embedding").collect()
+    ids = [r["vec_id"] for r in rows]
+    m = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(m, axis=1)
+    sims = (m @ m.T) / np.outer(norms, norms)
+    expected = {
+        (min(ids[i], ids[j]), max(ids[i], ids[j]))
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+        if sims[i, j] >= 0.2
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in embedding_neardup_pairs(vectors, threshold=0.2).collect()
+    }
+    assert set(got) == expected
+    for (i, j), s in got.items():
+        ii, jj = ids.index(i), ids.index(j)
+        assert abs(s - sims[ii, jj]) < 1e-5
+
+
+def test_rolling_hash_deterministic_and_sensitive(spark):
+    """Rolling hash: equal strings collide, any char change or transposition
+    changes the hash (position-sensitive, unlike a bag-of-chars sum)."""
+    from learn_hbase_spark.functions.text import rolling_hash
+
+    df = spark.createDataFrame(
+        [("ab cd",), ("ab cd",), ("ab ce",), ("ba cd",), ("",)], "t string"
+    )
+    hashes = [r[0] for r in df.select(rolling_hash(F.col("t"))).collect()]
+    assert hashes[0] == hashes[1]
+    assert len({hashes[0], hashes[2], hashes[3]}) == 3
+    assert hashes[4] == 0
+
+
+def test_quality_score_bounds_and_cases(spark):
+    """Quality score stays in {0, 1/3, 2/3, 1}: a clean English sentence
+    scores high, punctuation soup scores low."""
+    from learn_hbase_spark.functions.text import quality_score
+
+    good = "the quick brown fox jumps over the lazy dog and runs to the hills"
+    bad = "@#$% ^&*! ((()))"
+    df = spark.createDataFrame([(good,), (bad,)], "t string")
+    scores = [r[0] for r in df.select(quality_score(F.col("t"))).collect()]
+    assert scores[0] == 1.0
+    assert scores[1] < 0.5

@@ -94,3 +94,47 @@ def test_shingles_short_doc(spark):
     assert out[0]["s"] == ["one two"]            # shorter than n → whole text
     assert out[1]["s"] == ["a b c", "b c d"]
     assert out[2]["s"] == [""]                    # degenerate but non-crashing
+
+
+def test_asof_join_backward_inclusive(spark):
+    """Backward as-of: latest right row with t_r <= t_l per key; equal
+    timestamps match (inclusive); keys with no prior right row get null."""
+    from learn_hbase_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [("k1", 10, "l1"), ("k1", 20, "l2"), ("k1", 5, "l0"), ("k2", 7, "l3")],
+        "k string, t long, tag string",
+    )
+    right = spark.createDataFrame(
+        [("k1", 10, 100.0), ("k1", 15, 150.0), ("k2", 99, 900.0)],
+        "k string, t long, v double",
+    )
+    out = asof_join(
+        left, right, on=["k"], left_time="t", right_time="t", value_cols=["v"]
+    )
+    got = {(r["k"], r["t"]): r["v"] for r in out.collect()}
+    assert got == {
+        ("k1", 5): None,      # before any right row
+        ("k1", 10): 100.0,    # equal ts -> inclusive match
+        ("k1", 20): 150.0,    # latest prior
+        ("k2", 7): None,      # right row is in the future
+    }
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salting is a physical rewrite only: result set identical to the
+    plain equi join, including a heavily skewed key."""
+    from learn_hbase_spark.operators.joins import salted_join
+
+    left = spark.createDataFrame(
+        [("hot", i) for i in range(500)] + [("cold", i) for i in range(5)],
+        "k string, payload int",
+    )
+    right = spark.createDataFrame(
+        [("hot", "H"), ("cold", "C"), ("absent", "A")], "k string, side string"
+    )
+    plain = {(r["k"], r["payload"], r["side"])
+             for r in left.join(right, "k").collect()}
+    salted = {(r["k"], r["payload"], r["side"])
+              for r in salted_join(left, right, on=["k"], salt_buckets=8).collect()}
+    assert salted == plain and len(salted) == 505
