@@ -504,6 +504,73 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "set_ops",
+    """
+    SELECT p_partkey FROM (
+      SELECT p_partkey FROM part WHERE p_type LIKE 'PROMO%'
+      UNION
+      SELECT p_partkey FROM part WHERE p_size > 40
+    )
+    INTERSECT
+    SELECT p_partkey FROM part WHERE p_retailprice > 950
+    EXCEPT
+    SELECT p_partkey FROM part WHERE p_brand = 'Brand#13'
+    """,
+)
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (union-distinct, intersect, except) — free Spark
+    surface beyond the reference (SURVEY §2.6 'none')."""
+    p = _t(spark, sf_dir, "part")
+    promo = p.filter(F.col("p_type").startswith("PROMO")).select("p_partkey")
+    big = p.filter(F.col("p_size") > 40).select("p_partkey")
+    pricey = p.filter(F.col("p_retailprice") > 950).select("p_partkey")
+    brand13 = p.filter(F.col("p_brand") == "Brand#13").select("p_partkey")
+    return promo.union(big).distinct().intersect(pricey).exceptAll(
+        brand13
+    ).distinct()
+
+
+@_register(
+    "rollup_agg",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup aggregation (subtotals + grand total) — grouping
+    sets come free with Catalyst; decimal-exact sums for oracle parity."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("sum_qty"),
+        F.count("*").alias("n"),
+    )
+
+
+@_register(
+    "distinct_agg",
+    """
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (exact). Spark plans this as a two-phase
+    partial-distinct expand; swap count_distinct for approx_count_distinct
+    (HLL) when a 2% error is acceptable at 100 TB."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count_distinct("o_custkey").alias("n_customers"),
+        F.count("*").alias("n_orders"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Scalar functions (X1-X10)
 # ---------------------------------------------------------------------------

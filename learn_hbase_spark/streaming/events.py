@@ -56,15 +56,49 @@ def windowed_event_counts(
 
 
 def run_bounded(
-    stream_df: DataFrame, out_dir: str, checkpoint_dir: str
+    stream_df: DataFrame, out_dir: str, checkpoint_dir: str,
+    output_mode: str = "append",
 ) -> None:
     """Drain everything currently available and stop (testable streaming)."""
     q = (
         stream_df.writeStream.format("parquet")
         .option("path", out_dir)
         .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
+
+
+def stateful_user_totals(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running totals (event count, value sum) that survive across micro-
+    batches in the state store.
+
+    This is the extension point the reference cannot express at all (its
+    'state' is the HBase table itself, re-read per run — SURVEY §2.8): an
+    arbitrary per-key accumulator maintained by the engine with exactly-once
+    semantics. State is one tiny row per user; partitioning is the groupBy
+    hash shuffle, so a 1000-executor cluster shards the state store by key.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def _update(key: tuple, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [total]}
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _update,
+        outputStructType="user_id long, n_events long, sum_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

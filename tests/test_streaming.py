@@ -57,3 +57,44 @@ def test_windowed_counts_match_batch(spark, tmp_path):
         assert want[k] == v, f"window {k}: stream {v} != batch {want[k]}"
     missing = set(closed) - set(got)
     assert not missing, f"closed windows not emitted: {sorted(missing)[:5]}"
+
+
+def test_stateful_user_totals_match_batch(spark, tmp_path):
+    """applyInPandasWithState running totals: after draining the bounded
+    stream, the latest state per user equals the batch groupBy."""
+    from pyspark.sql import functions as F
+
+    from learn_hbase_spark.streaming.events import stateful_user_totals
+
+    src = str(tmp_path / "src")
+    load_table(spark, SF, "events").write.parquet(src)
+
+    stream = read_event_stream(spark, src)
+    out = stateful_user_totals(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stateful_totals")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # update mode may emit a user several times (once per micro-batch);
+    # the final emission carries the complete totals
+    got_df = spark.sql("SELECT * FROM stateful_totals")
+    got = {
+        r["user_id"]: (r["n_events"], round(r["sum_value"], 6))
+        for r in got_df.orderBy("n_events").collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], round(r["s"], 6))
+        for r in load_table(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum(F.coalesce("value", F.lit(0.0))).alias("s"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for u, v in want.items():
+        assert got[u] == v, f"user {u}: stream {got[u]} != batch {v}"
