@@ -82,6 +82,81 @@ def extract_features(media: DataFrame, batch_size_hint: int = 1024) -> DataFrame
     return media.mapInPandas(_extract, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("payload", BinaryType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame, target_w: int = 224, target_h: int = 224
+) -> DataFrame:
+    """Image resize over binary payloads, Arrow-batched via mapInPandas.
+
+    The pixel transform is a STUB (PIL not in this container): the fake
+    'resize' truncates/pads the payload to a deterministic length derived
+    from the target box, preserving the real contract — binary in, binary
+    out, new dimension metadata, batch-at-a-time flow. Swap `_fake_resize`
+    for `PIL.Image.open(...).resize(...)` in a real deployment.
+    """
+
+    def _fake_resize(payload: bytes | None) -> bytes | None:
+        if payload is None:
+            return None
+        n = (target_w * target_h) // 256 + 1
+        return (payload * (n // max(len(payload), 1) + 1))[:n]
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [_fake_resize(p) for p in pdf["payload"]],
+                    "width": [target_w] * len(pdf),
+                    "height": [target_h] * len(pdf),
+                }
+            )
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        _resize, schema=RESIZED_SCHEMA
+    )
+
+
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_samples", LongType(), True),
+        StructField("rms", LongType(), True),
+    ]
+)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Audio feature extraction stub (torchaudio/ffmpeg absent): treats the
+    payload bytes as the sample stream and emits deterministic per-clip
+    aggregates. Real deployments replace the body; the mapInPandas batch
+    contract is the tested surface."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = [len(p) if p is not None else 0 for p in pdf["payload"]]
+            rms = [
+                int(sum(b * b for b in p) ** 0.5) if p else 0
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "n_samples": n, "rms": rms}
+            )
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(
+        _extract, schema=AUDIO_SCHEMA
+    )
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one output row per frame timestamp.
 

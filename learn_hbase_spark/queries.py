@@ -505,6 +505,33 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "moving_avg",
+    """
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,4)))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+             AS mavg
+    FROM events
+    """,
+)
+def moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-frame moving average (4-row trailing window). Sum runs in
+    exact decimal then divides in double, so both engines agree bitwise."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    dec_sum = F.sum(F.col("value").cast("decimal(18,4)")).over(w).cast("double")
+    cnt = F.count(F.lit(1)).over(w)
+    return ev.select("user_id", "event_id", (dec_sum / cnt).alias("mavg"))
+
+
+@_register(
     "set_ops",
     """
     SELECT p_partkey FROM (

@@ -36,3 +36,26 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     mirrors the driver's DuckDB-side view registration."""
     for name in TESTDATA_TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    buckets: int,
+    bucket_cols: list[str],
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist `df` hash-bucketed (and optionally sorted) by the join key.
+
+    Bucketing pre-shuffles ONCE at write time: two tables bucketed by the
+    same key into the same bucket count join with NO exchange on either side
+    (and no sort if `sort_cols` matches) — the 100 TB answer for fact-fact
+    joins repeated across runs, where a per-query shuffle of the big side
+    would dominate the job. The reference approximates this with its rowkey
+    prefix ranges; bucketing generalizes it to any equi-join key.
+    """
+    writer = df.write.format("parquet").mode(mode).bucketBy(buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)

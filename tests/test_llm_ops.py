@@ -200,3 +200,22 @@ def test_quality_score_bounds_and_cases(spark):
     scores = [r[0] for r in df.select(quality_score(F.col("t"))).collect()]
     assert scores[0] == 1.0
     assert scores[1] < 0.5
+
+
+def test_resize_images_contract(spark, media):
+    """Resize (stubbed pixels): only image rows, binary out, target dims."""
+    out = {r["media_id"]: r.asDict()
+           for r in multimodal.resize_images(media, 32, 32).collect()}
+    assert set(out) == {1}  # only the image row
+    r = out[1]
+    assert r["width"] == 32 and r["height"] == 32
+    assert isinstance(r["payload"], (bytes, bytearray))
+    assert len(r["payload"]) == (32 * 32) // 256 + 1
+
+
+def test_audio_features_contract(spark, media):
+    """Audio features (stubbed decode): only audio rows; null payload -> 0s."""
+    out = {r["media_id"]: r.asDict()
+           for r in multimodal.audio_features(media).collect()}
+    assert set(out) == {3}
+    assert out[3]["n_samples"] == 0 and out[3]["rms"] == 0

@@ -86,3 +86,46 @@ def test_compact_preserves_latest(spark, table):
     table.compact()
     got = table.get("0401_A", "info", "q").collect()
     assert len(got) == 1 and got[0]["value"] == "new"
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key join without a shuffle exchange:
+    the write-time bucketing replaces the per-query exchange."""
+    import io
+    import contextlib
+
+    from pyspark.sql import functions as F
+
+    from learn_hbase_spark.tables import load_table, write_bucketed
+
+    SF_CORRECT = "/root/testdata/sf0.01"
+
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS bkt LOCATION '{tmp_path}/bkt.db'"
+    )
+    orders = load_table(spark, SF_CORRECT, "orders")
+    cust = load_table(spark, SF_CORRECT, "customer")
+    write_bucketed(orders, "bkt.orders_b", 4, ["o_custkey"], ["o_custkey"])
+    write_bucketed(
+        cust.withColumnRenamed("c_custkey", "o_custkey"),
+        "bkt.customer_b", 4, ["o_custkey"], ["o_custkey"],
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bkt.orders_b").join(
+            spark.table("bkt.customer_b"), "o_custkey"
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain()
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan, plan
+        # sanity: result matches the plain join
+        plain = orders.join(
+            cust, orders.o_custkey == cust.c_custkey
+        ).count()
+        assert joined.count() == plain
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
