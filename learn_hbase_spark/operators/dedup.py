@@ -104,6 +104,27 @@ def shingle_rows(
     )
 
 
+def _ordered_pairs(ids_arr: Column) -> Column:
+    """All (id_a < id_b) pairs from a sorted id array, as struct rows.
+
+    Per-bucket pair expansion replaces a bucket self-join: the upstream
+    pipeline (shingle/minhash compute) runs ONCE instead of once per join
+    side (broadcast self-joins defeat exchange reuse — the two sides carry
+    different exchange types). Pair count is quadratic in bucket size by the
+    algorithm's nature; cap pathological buckets upstream (a bucket shared
+    by k docs is k(k-1)/2 candidates under either formulation).
+    """
+    return F.flatten(
+        F.transform(
+            ids_arr,
+            lambda x, i: F.transform(
+                F.slice(ids_arr, i + 2, F.size(ids_arr)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -121,11 +142,11 @@ def ngram_jaccard_pairs(
     """
     sh = shingle_rows(df, text_col, id_col, n)
     sizes = sh.groupBy("_id").agg(F.count("*").alias("_sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
     inter = (
-        a.join(b, (F.col("a._sh") == F.col("b._sh")) & (F.col("a._id") < F.col("b._id")))
-        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        sh.groupBy("_sh")
+        .agg(F.sort_array(F.collect_list("_id")).alias("_ids"))
+        .select(F.explode(_ordered_pairs(F.col("_ids"))).alias("_p"))
+        .groupBy(F.col("_p.id_a").alias("id_a"), F.col("_p.id_b").alias("id_b"))
         .agg(F.count("*").alias("_inter"))
     )
     out = (
@@ -172,13 +193,16 @@ def minhash_bucket_pairs(
     bands: int = 4,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """MinHash + LSH banding: signature → band keys → bucket self-join.
+    """MinHash + LSH banding: signature → band keys → per-bucket pair
+    expansion.
 
     Returns distinct candidate pairs (id_a < id_b) that collide in at least
     one band. Probability of collision rises sharply with Jaccard similarity
-    (standard banding argument, Mining of Massive Datasets ch.3). The bucket
-    join shuffles only (band_key, id) pairs — constant-size rows — so it
-    scales to corpora whose text would never fit a pairwise comparison.
+    (standard banding argument, Mining of Massive Datasets ch.3). The
+    bucket stage shuffles only (band_key, id) pairs — constant-size rows —
+    and pairs are expanded inside each bucket's collected id array, so the
+    signature pipeline runs once (a bucket self-join would compute it per
+    join side; see :func:`_ordered_pairs`).
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signature(df, text_col, id_col, num_hashes, shingle_n)
@@ -197,11 +221,11 @@ def minhash_bucket_pairs(
         "_id",
         F.explode(F.array(*[F.col(f"band_{b}") for b in range(bands)])).alias("_bk"),
     )
-    a = long_bands.alias("a")
-    b = long_bands.alias("b")
     return (
-        a.join(b, (F.col("a._bk") == F.col("b._bk")) & (F.col("a._id") < F.col("b._id")))
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        long_bands.groupBy("_bk")
+        .agg(F.sort_array(F.collect_list("_id")).alias("_ids"))
+        .select(F.explode(_ordered_pairs(F.col("_ids"))).alias("_p"))
+        .select(F.col("_p.id_a").alias("id_a"), F.col("_p.id_b").alias("id_b"))
         .distinct()
     )
 
