@@ -178,6 +178,104 @@ def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: a coarse quantizer splits the
+    corpus into `nlist` cells; each query probes only its `nprobe` nearest
+    cells and scores those candidates exactly.
+
+    Centroids: the `nlist` lowest-id vectors seed the quantizer, refined by
+    one distributed Lloyd step (assign via Arrow-batched NumPy argmax →
+    per-cell mean). Only the centroid matrix (nlist x dim floats) ever
+    reaches the driver — bounded index metadata, same class as a broadcast
+    dim table; corpus vectors stay distributed. At 100 TB the cell id is
+    the storage partition key, so probing prunes partitions, and `nlist`
+    grows with the corpus (rule of thumb ~sqrt(N)).
+    """
+    import numpy as np
+    import pandas as pd
+
+    def _norm_rows(m: "np.ndarray") -> "np.ndarray":
+        return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+    seeds = (
+        corpus.orderBy(F.col(id_col).asc()).limit(nlist)
+        .select(vec_col).toPandas()[vec_col]
+    )
+    cents = _norm_rows(np.stack([np.asarray(v, dtype=np.float64) for v in seeds]))
+
+    def _assign(cent_matrix: "np.ndarray", probes: int):
+        def fn(batches):
+            for pdf in batches:
+                m = _norm_rows(np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["_v"]]
+                ))
+                top = np.argsort(-(m @ cent_matrix.T), axis=1)[:, :probes]
+                for p in range(probes):
+                    out = pdf[["_id", "_v"]].copy()
+                    out["_cell"] = top[:, p].astype("int32")
+                    yield out
+        return fn
+
+    prepped = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    )
+    schema = "_id long, _v array<double>, _cell int"
+    assigned0 = prepped.mapInPandas(_assign(cents, 1), schema=schema)
+
+    # one Lloyd refinement: per-cell mean, normalized (bounded collect: nlist rows)
+    def _cell_mean(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
+        return pd.DataFrame({"_cell": [key[0]], "_v": [m.mean(axis=0).tolist()]})
+
+    refined = (
+        assigned0.groupBy("_cell")
+        .applyInPandas(_cell_mean, schema="_cell int, _v array<double>")
+        .toPandas()
+    )
+    cents2 = np.zeros_like(cents)
+    cents2[refined["_cell"].to_numpy()] = _norm_rows(
+        np.stack([np.asarray(v) for v in refined["_v"]])
+    )
+    empty = ~np.isin(np.arange(nlist), refined["_cell"].to_numpy())
+    cents2[empty] = cents[empty]  # keep seed for cells that lost all members
+
+    corpus_cells = prepped.mapInPandas(_assign(cents2, 1), schema=schema)
+    q_prepped = queries.select(
+        F.col(id_col).alias("_qid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_qv"),
+    ).withColumnsRenamed({"_qid": "_id", "_qv": "_v"})
+    q_cells = q_prepped.mapInPandas(
+        _assign(cents2, min(nprobe, nlist)), schema=schema
+    ).withColumnsRenamed({"_id": "_qid", "_v": "_qv"})
+
+    pairs = corpus_cells.join(F.broadcast(q_cells), on="_cell").filter(
+        F.col("_qid") != F.col("_id")
+    )
+    scored = pairs.withColumn("sim", cosine(F.col("_qv"), F.col("_v")))
+    w = Window.partitionBy("_qid").orderBy(
+        F.col("sim").desc(), F.col("_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_qid").alias("query_id"),
+            F.col("_id").alias("neighbor_id"),
+            "rank",
+            F.round("sim", 6).alias("sim"),
+        )
+    )
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,

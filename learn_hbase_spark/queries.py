@@ -1006,6 +1006,16 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(q, emb, k=10)
 
 
+@_register("ann_ivf_topk")  # approximate by design → rows-only check
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-k: coarse quantizer (seeded + one Lloyd
+    step) splits the corpus into cells; queries probe their 4 nearest of 16
+    cells. Approximate ⇒ no SQL oracle; recall-tested in tests."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivf_topk(q, emb, k=10, nlist=16, nprobe=4)
+
+
 @_register("ann_lsh_topk")  # approximate by design → rows-only check
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k (random-hyperplane signs). The scale

@@ -219,3 +219,18 @@ def test_audio_features_contract(spark, media):
            for r in multimodal.audio_features(media).collect()}
     assert set(out) == {3}
     assert out[3]["n_samples"] == 0 and out[3]["rms"] == 0
+
+
+def test_ivf_recall_vs_bruteforce(spark, vectors):
+    """IVF with nprobe=half the cells recovers most exact top-5 neighbors."""
+    q = vectors.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk(q, vectors, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivf_topk(q, vectors, k=5, nlist=8, nprobe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall {recall} too low"

@@ -138,3 +138,44 @@ def test_salted_join_matches_plain_join(spark):
     salted = {(r["k"], r["payload"], r["side"])
               for r in salted_join(left, right, on=["k"], salt_buckets=8).collect()}
     assert salted == plain and len(salted) == 505
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Randomized cross-check: asof_join agrees with pandas.merge_asof
+    (backward, allow_exact_matches) on every key/timestamp draw."""
+    import pandas as pd
+
+    from learn_hbase_spark.operators.joins import asof_join
+
+    rng = random.Random(13)
+    left_rows = [
+        (f"k{rng.randint(0, 5)}", rng.randint(0, 1000), i) for i in range(300)
+    ]
+    # right must be unique per (key, t) — dedup the draw
+    seen = set()
+    right_rows = []
+    for _ in range(200):
+        k, t = f"k{rng.randint(0, 5)}", rng.randint(0, 1000)
+        if (k, t) not in seen:
+            seen.add((k, t))
+            right_rows.append((k, t, float(rng.randint(0, 10_000))))
+    left = spark.createDataFrame(left_rows, "k string, t long, seq long")
+    right = spark.createDataFrame(right_rows, "k string, t long, v double")
+
+    got = asof_join(
+        left, right, on=["k"], left_time="t", right_time="t", value_cols=["v"]
+    ).toPandas().sort_values("seq").reset_index(drop=True)
+
+    lpd = pd.DataFrame(left_rows, columns=["k", "t", "seq"]).sort_values("t", kind="stable")
+    rpd = pd.DataFrame(right_rows, columns=["k", "t", "v"]).sort_values("t", kind="stable")
+    want = pd.merge_asof(
+        lpd, rpd, on="t", by="k", direction="backward", allow_exact_matches=True
+    ).sort_values("seq").reset_index(drop=True)
+
+    for i in range(len(want)):
+        g, w = got.iloc[i], want.iloc[i]
+        assert (g["k"], g["t"], g["seq"]) == (w["k"], w["t"], w["seq"])
+        if pd.isna(w["v"]):
+            assert pd.isna(g["v"]), f"row {i}: got {g['v']}, want NaN"
+        else:
+            assert g["v"] == w["v"], f"row {i}: got {g['v']}, want {w['v']}"
