@@ -32,6 +32,11 @@ BENCH_QUERIES = [
     "sessionize",          # time-series sessionization
     "scalar_funcs",        # X1-X10 projection
     "asof_join",           # as-of join (union + ordered-window fill)
+    "q3_shipping",         # multi-join aggregate + top-k
+    "event_funnel",        # staged funnel aggregation
+    "moving_avg",          # bounded-frame window
+    "rollup_agg",          # grouping sets
+    "set_ops",             # union/intersect/except
     # LLM-pipeline surface
     "dedup_exact",
     "minhash_lsh_pairs",

@@ -505,6 +505,128 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q3_shipping",
+    """
+    SELECT o.o_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) *
+                    (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4))))
+                AS DOUBLE) AS revenue,
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < DATE '1998-03-15'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o_orderkey ASC
+    LIMIT 20
+    """,
+)
+def q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped multi-join aggregate: selective dim filter →
+    broadcast-able customer side, fact-fact join on orderkey, decimal-exact
+    revenue, top-20. Exercises join ordering + AQE + TakeOrdered."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("date")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    dec = lambda col: F.col(col).cast("decimal(18,4)")  # noqa: E731
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.sum(
+                dec("l_extendedprice")
+                * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))
+            ).cast("double").alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+        .select("o_orderkey", "revenue", "o_orderdate")
+    )
+
+
+@_register(
+    "event_funnel",
+    """
+    WITH v AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+      GROUP BY e.user_id
+    )
+    SELECT v.user_id,
+           epoch_us(v.t1) AS view_us, epoch_us(c.t2) AS click_us,
+           epoch_us(p.t3) AS purchase_us
+    FROM v JOIN c ON v.user_id = c.user_id JOIN p ON c.user_id = p.user_id
+    """,
+)
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel detection (view → click → purchase, strictly
+    increasing timestamps): staged min-after-previous-step aggregation —
+    each stage is one selective groupBy, no per-user sequence collection."""
+    ev = _t(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id").agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id").agg(F.min("ts").alias("t3"))
+    )
+    return (
+        v.join(c, "user_id").join(p, "user_id")
+        .select(
+            "user_id",
+            F.unix_micros("t1").alias("view_us"),
+            F.unix_micros("t2").alias("click_us"),
+            F.unix_micros("t3").alias("purchase_us"),
+        )
+    )
+
+
+@_register(
+    "median_price",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS med
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated median per group (Spark `percentile` ==
+    DuckDB `quantile_cont`); rounded to 4 decimals to absorb the engines'
+    differing interpolation arithmetic in the last ulp."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("med")
+    )
+
+
+@_register(
     "moving_avg",
     """
     SELECT user_id, event_id,
