@@ -35,6 +35,7 @@ BENCH_QUERIES = [
     "q3_shipping",         # multi-join aggregate + top-k
     "event_funnel",        # staged funnel aggregation
     "moving_avg",          # bounded-frame window
+    "range_window",        # time-based RANGE frame
     "rollup_agg",          # grouping sets
     "set_ops",             # union/intersect/except
     # LLM-pipeline surface

@@ -654,6 +654,39 @@ def moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "range_window",
+    """
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,4)))
+                  OVER (PARTITION BY user_id ORDER BY ts
+                        RANGE BETWEEN INTERVAL 30 MINUTE PRECEDING
+                              AND CURRENT ROW) AS DOUBLE) AS sum_30m,
+           COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+                          RANGE BETWEEN INTERVAL 30 MINUTE PRECEDING
+                                AND CURRENT ROW) AS n_30m
+    FROM events
+    """,
+)
+def range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE frame: per event, sum/count of the user's events in
+    the trailing 30 minutes. Ordered by epoch seconds with a value-range
+    frame — tied timestamps all enter the frame (RANGE semantics), which
+    both engines define identically."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-30 * 60 * 1_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast("decimal(18,4)")).over(w).cast("double").alias("sum_30m"),
+        F.count(F.lit(1)).over(w).alias("n_30m"),
+    )
+
+
+@_register(
     "set_ops",
     """
     SELECT p_partkey FROM (

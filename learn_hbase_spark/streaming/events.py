@@ -71,6 +71,21 @@ def run_bounded(
     q.awaitTermination()
 
 
+def dedup_stream(
+    stream: DataFrame,
+    keys: list[str],
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact dedup: first occurrence per key wins, with state
+    bounded by the watermark (keys older than the watermark are evicted —
+    without it, dedup state grows forever). The streaming twin of the batch
+    D1 first-wins: the reference re-runs idempotent upserts to get the same
+    effect (SURVEY §2.8); here the engine deduplicates exactly-once inside
+    the stream."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicates(keys)
+
+
 def stateful_user_totals(stream: DataFrame) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: per-user
     running totals (event count, value sum) that survive across micro-

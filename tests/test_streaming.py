@@ -98,3 +98,24 @@ def test_stateful_user_totals_match_batch(spark, tmp_path):
     assert set(got) == set(want)
     for u, v in want.items():
         assert got[u] == v, f"user {u}: stream {got[u]} != batch {v}"
+
+
+def test_stream_dedup_first_wins(spark, tmp_path):
+    """Streaming dropDuplicates with watermark: duplicated keys across the
+    bounded run collapse to one row each."""
+    from learn_hbase_spark.streaming.events import dedup_stream
+
+    src = str(tmp_path / "src")
+    ev = load_table(spark, SF, "events")
+    # duplicate the whole table to force cross-file duplicates
+    ev.union(ev).write.parquet(src)
+
+    stream = read_event_stream(spark, src)
+    deduped = dedup_stream(stream, keys=["event_id"], watermark="2 hours")
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    run_bounded(deduped, out_dir, ckpt)
+
+    got = spark.read.parquet(out_dir)
+    n_unique = ev.select("event_id").distinct().count()
+    assert got.count() == n_unique
+    assert got.select("event_id").distinct().count() == n_unique

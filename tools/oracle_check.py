@@ -55,9 +55,17 @@ def main() -> int:
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entrymod
-    from learn_hbase_spark.session import get_session
+    from pyspark.sql import SparkSession
 
-    spark = get_session("oracle-check")
+    # PLAIN session, like the external driver's — no tuned configs, so the
+    # check catches any hidden dependency on learn_hbase_spark.session
+    # defaults (ANSI stays at the Spark 4 default: ON).
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("oracle-check")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
     con = duckdb.connect()
     for t in (
         "region nation customer supplier part orders lineitem events "
