@@ -58,3 +58,26 @@ class ParquetStandin:
 
     def read(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.path)
+
+
+def read_csv_permissive(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    corrupt_col: str = "_corrupt_record",
+):
+    """Ingest-edge CSV read with PERMISSIVE row-error semantics.
+
+    The reference try/catches per row and silently drops failures
+    (RdlETL.java:141-143 — SURVEY §2.10). Here malformed rows are neither
+    dropped nor fatal: they land in `corrupt_col` for quarantine, and the
+    caller decides (count them, route them to a dead-letter sink). Compute
+    errors past the ingest edge still fail loudly.
+    """
+    return (
+        spark.read.schema(f"{schema}, {corrupt_col} STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .option("header", True)
+        .csv(path)
+    )

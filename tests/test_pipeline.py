@@ -98,3 +98,22 @@ def test_csv_export(spark, frames, tmp_path):
         header = fh.readline().strip().split(",")
     assert header[0] == "YHBH" and header[1] == "20190501" and header[-1] == "20190731"
     assert len(header) == 1 + 92  # the 92-day export window (W2 boundary)
+
+
+def test_permissive_csv_quarantines_bad_rows(spark, tmp_path):
+    """Malformed rows are captured, not silently dropped (the reference's
+    per-row try/catch drops them — SURVEY §2.10)."""
+    from pyspark.sql import functions as F
+
+    from learn_hbase_spark.sources.jdbc import read_csv_permissive
+
+    p = tmp_path / "in.csv"
+    p.write_text("k,v\na,1\nb,not_an_int\nc,3\n")
+    # Spark requires caching before predicates that touch only the
+    # corrupt-record column (internal-column restriction)
+    df = read_csv_permissive(spark, str(p), "k STRING, v INT").cache()
+    rows = {r["k"]: (r["v"], r["_corrupt_record"]) for r in df.collect()}
+    assert rows["a"] == (1, None) and rows["c"] == (3, None)
+    assert rows["b"][0] is None and "not_an_int" in rows["b"][1]
+    good = df.filter(F.col("_corrupt_record").isNull())
+    assert good.count() == 2

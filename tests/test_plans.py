@@ -1,0 +1,82 @@
+"""Physical-plan regression tests: the scale-critical plan properties —
+pushdown, pruning, broadcast, partial aggregation — asserted on explain
+output so refactors can't silently regress them (SURVEY §4: these are the
+optimizations the reference hand-codes and we delegate to Catalyst)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from learn_hbase_spark import queries as Q
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return Q.queries()
+
+
+def test_filter_scan_pushes_predicates(spark, qs):
+    plan = _plan(qs["filter_scan"](spark, SF))
+    assert "PushedFilters: [IsNotNull(l_returnflag)" in plan
+    assert "EqualTo(l_returnflag,R)" in plan
+    assert "GreaterThanOrEqual(l_shipdate," in plan
+    # column pruning: only the 6 needed columns reach the scan
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_comment" not in read and "l_tax" not in read
+
+
+def test_prefix_scan_pushes_startswith(spark, qs):
+    plan = _plan(qs["prefix_scan"](spark, SF))
+    assert "StringStartsWith(p_type,PROMO)" in plan
+
+
+def test_lookup_join_broadcasts_dim(spark, qs):
+    plan = _plan(qs["lookup_join"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_agg_uses_partial_aggregation(spark, qs):
+    """Sum/count run map-side (partial) before the exchange — the shuffle
+    carries one row per group per task, not the raw rows."""
+    plan = _plan(qs["agg_pricing_summary"](spark, SF), "simple")
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_dedup_exact_shuffles_digest_not_body(spark, qs):
+    """The exchange for exact dedup must not carry the document text."""
+    plan = _plan(qs["dedup_exact"](spark, SF), "formatted")
+    exchange_sections = [
+        s for s in plan.split("\n\n") if "Exchange" in s and "hashpartitioning" in s
+    ]
+    assert exchange_sections, "expected a hash exchange in the plan"
+    assert all("text" not in s for s in exchange_sections), exchange_sections
+
+
+def test_widetable_scan_prunes_partitions(spark, tmp_path):
+    """A prefix-bounded scan reads only the matching prefix partitions."""
+    from learn_hbase_spark.widetable import WideTable
+
+    t = WideTable.create(spark, str(tmp_path / "wt"), ["info"])
+    rows = [(f"{p:04d}_{i:03d}", "info", "q", "v") for p in (1, 2, 3) for i in range(5)]
+    t.put(spark.createDataFrame(
+        rows, "rowkey string, family string, qualifier string, value string"
+    ))
+    plan = _plan(t.scan(start="0002", stop="0003"), "formatted")
+    # partition filters present on the prefix column
+    assert "prefix" in plan and "PartitionFilters" in plan
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln][0]
+    assert "isnotnull(prefix" in pf or "prefix" in pf
+    assert t.scan(start="0002", stop="0003").count() == 5
