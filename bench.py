@@ -41,6 +41,9 @@ BENCH_QUERIES = [
     # LLM-pipeline surface
     "dedup_exact",
     "minhash_lsh_pairs",
+    "neardup_clusters",    # transitive closure of LSH pairs (iterative CC)
+    "hash_split",          # deterministic train/val/test assignment
+    "vocab_topk",          # corpus token-frequency vocabulary
     "text_profile",
     "ann_cosine_topk",
     "embedding_neardup",

@@ -1,0 +1,102 @@
+"""Distributed connected components — near-duplicate cluster assignment.
+
+The LLM-pipeline dedup family (``operators.dedup``) produces *pairs*; turning
+pairs into keep/drop decisions needs the transitive closure: if A~B and B~C,
+all three are one duplicate cluster even when A~C was never a candidate.
+That closure is connected components over the pair graph.
+
+Scale posture: min-label propagation, the standard MapReduce formulation —
+each round is one shuffle (edge ⋈ label, then groupBy-min, both partial-
+aggregable) and rounds converge in O(graph diameter). Near-dup graphs are
+dense blobs with tiny diameter (2–4 rounds in practice), so this beats the
+asymptotically-better large-star/small-star (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14) on constant factors; switch to
+alternating stars if a workload ever exhibits long-chain components.
+Lineage is truncated with ``localCheckpoint`` every round so the plan does
+not grow with iterations; only a scalar convergence count ever reaches the
+driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str = "node",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Label every node with the minimum node id reachable from it.
+
+    Parameters
+    ----------
+    nodes: one row per node (singletons allowed — they become their own
+        cluster); ``node_col`` must be orderable (the min is the label).
+    edges: undirected pair list; only ``src_col``/``dst_col`` are read.
+
+    Returns ``(node_col, cluster_id)``.
+    """
+    sym = edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+    sym = sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # Edges are static across rounds: checkpoint once so each iteration's
+    # join re-reads materialized blocks instead of re-deriving the pair
+    # generation lineage (at scale: persist / write to a bucketed table).
+    sym = sym.localCheckpoint()
+
+    labels = nodes.select(
+        F.col(node_col).alias("u"), F.col(node_col).alias("comp")
+    ).localCheckpoint()
+
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(
+                labels.select(
+                    F.col("u").alias("v"), F.col("comp").alias("_nc")
+                ),
+                "v",
+            )
+            .groupBy("u")
+            .agg(F.min("_nc").alias("_nbr"))
+        )
+        # carry a changed-flag through the same projection so convergence
+        # detection is a filter over the checkpointed result, not a second
+        # join against the previous labels
+        new = (
+            labels.join(nbr, "u", "left")
+            .select(
+                "u",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("_nbr"), F.col("comp"))
+                ).alias("_new"),
+                F.col("comp").alias("_old"),
+            )
+            .select(
+                "u",
+                F.col("_new").alias("comp"),
+                (F.col("_new") != F.col("_old")).alias("_chg"),
+            )
+            .localCheckpoint()
+        )
+        changed = new.filter(F.col("_chg")).count()
+        labels = new.drop("_chg")
+        if changed == 0:
+            break
+    return labels.select(F.col("u").alias(node_col), F.col("comp").alias("cluster_id"))
+
+
+def dedup_decisions(
+    clusters: DataFrame, node_col: str = "doc_id"
+) -> DataFrame:
+    """Keep/drop verdict per document from a cluster assignment: the cluster
+    representative (minimum id — which IS ``cluster_id`` by construction) is
+    kept, every other member dropped. Pure projection, no extra shuffle."""
+    return clusters.select(
+        node_col,
+        "cluster_id",
+        (F.col(node_col) == F.col("cluster_id")).alias("keep"),
+    )

@@ -1,0 +1,56 @@
+"""Deterministic, engine-portable sampling and dataset splitting.
+
+Training-data pipelines need splits that are (a) stable across reruns and
+engines — a document must land in the same split whether the pipeline ran
+on Spark, DuckDB, or anything else that can compute md5 — and (b) driven by
+row *identity*, not row *position*, so repartitioning or re-ingesting never
+reassigns a row. ``rand()``/``df.sample`` give neither.
+
+The primitive is the first 4 hex chars of ``md5(cast(id as string))``: a
+uniform value in [0, 65536) compared lexicographically against hex
+thresholds. Pure projection — no shuffle, no state, trivially pushable into
+any scan, and identical in every engine with md5 (the DuckDB oracles
+reproduce it verbatim).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_BUCKETS = 1 << 16  # 4 hex chars
+
+
+def hash_hex(col: Column) -> Column:
+    """4-hex-char uniform hash of a value's string form."""
+    return F.substring(F.md5(col.cast("string")), 1, 4)
+
+
+def threshold(fraction: float) -> str:
+    """Hex threshold h such that P[hash_hex < h] == round(fraction * 2^16) / 2^16."""
+    return format(int(fraction * _BUCKETS), "04x")
+
+
+def deterministic_sample(
+    df: DataFrame, id_col: str, fraction: float
+) -> DataFrame:
+    """Identity-stable ~fraction sample: keeps rows whose hash falls below
+    the threshold. Resolution is 1/65536 ≈ 0.0015%."""
+    return df.filter(hash_hex(F.col(id_col)) < threshold(fraction))
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    train: float = 0.8,
+    val: float = 0.1,
+    split_col: str = "split",
+) -> DataFrame:
+    """Train/val/test assignment by identity hash (remainder is test)."""
+    h = hash_hex(F.col(id_col))
+    return df.withColumn(
+        split_col,
+        F.when(h < threshold(train), "train")
+        .when(h < threshold(train + val), "val")
+        .otherwise("test"),
+    )

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions import text as T
-from .operators import dedup, joins, multimodal, similarity
+from .operators import dedup, graph, joins, multimodal, sampling, similarity
 from .operators.window import date_spine, guarded_lead_diff
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -926,6 +926,53 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "neardup_clusters",
+    f"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, unnest({_SHINGLES}) AS s FROM documents
+    ),
+    sig AS (
+      SELECT doc_id,
+        {", ".join(f"min(md5(s || '#{i}')) AS mh_{i}" for i in range(8))}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, md5('0' || '|' || mh_0 || '|' || mh_1) AS bk FROM sig
+      UNION ALL
+      SELECT doc_id, md5('1' || '|' || mh_2 || '|' || mh_3) AS bk FROM sig
+      UNION ALL
+      SELECT doc_id, md5('2' || '|' || mh_4 || '|' || mh_5) AS bk FROM sig
+      UNION ALL
+      SELECT doc_id, md5('3' || '|' || mh_6 || '|' || mh_7) AS bk FROM sig
+    ),
+    edges AS (
+      SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+      FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id <> b.doc_id
+    ),
+    cc(u, comp) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.v, c.comp FROM cc c JOIN edges e ON e.u = c.u
+    )
+    SELECT u AS doc_id, min(comp) AS cluster_id FROM cc GROUP BY u
+    """,
+)
+def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clustering: MinHash-LSH candidate pairs closed
+    under connectivity (if A~B and B~C, all three share a cluster even when
+    A~C never collided). Distributed min-label propagation, O(diameter)
+    shuffle rounds (operators.graph); the oracle replays it as a recursive
+    CTE over the identical md5-derived edge set."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_bucket_pairs(
+        docs, "text", "doc_id", num_hashes=8, bands=4
+    )
+    return graph.connected_components(
+        docs.select("doc_id"), pairs, node_col="doc_id"
+    )
+
+
+@_register(
     "embedding_neardup",
     """
     WITH n AS (
@@ -1076,6 +1123,54 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ceiling + stopword floor, averaged. Deterministic and oracle-checked."""
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", T.quality_score(F.col("text")).alias("quality"))
+
+
+@_register(
+    "hash_split",
+    f"""
+    SELECT doc_id,
+      CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                < '{sampling.threshold(0.8)}' THEN 'train'
+           WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                < '{sampling.threshold(0.9)}' THEN 'val'
+           ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by identity hash
+    (md5 hex prefix) — stable across reruns, engines, and repartitioning;
+    pure projection, no shuffle (operators.sampling)."""
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.hash_split(docs, "doc_id").select("doc_id", "split")
+
+
+@_register(
+    "vocab_topk",
+    f"""
+    WITH toks AS (
+      SELECT unnest(string_split({_NORM}, ' ')) AS token FROM documents
+    )
+    SELECT token, count(*) AS cnt FROM toks WHERE token <> ''
+    GROUP BY token ORDER BY cnt DESC, token LIMIT 100
+    """,
+)
+def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building: top-100 corpus token frequencies (normalized
+    whitespace tokens, count-desc with lexicographic tiebreak). explode →
+    partial-aggregated groupBy → TakeOrderedAndProject — the shuffle carries
+    (token, count) pairs only."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(dedup.normalize_text(F.col("text")), " ")).alias("token")
+    )
+    return (
+        toks.filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "token")
+        .limit(100)
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,75 @@
+"""Connected components (near-dup clustering) and deterministic sampling."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from learn_hbase_spark.operators import sampling
+from learn_hbase_spark.operators.graph import connected_components, dedup_decisions
+
+
+def _cc(spark, nodes, edges):
+    ndf = spark.createDataFrame([(n,) for n in nodes], "node long")
+    edf = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = connected_components(ndf, edf)
+    return {r["node"]: r["cluster_id"] for r in out.collect()}
+
+
+def test_cc_basic_components(spark):
+    got = _cc(spark, range(1, 8), [(1, 2), (2, 3), (5, 6)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7}
+
+
+def test_cc_long_chain_converges(spark):
+    """A 9-hop chain needs multiple propagation rounds to pull every node
+    down to the minimum label."""
+    got = _cc(spark, range(10), [(i, i + 1) for i in range(9)])
+    assert set(got.values()) == {0}
+
+
+def test_cc_singleton_only(spark):
+    ndf = spark.createDataFrame([(7,)], "node long")
+    edf = spark.createDataFrame([], "id_a long, id_b long")
+    out = connected_components(ndf, edf).collect()
+    assert [(r["node"], r["cluster_id"]) for r in out] == [(7, 7)]
+
+
+def test_dedup_decisions_keeps_representative(spark):
+    ndf = spark.createDataFrame([(n,) for n in (1, 2, 3)], "doc_id long")
+    edf = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    cc = connected_components(ndf, edf, node_col="doc_id")
+    got = {r["doc_id"]: r["keep"] for r in dedup_decisions(cc).collect()}
+    assert got == {1: True, 2: False, 3: True}
+
+
+def test_hash_split_fractions_and_stability(spark):
+    df = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+    counts = {
+        r["split"]: r["n"]
+        for r in sampling.hash_split(df, "doc_id")
+        .groupBy("split")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert abs(counts["train"] / 2000 - 0.8) < 0.03
+    assert abs(counts["val"] / 2000 - 0.1) < 0.03
+    assert abs(counts["test"] / 2000 - 0.1) < 0.03
+    # identity-stable: the same ids land in the same split regardless of
+    # partitioning or row order
+    again = sampling.hash_split(
+        df.repartition(7).orderBy(F.col("doc_id").desc()), "doc_id"
+    )
+    a = {r["doc_id"]: r["split"] for r in sampling.hash_split(df, "doc_id").collect()}
+    b = {r["doc_id"]: r["split"] for r in again.collect()}
+    assert a == b
+
+
+def test_deterministic_sample_is_nested(spark):
+    """Growing the fraction only adds rows — smaller samples are strict
+    subsets of larger ones (the property that makes hash sampling safe for
+    incremental pipelines)."""
+    df = spark.createDataFrame([(i,) for i in range(1000)], "doc_id long")
+    s20 = {r["doc_id"] for r in sampling.deterministic_sample(df, "doc_id", 0.2).collect()}
+    s50 = {r["doc_id"] for r in sampling.deterministic_sample(df, "doc_id", 0.5).collect()}
+    assert s20 <= s50
+    assert abs(len(s50) / 1000 - 0.5) < 0.05
