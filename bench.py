@@ -44,6 +44,13 @@ BENCH_QUERIES = [
     "neardup_clusters",    # transitive closure of LSH pairs (iterative CC)
     "hash_split",          # deterministic train/val/test assignment
     "vocab_topk",          # corpus token-frequency vocabulary
+    "stratified_sample",   # per-source mixture sampling
+    "pack_sequences",      # token-budget sequence packing
+    "redact_pii",          # email/phone scrubbing
+    "repetition_score",    # duplicate-bigram fraction
+    "decontaminate",       # benchmark n-gram overlap flagging
+    "tfidf_topk",          # per-doc salient terms
+    "length_profile",      # exact per-source quantiles
     "text_profile",
     "ann_cosine_topk",
     "embedding_neardup",

@@ -91,6 +91,52 @@ def language_id(col: Column) -> Column:
     return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
+def repetition_from_words(words: Column, n: int = 2) -> Column:
+    """Repetition score over an already-materialized word array — pass an
+    *attribute* (aliased column), not a raw split expression: expressions
+    inside the n-gram lambda are re-evaluated per gram (no CSE across HOF
+    iterations), so feeding a split here costs O(words²) string splitting."""
+    total = F.size(words) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(total, F.lit(1))),
+        lambda i: F.array_join(F.slice(words, i, n), " "),
+    )
+    return F.when(total < 1, 0.0).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / total
+    )
+
+
+def repetition_score(col: Column, n: int = 2) -> Column:
+    """Gopher-style repetition signal: the fraction of word n-grams that are
+    duplicates of an earlier n-gram (``1 - distinct/total``). 0.0 for texts
+    with fewer than n tokens. Convenience form over raw text — hot paths
+    should materialize the word array in its own projection first and call
+    :func:`repetition_from_words` (see that docstring for why)."""
+    words = F.split(F.trim(F.regexp_replace(F.lower(col), r"\s+", " ")), " ")
+    return repetition_from_words(words, n)
+
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
+
+
+def redact_pii(col: Column) -> Column:
+    """Scrub email addresses and phone-like digit runs, replacing them with
+    typed placeholders. Patterns stick to syntax shared by Java regex and
+    RE2 so oracles can replay them; emails are scrubbed first so their
+    digits can't be re-matched as phones."""
+    no_email = F.regexp_replace(col, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(no_email, PHONE_RE, "<PHONE>")
+
+
+def pii_counts(col: Column) -> tuple[Column, Column]:
+    """(email_count, phone_count) found in the text, for audit metrics."""
+    return (
+        F.regexp_count(col, F.lit(EMAIL_RE)),
+        F.regexp_count(F.regexp_replace(col, EMAIL_RE, "<EMAIL>"), F.lit(PHONE_RE)),
+    )
+
+
 def fingerprint(col: Column) -> Column:
     """Document fingerprint: md5 of normalized text (lowercase, collapsed
     whitespace). Stable across engines — DuckDB md5 produces the same hex."""

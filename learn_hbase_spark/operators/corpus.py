@@ -1,0 +1,97 @@
+"""Corpus-level statistics operators (LLM-pipeline extensions, SURVEY §7.2 M4).
+
+Whole-corpus text analytics that need aggregation state across documents:
+TF-IDF salient terms and exact distribution profiles. Everything is built-in
+expression + aggregate + window — no Python in the hot path — and every
+shuffle carries token- or scalar-sized rows, never document bodies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import normalize_text
+
+
+def tfidf_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k salient terms per document by smoothed TF-IDF
+    (``tf * (ln((N+1)/(df+1)) + 1)``, the scikit-learn smoothing).
+
+    Returns ``(id, term, tf, df, rank)``. Ranking ties are broken by
+    ``(tf desc, df asc, term asc)`` — an integer-only ordering equivalent to
+    score order at equal tf, so results are deterministic across engines
+    (float score ordering is engine-rounding-sensitive; integer ranking is
+    not). The float score itself stays available from tf/df downstream.
+
+    Scale: two token-keyed shuffles (per-doc term counts, then document
+    frequency) and one window over (id). The df side aggregates to one row
+    per distinct term — at 100 TB that is vocabulary-sized, and the join
+    back to term counts is a plain shuffled hash join on the term key (or a
+    broadcast if the vocabulary fits).
+    """
+    tokens = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias(
+                "term"
+            ),
+        )
+        .filter(F.col("term") != "")
+    )
+    tf = tokens.groupBy("_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        tf.join(dfreq, "term")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("_id").alias(id_col), "term", "tf", "df", "rank")
+    )
+
+
+def length_profile(
+    df: DataFrame,
+    value_col: str = "n_chars",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact per-group distribution profile: min / p10 / p50 / p90 / max /
+    count of ``value_col``, with discrete (no-interpolation) percentiles.
+
+    Percentile-k is the value at ``row_number == ceil(q * n)`` under a
+    deterministic ``(value, id)`` sort — the classic sort-based exact
+    quantile, reproducible bit-for-bit in any engine (interpolating
+    quantiles are float-arithmetic-order sensitive; discrete ones are not).
+
+    Scale: one shuffle on the group key; the window sorts within each
+    group's partitions. For heavy-tailed group sizes at 100 TB switch to
+    ``approx_percentile`` (t-digest) — this exact form is the oracle-able
+    reference implementation.
+    """
+    w = Window.partitionBy(group_col).orderBy(F.col(value_col), F.col(id_col))
+    ranked = (
+        df.select(group_col, value_col, id_col)
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count("*").over(Window.partitionBy(group_col)))
+    )
+    pick = lambda q: F.max(  # noqa: E731 — local aggregate builder
+        F.when(
+            F.col("_rn") == F.ceil(F.lit(q) * F.col("_n")), F.col(value_col)
+        )
+    )
+    return ranked.groupBy(group_col).agg(
+        F.min(value_col).alias("v_min"),
+        pick(0.10).alias("p10"),
+        pick(0.50).alias("p50"),
+        pick(0.90).alias("p90"),
+        F.max(value_col).alias("v_max"),
+        F.count("*").alias("n"),
+    )

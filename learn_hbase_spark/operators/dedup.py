@@ -162,6 +162,48 @@ def ngram_jaccard_pairs(
     return out
 
 
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents that share word
+    n-grams with a held-out benchmark/eval set (the GPT-3-style train-test
+    overlap filter).
+
+    Returns ``(id, n_hits, contaminated)`` for every corpus row, where
+    ``n_hits`` counts the document's *distinct* n-grams that occur anywhere
+    in the benchmark. Scale posture: the benchmark side is tiny relative to
+    the corpus, so its distinct-gram set is broadcast — the corpus is
+    streamed through a broadcast semi join with no corpus-wide shuffle; the
+    only exchange is the per-doc hit count on (id) pairs.
+    """
+    bench_grams = (
+        shingle_rows(benchmark, text_col, id_col, n).select("_sh").distinct()
+    )
+    hits = (
+        shingle_rows(corpus, text_col, id_col, n)
+        .join(F.broadcast(bench_grams), "_sh", "left_semi")
+        .groupBy("_id")
+        .agg(F.count("*").alias("n_hits"))
+        .withColumnRenamed("_id", id_col)
+    )
+    return (
+        corpus.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) >= min_hits).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
 def minhash_signature(
     df: DataFrame,
     text_col: str = "text",

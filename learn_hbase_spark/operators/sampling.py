@@ -27,8 +27,14 @@ def hash_hex(col: Column) -> Column:
 
 
 def threshold(fraction: float) -> str:
-    """Hex threshold h such that P[hash_hex < h] == round(fraction * 2^16) / 2^16."""
-    return format(int(fraction * _BUCKETS), "04x")
+    """Hex threshold h such that P[hash_hex < h] == round(fraction * 2^16) / 2^16.
+
+    fraction >= 1 returns "g", which is lexicographically above every hex
+    string (hex digits end at "f") — a keep-everything sentinel. The naive
+    5-char "10000" would compare *below* most 4-char hashes.
+    """
+    n = int(fraction * _BUCKETS)
+    return "g" if n >= _BUCKETS else format(n, "04x")
 
 
 def deterministic_sample(
@@ -37,6 +43,32 @@ def deterministic_sample(
     """Identity-stable ~fraction sample: keeps rows whose hash falls below
     the threshold. Resolution is 1/65536 ≈ 0.0015%."""
     return df.filter(hash_hex(F.col(id_col)) < threshold(fraction))
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the source-mixture primitive:
+    keep ~``rates[stratum]`` of each stratum's rows (``default`` for strata
+    not listed). The hash is salted with the stratum value so the kept sets
+    of different strata are statistically independent even where ids
+    overlap. Pure projection+filter: no shuffle, pushable into the scan."""
+    h = hash_hex(
+        F.concat(F.col(id_col).cast("string"), F.lit(":"), F.col(strata_col))
+    )
+    thr: Column | None = None
+    for stratum, rate in sorted(rates.items()):
+        cond = F.col(strata_col) == stratum
+        lit = F.lit(threshold(rate))
+        thr = F.when(cond, lit) if thr is None else thr.when(cond, lit)
+    thr_col = thr.otherwise(F.lit(threshold(default))) if thr is not None else F.lit(
+        threshold(default)
+    )
+    return df.filter(h < thr_col)
 
 
 def hash_split(

@@ -22,7 +22,16 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions import text as T
-from .operators import dedup, graph, joins, multimodal, sampling, similarity
+from .operators import (
+    dedup,
+    graph,
+    joins,
+    multimodal,
+    packing,
+    sampling,
+    similarity,
+)
+from .operators import corpus as corpus_ops
 from .operators.window import date_spine, guarded_lead_diff
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -1171,6 +1180,217 @@ def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "token")
         .limit(100)
     )
+
+
+@_register(
+    "stratified_sample",
+    f"""
+    SELECT doc_id, source FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':' || source), 1, 4) <
+      CASE source
+        WHEN 'src0' THEN '{sampling.threshold(1.0)}'
+        WHEN 'src1' THEN '{sampling.threshold(0.5)}'
+        WHEN 'src2' THEN '{sampling.threshold(0.25)}'
+        ELSE '{sampling.threshold(0.1)}' END
+    """,
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mixture sampling: keep 100% of src0, 50% of src1, 25% of
+    src2, 10% of everything else — deterministic per-stratum identity hash
+    (salted with the stratum), zero shuffle (operators.sampling)."""
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.stratified_sample(
+        docs, "doc_id", "source",
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25}, default=0.1,
+    ).select("doc_id", "source")
+
+
+@_register(
+    "pack_sequences",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS pack_group,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len({_DUCK_TOKENS}) END AS n
+      FROM documents
+    )
+    SELECT doc_id, pack_group,
+      CAST(floor(COALESCE(SUM(n) OVER (
+             PARTITION BY pack_group ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 64.0)
+           AS BIGINT) AS seq_id
+    FROM t
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training: hash-sharded contiguous packing into
+    64-token bins — 256 independent streams, one running-sum window each
+    (operators.packing)."""
+    docs = _t(spark, sf_dir, "documents")
+    return packing.pack_sequences(
+        docs, "doc_id", T.token_count(F.col("text")), budget=64
+    )
+
+
+@_register(
+    "redact_pii",
+    f"""
+    WITH inj AS (
+      SELECT doc_id,
+             text || ' user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com +15550000' || CAST(doc_id AS VARCHAR)
+               AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+      len(regexp_extract_all(raw, '{T.EMAIL_RE}')) AS n_emails,
+      len(regexp_extract_all(
+            regexp_replace(raw, '{T.EMAIL_RE}', '<EMAIL>', 'g'),
+            '{T.PHONE_RE}')) AS n_phones,
+      regexp_replace(
+        regexp_replace(raw, '{T.EMAIL_RE}', '<EMAIL>', 'g'),
+        '{T.PHONE_RE}', '<PHONE>', 'g') AS redacted
+    FROM inj
+    """,
+)
+def redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: the synthetic corpus carries no PII, so deterministic
+    email+phone strings derived from doc_id are injected first, then
+    redacted — the oracle replays injection and redaction, so the regex
+    semantics are genuinely cross-checked."""
+    docs = _t(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"), F.lit(" user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com +15550000"), F.col("doc_id").cast("string"),
+    )
+    emails, phones = T.pii_counts(raw)
+    return docs.select(
+        "doc_id",
+        emails.cast("long").alias("n_emails"),
+        phones.cast("long").alias("n_phones"),
+        T.redact_pii(raw).alias("redacted"),
+    )
+
+
+@_register(
+    "repetition_score",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
+    )
+    SELECT doc_id,
+      CASE WHEN len(w) - 1 < 1 THEN 0.0
+           ELSE 1.0 - CAST(len(list_distinct(list_transform(
+                  range(1, greatest(len(w) - 1, 1) + 1),
+                  i -> array_to_string(w[i:i+1], ' ')))) AS DOUBLE)
+                / (len(w) - 1) END AS rep2
+    FROM t
+    """,
+)
+def repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-bigram fraction per document (Gopher repetition filter
+    family). Two projections: the word array becomes an attribute before
+    the n-gram lambda touches it, so the normalize+split runs once per doc
+    instead of once per gram."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
+    )
+    return docs.select("doc_id", words.alias("_w")).select(
+        "doc_id", T.repetition_from_words(F.col("_w"), n=2).alias("rep2")
+    )
+
+
+@_register(
+    "decontaminate",
+    f"""
+    WITH bench AS (
+      SELECT DISTINCT unnest({_SHINGLES}) AS s
+      FROM documents WHERE doc_id % 97 = 0
+    ),
+    corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
+    sh AS (SELECT doc_id, unnest({_SHINGLES}) AS s FROM corpus),
+    hits AS (
+      SELECT doc_id, count(*) AS n_hits
+      FROM sh WHERE s IN (SELECT s FROM bench) GROUP BY doc_id
+    )
+    SELECT c.doc_id,
+           COALESCE(h.n_hits, 0) AS n_hits,
+           COALESCE(h.n_hits, 0) >= 1 AS contaminated
+    FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id
+    """,
+)
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs with doc_id % 97 == 0 play the
+    held-out eval set; every other doc is flagged with its count of 3-gram
+    shingles that also occur in the eval set. Broadcast semi join — the
+    corpus is never shuffled (operators.dedup.decontaminate)."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return dedup.decontaminate(corpus, bench, "text", "doc_id", n=3)
+
+
+@_register(
+    "tfidf_topk",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM tok WHERE term <> '' GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    ranked AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+             row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf DESC, dfreq.df ASC, tf.term ASC
+             ) AS "rank"
+      FROM tf JOIN dfreq USING (term)
+    )
+    SELECT doc_id, term, tf, df, "rank" FROM ranked WHERE "rank" <= 3
+    """,
+)
+def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 salient terms per document by smoothed TF-IDF, ranked with an
+    integer-only (tf desc, df asc, term) ordering so the result is
+    bit-stable across engines (operators.corpus.tfidf_topk)."""
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_ops.tfidf_topk(docs, "text", "doc_id", k=3)
+
+
+@_register(
+    "length_profile",
+    """
+    WITH ranked AS (
+      SELECT source, n_chars, doc_id,
+             row_number() OVER (
+               PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM documents
+    )
+    SELECT source,
+           min(n_chars) AS v_min,
+           max(CASE WHEN rn = CAST(ceil(0.10 * n) AS BIGINT)
+                    THEN n_chars END) AS p10,
+           max(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT)
+                    THEN n_chars END) AS p50,
+           max(CASE WHEN rn = CAST(ceil(0.90 * n) AS BIGINT)
+                    THEN n_chars END) AS p90,
+           max(n_chars) AS v_max,
+           count(*) AS n
+    FROM ranked GROUP BY source
+    """,
+)
+def length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source length distribution (min/p10/p50/p90/max/count)
+    using discrete sort-based percentiles — deterministic across engines,
+    unlike interpolating quantiles (operators.corpus.length_profile)."""
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_ops.length_profile(docs, "n_chars", "source", "doc_id")
 
 
 # ---------------------------------------------------------------------------

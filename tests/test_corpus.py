@@ -1,0 +1,71 @@
+"""Decontamination, TF-IDF top-k, and exact length profiles."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from learn_hbase_spark.operators import corpus as corpus_ops
+from learn_hbase_spark.operators.dedup import decontaminate
+
+
+def test_decontaminate_flags_overlap(spark):
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox ran home"),  # shares 2 shingles
+            (2, "completely different words entirely"),
+            (3, ""),  # degenerate: single whole-text shingle ""
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_hits"], r["contaminated"])
+        for r in decontaminate(corpus, bench, n=3).collect()
+    }
+    # "the quick brown" and "quick brown fox" overlap; "brown fox ran" etc. don't
+    assert got[1] == (2, True)
+    assert got[2] == (0, False)
+    assert got[3] == (0, False)
+    assert len(got) == 3  # every corpus row present, clean or not
+
+
+def test_tfidf_topk_ranking(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana common"),
+            (2, "banana cherry common"),
+            (3, "common words only common"),
+        ],
+        "doc_id long, text string",
+    )
+    out = corpus_ops.tfidf_topk(docs, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["rank"], r["term"], r["tf"], r["df"]))
+    for v in by_doc.values():
+        v.sort()
+    # doc 1: apple tf=2 wins; then banana (df=2) before common (df=3)
+    assert [t for _, t, _, _ in by_doc[1]] == ["apple", "banana"]
+    # doc 3: common tf=2 first, then only (df=1) — words also df=1 but 'only' < 'words'
+    assert [t for _, t, _, _ in by_doc[3]] == ["common", "only"]
+    assert all(len(v) <= 2 for v in by_doc.values())
+
+
+def test_length_profile_exact_quantiles(spark):
+    rows = [(i, "s", i) for i in range(1, 11)]  # values 1..10, one group
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    r = corpus_ops.length_profile(df).collect()[0]
+    # ceil(0.1*10)=1 → 1; ceil(0.5*10)=5 → 5; ceil(0.9*10)=9 → 9
+    assert (r["v_min"], r["p10"], r["p50"], r["p90"], r["v_max"], r["n"]) == (
+        1, 1, 5, 9, 10, 10,
+    )
+
+
+def test_length_profile_single_row_group(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 7)], "doc_id long, source string, n_chars long"
+    )
+    r = corpus_ops.length_profile(df).collect()[0]
+    assert (r["p10"], r["p50"], r["p90"]) == (7, 7, 7)
