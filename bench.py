@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "range_window",        # time-based RANGE frame
     "rollup_agg",          # grouping sets
     "set_ops",             # union/intersect/except
+    "range_join_events",   # time-bucketed interval join
     # LLM-pipeline surface
     "dedup_exact",
     "minhash_lsh_pairs",
@@ -51,6 +52,7 @@ BENCH_QUERIES = [
     "decontaminate",       # benchmark n-gram overlap flagging
     "tfidf_topk",          # per-doc salient terms
     "length_profile",      # exact per-source quantiles
+    "column_profile",      # single-pass per-column audit
     "text_profile",
     "ann_cosine_topk",
     "embedding_neardup",

@@ -57,6 +57,47 @@ def tfidf_topk(
     )
 
 
+def column_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Data-quality audit: one row per column with ``(column, n, n_null,
+    n_distinct, min_s, max_s)`` — min/max compared as strings so every type
+    profiles uniformly.
+
+    All columns are profiled in a single pass: one aggregate over the table
+    computes every per-column statistic, then a constant-width stack
+    (unpivot) reshapes to long form. At 100 TB this is one scan + one
+    map-side-combined aggregation to a single row — no per-column jobs, no
+    driver loop over columns.
+    """
+    cols = cols or df.columns
+    aggs = []
+    for c in cols:
+        s = F.col(c).cast("string")
+        aggs += [
+            F.count(F.lit(1)).alias(f"__n_{c}"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__nn_{c}"),
+            F.count_distinct(F.col(c)).alias(f"__nd_{c}"),
+            F.min(s).alias(f"__mn_{c}"),
+            F.max(s).alias(f"__mx_{c}"),
+        ]
+    one = df.agg(*aggs)
+    stacked = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("column"),
+                    F.col(f"__n_{c}").alias("n"),
+                    F.col(f"__nn_{c}").alias("n_null"),
+                    F.col(f"__nd_{c}").alias("n_distinct"),
+                    F.col(f"__mn_{c}").alias("min_s"),
+                    F.col(f"__mx_{c}").alias("max_s"),
+                )
+                for c in cols
+            ]
+        )
+    ).alias("p")
+    return one.select(stacked).select("p.*")
+
+
 def length_profile(
     df: DataFrame,
     value_col: str = "n_chars",

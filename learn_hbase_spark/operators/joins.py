@@ -92,6 +92,58 @@ def asof_join(
     )
 
 
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    lower_us: int,
+    upper_us: int,
+    on: list[str] | None = None,
+) -> DataFrame:
+    """Time-range (interval) join: pair each left row with right rows whose
+    timestamp falls in ``[left_ts + lower_us, left_ts + upper_us]``
+    (microseconds), optionally under extra equi keys.
+
+    A naive theta join degenerates to a per-key cross product that Spark
+    can only execute as broadcast-nested-loop. Instead, both sides are
+    bucketed into fixed windows of ``upper_us - lower_us`` microseconds;
+    each left row can only match rights in its own or the adjacent bucket,
+    so the left explodes into exactly 2 (bucket) candidates and the join is
+    a plain shuffled equi join on (keys..., bucket) with the exact interval
+    predicate applied as a post-filter. Candidate blow-up is 2x, not |R|,
+    and AQE can still split skewed buckets. Left columns keep their names;
+    right columns are suffixed ``_r``.
+    """
+    width = max(upper_us - lower_us, 1)
+    on = on or []
+    l_us = F.unix_micros(F.col(left_ts))
+    r_us = F.unix_micros(F.col(right_ts))
+    l = left.select(
+        *[F.col(c) for c in left.columns],
+        l_us.alias("_l_us"),
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.floor((l_us + F.lit(lower_us)) / width),
+                    F.floor((l_us + F.lit(upper_us)) / width),
+                )
+            )
+        ).alias("_bucket"),
+    )
+    r = right.select(
+        *[F.col(c).alias(c if c in on else f"{c}_r") for c in right.columns],
+        r_us.alias("_r_us"),
+        F.floor(r_us / width).alias("_bucket"),
+    )
+    gap = F.col("_r_us") - F.col("_l_us")
+    return (
+        l.join(r, on=[*on, "_bucket"], how="inner")
+        .filter((gap >= lower_us) & (gap <= upper_us))
+        .drop("_bucket", "_l_us", "_r_us")
+    )
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

@@ -1393,6 +1393,59 @@ def length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_ops.length_profile(docs, "n_chars", "source", "doc_id")
 
 
+@_register(
+    "range_join_events",
+    """
+    SELECT a.user_id, a.event_id AS view_id, b.event_id AS purchase_id
+    FROM events a JOIN events b ON a.user_id = b.user_id
+     AND a.event_type = 'view' AND b.event_type = 'purchase'
+     AND epoch_us(b.ts) - epoch_us(a.ts) BETWEEN 1 AND 86400000000
+    """,
+)
+def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join: every purchase within 24h after a view by the
+    same user. Time-bucketed equi join — 2x candidate fan-out instead of a
+    per-user cross product (operators.joins.range_join)."""
+    ev = _t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = joins.range_join(
+        views, buys, "ts", "ts", 1, 86_400_000_000, on=["user_id"]
+    )
+    return out.select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("event_id_r").alias("purchase_id"),
+    )
+
+
+_PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+_PROFILE_UNION = "\nUNION ALL\n".join(
+    f"""
+    SELECT '{c}' AS "column", count(*) AS n,
+           CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           count(DISTINCT {c}) AS n_distinct,
+           min(CAST({c} AS VARCHAR)) AS min_s,
+           max(CAST({c} AS VARCHAR)) AS max_s
+    FROM documents
+    """
+    for c in _PROFILE_COLS
+)
+
+
+@_register("column_profile", _PROFILE_UNION)
+def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data-quality audit of `documents` (count, nulls, exact
+    distinct, stringified min/max) — single-pass aggregate + stack, no
+    per-column jobs (operators.corpus.column_profile)."""
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_ops.column_profile(docs, _PROFILE_COLS)
+
+
 # ---------------------------------------------------------------------------
 # LLM-pipeline: multimodal columns (north-star M4). Media rows are derived
 # deterministically from `documents` (payload = UTF-8 bytes of text) since

@@ -65,6 +65,28 @@ def test_dedup_exact_shuffles_digest_not_body(spark, qs):
     assert all("text" not in s for s in exchange_sections), exchange_sections
 
 
+def test_range_join_is_hash_join_not_nested_loop(spark, qs):
+    """The interval join must go through the bucket equi-key — a hash (or
+    sort-merge) join with the range predicate as residual — never a
+    BroadcastNestedLoopJoin / CartesianProduct over the theta condition."""
+    plan = _plan(qs["range_join_events"](spark, SF))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark, qs):
+    """The corpus side must not shuffle: the benchmark gram set is the
+    broadcast build side of a semi join."""
+    plan = _plan(qs["decontaminate"](spark, SF))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_column_profile_is_single_aggregate(spark, qs):
+    """One scan, one aggregation — not one job per profiled column."""
+    plan = _plan(qs["column_profile"](spark, SF), "simple")
+    assert plan.count("Scan parquet") == 1
+
+
 def test_widetable_scan_prunes_partitions(spark, tmp_path):
     """A prefix-bounded scan reads only the matching prefix partitions."""
     from learn_hbase_spark.widetable import WideTable
