@@ -53,6 +53,9 @@ BENCH_QUERIES = [
     "tfidf_topk",          # per-doc salient terms
     "length_profile",      # exact per-source quantiles
     "column_profile",      # single-pass per-column audit
+    "heavy_hitters",       # exact top-k frequent values
+    "approx_profile",      # HLL + t-digest sketch profile
+    "curation_pipeline",   # 5-stage curation as one lineage
     "text_profile",
     "ann_cosine_topk",
     "embedding_neardup",

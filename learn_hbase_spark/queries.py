@@ -30,9 +30,11 @@ from .operators import (
     packing,
     sampling,
     similarity,
+    sketches,
 )
 from .operators import corpus as corpus_ops
 from .operators.window import date_spine, guarded_lead_diff
+from .pipeline import curation
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -1444,6 +1446,113 @@ def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-column jobs (operators.corpus.column_profile)."""
     docs = _t(spark, sf_dir, "documents")
     return corpus_ops.column_profile(docs, _PROFILE_COLS)
+
+
+@_register(
+    "heavy_hitters",
+    """
+    SELECT user_id AS value, count(*) AS n
+    FROM events GROUP BY user_id
+    ORDER BY n DESC, value ASC LIMIT 10
+    """,
+)
+def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 heaviest event producers: map-side partial groupBy-count +
+    TakeOrdered top-k, deterministic count-then-value tiebreak
+    (operators.sketches.heavy_hitters)."""
+    ev = _t(spark, sf_dir, "events")
+    return sketches.heavy_hitters(ev, "user_id", k=10)
+
+
+@_register("approx_profile")  # sketch values are engine-specific → rows-only
+def approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch twin of length_profile for the 100 TB path: per-source HLL++
+    distinct docs + t-digest length quantiles — single pass, mergeable
+    state, no sort. No oracle: sketch values are engine-specific; unit
+    tests bound the error against the exact operators instead
+    (operators.sketches)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.approx_count_distinct("doc_id", rsd=0.02).alias("nd_docs"),
+            F.percentile_approx(
+                "n_chars", [0.1, 0.5, 0.9], 10000
+            ).alias("_qs"),
+        )
+        .select(
+            "source",
+            "nd_docs",
+            F.col("_qs")[0].alias("p10"),
+            F.col("_qs")[1].alias("p50"),
+            F.col("_qs")[2].alias("p90"),
+        )
+    )
+
+
+@_register(
+    "curation_pipeline",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, text, source,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len({_DUCK_TOKENS}) END AS n
+      FROM documents
+    ),
+    gated AS (SELECT * FROM tok WHERE n >= 5),
+    winners AS (
+      SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5({_NORM})
+    ),
+    surv AS (SELECT g.* FROM gated g JOIN winners w ON g.doc_id = w.doc_id),
+    bench AS (
+      SELECT DISTINCT unnest({_SHINGLES}) AS s
+      FROM documents WHERE doc_id % 97 = 0
+    ),
+    contaminated AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_id, unnest({_SHINGLES}) AS s FROM surv
+      ) WHERE s IN (SELECT s FROM bench)
+    ),
+    clean AS (
+      SELECT * FROM surv
+      WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    mixed AS (
+      SELECT * FROM clean
+      WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':' || source), 1, 4) <
+        CASE source
+          WHEN 'src0' THEN '{sampling.threshold(1.0)}'
+          WHEN 'src1' THEN '{sampling.threshold(0.5)}'
+          WHEN 'src2' THEN '{sampling.threshold(0.25)}'
+          ELSE '{sampling.threshold(0.1)}' END
+    )
+    SELECT doc_id,
+           substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS pack_group,
+           CAST(floor(COALESCE(SUM(n) OVER (
+                  PARTITION BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                  ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                / 64.0) AS BIGINT) AS seq_id
+    FROM mixed
+    """,
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation pipeline as ONE lineage: token-count quality gate →
+    exact dedup (first-wins) → benchmark decontamination → per-source
+    mixture sampling → token-budget sequence packing. The LLM-era analog of
+    the reference's 3-stage ETL (pipeline/curation.py); every stage is an
+    individually-oracled operator, and this query oracles their
+    composition."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return curation.curate(
+        docs,
+        bench,
+        min_tokens=5,
+        rates={"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        default_rate=0.1,
+        budget=64,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,48 @@
+"""End-to-end curation pipeline: each stage's effect on a crafted corpus."""
+
+from __future__ import annotations
+
+from learn_hbase_spark.pipeline.curation import curate
+
+
+def test_curate_stage_effects(spark):
+    docs = spark.createDataFrame(
+        [
+            # survives everything (6 tokens, unique, clean, src0 rate=1.0)
+            (1, "alpha beta gamma delta epsilon zeta", "src0"),
+            # duplicate of 1 (same normalized text) → dropped by exact dedup
+            (2, "Alpha  beta GAMMA delta epsilon zeta", "src0"),
+            # too short → dropped by the quality gate
+            (3, "tiny doc", "src0"),
+            # shares a 3-gram with the benchmark doc → dropped as contaminated
+            (4, "the held out secret phrase appears here", "src0"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    bench = spark.createDataFrame(
+        [(99, "contains the held out secret phrase indeed", "src0")],
+        "doc_id long, text string, source string",
+    )
+    out = curate(docs, bench, min_tokens=5, rates={"src0": 1.0}, budget=64)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {1}
+    assert rows[1]["seq_id"] == 0  # first (only) doc in its pack stream
+
+
+def test_curate_packs_across_budget(spark):
+    docs = spark.createDataFrame(
+        [
+            # unique 10-token texts so exact dedup keeps all of them
+            (i, " ".join(f"d{i}w{j}" for j in range(10)), "s")
+            for i in range(8)
+        ],
+        "doc_id long, text string, source string",
+    )
+    bench = spark.createDataFrame([], "doc_id long, text string, source string")
+    out = curate(docs, bench, min_tokens=1, rates={"s": 1.0}, budget=15)
+    # every doc kept; each 15-token bin fits one 10-token doc's start, so
+    # consecutive docs in one stream land in distinct bins
+    rows = out.collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert r["seq_id"] >= 0 and len(r["pack_group"]) == 2
