@@ -213,17 +213,24 @@ def minhash_signature(
 ) -> DataFrame:
     """MinHash signatures, deterministic and oracle-friendly.
 
-    Hash family: ``md5(shingle || '#' || seed)`` for seed in [0, num_hashes);
-    the per-seed minimum over a document's shingles is the signature element.
-    md5-hex min over strings is identical in any engine — the DuckDB oracle
-    can reproduce it exactly. All JVM-side: explode → groupBy(id) → min per
-    seed, one shuffle.
+    Hash family: one md5 digest per *seed group* — ``md5(shingle || '#g')``
+    — sliced into four 8-hex-char (32-bit) chunks, each chunk an independent
+    hash function; the per-function minimum over a document's shingles is
+    the signature element. Amortizing 4 hash functions per digest quarters
+    the dominant cost (md5 over every shingle) versus one digest per seed,
+    and fixed-width lowercase-hex min is still engine-portable — the DuckDB
+    oracle replays ``min(substr(md5(s || '#g'), off, 8))`` exactly. Catalyst
+    CSE evaluates each group digest once per row across its four aggregates.
+    All JVM-side: explode → groupBy(id) → min per function, one shuffle.
     """
     sh = shingle_rows(df, text_col, id_col, shingle_n)
-    aggs = [
-        F.min(F.md5(F.concat(F.col("_sh"), F.lit(f"#{i}")))).alias(f"mh_{i}")
-        for i in range(num_hashes)
-    ]
+    aggs = []
+    for i in range(num_hashes):
+        g, j = divmod(i, 4)
+        digest = F.md5(F.concat(F.col("_sh"), F.lit(f"#{g}")))
+        aggs.append(
+            F.min(F.substring(digest, 1 + 8 * j, 8)).alias(f"mh_{i}")
+        )
     return sh.groupBy("_id").agg(*aggs).withColumnRenamed("_id", id_col)
 
 

@@ -864,7 +864,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     SELECT doc_id,
-      {", ".join(f"min(md5(s || '#{i}')) AS mh_{i}" for i in range(8))}
+      {", ".join(f"min(substr(md5(s || '#{i // 4}'), {1 + 8 * (i % 4)}, 8)) AS mh_{i}" for i in range(8))}
     FROM sh GROUP BY doc_id
     """,
 )
@@ -883,7 +883,7 @@ def minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sig AS (
       SELECT doc_id,
-        {", ".join(f"min(md5(s || '#{i}')) AS mh_{i}" for i in range(8))}
+        {", ".join(f"min(substr(md5(s || '#{i // 4}'), {1 + 8 * (i % 4)}, 8)) AS mh_{i}" for i in range(8))}
       FROM sh GROUP BY doc_id
     ),
     bands AS (
@@ -944,7 +944,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sig AS (
       SELECT doc_id,
-        {", ".join(f"min(md5(s || '#{i}')) AS mh_{i}" for i in range(8))}
+        {", ".join(f"min(substr(md5(s || '#{i // 4}'), {1 + 8 * (i % 4)}, 8)) AS mh_{i}" for i in range(8))}
       FROM sh GROUP BY doc_id
     ),
     bands AS (

@@ -55,6 +55,38 @@ def windowed_event_counts(
     )
 
 
+def session_window_counts(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Gap-based session windows per user: a session closes after ``gap``
+    of inactivity (``F.session_window`` — dynamic, data-driven windows, not
+    fixed tumbling buckets). The streaming twin of the batch ``sessionize``
+    query's lag+running-sum formulation; the watermark both bounds session
+    state and finalizes sessions so they can be emitted append-mode.
+
+    Works identically over a batch DataFrame (session_window is engine-
+    native in both modes) — the tests exploit that to cross-check streaming
+    output against the batch result on the same files.
+    """
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), F.col("user_id"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def run_bounded(
     stream_df: DataFrame, out_dir: str, checkpoint_dir: str,
     output_mode: str = "append",

@@ -87,6 +87,19 @@ def test_column_profile_is_single_aggregate(spark, qs):
     assert plan.count("Scan parquet") == 1
 
 
+def test_curation_pipeline_final_shuffle_is_body_free(spark, qs):
+    """The packing window's exchange must carry only (doc_id, pack_group,
+    token count) — never the document text."""
+    plan = _plan(qs["curation_pipeline"](spark, SF), "formatted")
+    exchanges = [
+        s for s in plan.split("\n\n")
+        if s.startswith("(") and "Exchange" in s.splitlines()[0]
+    ]
+    final = [s for s in exchanges if "pack_group" in s]
+    assert final, "expected the packing exchange in the plan"
+    assert all("text" not in s for s in final), final
+
+
 def test_widetable_scan_prunes_partitions(spark, tmp_path):
     """A prefix-bounded scan reads only the matching prefix partitions."""
     from learn_hbase_spark.widetable import WideTable

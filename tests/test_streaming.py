@@ -6,6 +6,7 @@ from __future__ import annotations
 from learn_hbase_spark.streaming.events import (
     read_event_stream,
     run_bounded,
+    session_window_counts,
     windowed_event_counts,
 )
 from learn_hbase_spark.tables import load_table
@@ -57,6 +58,48 @@ def test_windowed_counts_match_batch(spark, tmp_path):
         assert want[k] == v, f"window {k}: stream {v} != batch {want[k]}"
     missing = set(closed) - set(got)
     assert not missing, f"closed windows not emitted: {sorted(missing)[:5]}"
+
+
+def test_session_windows_match_batch(spark, tmp_path):
+    """Streaming gap-sessions must agree with the identical batch
+    session_window aggregation for every session the watermark closed."""
+    import datetime as dt
+
+    src = str(tmp_path / "src")
+    load_table(spark, SF, "events").write.parquet(src)
+
+    stream = read_event_stream(spark, src)
+    agg = session_window_counts(stream, gap="30 minutes", watermark="2 hours")
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    run_bounded(agg, out_dir, ckpt)
+    got = {
+        (r["user_id"], r["session_start"]): (r["n_events"], round(r["sum_value"], 6))
+        for r in spark.read.parquet(out_dir).collect()
+    }
+
+    batch = session_window_counts(load_table(spark, SF, "events"),
+                                  gap="30 minutes", watermark="2 hours")
+    rows = batch.collect()
+    want = {
+        (r["user_id"], r["session_start"]): (r["n_events"], round(r["sum_value"], 6))
+        for r in rows
+    }
+    max_ts = load_table(spark, SF, "events").selectExpr("max(ts)").first()[0]
+    closed = {
+        k: v
+        for k, v, end in (
+            ((r["user_id"], r["session_start"]),
+             (r["n_events"], round(r["sum_value"], 6)),
+             r["session_end"])
+            for r in rows
+        )
+        if end <= max_ts - dt.timedelta(hours=2)
+    }
+    assert got, "stream produced no finalized sessions"
+    for k, v in got.items():
+        assert want[k] == v, f"session {k}: stream {v} != batch {want[k]}"
+    missing = set(closed) - set(got)
+    assert not missing, f"closed sessions not emitted: {sorted(missing)[:5]}"
 
 
 def test_stateful_user_totals_match_batch(spark, tmp_path):
