@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "rollup_agg",          # grouping sets
     "set_ops",             # union/intersect/except
     "range_join_events",   # time-bucketed interval join
+    "sql_passthrough_q5",  # raw ANSI SQL through spark.sql
     # LLM-pipeline surface
     "dedup_exact",
     "minhash_lsh_pairs",

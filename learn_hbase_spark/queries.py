@@ -21,6 +21,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from . import tables
 from .functions import text as T
 from .operators import (
     dedup,
@@ -1553,6 +1554,40 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         default_rate=0.1,
         budget=64,
     )
+
+
+# Q5-style revenue-by-nation, written once in engine-portable ANSI SQL and
+# executed VERBATIM by both Spark (after tables.register_views) and DuckDB:
+# Spark SQL is the engine's query language — parser, analyzer, and optimizer
+# come for free (SURVEY §7.1). Decimal-cast aggregation keeps the double
+# output bit-identical across engines regardless of summation order.
+_Q5_SQL = """
+    SELECT n_name,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+               (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
+           AS DOUBLE) AS revenue,
+      COUNT(*) AS n_items
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+"""
+
+
+@_register("sql_passthrough_q5", _Q5_SQL)
+def sql_passthrough_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL passthrough: the registry's oracle string IS the Spark query —
+    register the testdata views and hand the identical ANSI text to
+    spark.sql. Demonstrates the free parser/planner surface; Catalyst still
+    reorders the 6-way join and pushes the date/region filters."""
+    tables.register_views(spark, sf_dir)
+    return spark.sql(_Q5_SQL)
 
 
 # ---------------------------------------------------------------------------

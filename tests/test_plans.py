@@ -100,6 +100,14 @@ def test_curation_pipeline_final_shuffle_is_body_free(spark, qs):
     assert all("text" not in s for s in final), final
 
 
+def test_sql_passthrough_pushes_filters_to_scans(spark, qs):
+    """Raw SQL through spark.sql must still get Catalyst pushdown: the date
+    range reaches the orders scan, the region literal reaches region."""
+    plan = _plan(qs["sql_passthrough_q5"](spark, SF))
+    assert "GreaterThanOrEqual(o_orderdate," in plan
+    assert "EqualTo(r_name,ASIA)" in plan
+
+
 def test_widetable_scan_prunes_partitions(spark, tmp_path):
     """A prefix-bounded scan reads only the matching prefix partitions."""
     from learn_hbase_spark.widetable import WideTable
