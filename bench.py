@@ -40,6 +40,8 @@ BENCH_QUERIES = [
     "set_ops",             # union/intersect/except
     "range_join_events",   # time-bucketed interval join
     "sql_passthrough_q5",  # raw ANSI SQL through spark.sql
+    "scalar_subquery_q17", # correlated scalar subquery, decorrelated
+    "window_ranks",        # rank-family window functions
     # LLM-pipeline surface
     "dedup_exact",
     "minhash_lsh_pairs",

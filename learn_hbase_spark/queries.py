@@ -765,6 +765,129 @@ def distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "scalar_subquery_q17",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0
+             AS avg_yearly,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#23'
+      AND l_quantity < (
+        SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                      / COUNT(*))
+        FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+    """,
+)
+def scalar_subquery_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 pattern: correlated scalar subquery (per-part 20%-of-avg
+    quantity threshold), written as its manual decorrelation — a per-key
+    aggregate broadcast-joined back to the fact — which is exactly the plan
+    Catalyst's RewriteCorrelatedScalarSubquery produces. Both the threshold
+    (decimal sum / count, then *0.2 in double) and the revenue sum are exact
+    decimal, so the double results are bit-identical across engines. At
+    100 TB the threshold table stays tiny (one row per brand part) and both
+    joins broadcast; the fact table is scanned once per join with the brand
+    filter pushed to parquet."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#23")
+        .select("p_partkey")
+    )
+    li_b = li.join(
+        F.broadcast(p), li["l_partkey"] == p["p_partkey"]
+    ).drop("p_partkey")
+    thr = li_b.groupBy("l_partkey").agg(
+        (
+            F.lit(0.2)
+            * (
+                F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double")
+                / F.count(F.lit(1))
+            )
+        ).alias("thr")
+    )
+    return (
+        li_b.join(F.broadcast(thr), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("thr"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+                .cast("double")
+                / F.lit(7.0)
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@_register(
+    "exists_agg",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o_orderdate < TIMESTAMP '1996-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+    GROUP BY o_orderpriority
+    """,
+)
+def exists_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 pattern: EXISTS decorrelated to a left-semi join, then
+    aggregated. The date range prunes the probe side before the shuffle;
+    the semi join deduplicates build-side keys internally, so no distinct
+    pass is needed on lineitem."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = li.filter(F.col("l_quantity") > 45).select("l_orderkey")
+    return (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+        )
+        .join(big, o["o_orderkey"] == big["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@_register(
+    "window_ranks",
+    """
+    SELECT o_custkey, o_orderkey,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           ntile(4) OVER w AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cdist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-family window functions (rank, dense_rank, ntile, percent_rank,
+    cume_dist) per customer, fully tie-broken by o_orderkey so row order —
+    and therefore every rank — is deterministic. percent_rank/cume_dist are
+    single double divisions of integer counts, identical in both engines;
+    integer ranks are cast to BIGINT to match DuckDB's output type. One
+    shuffle on o_custkey computes all five functions in a single Window
+    physical operator."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cdist"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Scalar functions (X1-X10)
 # ---------------------------------------------------------------------------

@@ -108,6 +108,30 @@ def test_sql_passthrough_pushes_filters_to_scans(spark, qs):
     assert "EqualTo(r_name,ASIA)" in plan
 
 
+def test_scalar_subquery_q17_broadcasts_both_joins(spark, qs):
+    """The brand-part dim and the per-part threshold aggregate are both
+    tiny — each join must broadcast; the fact never shuffles on partkey."""
+    plan = _plan(qs["scalar_subquery_q17"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "EqualTo(p_brand,Brand#23)" in plan  # brand filter reaches the scan
+
+
+def test_exists_agg_plans_semi_join_with_pushed_dates(spark, qs):
+    """EXISTS shape: a left-semi join, with the date range pushed to the
+    orders scan so the probe side is pruned before any shuffle."""
+    plan = _plan(qs["exists_agg"](spark, SF))
+    assert "LeftSemi" in plan
+    assert "GreaterThanOrEqual(o_orderdate," in plan
+
+
+def test_window_ranks_single_window_operator(spark, qs):
+    """All five rank functions share one partition/order spec → exactly one
+    Window physical operator and one exchange on o_custkey."""
+    plan = _plan(qs["window_ranks"](spark, SF), "simple")
+    assert plan.count("Window") == 1
+
+
 def test_widetable_scan_prunes_partitions(spark, tmp_path):
     """A prefix-bounded scan reads only the matching prefix partitions."""
     from learn_hbase_spark.widetable import WideTable
