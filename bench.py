@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "sql_passthrough_q5",  # raw ANSI SQL through spark.sql
     "scalar_subquery_q17", # correlated scalar subquery, decorrelated
     "window_ranks",        # rank-family window functions
+    "outer_join_histogram",  # left-outer + two-level agg (Q13)
     # LLM-pipeline surface
     "dedup_exact",
     "minhash_lsh_pairs",

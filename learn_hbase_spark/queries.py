@@ -853,6 +853,80 @@ def exists_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "outer_join_histogram",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def outer_join_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 pattern: LEFT OUTER join with a join-side residual
+    predicate (customers with zero qualifying orders still count, at
+    c_count=0), then a two-level aggregation. Purely integer outputs —
+    deterministic by construction. At scale the first groupBy is the only
+    wide shuffle (on c_custkey); the second aggregates a few hundred
+    distinct counts and collapses map-side."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@_register(
+    "full_outer_reconcile",
+    """
+    SELECT COALESCE(f.o_orderpriority, op.p2) AS o_orderpriority,
+           COALESCE(f.n, 0) AS n_finished,
+           COALESCE(op.n, 0) AS n_open,
+           COALESCE(f.n, 0) - COALESCE(op.n, 0) AS diff
+    FROM (SELECT o_orderpriority, COUNT(*) AS n FROM orders
+          WHERE o_orderstatus = 'F' GROUP BY o_orderpriority) f
+    FULL OUTER JOIN (SELECT o_orderpriority AS p2, COUNT(*) AS n FROM orders
+          WHERE o_orderstatus = 'O' GROUP BY o_orderpriority) op
+      ON o_orderpriority = p2
+    """,
+)
+def full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation: FULL OUTER join of two aggregated views with
+    COALESCE(0) defaults — the standard pattern for diffing two pipeline
+    outputs where either side may miss keys entirely. Both inputs collapse
+    to one row per priority before the join, so the outer join is over
+    tiny aggregates regardless of input scale."""
+    o = _t(spark, sf_dir, "orders")
+    f = (
+        o.filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_f"))
+    )
+    op = (
+        o.filter(F.col("o_orderstatus") == "O")
+        .groupBy(F.col("o_orderpriority").alias("p2"))
+        .agg(F.count(F.lit(1)).alias("n_o"))
+    )
+    joined = f.join(op, f["o_orderpriority"] == op["p2"], "full_outer")
+    return joined.select(
+        F.coalesce(f["o_orderpriority"], op["p2"]).alias("o_orderpriority"),
+        F.coalesce("n_f", F.lit(0)).alias("n_finished"),
+        F.coalesce("n_o", F.lit(0)).alias("n_open"),
+        (F.coalesce("n_f", F.lit(0)) - F.coalesce("n_o", F.lit(0))).alias(
+            "diff"
+        ),
+    )
+
+
+@_register(
     "window_ranks",
     """
     SELECT o_custkey, o_orderkey,
