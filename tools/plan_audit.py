@@ -1,0 +1,107 @@
+"""Plan-quality audit: sweep every queries() entry and summarize the
+scale-critical properties of its physical plan — exchange count, join
+strategies, scans with/without pushed filters, Python-boundary operators —
+so plan regressions (a lost broadcast, a new nested-loop join, a dropped
+pushdown) surface as a diff in one JSON report instead of a slow query at
+100 TB.
+
+Usage: python tools/plan_audit.py [sf_dir] [query ...]
+
+Prints one JSON line per query plus a trailing summary line. Exit 1 if any
+query plans a CartesianProduct / BroadcastNestedLoopJoin (the never-at-scale
+strategies) unless it is explicitly allowlisted below.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import json
+import re
+import sys
+
+# Queries where a nested-loop join is accepted and why. Keep this list empty
+# unless the cross product is provably bounded (e.g. joining against a
+# one-row aggregate or a tiny literal frame).
+NESTED_LOOP_ALLOWED: dict[str, str] = {
+    # Brute-force all-pairs cosine is the documented recall-1.0 baseline the
+    # approximate variants (ann_lsh_topk, ann_ivf_topk) are measured against;
+    # the broadcast side is the bounded query set, not the corpus.
+    "ann_cosine_topk": "intentional bounded cross join (query set broadcast)",
+}
+
+
+def plan_text(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def audit(df) -> dict:
+    # operator counts from the simple plan (one line per operator); pushdown
+    # detail only exists in formatted mode, where the tree and the numbered
+    # details section would otherwise double-count every operator.
+    simple = plan_text(df, "simple")
+    formatted = plan_text(df, "formatted")
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", formatted)
+    return {
+        "exchanges": len(re.findall(r"\bExchange\b", simple)),
+        "broadcast_hash_joins": simple.count("BroadcastHashJoin"),
+        "sort_merge_joins": simple.count("SortMergeJoin"),
+        "shuffled_hash_joins": simple.count("ShuffledHashJoin"),
+        "nested_loop_joins": simple.count("BroadcastNestedLoopJoin")
+        + simple.count("CartesianProduct"),
+        "scans": simple.count("Scan parquet"),
+        "scans_with_pushed_filters": sum(1 for p in pushed if p.strip()),
+        "window_ops": len(re.findall(r"\bWindow\b", simple)),
+        "python_ops": len(
+            re.findall(r"ArrowEvalPython|BatchEvalPython|FlatMapGroupsInPandas"
+                       r"|MapInPandas|PythonMapInArrow", simple)
+        ),
+        "wholestage_codegen_spans": len(
+            set(re.findall(r"WholeStageCodegen \((\d+)\)", simple))
+        ),
+    }
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.partitions", "8")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    failures = []
+    totals = {"queries": 0, "exchanges": 0, "nested_loop_joins": 0}
+    for name, fn in sorted(entrymod.queries().items()):
+        if only and name not in only:
+            continue
+        try:
+            report = audit(fn(spark, sf_dir))
+        except Exception as exc:  # pragma: no cover - audit tool
+            print(json.dumps({"query": name, "error": str(exc)[:200]}))
+            failures.append(name)
+            continue
+        report = {"query": name, **report}
+        print(json.dumps(report))
+        totals["queries"] += 1
+        totals["exchanges"] += report["exchanges"]
+        if report["nested_loop_joins"] and name not in NESTED_LOOP_ALLOWED:
+            failures.append(name)
+            totals["nested_loop_joins"] += report["nested_loop_joins"]
+    print(json.dumps({"summary": totals, "nested_loop_failures": failures}))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
