@@ -118,6 +118,64 @@ def dedup_stream(
     return stream.withWatermark(ts_col, watermark).dropDuplicates(keys)
 
 
+def event_day_cells(events: DataFrame) -> DataFrame:
+    """Map events to wide-table cells the way the reference's fact load
+    pivots on write (RdlETL.java:120-122): rowkey = zero-padded user id
+    (4-char prefix → partition pruning), family ``bmz``, one qualifier per
+    calendar day (``yyyyMMdd``), value = the reading rendered as a string.
+    Several events on the same day collapse to the day's max value before
+    the write, mirroring the reference's one-cell-per-day model. The
+    aggregation is per micro-batch: like HBase puts, a day split across
+    two batches resolves latest-batch-wins, so ingest should trigger on
+    day-atomic chunks (the reference's per-day loop gives it the same
+    atomicity, RdlETL.java:45-47)."""
+    return (
+        events.groupBy(
+            F.lpad(F.col("user_id").cast("string"), 8, "0").alias("rowkey"),
+            F.date_format("ts", "yyyyMMdd").alias("qualifier"),
+        )
+        .agg(F.max("value").alias("v"))
+        .select(
+            "rowkey",
+            F.lit("bmz").alias("family"),
+            "qualifier",
+            F.col("v").cast("string").alias("value"),
+        )
+    )
+
+
+def upsert_stream_to_widetable(
+    stream: DataFrame,
+    table,
+    checkpoint_dir: str,
+    cell_fn=event_day_cells,
+) -> None:
+    """Incremental ingest: drain the stream into a ``WideTable`` via
+    ``foreachBatch``, one latest-wins put per micro-batch.
+
+    This is the Spark-native form of the reference's 'incremental' mode —
+    manually re-running idempotent HBase upserts per day (SURVEY §2.8) —
+    with the engine supplying what the reference hand-rolls: exactly-once
+    micro-batch tracking (checkpoint), batching/backpressure, and
+    latest-wins resolution at read (WideTable versions ≙ HBase cell
+    timestamps). Re-processing a batch after failure lands the same cells
+    with a newer version: the read result is unchanged, so the pipeline is
+    idempotent end-to-end."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        cells = cell_fn(batch_df)
+        if cells.take(1):
+            table.put(cells)
+
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def stateful_user_totals(stream: DataFrame) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: per-user
     running totals (event count, value sum) that survive across micro-

@@ -143,6 +143,46 @@ def test_stateful_user_totals_match_batch(spark, tmp_path):
         assert got[u] == v, f"user {u}: stream {got[u]} != batch {v}"
 
 
+def test_stream_upsert_into_widetable_is_idempotent(spark, tmp_path):
+    """foreachBatch upsert: the drained stream's WideTable contents equal
+    the batch-derived cells, and replaying the whole stream (fresh
+    checkpoint — the reference's 'rerun the day' recovery) changes
+    nothing thanks to latest-wins resolution."""
+    from learn_hbase_spark.streaming.events import (
+        event_day_cells,
+        upsert_stream_to_widetable,
+    )
+    from learn_hbase_spark.widetable import WideTable
+
+    src = str(tmp_path / "src")
+    ev = load_table(spark, SF, "events")
+    ev.write.parquet(src)
+    table = WideTable.create(spark, str(tmp_path / "wt"), ["bmz"])
+
+    upsert_stream_to_widetable(
+        read_event_stream(spark, src), table, str(tmp_path / "ckpt1")
+    )
+    want = {
+        (r["rowkey"], r["qualifier"]): r["value"]
+        for r in event_day_cells(ev).collect()
+    }
+    got = {
+        (r["rowkey"], r["qualifier"]): r["value"]
+        for r in table.scan(families=["bmz"]).collect()
+    }
+    assert got == want and len(got) > 0
+
+    # replay with a fresh checkpoint: same cells, newer versions, same reads
+    upsert_stream_to_widetable(
+        read_event_stream(spark, src), table, str(tmp_path / "ckpt2")
+    )
+    again = {
+        (r["rowkey"], r["qualifier"]): r["value"]
+        for r in table.scan(families=["bmz"]).collect()
+    }
+    assert again == want
+
+
 def test_stream_dedup_first_wins(spark, tmp_path):
     """Streaming dropDuplicates with watermark: duplicated keys across the
     bounded run collapse to one row each."""
