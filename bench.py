@@ -43,6 +43,8 @@ BENCH_QUERIES = [
     "scalar_subquery_q17", # correlated scalar subquery, decorrelated
     "window_ranks",        # rank-family window functions
     "outer_join_histogram",  # left-outer + two-level agg (Q13)
+    "gap_fill_ffill",      # per-key date spine + forward fill
+    "incremental_agg",     # mergeable partial aggregates
     # LLM-pipeline surface
     "dedup_exact",
     "minhash_lsh_pairs",

@@ -962,6 +962,137 @@ def window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "gap_fill_ffill",
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, MAX(value) AS v
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    bounds AS (SELECT user_id, MIN(day) AS lo, MAX(day) AS hi
+               FROM daily GROUP BY user_id),
+    spine AS (
+      SELECT user_id,
+             CAST(UNNEST(generate_series(CAST(lo AS TIMESTAMP),
+                                         CAST(hi AS TIMESTAMP),
+                                         INTERVAL 1 DAY)) AS DATE) AS day
+      FROM bounds
+    )
+    SELECT s.user_id, s.day,
+           LAST_VALUE(d.v IGNORE NULLS)
+             OVER (PARTITION BY s.user_id ORDER BY s.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS v_filled,
+           (d.v IS NULL) AS was_gap
+    FROM spine s LEFT JOIN daily d
+      ON s.user_id = d.user_id AND s.day = d.day
+    """,
+)
+def gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill + forward-fill: densify each user's day series over its own
+    [min, max] span (W2 date spine, per key) and carry the last observation
+    forward across missing days — the standard time-series repair the
+    reference side-steps by writing dense day columns. MAX per day is
+    order-independent, so the filled doubles are deterministic. The spine
+    explode is linear in user-days and pre-partitioned by user; the fill is
+    one window over the same partitioning, so the join and window share a
+    single shuffle at scale."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(F.max("value").alias("v"))
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("lo", "hi")).alias("day"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(daily, ["user_id", "day"], "left_outer")
+        .select(
+            "user_id",
+            "day",
+            F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+            F.col("v").isNull().alias("was_gap"),
+        )
+    )
+
+
+@_register(
+    "incremental_agg",
+    """
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY CAST(o_orderdate AS DATE)
+    """,
+)
+def incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance via mergeable partial aggregates: the
+    'historical' half is pre-aggregated once, the 'new' tail is aggregated
+    on arrival, and the view is the re-aggregation of the two partials —
+    sum-of-sums and sum-of-counts. Because the partials go through exact
+    DECIMAL sums, merging is associative and the result equals the
+    from-scratch oracle aggregation bit-for-bit. At 100 TB this is the
+    difference between re-scanning the full fact table daily and scanning
+    only the new partition: the historical partial is O(distinct days),
+    not O(rows)."""
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "day", F.col("o_orderdate").cast("date")
+    )
+    split = F.lit("1996-07-01").cast("date")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("day").agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("rev_p"),
+            F.count(F.lit(1)).alias("n_p"),
+        )
+
+    hist = partial(o.filter(F.col("day") < split))
+    tail = partial(o.filter(F.col("day") >= split))
+    return (
+        hist.unionByName(tail)
+        .groupBy("day")
+        .agg(
+            F.sum("rev_p").cast("decimal(18,4)").cast("double").alias("revenue"),
+            F.sum("n_p").alias("n_orders"),
+        )
+    )
+
+
+@_register(
+    "ordered_export",
+    """
+    SELECT l_orderkey, l_linenumber, l_shipdate, l_extendedprice
+    FROM lineitem
+    WHERE l_returnflag = 'A'
+    ORDER BY l_shipdate, l_orderkey, l_linenumber
+    """,
+)
+def ordered_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Globally sorted export (D2 generalized beyond top-k): a total order
+    over the filtered scan, fully tie-broken. Spark plans a range-partition
+    exchange (sampled split points) + per-partition sort — the scalable
+    form of a global sort: no single reducer ever holds the whole output,
+    and the written files are range-disjoint so downstream merge is a
+    concatenation."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_returnflag") == "A")
+        .select("l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Scalar functions (X1-X10)
 # ---------------------------------------------------------------------------
