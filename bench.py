@@ -45,6 +45,9 @@ BENCH_QUERIES = [
     "outer_join_histogram",  # left-outer + two-level agg (Q13)
     "gap_fill_ffill",      # per-key date spine + forward fill
     "incremental_agg",     # mergeable partial aggregates
+    "referential_integrity",  # FK orphan audit via anti joins
+    "embedding_stats",     # higher-order array functions
+    "calendar_agg",        # date_trunc week rollup
     # LLM-pipeline surface
     "dedup_exact",
     "minhash_lsh_pairs",

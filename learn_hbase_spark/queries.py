@@ -1093,6 +1093,133 @@ def ordered_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "referential_integrity",
+    """
+    SELECT 'lineitem.l_orderkey->orders' AS fk, COUNT(*) AS n_orphans
+    FROM lineitem WHERE NOT EXISTS
+      (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+    UNION ALL
+    SELECT 'orders.o_custkey->customer', COUNT(*)
+    FROM orders WHERE NOT EXISTS
+      (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part', COUNT(*)
+    FROM lineitem WHERE NOT EXISTS
+      (SELECT 1 FROM part WHERE p_partkey = l_partkey)
+    UNION ALL
+    SELECT 'lineitem.l_suppkey->supplier', COUNT(*)
+    FROM lineitem WHERE NOT EXISTS
+      (SELECT 1 FROM supplier WHERE s_suppkey = l_suppkey)
+    """,
+)
+def referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit: orphan counts for every foreign key in the star
+    schema, as one unioned report. Each check is an anti join whose build
+    side is just the key column of a dimension — broadcast for the dims,
+    and at 100 TB the orders side flips to shuffled anti join via AQE. The
+    pattern generalizes the reference's silent row-skip on failed lookups
+    (RdlETL.java:110-114) into an explicit, quantified audit."""
+
+    def orphans(fact, key, dim, dim_key, label):
+        d = dim.select(dim_key)
+        return (
+            fact.join(d, fact[key] == d[dim_key], "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+            .select(F.lit(label).alias("fk"), "n_orphans")
+        )
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        orphans(li, "l_orderkey", o, "o_orderkey", "lineitem.l_orderkey->orders")
+        .unionByName(
+            orphans(o, "o_custkey", c, "c_custkey", "orders.o_custkey->customer")
+        )
+        .unionByName(
+            orphans(li, "l_partkey", p, "p_partkey", "lineitem.l_partkey->part")
+        )
+        .unionByName(
+            orphans(
+                li, "l_suppkey", s, "s_suppkey", "lineitem.l_suppkey->supplier"
+            )
+        )
+    )
+
+
+@_register(
+    "embedding_stats",
+    """
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS n_dims,
+           list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+             AS l1_signed,
+           list_max(embedding) AS max_component,
+           list_max(list_transform(embedding, x -> abs(x))) AS linf
+    FROM embeddings
+    """,
+)
+def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector column statistics via higher-order functions — aggregate /
+    transform / array_max run entirely JVM-side per row, no shuffle and no
+    Python. The signed-sum is a sequential per-row double fold (same IEEE
+    op order in both engines); max/linf are order-free. This is the
+    template for any per-vector feature (norms, clipping, quantization
+    staging) at 100 TB: a narrow projection over the embeddings scan."""
+    emb = _t(spark, sf_dir, "embeddings")
+    # per-row left-to-right double fold: both engines reduce the list
+    # sequentially, so the IEEE op order — and the result — is identical.
+    # (A decimal fold would NOT match: the engines round float→decimal
+    # casts differently — DuckDB via shortest decimal repr, Spark via the
+    # exact binary expansion.)
+    dec_sum = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double"),
+    )
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("n_dims"),
+        dec_sum.cast("double").alias("l1_signed"),
+        F.array_max("embedding").alias("max_component"),
+        F.array_max(F.transform(F.col("embedding"), F.abs)).alias("linf"),
+    )
+
+
+@_register(
+    "calendar_agg",
+    """
+    SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY CAST(date_trunc('week', ts) AS DATE)
+    """,
+)
+def calendar_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar rollup: ISO-week truncation (Monday-start in both engines),
+    exact-decimal sums, distinct users. date_trunc stays in codegen; the
+    distinct count is Spark's two-phase expand. Swap in
+    approx_count_distinct at 100 TB when ±2% is acceptable."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Scalar functions (X1-X10)
 # ---------------------------------------------------------------------------
