@@ -48,6 +48,8 @@ BENCH_QUERIES = [
     "referential_integrity",  # FK orphan audit via anti joins
     "embedding_stats",     # higher-order array functions
     "calendar_agg",        # date_trunc week rollup
+    "value_histogram",     # equi-width distribution profile
+    "retention_cohorts",   # cohort retention matrix
     # LLM-pipeline surface
     "dedup_exact",
     "minhash_lsh_pairs",

@@ -1220,6 +1220,113 @@ def calendar_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "value_histogram",
+    """
+    SELECT CAST(FLOOR(l_extendedprice / 100.0) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           CAST(MIN(l_extendedprice) AS DOUBLE) AS lo,
+           CAST(MAX(l_extendedprice) AS DOUBLE) AS hi
+    FROM lineitem
+    GROUP BY CAST(FLOOR(l_extendedprice / 100.0) AS BIGINT)
+    """,
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram — the profiling primitive for distribution
+    audits. The bucket id is one division + floor (identical IEEE ops in
+    both engines; DuckDB has no width_bucket, so the explicit form is the
+    portable one). Bucketing is a pure projection (codegen), the
+    aggregation has one group per occupied bucket, and min/max per bucket
+    are order-free — a single cheap pass at any scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.floor(F.col("l_extendedprice") / F.lit(100.0))
+            .cast("long")
+            .alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_extendedprice").cast("double").alias("lo"),
+            F.max("l_extendedprice").cast("double").alias("hi"),
+        )
+    )
+
+
+@_register(
+    "period_over_period",
+    """
+    WITH monthly AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS revenue
+      FROM orders GROUP BY CAST(date_trunc('month', o_orderdate) AS DATE)
+    )
+    SELECT month, revenue,
+           lag(revenue) OVER (ORDER BY month) AS prev_revenue,
+           revenue / lag(revenue) OVER (ORDER BY month) - 1.0 AS growth
+    FROM monthly
+    """,
+)
+def period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month growth: aggregate to months (exact decimal → double),
+    then a lag window over the month series. The window is unpartitioned but
+    runs over one row per month — dozens of rows at any data scale, so the
+    single-partition sort is irrelevant; the heavy lifting happened in the
+    two-phase monthly aggregation. Growth is one double division on
+    already-deterministic inputs."""
+    o = _t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("revenue")
+    )
+    w = Window.orderBy("month")
+    return monthly.select(
+        "month",
+        "revenue",
+        F.lag("revenue").over(w).alias("prev_revenue"),
+        (F.col("revenue") / F.lag("revenue").over(w) - 1.0).alias("growth"),
+    )
+
+
+@_register(
+    "retention_cohorts",
+    """
+    WITH firsts AS (
+      SELECT user_id,
+             CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY user_id
+    )
+    SELECT cohort_week,
+           CAST(date_trunc('week', e.ts) AS DATE) AS active_week,
+           COUNT(DISTINCT e.user_id) AS n_active
+    FROM events e JOIN firsts f ON e.user_id = f.user_id
+    GROUP BY cohort_week, CAST(date_trunc('week', e.ts) AS DATE)
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity week, counted
+    distinct per (cohort, active week). The cohort table is one row per
+    user — broadcast against the fact at dim-like sizes, AQE-shuffled
+    beyond — and the output is |weeks|² cells regardless of event volume.
+    Purely integer/date results."""
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    return (
+        ev.join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.date_trunc("week", F.col("ts")).cast("date").alias("active_week"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Scalar functions (X1-X10)
 # ---------------------------------------------------------------------------
