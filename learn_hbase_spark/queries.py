@@ -1221,6 +1221,35 @@ def calendar_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "cube_agg",
+    """
+    SELECT o_orderpriority, o_orderstatus,
+           GROUPING(o_orderpriority) AS g_priority,
+           GROUPING(o_orderstatus) AS g_status,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS revenue
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+)
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (all 4 subtotal combinations in one pass) with
+    GROUPING() flags to distinguish rolled-up rows from genuine NULL keys.
+    Spark plans one Expand + one aggregation — the input is scanned once
+    however many grouping sets there are."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderpriority", "o_orderstatus").agg(
+        F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+        F.grouping("o_orderstatus").cast("long").alias("g_status"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+@_register(
     "value_histogram",
     """
     SELECT CAST(FLOOR(l_extendedprice / 100.0) AS BIGINT) AS bucket,
