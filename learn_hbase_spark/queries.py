@@ -1221,6 +1221,70 @@ def calendar_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "string_agg_nations",
+    """
+    SELECT r_name,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           COUNT(*) AS n_nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def string_agg_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (listagg): collect_list is
+    order-nondeterministic under parallelism, so the deterministic form is
+    sort_array before joining — same contract as DuckDB's
+    string_agg(... ORDER BY). Group sizes are dimension-bounded, so the
+    collected arrays stay tiny at any fact-table scale."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name")
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_list("n_name")), ","
+            ).alias("nations"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+    )
+
+
+@_register(
+    "filtered_agg",
+    """
+    SELECT l_returnflag,
+           COUNT(*) AS n_all,
+           COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+                FILTER (WHERE l_quantity >= 25) AS DOUBLE) AS rev_bulk,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+                FILTER (WHERE l_quantity < 25) AS DOUBLE) AS rev_small
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (the FILTER clause): several differently-
+    predicated aggregates in ONE pass over the fact — the idiomatic
+    replacement for N filtered subqueries self-joined back together. In
+    Spark the same thing is sum(when(pred, x)); all branches share the
+    single two-phase aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = F.col("l_extendedprice").cast("decimal(18,4)")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_discounted"),
+        F.sum(F.when(F.col("l_quantity") >= 25, dec))
+        .cast("double")
+        .alias("rev_bulk"),
+        F.sum(F.when(F.col("l_quantity") < 25, dec))
+        .cast("double")
+        .alias("rev_small"),
+    )
+
+
+@_register(
     "cube_agg",
     """
     SELECT o_orderpriority, o_orderstatus,
