@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "calendar_agg",        # date_trunc week rollup
     "value_histogram",     # equi-width distribution profile
     "retention_cohorts",   # cohort retention matrix
+    "disjunctive_pushdown",  # Q19 OR-of-ANDs predicate split
     # LLM-pipeline surface
     "dedup_exact",
     "minhash_lsh_pairs",

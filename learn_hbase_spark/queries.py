@@ -1221,6 +1221,84 @@ def calendar_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "tumbling_window_agg",
+    """
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY time_bucket(INTERVAL 1 HOUR, ts), event_type
+    """,
+)
+def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch tumbling-window aggregation — the exact plan
+    `streaming/events.py::windowed_event_counts` runs incrementally under a
+    watermark; batch and stream share semantics, so backfill and live paths
+    can't drift. `F.window` is engine-native bucketing (DuckDB twin:
+    time_bucket); the aggregation is standard two-phase."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@_register(
+    "disjunctive_pushdown",
+    """
+    SELECT COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                    (CAST(1 AS DECIMAL(18,4)) -
+                     CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+             AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 30
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 45
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def disjunctive_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 pattern: an OR-of-ANDs spanning both join sides. Catalyst
+    extracts the common single-side conjuncts from the disjunction (brand ∈
+    {..}, size/quantity envelopes) and pushes them below the join, so both
+    scans are pre-filtered even though the full predicate can only be
+    evaluated after the join — the textbook case for CNF-style predicate
+    inference an engine must do at 100 TB."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    joined = li.join(p, li["l_partkey"] == p["p_partkey"])
+    q, b, sz = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    pred = (
+        ((b == "Brand#12") & sz.between(1, 15) & q.between(1, 11))
+        | ((b == "Brand#23") & sz.between(1, 30) & q.between(10, 20))
+        | ((b == "Brand#34") & sz.between(1, 45) & q.between(20, 30))
+    )
+    dec = F.col("l_extendedprice").cast("decimal(18,4)")
+    disc = F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast(
+        "decimal(18,4)"
+    )
+    return joined.filter(pred).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec * disc).cast("double").alias("revenue"),
+    )
+
+
+@_register(
     "string_agg_nations",
     """
     SELECT r_name,

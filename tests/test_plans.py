@@ -132,6 +132,15 @@ def test_window_ranks_single_window_operator(spark, qs):
     assert plan.count("Window") == 1
 
 
+def test_disjunctive_pushdown_reaches_both_scans(spark, qs):
+    """Q19 shape: the OR-of-ANDs must be split into single-side
+    disjunctions and pushed below the join to BOTH parquet scans."""
+    plan = _plan(qs["disjunctive_pushdown"](spark, SF))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("l_quantity,1.0" in ln and "Or(" in ln for ln in pushed)
+    assert any("p_brand,Brand#12" in ln and "Or(" in ln for ln in pushed)
+
+
 def test_widetable_scan_prunes_partitions(spark, tmp_path):
     """A prefix-bounded scan reads only the matching prefix partitions."""
     from learn_hbase_spark.widetable import WideTable
