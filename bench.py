@@ -51,6 +51,8 @@ BENCH_QUERIES = [
     "value_histogram",     # equi-width distribution profile
     "retention_cohorts",   # cohort retention matrix
     "disjunctive_pushdown",  # Q19 OR-of-ANDs predicate split
+    "max_concurrency",     # sweep-line interval overlap
+    "sequence_detect",     # ordered event-pattern match
     # LLM-pipeline surface
     "dedup_exact",
     "minhash_lsh_pairs",

@@ -1221,6 +1221,125 @@ def calendar_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "max_concurrency",
+    """
+    WITH pts AS (
+      SELECT event_type, ts AS t, 1 AS delta FROM events
+      UNION ALL
+      SELECT event_type, ts + INTERVAL 30 MINUTE, -1 FROM events
+    ),
+    run AS (
+      SELECT event_type,
+             SUM(delta) OVER (PARTITION BY event_type ORDER BY t, delta
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS c
+      FROM pts
+    )
+    SELECT event_type, CAST(MAX(c) AS BIGINT) AS max_concurrent
+    FROM run GROUP BY event_type
+    """,
+)
+def max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line interval-overlap maximum: each event opens a 30-minute
+    interval; +1/-1 boundary points, a running sum per event_type, then a
+    max. Ordering by (t, delta) closes intervals before opening ties, so
+    touching intervals never count as overlapping, and remaining ties are
+    same-delta (order-irrelevant for the max). The classic algorithmic
+    pattern the engine expresses as union + window + agg — partitioned by
+    event_type so the sweep shards; for a single global timeline at 100 TB,
+    sweep per day-partition and reconcile boundaries."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts")
+    opens = ev.select(
+        "event_type", F.col("ts").alias("t"), F.lit(1).alias("delta")
+    )
+    closes = ev.select(
+        "event_type",
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("t"),
+        F.lit(-1).alias("delta"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        opens.unionByName(closes)
+        .select("event_type", F.sum("delta").over(w).alias("c"))
+        .groupBy("event_type")
+        .agg(F.max("c").alias("max_concurrent"))
+    )
+
+
+@_register(
+    "argmin_argmax",
+    """
+    SELECT user_id,
+           min(struct_pack(ts := ts, event_id := event_id,
+                           et := event_type)).et AS first_type,
+           max(struct_pack(ts := ts, event_id := event_id,
+                           et := event_type)).et AS last_type,
+           COUNT(*) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def argmin_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last-event attribution via struct min/max: both engines
+    compare structs lexicographically, and (ts, event_id) is unique, so the
+    carried event_type is fully deterministic — unlike bare min_by/arg_min,
+    which tie-break arbitrarily. One ordinary two-phase aggregation; no
+    window, no sort of the fact."""
+    ev = _t(spark, sf_dir, "events")
+    s = F.struct(
+        F.col("ts"), F.col("event_id"), F.col("event_type").alias("et")
+    )
+    return ev.groupBy("user_id").agg(
+        F.min(s).getField("et").alias("first_type"),
+        F.max(s).getField("et").alias("last_type"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@_register(
+    "sequence_detect",
+    """
+    WITH seq AS (
+      SELECT user_id,
+             string_agg(event_type, ',' ORDER BY ts, event_id) AS s
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, contains(s, 'click,purchase') AS hit,
+           length(s) AS seq_len
+    FROM seq
+    """,
+)
+def sequence_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence pattern detection (MATCH_RECOGNIZE-lite): collect
+    each user's event types in strict (ts, event_id) order — array_sort on
+    structs gives a deterministic ordering regardless of shuffle arrival —
+    and scan the rendered sequence for an adjacent 'click,purchase' pair.
+    Per-user sequences are bounded by per-key activity, so the collected
+    arrays stay small even when the corpus doesn't."""
+    ev = _t(spark, sf_dir, "events")
+    ordered = F.array_sort(
+        F.collect_list(
+            F.struct(F.col("ts"), F.col("event_id"), F.col("event_type"))
+        )
+    )
+    s = F.array_join(
+        F.transform(ordered, lambda x: x.getField("event_type")), ","
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(s.alias("s"))
+        .select(
+            "user_id",
+            F.col("s").contains("click,purchase").alias("hit"),
+            F.length("s").cast("long").alias("seq_len"),
+        )
+    )
+
+
+@_register(
     "tumbling_window_agg",
     """
     SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
