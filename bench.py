@@ -53,6 +53,8 @@ BENCH_QUERIES = [
     "disjunctive_pushdown",  # Q19 OR-of-ANDs predicate split
     "max_concurrency",     # sweep-line interval overlap
     "sequence_detect",     # ordered event-pattern match
+    "stats_agg",           # moments via exact power sums
+    "skew_report",         # join-key skew audit
     # LLM-pipeline surface
     "dedup_exact",
     "minhash_lsh_pairs",

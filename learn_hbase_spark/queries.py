@@ -1221,6 +1221,117 @@ def calendar_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "stats_agg",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))
+                      * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_discount AS DECIMAL(18,4))
+                      * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))
+                      * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           sx / n AS mean_qty,
+           sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_qty,
+           (sxy - sx * sy / n)
+             / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)) AS corr_qd
+    FROM s
+    """,
+)
+def stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical moments (mean, sample stddev, Pearson correlation) built
+    from exact DECIMAL power sums instead of the engines' native
+    stddev/corr — whose Welford-style merge is accumulation-order-dependent
+    and therefore not reproducible across engines or even across runs. The
+    power sums are ordinary partial-aggregable SUMs (one two-phase pass);
+    the moments are a fixed double expression over one row per group, so
+    results are bit-identical everywhere. Same trick the incremental_agg
+    query exploits: exact partials make aggregation associative."""
+    li = _t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(18,4)")
+    d = F.col("l_discount").cast("decimal(18,4)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).cast("double").alias("sx"),
+        F.sum(q * q).cast("double").alias("sxx"),
+        F.sum(d).cast("double").alias("sy"),
+        F.sum(d * d).cast("double").alias("syy"),
+        F.sum(q * d).cast("double").alias("sxy"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
+    return s.select(
+        "l_returnflag",
+        "n",
+        (sx / n).alias("mean_qty"),
+        F.sqrt((sxx - sx * sx / n) / (n - 1)).alias("stddev_qty"),
+        (
+            (sxy - sx * sy / n)
+            / F.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))
+        ).alias("corr_qd"),
+    )
+
+
+@_register(
+    "skew_report",
+    """
+    WITH per_key AS (
+      SELECT o_custkey, COUNT(*) AS c FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c, o_custkey) AS rn,
+             COUNT(*) OVER () AS nk
+      FROM per_key
+    )
+    SELECT MAX(nk) AS n_keys,
+           MAX(c) AS max_per_key,
+           MIN(c) AS min_per_key,
+           CAST(MAX(CASE WHEN rn = (nk + 1) // 2 THEN c END) AS BIGINT)
+             AS median_per_key,
+           CAST(MAX(CASE WHEN rn = nk - nk // 100 THEN c END) AS BIGINT)
+             AS p99_per_key
+    FROM ranked
+    """,
+)
+def skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew audit — the planning primitive behind every salting /
+    AQE-skew decision in SCALE.md: per-key cardinalities of a prospective
+    shuffle key, summarized as max / min / discrete median / discrete p99.
+    Percentiles are rank-indexed (sort-based, integer tie-broken), not
+    interpolated, so both engines pick the identical element. The per-key
+    counts are one two-phase aggregation; the ranking runs over one row
+    per key."""
+    o = _t(spark, sf_dir, "orders")
+    per_key = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("c", "o_custkey")
+    ranked = per_key.select(
+        "c",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy()
+        ).alias("nk"),
+    )
+    nk, rn, c = F.col("nk"), F.col("rn"), F.col("c")
+    return ranked.agg(
+        F.max(nk).alias("n_keys"),
+        F.max(c).alias("max_per_key"),
+        F.min(c).alias("min_per_key"),
+        F.max(F.when(rn == F.floor((nk + 1) / F.lit(2)), c))
+        .cast("long")
+        .alias("median_per_key"),
+        F.max(F.when(rn == nk - F.floor(nk / F.lit(100)), c))
+        .cast("long")
+        .alias("p99_per_key"),
+    )
+
+
+@_register(
     "max_concurrency",
     """
     WITH pts AS (
