@@ -1221,6 +1221,94 @@ def calendar_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "token_positions",
+    """
+    SELECT doc_id, i AS pos, tok
+    FROM (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS tok,
+             generate_subscripts(string_split(text, ' '), 1) AS i
+      FROM documents
+    )
+    WHERE i <= 5
+    """,
+)
+def token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional explode (UNNEST WITH ORDINALITY / posexplode): each
+    document's first five tokens with their 1-based position. The explode
+    is a per-row generator — no shuffle — and the position predicate
+    limits fan-out before anything downstream sees it (at scale: slice the
+    array first so the generator never emits dropped rows)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.slice(F.split(F.col("text"), " "), 1, 5)).alias(
+                "p", "tok"
+            ),
+        )
+        .select("doc_id", (F.col("p") + 1).cast("long").alias("pos"), "tok")
+    )
+
+
+@_register(
+    "regex_extract_numbers",
+    """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT)
+             AS n_numbers,
+           regexp_extract(text, '[0-9]+') AS first_number
+    FROM documents
+    """,
+)
+def regex_extract_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex extraction surface: count of digit runs and the first one per
+    document ('' when absent, in both engines). JVM-side regex in a plain
+    projection — scales linearly, no Python."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[0-9]+")))
+        .cast("long")
+        .alias("n_numbers"),
+        F.regexp_extract(F.col("text"), "[0-9]+", 0).alias("first_number"),
+    )
+
+
+@_register(
+    "fuzzy_nation_pairs",
+    """
+    SELECT a.n_name AS name_a, b.n_name AS name_b,
+           CAST(levenshtein(a.n_name, b.n_name) AS BIGINT) AS dist
+    FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+    WHERE levenshtein(a.n_name, b.n_name) <= 4
+    """,
+)
+def fuzzy_nation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching via edit distance over a dimension self-join.
+    The theta join (<) over a 25-row dimension is a deliberately bounded
+    nested-loop — dim×dim, never fact-sized; entity resolution at corpus
+    scale goes through the blocking operators (minhash/simhash buckets)
+    first, then applies this verifier within candidate buckets."""
+    n = _t(spark, sf_dir, "nation")
+    a = n.select(
+        F.col("n_nationkey").alias("k_a"), F.col("n_name").alias("name_a")
+    )
+    b = n.select(
+        F.col("n_nationkey").alias("k_b"), F.col("n_name").alias("name_b")
+    )
+    return (
+        a.join(b, F.col("k_a") < F.col("k_b"))
+        .select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").cast("long").alias("dist"),
+        )
+        .filter(F.col("dist") <= 4)
+    )
+
+
+@_register(
     "stats_agg",
     """
     WITH s AS (
