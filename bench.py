@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "redact_pii",          # email/phone scrubbing
     "repetition_score",    # duplicate-bigram fraction
     "decontaminate",       # benchmark n-gram overlap flagging
+    "dedup_incremental",   # new-batch vs historical digest anti join
     "tfidf_topk",          # per-doc salient terms
     "length_profile",      # exact per-source quantiles
     "column_profile",      # single-pass per-column audit

@@ -1221,6 +1221,69 @@ def calendar_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "dedup_incremental",
+    """
+    WITH hist AS (
+      SELECT DISTINCT md5(lower(trim(text))) AS digest
+      FROM documents WHERE doc_id < 250
+    ),
+    new_docs AS (
+      SELECT doc_id, md5(lower(trim(text))) AS digest
+      FROM documents WHERE doc_id >= 250
+    )
+    SELECT n.doc_id, n.digest
+    FROM new_docs n
+    WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.digest = n.digest)
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup — the production shape: only NEW documents
+    are fingerprinted and anti-joined against the historical digest set, so
+    the daily cost is O(new batch), never O(corpus). The build side is
+    digests only (32 bytes/doc); broadcast while it fits, shuffled anti
+    join via AQE beyond. Within-batch duplicates intentionally survive
+    here — compose with dedup_exact on the batch first (as
+    curation_pipeline does) for full semantics."""
+    docs = _t(spark, sf_dir, "documents")
+    digest = F.md5(F.lower(F.trim(F.col("text")))).alias("digest")
+    hist = (
+        docs.filter(F.col("doc_id") < 250).select(digest).distinct()
+    )
+    new_docs = docs.filter(F.col("doc_id") >= 250).select("doc_id", digest)
+    return new_docs.join(hist, "digest", "left_anti").select(
+        "doc_id", "digest"
+    )
+
+
+@_register(
+    "union_by_name",
+    """
+    SELECT lang, COUNT(*) AS n_docs
+    FROM (
+      SELECT doc_id, text, lang FROM documents WHERE doc_id < 100
+      UNION ALL BY NAME
+      SELECT text, doc_id FROM documents WHERE doc_id >= 400
+    )
+    GROUP BY lang
+    """,
+)
+def union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: a v1 slice (no `lang` column, different
+    column order) unions with the current schema by NAME, nulls filling the
+    missing column — `unionByName(allowMissingColumns=True)`, DuckDB's
+    UNION ALL BY NAME. The ingest-time answer to schemas that drift across
+    historical partitions; positional UNION would silently misalign."""
+    docs = _t(spark, sf_dir, "documents")
+    v2 = docs.filter(F.col("doc_id") < 100).select("doc_id", "text", "lang")
+    v1 = docs.filter(F.col("doc_id") >= 400).select("text", "doc_id")
+    return (
+        v2.unionByName(v1, allowMissingColumns=True)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@_register(
     "token_positions",
     """
     SELECT doc_id, i AS pos, tok
