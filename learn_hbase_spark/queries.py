@@ -1221,6 +1221,79 @@ def calendar_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "null_semantics",
+    """
+    SELECT status_or_null,
+           status_or_null IS NOT DISTINCT FROM 'F' AS ns_eq_f,
+           COALESCE(status_or_null, 'none') AS coalesced,
+           CASE WHEN status_or_null IS NULL THEN 'absent'
+                ELSE 'present' END AS presence,
+           COUNT(*) AS n
+    FROM (SELECT NULLIF(o_orderstatus, 'O') AS status_or_null FROM orders)
+    GROUP BY status_or_null
+    """,
+)
+def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling surface in one query: NULLIF manufactures nulls,
+    null-safe equality (<=> / IS NOT DISTINCT FROM) compares through them,
+    COALESCE defaults them, and the CASE mirrors the reference's
+    null→empty-string conflation (X7) made explicit. Grouping by the
+    nullable key shows NULL is a first-class group in both engines."""
+    o = _t(spark, sf_dir, "orders")
+    sn = F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("status_or_null")
+    return (
+        o.select(sn)
+        .groupBy("status_or_null")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "status_or_null",
+            F.col("status_or_null").eqNullSafe("F").alias("ns_eq_f"),
+            F.coalesce("status_or_null", F.lit("none")).alias("coalesced"),
+            F.when(F.col("status_or_null").isNull(), "absent")
+            .otherwise("present")
+            .alias("presence"),
+            "n",
+        )
+    )
+
+
+@_register(
+    "date_arithmetic",
+    """
+    SELECT o_orderkey,
+           date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+             AS days_since_epoch_start,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE)
+             AS next_month,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           CAST(quarter(o_orderdate) AS BIGINT) AS q,
+           CAST(isodow(o_orderdate) AS BIGINT) AS dow_iso
+    FROM orders
+    """,
+)
+def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar arithmetic with engine-portable conventions: day diffs,
+    month addition (end-of-month clamped identically in both engines),
+    last_day, quarter, and ISO day-of-week (Monday=1 — Spark's default
+    dayofweek is Sunday=1, so the ISO extract is the portable spelling).
+    All integer/date outputs; pure projection."""
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.datediff(d, F.lit("1995-01-01").cast("date")).cast("long").alias(
+            "days_since_epoch_start"
+        ),
+        F.add_months(d, 1).alias("next_month"),
+        F.last_day(d).alias("month_end"),
+        F.quarter(d).cast("long").alias("q"),
+        F.expr("extract(DAYOFWEEK_ISO FROM o_orderdate)")
+        .cast("long")
+        .alias("dow_iso"),
+    )
+
+
+@_register(
     "dedup_incremental",
     """
     WITH hist AS (
