@@ -1221,6 +1221,49 @@ def calendar_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "json_typed_parse",
+    """
+    WITH j AS (
+      SELECT o_orderkey,
+             to_json(struct_pack(k := o_orderkey, st := o_orderstatus,
+                                 price := o_totalprice)) AS payload
+      FROM orders
+    )
+    SELECT o_orderkey,
+           CAST(payload->>'k' AS BIGINT) AS k,
+           payload->>'st' AS st,
+           CAST(payload->>'price' AS DOUBLE) AS price
+    FROM j
+    """,
+)
+def json_typed_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON round-trip: serialize a struct to JSON, parse it back
+    with an explicit schema (from_json — the typed counterpart of
+    json_extract's path probing), and project typed fields. Both engines'
+    serializers are value-preserving (shortest round-trip doubles), so the
+    parsed numerics are bit-identical to the originals. Everything is a
+    JVM-side projection — the pattern for ingesting JSON event payloads at
+    scale without a Python parser."""
+    o = _t(spark, sf_dir, "orders")
+    payload = F.to_json(
+        F.struct(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("st"),
+            F.col("o_totalprice").alias("price"),
+        )
+    )
+    parsed = F.from_json(
+        payload, "k BIGINT, st STRING, price DOUBLE"
+    ).alias("p")
+    return o.select("o_orderkey", parsed).select(
+        "o_orderkey",
+        F.col("p.k").alias("k"),
+        F.col("p.st").alias("st"),
+        F.col("p.price").alias("price"),
+    )
+
+
+@_register(
     "null_semantics",
     """
     SELECT status_or_null,
