@@ -25,7 +25,7 @@ Design (SURVEY §1.6, §7.1):
 
 from __future__ import annotations
 
-import os
+import time
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -46,6 +46,11 @@ CELL_SCHEMA = StructType(
     ]
 )
 
+# on-disk layout = cell schema + the derived partition column
+STORED_SCHEMA = StructType(
+    list(CELL_SCHEMA.fields) + [StructField("prefix", StringType(), True)]
+)
+
 PREFIX_LEN = 4  # the reference's grid-branch prefix width (YhCldETL.java:30)
 
 
@@ -56,6 +61,28 @@ class WideTable:
         self.spark = spark
         self.path = path
         self.families = list(families)
+
+    # -- filesystem plumbing (portable across file:/hdfs:/s3a: schemes) -----
+
+    def _hpath(self, p: str):
+        return self.spark._jvm.org.apache.hadoop.fs.Path(p)
+
+    def _fs(self):
+        """The Hadoop FileSystem owning ``self.path`` — resolved through the
+        session's hadoopConfiguration so the same code works on local files,
+        HDFS and object stores (os.path would silently answer for the driver's
+        local disk only)."""
+        hconf = self.spark._jsc.hadoopConfiguration()
+        return self._hpath(self.path).getFileSystem(hconf)
+
+    def _recover(self, fs=None) -> None:
+        """Heal a crash between ``compact()``'s two renames: if the main path
+        is gone but the aside copy survives, rename it back. Idempotent."""
+        fs = fs or self._fs()
+        main = self._hpath(self.path)
+        aside = self._hpath(self.path + "__old")
+        if not fs.exists(main) and fs.exists(aside):
+            fs.rename(aside, main)
 
     # -- DDL (S8/S9: HBaseClient.createTable/tableExists) -------------------
 
@@ -76,8 +103,9 @@ class WideTable:
         return table
 
     def exists(self) -> bool:
-        jvm_path = os.path.join(self.path, "_SUCCESS")
-        return os.path.exists(jvm_path) or os.path.isdir(self.path)
+        fs = self._fs()
+        self._recover(fs)
+        return fs.exists(self._hpath(self.path))
 
     # -- writes (S5/S6: batched + single put, latest-wins upsert) -----------
 
@@ -87,20 +115,36 @@ class WideTable:
         ``cells`` must have (rowkey, family, qualifier, value). Batching,
         buffering and backpressure (the reference's hand-rolled
         ``List<Put>`` + sleeps, YhCldETL.java:94-102) are Spark's job.
+
+        Family validation (HBaseClient.java:95-111 checks puts against the
+        table's families) rides inside the write projection via
+        ``raise_error`` — the put issues exactly ONE Spark action, never a
+        separate validation job, and validated rows are by construction the
+        written rows (no double evaluation of a non-deterministic input).
+        A failed write is aborted by the output committer, leaving the
+        table unchanged.
         """
-        unknown = {
-            r["family"]
-            for r in cells.select("family").distinct().collect()
-            if r["family"] not in self.families
-        }
-        if unknown:
-            raise ValueError(f"unknown column families: {sorted(unknown)}")
-        stamped = (
-            cells.select("rowkey", "family", "qualifier", "value")
-            .withColumn("version", F.lit(self._next_version()))
-            .withColumn("prefix", F.substring("rowkey", 1, PREFIX_LEN))
+        family_checked = F.when(
+            F.col("family").isin(self.families), F.col("family")
+        ).otherwise(
+            F.raise_error(
+                F.concat(F.lit("unknown column family: "), F.col("family"))
+            )
         )
-        stamped.write.partitionBy("prefix").mode("append").parquet(self.path)
+        stamped = cells.select(
+            "rowkey",
+            family_checked.alias("family"),
+            "qualifier",
+            "value",
+            F.lit(self._next_version()).alias("version"),
+            F.substring("rowkey", 1, PREFIX_LEN).alias("prefix"),
+        )
+        try:
+            stamped.write.partitionBy("prefix").mode("append").parquet(self.path)
+        except Exception as exc:  # surface the guard as the typed API error
+            if "unknown column family" in str(exc):
+                raise ValueError(str(exc)) from exc
+            raise
 
     def put_row(self, rowkey: str, family: str, pairs: dict[str, str]) -> None:
         """Single-row put (HBaseClient.java:113-147 overloads)."""
@@ -116,20 +160,25 @@ class WideTable:
         cost a table scan per put (a max(version) aggregate would be
         O(table) at every write). Ties are impossible in practice at ns
         resolution from a single writer; concurrent writers get
-        distinct-but-ordered stamps exactly like HBase region time."""
-        import time
-
+        distinct-but-ordered stamps exactly like HBase region time. Cells
+        that collide on key AND version (duplicates inside one batch) are
+        resolved deterministically by ``_latest``'s secondary sort."""
         return time.time_ns()
 
     # -- reads (S3 range scan, S4 point get) --------------------------------
 
     def _cells(self) -> DataFrame:
-        return self.spark.read.parquet(self.path)
+        self._recover()
+        # explicit schema: a freshly created table has zero data files (schema
+        # inference would fail), and at scale it skips footer-sampling I/O
+        return self.spark.read.schema(STORED_SCHEMA).parquet(self.path)
 
     def _latest(self, cells: DataFrame) -> DataFrame:
-        """Latest-wins per (rowkey, family, qualifier) — HBase cell upsert."""
+        """Latest-wins per (rowkey, family, qualifier) — HBase cell upsert.
+        Version ties (same-batch duplicates share one stamp) break on
+        ``value`` so resolution is deterministic, not partition-order luck."""
         w = Window.partitionBy("rowkey", "family", "qualifier").orderBy(
-            F.col("version").desc()
+            F.col("version").desc(), F.col("value").desc_nulls_last()
         )
         return (
             cells.withColumn("_rn", F.row_number().over(w))
@@ -196,18 +245,36 @@ class WideTable:
     # -- maintenance ---------------------------------------------------------
 
     def compact(self) -> None:
-        """Rewrite to latest-wins only. Idempotent; per-partition rewrite."""
+        """Rewrite to latest-wins only. Idempotent; per-partition rewrite.
+
+        Swap protocol (crash-safe, no window where the table is destroyed):
+        write the compacted copy to ``<path>__compact``, rename the live
+        table aside to ``<path>__old``, rename the copy in, then delete the
+        aside. Every step goes through Hadoop ``FileSystem`` (works on
+        file:/hdfs:; on S3A the renames are copies but the aside still
+        guarantees no data loss). A crash between the two renames is healed
+        by ``_recover`` on the next read/exists/compact.
+        """
+        fs = self._fs()
+        self._recover(fs)
+        main = self._hpath(self.path)
+        aside = self._hpath(self.path + "__old")
+        tmp_path = self.path + "__compact"
+        tmp = self._hpath(tmp_path)
+
         resolved = self._latest(self._cells()).withColumn(
             "version", F.lit(1).cast("long")
         )
-        out = self.path + "__compact"
         (
             resolved.withColumn("prefix", F.substring("rowkey", 1, PREFIX_LEN))
             .write.partitionBy("prefix")
             .mode("overwrite")
-            .parquet(out)
+            .parquet(tmp_path)
         )
-        import shutil
-
-        shutil.rmtree(self.path)
-        os.rename(out, self.path)
+        fs.delete(aside, True)  # clear leftovers from an earlier crash
+        if not fs.rename(main, aside):
+            raise IOError(f"compact: failed to move {self.path} aside")
+        if not fs.rename(tmp, main):
+            fs.rename(aside, main)  # roll back — table is intact
+            raise IOError(f"compact: failed to install {tmp_path}")
+        fs.delete(aside, True)

@@ -61,8 +61,69 @@ def test_scan_prunes_partitions(spark, table):
 
 
 def test_unknown_family_rejected(spark, table):
-    with pytest.raises(ValueError):
+    with pytest.raises(ValueError, match="unknown column family"):
         table.put(_cells(spark, [("0401_A", "nope", "q", "1")]))
+    # the aborted write must leave the table unchanged (committer cleanup)
+    assert table.scan().count() == 0
+
+
+def test_put_is_single_action(spark, table):
+    """put() must not run a separate validation job — exactly one Spark
+    action per batch (VERDICT r1: per-put distinct().collect() was a
+    driver-side job on the ingest hot path)."""
+    sc = spark.sparkContext
+    sc.setJobGroup("widetable-put-audit", "count jobs for one put")
+    try:
+        table.put(_cells(spark, [("0401_A", "info", "q", "1")]))
+        jobs = sc.statusTracker().getJobIdsForGroup("widetable-put-audit")
+    finally:
+        sc.setJobGroup(None, None)
+    assert len(jobs) == 1, f"put() ran {len(jobs)} jobs: {jobs}"
+
+
+def test_same_batch_duplicate_resolves_deterministically(spark, table):
+    """Duplicate cell keys inside ONE batch share a version stamp; the
+    latest-wins window breaks the tie on value, not partition order."""
+    table.put(
+        _cells(
+            spark,
+            [("0401_A", "info", "q", "aaa"), ("0401_A", "info", "q", "zzz")],
+        )
+    )
+    for _ in range(3):  # stable across repeated evaluations
+        got = table.get("0401_A", "info", "q").collect()
+        assert len(got) == 1 and got[0]["value"] == "zzz"
+
+
+def test_exists_via_hadoop_fs_scheme(spark, tmp_path):
+    """exists()/create() resolve through Hadoop FileSystem, so an explicit
+    file:-scheme URI (the shape any hdfs:/s3a: path takes) works and a
+    second create() is a no-op rather than an overwrite."""
+    from learn_hbase_spark.widetable import WideTable
+
+    uri = "file://" + str(tmp_path / "fs_table")
+    t = WideTable.create(spark, uri, ["info"])
+    assert t.exists()
+    t.put(_cells(spark, [("0401_A", "info", "q", "keep")]))
+    again = WideTable.create(spark, uri, ["info"])  # must NOT wipe data
+    assert again.scan().count() == 1
+
+
+def test_compact_crash_recovery(spark, table):
+    """A crash between compact()'s two renames leaves <path>__old only;
+    the next read heals it and compact() reruns cleanly (idempotent)."""
+    table.put(_cells(spark, [("0401_A", "info", "q", "old")]))
+    table.put(_cells(spark, [("0401_A", "info", "q", "new")]))
+    # simulate the crash window: table moved aside, new copy never landed
+    fs = table._fs()
+    assert fs.rename(table._hpath(table.path), table._hpath(table.path + "__old"))
+    assert table.exists()  # recovery ran inside exists()
+    got = table.get("0401_A", "info", "q").collect()
+    assert len(got) == 1 and got[0]["value"] == "new"
+    table.compact()  # still compacts after the healed crash
+    assert table.get("0401_A", "info", "q").collect()[0]["value"] == "new"
+    assert not fs.exists(table._hpath(table.path + "__old"))
+    assert not fs.exists(table._hpath(table.path + "__compact"))
 
 
 def test_to_wide_pivot(spark, table):
