@@ -54,17 +54,9 @@ def _register(name: str, oracle: str | None = None):
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    path = os.path.join(sf_dir, f"{name}.parquet")
-    if name == "events":
-        # events.parquet carries TIMESTAMP(NANOS) which Spark's reader
-        # rejects; read nanos as long and truncate to microseconds (the
-        # generator emits µs-precision values, so truncation is lossless).
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
-    return spark.read.parquet(path)
+    # single loader: events' TIMESTAMP(NANOS) handling (scoped legacy-flag
+    # read + µs truncation) lives in tables.load_table
+    return tables.load_table(spark, sf_dir, name)
 
 
 def queries() -> dict[str, QueryFn]:

@@ -21,8 +21,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     emits µs-precision values)."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
+        # Scope the legacy flag to this read: it is consumed at plan time,
+        # so restoring it immediately leaves the caller's session conf
+        # untouched (no hidden global side effect on later parquet reads).
+        flag = "spark.sql.legacy.parquet.nanosAsLong"
+        prev = spark.conf.get(flag, None)
+        spark.conf.set(flag, "true")
+        try:
+            df = spark.read.parquet(path)
+        finally:
+            if prev is None:
+                spark.conf.unset(flag)
+            else:
+                spark.conf.set(flag, prev)
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(path)
 
