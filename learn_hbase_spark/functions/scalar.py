@@ -27,9 +27,10 @@ def branch_code(d: Column | int) -> Column:
 
 def stop_key(prefix_col: Column | str) -> Column:
     """X3 — numeric successor of a string prefix: ``"0" + (int(p)+1)``
-    (RdlETL2.java:60). Only needed when range-scanning without partitions."""
+    (RdlETL2.java:60). Only needed when range-scanning without partitions.
+    try_cast: a malformed prefix yields null, not an ANSI runtime error."""
     c = F.col(prefix_col) if isinstance(prefix_col, str) else prefix_col
-    return F.concat(F.lit("0"), (c.cast("int") + 1).cast("string"))
+    return F.concat(F.lit("0"), (c.try_cast("int") + 1).cast("string"))
 
 
 def day_str(col: Column | str) -> Column:
@@ -40,9 +41,11 @@ def day_str(col: Column | str) -> Column:
 
 def to_double_default(col: Column | str, default: float = 0.0) -> Column:
     """X6 — string→double with default (NumberUtils.toDouble, RdlETL2.java:89).
-    Nulls, empty strings and non-numeric garbage all coalesce to default."""
+    Nulls, empty strings and non-numeric garbage all coalesce to default —
+    try_cast, so garbage maps to the default under ANSI mode instead of
+    raising (exactly NumberUtils.toDouble's contract)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.coalesce(c.cast("double"), F.lit(default))
+    return F.coalesce(c.try_cast("double"), F.lit(default))
 
 
 def null_to_empty(col: Column | str) -> Column:

@@ -7,8 +7,12 @@ goes through a key-equality join so Spark can hash-partition it.
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+_OBSERVE_IDS = itertools.count()  # observation names must be plan-unique
 
 
 def first_wins(df: DataFrame, keys: list[str], order: list[Column]) -> DataFrame:
@@ -241,6 +245,7 @@ def minhash_bucket_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash + LSH banding: signature → band keys → per-bucket pair
     expansion.
@@ -252,6 +257,17 @@ def minhash_bucket_pairs(
     and pairs are expanded inside each bucket's collected id array, so the
     signature pipeline runs once (a bucket self-join would compute it per
     join side; see :func:`_ordered_pairs`).
+
+    ``max_bucket`` caps pathological buckets: pair expansion is quadratic
+    in bucket size, so one degenerate band key (e.g. a boilerplate corpus
+    where thousands of documents share a signature band) would otherwise
+    produce a single task materializing millions of pairs. Buckets larger
+    than the cap are dropped entirely (their members are near-certain
+    duplicates of each other caught by OTHER bands, or boilerplate best
+    handled by exact dedup); the drop is surfaced as an ``observe`` metric
+    (``lsh_dropped_buckets`` / ``lsh_dropped_rows``) on the returned plan
+    so pipelines can alert on silent candidate loss. Deterministic — the
+    cap is a pure size predicate, mirrored exactly by the SQL oracle.
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signature(df, text_col, id_col, num_hashes, shingle_n)
@@ -270,10 +286,20 @@ def minhash_bucket_pairs(
         "_id",
         F.explode(F.array(*[F.col(f"band_{b}") for b in range(bands)])).alias("_bk"),
     )
+    buckets = long_bands.groupBy("_bk").agg(
+        F.sort_array(F.collect_list("_id")).alias("_ids")
+    )
+    if max_bucket is not None:
+        hot = F.size("_ids") > max_bucket
+        buckets = buckets.observe(
+            f"lsh_bucket_cap_{next(_OBSERVE_IDS)}",  # unique per plan
+            F.sum(F.when(hot, 1).otherwise(0)).alias("lsh_dropped_buckets"),
+            F.sum(F.when(hot, F.size("_ids")).otherwise(0)).alias(
+                "lsh_dropped_rows"
+            ),
+        ).filter(~hot)
     return (
-        long_bands.groupBy("_bk")
-        .agg(F.sort_array(F.collect_list("_id")).alias("_ids"))
-        .select(F.explode(_ordered_pairs(F.col("_ids"))).alias("_p"))
+        buckets.select(F.explode(_ordered_pairs(F.col("_ids"))).alias("_p"))
         .select(F.col("_p.id_a").alias("id_a"), F.col("_p.id_b").alias("id_b"))
         .distinct()
     )

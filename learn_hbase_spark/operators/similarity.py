@@ -81,6 +81,7 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     blocks: int = 8,
     impl: str = "pandas",
+    prefilter_planes: list[list[float]] | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, sim) for every
     pair with cosine >= threshold, id_a < id_b.
@@ -90,23 +91,41 @@ def embedding_neardup_pairs(
     to (shuffle volume N x blocks rows — NOT N^2), and one Arrow-batched
     ``applyInPandas`` task scores a (block_a x block_b) NumPy matmul. Block
     count bounds per-task memory; at 100 TB raise `blocks` so each block
-    matrix stays executor-sized, or prefix with ``hyperplane_bucket``
-    partitioning to skip far pairs entirely.
+    matrix stays executor-sized.
+
+    ``prefilter_planes`` is the 100 TB default path: vectors are first
+    bucketed by :func:`hyperplane_bucket` sign pattern and only same-bucket
+    pairs are scored, so total compute drops from O(N²) to Σ n_bucket² —
+    approximate (cross-bucket pairs are skipped; recall for cosine ≥ t
+    rises with t, Charikar 2002), fully deterministic given fixed planes.
+    The bucket id joins the grouping key, so hot buckets are still split
+    across block pairs and per-task memory stays bounded.
 
     ``impl="jvm"`` is the pure-expression form (broadcast nested-loop with
     one fold-dot per pair) — exact same results, no Python workers, but
     higher-order-function lambdas are interpreted per element, so it's the
     slow path for large pair counts; kept for environments without Arrow.
     """
+    bucket = (
+        hyperplane_bucket(F.col(vec_col), prefilter_planes)
+        if prefilter_planes
+        else F.lit(0).cast("long")
+    )
+
     if impl == "jvm":
         prepped = df.select(
             F.col(id_col).alias("_id"),
             F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+            bucket.alias("_bk"),
         ).withColumn("_n", _norm(F.col("_v")))
         a, b = prepped.alias("a"), prepped.alias("b")
         sim = _dot(F.col("a._v"), F.col("b._v")) / (F.col("a._n") * F.col("b._n"))
         return (
-            a.join(b, F.col("a._id") < F.col("b._id"))
+            a.join(
+                b,
+                (F.col("a._id") < F.col("b._id"))
+                & (F.col("a._bk") == F.col("b._bk")),
+            )
             .withColumn("_sim", sim)
             .filter(F.col("_sim") >= threshold)
             .select(
@@ -123,19 +142,20 @@ def embedding_neardup_pairs(
         F.col(id_col).alias("_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(blocks)).cast("int").alias("_b"),
+        bucket.alias("_bk"),
     )
     # replicate each row to every block pair (min(b,o), max(b,o)) it joins
     rep = prepped.select(
-        "_id", "_v", "_b",
+        "_id", "_v", "_b", "_bk",
         F.explode(F.sequence(F.lit(0), F.lit(blocks - 1))).alias("_o"),
     ).select(
-        "_id", "_v", "_b",
+        "_id", "_v", "_b", "_bk",
         F.least("_b", "_o").alias("_p"),
         F.greatest("_b", "_o").alias("_q"),
     )  # pairs are distinct per row (partner index varies), no dedup needed
 
     def _score(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        p, q = key
+        p, q = key[-2], key[-1]
         m_all = np.stack(pdf["_v"].to_numpy())
         ids = pdf["_id"].to_numpy()
         norms = np.linalg.norm(m_all, axis=1)
@@ -157,7 +177,7 @@ def embedding_neardup_pairs(
         hi = np.maximum(ids_a[ia], ids_b[ib])
         return pd.DataFrame({"id_a": lo, "id_b": hi, "sim": np.round(sims[ia, ib], 6)})
 
-    return rep.groupBy("_p", "_q").applyInPandas(
+    return rep.groupBy("_bk", "_p", "_q").applyInPandas(
         _score, schema="id_a long, id_b long, sim double"
     )
 
@@ -192,12 +212,16 @@ def ivf_topk(
     cells and scores those candidates exactly.
 
     Centroids: the `nlist` lowest-id vectors seed the quantizer, refined by
-    one distributed Lloyd step (assign via Arrow-batched NumPy argmax →
-    per-cell mean). Only the centroid matrix (nlist x dim floats) ever
-    reaches the driver — bounded index metadata, same class as a broadcast
-    dim table; corpus vectors stay distributed. At 100 TB the cell id is
-    the storage partition key, so probing prunes partitions, and `nlist`
-    grows with the corpus (rule of thumb ~sqrt(N)).
+    one Lloyd step over a deterministic hash-sample of the corpus (assign
+    via Arrow-batched NumPy argmax → per-cell mean). Training on a sample
+    means the FULL corpus is scanned exactly once — by the final
+    assignment pass — instead of once for refinement and again for
+    assignment. Only the centroid matrix (nlist x dim floats) ever reaches
+    the driver — bounded index metadata, same class as a broadcast dim
+    table; corpus vectors stay distributed. At 100 TB the cell id is the
+    storage partition key, so probing prunes partitions; `nlist` grows
+    with the corpus (~sqrt(N)) and `train_mod` grows so the sample stays
+    executor-bounded.
     """
     import numpy as np
     import pandas as pd
@@ -229,7 +253,11 @@ def ivf_topk(
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
     )
     schema = "_id long, _v array<double>, _cell int"
-    assigned0 = prepped.mapInPandas(_assign(cents, 1), schema=schema)
+    # refinement trains on a deterministic 1/train_mod hash-sample so the
+    # full corpus is only assigned once (below, under the refined centroids)
+    train_mod = 4
+    sample = prepped.filter(F.pmod(F.xxhash64(F.col("_id")), F.lit(train_mod)) == 0)
+    assigned0 = sample.mapInPandas(_assign(cents, 1), schema=schema)
 
     # one Lloyd refinement: per-cell mean, normalized (bounded collect: nlist rows)
     def _cell_mean(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:

@@ -25,6 +25,7 @@ import datetime as dt
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..operators import filters
 from ..operators.dedup import first_wins
 from ..operators.joins import lookup_join, semi_join
 from ..operators.window import date_spine, guarded_lead_diff, pivot_days
@@ -147,7 +148,7 @@ def export_wide(
 
     survivors = semi_join(
         dim_loaded.select("rowkey", "yhbh"), bmz_long.select("rowkey"), on="rowkey"
-    ).filter(F.col("yhbh").isNotNull() & (F.trim(F.col("yhbh")) != ""))
+    ).filter(filters.non_blank("yhbh"))
 
     wide = pivot_days(
         rdl_long.join(survivors.select("rowkey"), "rowkey", "left_semi"),
