@@ -86,3 +86,56 @@ def hash_split(
         .when(h < threshold(train + val), "val")
         .otherwise("test"),
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    target: dict[str, float],
+) -> DataFrame:
+    """Resample to a target source mixture — the domain-weighting primitive
+    of pretraining-data curation (e.g. "40% web, 30% code, 30% books").
+
+    Computes per-stratum keep rates ``rate_s = C * target_s / count_s``
+    with the largest feasible scale ``C = min_s(count_s / target_s)`` — the
+    biggest corpus whose composition matches ``target`` exactly without
+    upsampling any stratum — then keeps rows by identity hash against the
+    derived per-stratum threshold. Strata absent from ``target`` drop.
+
+    One count aggregation over the strata column (partial-aggregable, tiny
+    result) broadcast back onto a pure projection+filter; the corpus itself
+    never shuffles. Deterministic: same identity-hash primitive as
+    :func:`deterministic_sample`, thresholds derived from exact counts.
+    """
+    tgt = F.create_map(
+        *[F.lit(x) for kv in sorted(target.items()) for x in kv]
+    )
+    counts = (
+        df.groupBy(F.col(strata_col).alias("_stratum"))
+        .agg(F.count("*").alias("_n"))
+        .withColumn("_target", tgt[F.col("_stratum")])
+        .filter(F.col("_target").isNotNull())
+        .withColumn("_cap", F.col("_n") / F.col("_target"))
+    )
+    scale = counts.agg(F.min("_cap").alias("_scale"))
+    rates = counts.crossJoin(F.broadcast(scale)).select(
+        "_stratum",
+        (F.col("_scale") * F.col("_target") / F.col("_n")).alias("_rate"),
+    )
+    h = hash_hex(
+        F.concat(F.col(id_col).cast("string"), F.lit(":"), F.col(strata_col))
+    )
+    bucket = F.floor(F.col("_rate") * _BUCKETS).cast("int")
+    thr = F.when(bucket >= _BUCKETS, F.lit("g")).otherwise(
+        F.lpad(F.conv(bucket.cast("string"), 10, 16), 4, "0")
+    )
+    return (
+        df.join(
+            F.broadcast(rates),
+            df[strata_col] == F.col("_stratum"),
+            "inner",
+        )
+        .filter(h < F.lower(thr))
+        .drop("_stratum", "_rate")
+    )

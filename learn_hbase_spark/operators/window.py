@@ -91,3 +91,46 @@ def unpivot_days(
         valueColumnName=value,
     )
     return long_df.withColumn(date_col, F.to_date("_day", "yyyyMMdd")).drop("_day")
+
+
+def scd2(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension type 2 build: compress a change stream
+    into validity intervals per key.
+
+    Consecutive rows with an unchanged value collapse into one interval;
+    each surviving change opens an interval ``[valid_from, valid_to)``
+    closed by the next change (null ``valid_to`` + ``is_current`` marks the
+    open interval). Two window passes over the same (key, ts) ordering —
+    Catalyst plans ONE shuffle + sort and reuses it for both Window
+    operators. ``tiebreak`` (e.g. an event id) makes same-timestamp
+    ordering deterministic — mandatory on real streams.
+    """
+    order = [F.col(ts_col).asc()] + (
+        [F.col(tiebreak).asc()] if tiebreak else []
+    )
+    w = Window.partitionBy(key).orderBy(*order)
+    # null-safe change detection: IS DISTINCT FROM, with row 1 always kept
+    # (lag's null on row 1 is indistinguishable from a null VALUE otherwise)
+    changes = (
+        df.withColumn("_prev", F.lag(value_col).over(w))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(
+            (F.col("_rn") == 1)
+            | ~F.col(value_col).eqNullSafe(F.col("_prev"))
+        )
+        .drop("_prev", "_rn")
+    )
+    w2 = Window.partitionBy(key).orderBy(*order)
+    return changes.select(
+        F.col(key),
+        F.col(value_col),
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w2).alias("valid_to"),
+        F.lead(ts_col).over(w2).isNull().alias("is_current"),
+    )

@@ -25,6 +25,7 @@ from . import tables
 from .functions import scalar
 from .functions import text as T
 from .operators import (
+    chunking,
     dedup,
     filters,
     graph,
@@ -36,6 +37,7 @@ from .operators import (
     sketches,
 )
 from .operators import corpus as corpus_ops
+from .operators import window as window_ops
 from .operators.window import date_spine, guarded_lead_diff
 from .pipeline import curation
 
@@ -3095,3 +3097,161 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rng = random.Random(7)
     planes = [[rng.uniform(-1, 1) for _ in range(64)] for _ in range(4)]
     return similarity.lsh_topk(q, emb, planes, k=10)
+
+
+# ---------------------------------------------------------------------------
+# Training-pipeline: chunking / SCD2 / mixture / distribution bands
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "chunk_documents",
+    f"""
+    WITH w AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS words FROM documents
+    ),
+    starts AS (
+      SELECT doc_id, words,
+             unnest(range(1, greatest(len(words) - 16, 1) + 1, 48)) AS s
+      FROM w
+    )
+    SELECT doc_id,
+           CAST((s - 1) / 48 AS INT) AS chunk_id,
+           array_to_string(words[s : s + 63], ' ') AS chunk_text,
+           CAST(len(words[s : s + 63]) AS INT) AS n_words
+    FROM starts
+    """,
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping word-window chunking (64-word windows, 16-word overlap)
+    — the pretraining-shard / RAG-passage primitive. Pure per-row explode,
+    zero shuffles (operators.chunking)."""
+    docs = _t(spark, sf_dir, "documents")
+    return chunking.chunk_words(
+        docs, "text", "doc_id", chunk_size=64, overlap=16
+    )
+
+
+@_register(
+    "scd2_user_state",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER w AS prev,
+             row_number() OVER w AS rn
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    changes AS (
+      SELECT user_id, event_type, ts, event_id FROM ordered
+      WHERE rn = 1 OR event_type IS DISTINCT FROM prev
+    )
+    SELECT user_id, event_type, ts AS valid_from,
+           lead(ts) OVER w2 AS valid_to,
+           lead(ts) OVER w2 IS NULL AS is_current
+    FROM changes
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build: compress each user's event-type stream
+    into validity intervals [valid_from, valid_to) — consecutive identical
+    states collapse; the open interval flags is_current. One shuffle+sort
+    reused by both window passes (operators.window.scd2)."""
+    ev = _t(spark, sf_dir, "events")
+    return window_ops.scd2(
+        ev, key="user_id", ts_col="ts", value_col="event_type",
+        tiebreak="event_id",
+    )
+
+
+@_register(
+    "ntile_quartiles",
+    """
+    WITH t AS (
+      SELECT o_orderstatus, o_totalprice,
+             ntile(4) OVER (PARTITION BY o_orderstatus
+                            ORDER BY o_totalprice, o_orderkey) AS quartile
+      FROM orders
+    )
+    SELECT o_orderstatus, quartile, count(*) AS n,
+           min(o_totalprice) AS lo, max(o_totalprice) AS hi
+    FROM t GROUP BY o_orderstatus, quartile
+    """,
+)
+def ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (ntile) quartile bands per status with per-band count and
+    value range — the distribution-profiling complement of the equi-width
+    value_histogram. Full tiebreak ⇒ deterministic band assignment."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select(
+            "o_orderstatus",
+            "o_totalprice",
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .groupBy("o_orderstatus", "quartile")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
+
+
+@_register(
+    "domain_mixture",
+    """
+    WITH counts AS (
+      SELECT source AS stratum, count(*) AS n FROM documents GROUP BY source
+    ),
+    tgt(stratum, t) AS (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)),
+    rates AS (
+      SELECT c.stratum,
+             (SELECT min(c2.n / t2.t)
+              FROM counts c2 JOIN tgt t2 ON c2.stratum = t2.stratum)
+             * t.t / c.n AS rate
+      FROM counts c JOIN tgt t ON c.stratum = t.stratum
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN rates r ON d.source = r.stratum
+    WHERE substr(md5(CAST(d.doc_id AS VARCHAR) || ':' || d.source), 1, 4) <
+          CASE WHEN CAST(floor(r.rate * 65536) AS INT) >= 65536 THEN 'g'
+               ELSE printf('%04x', CAST(floor(r.rate * 65536) AS INT)) END
+    """,
+)
+def domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample the corpus to a target source mixture (50/30/20 over
+    src0-2, other sources dropped) at the largest feasible size with no
+    upsampling — the pretraining domain-weighting primitive. Counts
+    aggregate broadcasts onto an identity-hash filter; the corpus never
+    shuffles (operators.sampling.mixture_sample)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = sampling.mixture_sample(
+        docs, "doc_id", "source", {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    )
+    return out.select("doc_id", "source")
+
+
+@_register(
+    "percentile_bands",
+    """
+    SELECT o_orderkey,
+           round(percent_rank() OVER w, 6) AS pr,
+           round(cume_dist() OVER w, 6) AS cd
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist within each status partition (keyed window
+    — scales with the key count; a GLOBAL rank would serialize into one
+    task and is deliberately not offered)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
