@@ -207,3 +207,46 @@ def stateful_user_totals(stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def click_purchase_stream_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    max_gap: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: each click pairs with the same
+    user's purchases that happen within ``[click_ts, click_ts + max_gap]``.
+
+    Both sides carry watermarks and the join condition bounds event time in
+    BOTH directions, so the engine can reason about when a buffered row can
+    never match again and evict it — unbounded-state stream joins are
+    rejected by Spark for exactly this reason. State per side is bounded by
+    ``watermark + max_gap`` of data, sharded by the equi-key's hash shuffle
+    across executors. The batch twin (same plan minus watermarks) is the
+    ``range_join_events`` family; tests cross-check against it.
+    """
+    c = clicks.select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    p = purchases.select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("purchase_ts", watermark)
+    cond = (
+        (F.col("c_user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {max_gap}"))
+    )
+    return c.join(p, cond, "inner").select(
+        F.col("c_user_id").alias("user_id"),
+        "click_id",
+        "click_ts",
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+    )

@@ -202,3 +202,51 @@ def test_stream_dedup_first_wins(spark, tmp_path):
     n_unique = ev.select("event_id").distinct().count()
     assert got.count() == n_unique
     assert got.select("event_id").distinct().count() == n_unique
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """Watermarked click->purchase stream-stream join must agree with the
+    identical batch join for every pair the watermark could finalize."""
+    from pyspark.sql import functions as F
+
+    from learn_hbase_spark.streaming.events import click_purchase_stream_join
+
+    src = str(tmp_path / "src")
+    load_table(spark, SF, "events").write.parquet(src)
+
+    def sides(df):
+        return (
+            df.filter(F.col("event_type") == "click"),
+            df.filter(F.col("event_type") == "purchase"),
+        )
+
+    stream = read_event_stream(spark, src)
+    joined = click_purchase_stream_join(*sides(stream))
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    run_bounded(joined, out_dir, ckpt)
+    got = {
+        (r["click_id"], r["purchase_id"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+
+    batch = load_table(spark, SF, "events")
+    want_df = click_purchase_stream_join(*sides(batch))
+    want = {(r["click_id"], r["purchase_id"]) for r in want_df.collect()}
+
+    # streaming may legitimately hold back pairs the watermark never closed;
+    # everything it DID emit must be correct, and emitted pairs must cover
+    # all pairs whose inputs are older than the watermark horizon
+    assert got <= want
+    max_ts = batch.agg(F.max("ts")).first()[0]
+    import datetime as dt
+
+    horizon = max_ts - dt.timedelta(hours=3)  # watermark 2h + gap 1h
+    closed = {
+        (r["click_id"], r["purchase_id"])
+        for r in want_df.filter(
+            (F.col("click_ts") < F.lit(horizon))
+            & (F.col("purchase_ts") < F.lit(horizon))
+        ).collect()
+    }
+    assert closed <= got, f"missing closed pairs: {sorted(closed - got)[:5]}"
+    assert got, "stream join emitted nothing"
