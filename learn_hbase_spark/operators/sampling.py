@@ -15,7 +15,7 @@ reproduce it verbatim).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _BUCKETS = 1 << 16  # 4 hex chars
@@ -118,10 +118,12 @@ def mixture_sample(
         .filter(F.col("_target").isNotNull())
         .withColumn("_cap", F.col("_n") / F.col("_target"))
     )
-    scale = counts.agg(F.min("_cap").alias("_scale"))
-    rates = counts.crossJoin(F.broadcast(scale)).select(
+    # global min over the per-stratum counts — a window on the (tiny,
+    # |strata|-row) aggregate, so no join appears in the plan at all
+    scale = F.min("_cap").over(Window.partitionBy(F.lit(1)))
+    rates = counts.select(
         "_stratum",
-        (F.col("_scale") * F.col("_target") / F.col("_n")).alias("_rate"),
+        (scale * F.col("_target") / F.col("_n")).alias("_rate"),
     )
     h = hash_hex(
         F.concat(F.col(id_col).cast("string"), F.lit(":"), F.col(strata_col))
