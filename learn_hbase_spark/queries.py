@@ -3255,3 +3255,130 @@ def percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pr"),
         F.round(F.cume_dist().over(w), 6).alias("cd"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL-surface widening: window frames / grouping sets / array functions
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "window_frame_values",
+    """
+    SELECT l_orderkey, l_linenumber,
+           first_value(l_quantity) OVER w AS first_qty,
+           last_value(l_quantity) OVER w AS last_qty,
+           nth_value(l_quantity, 3) OVER w AS third_qty
+    FROM lineitem
+    WHERE l_returnflag = 'R'
+    WINDOW w AS (PARTITION BY l_returnflag
+                 ORDER BY l_orderkey, l_linenumber
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_frame_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth_value with an explicit full-partition ROWS frame —
+    pinned explicitly because the DEFAULT frame (range-to-current-row)
+    silently changes last_value/nth_value semantics, a classic porting
+    trap. Unique (orderkey, linenumber) ordering keeps it deterministic."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.first("l_quantity").over(w).alias("first_qty"),
+        F.last("l_quantity").over(w).alias("last_qty"),
+        F.nth_value("l_quantity", 3).over(w).alias("third_qty"),
+    )
+
+
+@_register(
+    "grouping_sets_explicit",
+    """
+    SELECT n_regionkey, n_nationkey, count(*) AS n,
+           grouping(n_regionkey) AS g_region, grouping(n_nationkey) AS g_nation
+    FROM nation
+    GROUP BY GROUPING SETS ((n_regionkey), (n_nationkey), ())
+    """,
+)
+def grouping_sets_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (neither rollup nor cube): per-region, per-
+    nation, and grand totals in one pass, disambiguated by grouping()
+    flags (a null key value vs 'this set aggregates the key away')."""
+    n = _t(spark, sf_dir, "nation")
+    return n.groupingSets(
+        [["n_regionkey"], ["n_nationkey"], []], "n_regionkey", "n_nationkey"
+    ).agg(
+        F.count("*").alias("n"),
+        F.grouping("n_regionkey").cast("int").alias("g_region"),
+        F.grouping("n_nationkey").cast("int").alias("g_nation"),
+    )
+
+
+@_register(
+    "array_ops_surface",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             list_sort(list_distinct(
+               string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')
+             )) AS vocab
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(vocab) AS INT) AS n_distinct,
+           COALESCE(array_to_string(
+             list_sort(list_intersect(vocab, ['the', 'a', 'of', 'and', 'to'])),
+             ','), '') AS stop_hits,
+           array_to_string(vocab[1:5], ',') AS first5
+    FROM w
+    """,
+)
+def array_ops_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function surface over per-document vocabularies: distinct +
+    sort + intersect + slice + join, all JVM expression tree (no UDF, no
+    shuffle). Arrays leave the query as joined strings so the cross-engine
+    hash compares scalar values."""
+    docs = _t(spark, sf_dir, "documents")
+    vocab = F.array_sort(
+        F.array_distinct(F.split(dedup.normalize_text(F.col("text")), " "))
+    )
+    with_vocab = docs.select(F.col("doc_id"), vocab.alias("_vocab"))
+    stop = F.array(*[F.lit(s) for s in ["the", "a", "of", "and", "to"]])
+    return with_vocab.select(
+        "doc_id",
+        F.size("_vocab").alias("n_distinct"),
+        F.array_join(
+            F.array_sort(F.array_intersect(F.col("_vocab"), stop)), ","
+        ).alias("stop_hits"),
+        F.array_join(F.slice(F.col("_vocab"), 1, 5), ",").alias("first5"),
+    )
+
+
+@_register(
+    "collect_set_groups",
+    """
+    SELECT l_returnflag,
+           array_to_string(list_sort(list(DISTINCT l_linestatus)), ',')
+             AS statuses,
+           count(DISTINCT l_linestatus) AS n_statuses,
+           count(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def collect_set_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set → sorted list per group (set semantics with a
+    deterministic rendering; collect_set alone is partition-order-
+    dependent, the sort makes it engine-portable)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.array_join(F.array_sort(F.collect_set("l_linestatus")), ",").alias(
+            "statuses"
+        ),
+        F.count_distinct("l_linestatus").alias("n_statuses"),
+        F.count("*").alias("n_rows"),
+    )
