@@ -1,0 +1,52 @@
+"""CSV / JSON-lines sources: schema enforcement, corrupt-record routing,
+and CSV round-trip through the S7 sink."""
+
+from __future__ import annotations
+
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from learn_hbase_spark.sources.csv_sink import write_csv
+from learn_hbase_spark.sources.files import read_csv, read_jsonl, split_corrupt
+
+SCHEMA = StructType(
+    [
+        StructField("id", IntegerType(), True),
+        StructField("name", StringType(), True),
+    ]
+)
+
+
+def test_csv_round_trip_through_sink(spark, tmp_path):
+    src = spark.createDataFrame([(1, "a"), (2, None)], SCHEMA)
+    out = str(tmp_path / "csv")
+    write_csv(src, out)
+    back = read_csv(spark, out, SCHEMA)
+    good, bad = split_corrupt(back)
+    assert bad.count() == 0
+    rows = {r["id"]: r["name"] for r in good.collect()}
+    # nullValue="" renders null as empty; the reader reads "" back as null
+    assert rows == {1: "a", 2: None}
+
+
+def test_jsonl_corrupt_records_quarantined(spark, tmp_path):
+    p = tmp_path / "in.jsonl"
+    p.write_text('{"id": 1, "name": "ok"}\n{broken json\n{"id": 2}\n')
+    df = read_jsonl(spark, str(p), SCHEMA)
+    good, bad = split_corrupt(df)
+    assert {r["id"] for r in good.collect()} == {1, 2}
+    quarantined = [r[0] for r in bad.collect()]
+    assert quarantined == ["{broken json"]
+
+
+def test_csv_type_mismatch_is_corrupt_not_fatal(spark, tmp_path):
+    p = tmp_path / "in.csv"
+    p.write_text("id,name\n1,a\nnot_an_int,b\n")
+    df = read_csv(spark, str(p), SCHEMA)
+    good, bad = split_corrupt(df)
+    assert [r["id"] for r in good.collect()] == [1]
+    assert bad.count() == 1
