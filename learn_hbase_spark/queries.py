@@ -3382,3 +3382,95 @@ def collect_set_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("l_linestatus").alias("n_statuses"),
         F.count("*").alias("n_rows"),
     )
+
+
+@_register(
+    "lm_score",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS w FROM documents
+    ),
+    vocab AS (
+      SELECT w, count(*) AS c FROM toks GROUP BY w
+    ),
+    total AS (SELECT sum(c) AS t FROM vocab)
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           round(avg(ln(c / (SELECT t FROM total))), 6) AS avg_logprob
+    FROM toks JOIN vocab USING (w)
+    GROUP BY doc_id
+    """,
+)
+def lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring: per-document mean log-probability
+    under the corpus's own unigram distribution — the classic cheap
+    perplexity proxy for quality filtering (low score = gibberish / rare-
+    token soup). Token counts are one partial-aggregable shuffle; the
+    vocabulary joins back broadcast-or-shuffled by Catalyst's choice; the
+    grand total rides a scalar subquery (no collect)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(dedup.normalize_text(F.col("text")), " ")).alias("w"),
+    )
+    vocab = toks.groupBy("w").agg(F.count("*").alias("c"))
+    total = vocab.agg(F.sum("c").alias("t"))
+    w_all = Window.partitionBy(F.lit(1))
+    # total as a windowed constant over the (small) vocab — same no-join
+    # trick as mixture_sample, keeps the plan nested-loop-free
+    vocab_p = vocab.withColumn("t", F.sum("c").over(w_all)).select(
+        "w", (F.col("c") / F.col("t")).alias("p")
+    )
+    return (
+        toks.join(vocab_p, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(F.log("p")), 6).alias("avg_logprob"),
+        )
+    )
+
+
+@_register(
+    "source_overlap",
+    f"""
+    WITH fp AS (
+      SELECT DISTINCT source,
+        md5(array_to_string(string_split({_NORM}, ' ')[1:8], ' '))
+          AS fingerprint
+      FROM documents
+    )
+    SELECT a.source AS source_a, b.source AS source_b, count(*) AS shared
+    FROM fp a JOIN fp b ON a.fingerprint = b.fingerprint AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+)
+def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplicate overlap matrix: how many shared lead-prefix
+    fingerprints (first 8 normalized words — near-dup-tolerant, catches
+    re-hosted content with divergent tails) each pair of sources shares.
+    The provenance-leakage audit behind 'is source B a scrape of source
+    A?'. Fingerprint shuffle carries (source, md5) only; the self-join is
+    keyed on the digest, so candidate pairs stay bucket-local."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(dedup.normalize_text(F.col("text")), " ")
+    fp = (
+        docs.select(
+            "source",
+            F.md5(F.array_join(F.slice(words, 1, 8), " ")).alias("fingerprint"),
+        )
+        .distinct()
+    )
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fingerprint") == F.col("b.fingerprint"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").alias("shared"))
+    )
