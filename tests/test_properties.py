@@ -1,0 +1,124 @@
+"""Property-based invariants (hypothesis): round-trip and equivalence laws
+that hold for ALL inputs, not just the fixture corpus.
+
+Each property runs a bounded number of examples — Spark jobs are ~100ms
+each, so examples are capped and deadlines disabled; the VALUE is the
+adversarial input generation (empty strings, ties, single-element groups),
+not volume.
+"""
+
+from __future__ import annotations
+
+import hypothesis.strategies as st
+from hypothesis import HealthCheck, given, settings
+
+from pyspark.sql import functions as F
+
+from learn_hbase_spark.operators.chunking import chunk_words
+from learn_hbase_spark.operators.joins import salted_join
+from learn_hbase_spark.operators.window import scd2
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_word = st.text(alphabet="abcd", min_size=1, max_size=3)
+
+
+@given(
+    words=st.lists(_word, min_size=1, max_size=40),
+    chunk_size=st.integers(min_value=2, max_value=10),
+    overlap=st.integers(min_value=0, max_value=8),
+)
+@settings(**_SETTINGS)
+def test_chunking_covers_every_word_in_order(spark, words, chunk_size, overlap):
+    """Concatenating chunks with the overlap removed reproduces the
+    document exactly — no word lost, duplicated, or reordered."""
+    if overlap >= chunk_size:
+        overlap = chunk_size - 1
+    df = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    out = chunk_words(
+        df, chunk_size=chunk_size, overlap=overlap
+    ).orderBy("chunk_id").collect()
+    stride = chunk_size - overlap
+    rebuilt: list[str] = []
+    for r in out:
+        ws = r.chunk_text.split(" ")
+        rebuilt.extend(ws if r.chunk_id == 0 else ws[overlap:])
+        assert r.n_words <= chunk_size
+        assert r.chunk_id * stride == len(rebuilt) - len(ws) or r.chunk_id == 0
+    assert rebuilt == words
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["u1", "u2"]),
+            st.sampled_from([None, "A", "B"]),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(**_SETTINGS)
+def test_scd2_intervals_reconstruct_state_sequence(spark, rows):
+    """Expanding SCD2 intervals back over the original sequence numbers
+    reproduces every row's state (null-safe), and intervals per key are
+    contiguous: each valid_to equals the next valid_from."""
+    data = [(u, i, s) for i, (u, s) in enumerate(rows)]
+    df = spark.createDataFrame(data, "user string, seq int, state string")
+    out = scd2(df, "user", "seq", "state", tiebreak="seq").collect()
+    per_key: dict[str, list] = {}
+    for r in sorted(out, key=lambda r: (r.user, r.valid_from)):
+        per_key.setdefault(r.user, []).append(r)
+    for user, ivs in per_key.items():
+        # contiguity + exactly one open interval at the end
+        for a, b in zip(ivs, ivs[1:]):
+            assert a.valid_to == b.valid_from and not a.is_current
+        assert ivs[-1].valid_to is None and ivs[-1].is_current
+        # replay: every original row's state matches its covering interval
+        for u, seq, state in data:
+            if u != user:
+                continue
+            cover = [
+                iv for iv in ivs
+                if iv.valid_from <= seq
+                and (iv.valid_to is None or seq < iv.valid_to)
+            ]
+            assert len(cover) == 1 and cover[0].state == state
+
+
+@given(
+    left_keys=st.lists(
+        st.integers(min_value=0, max_value=3), min_size=0, max_size=20
+    ),
+    right_keys=st.lists(
+        st.integers(min_value=0, max_value=3),
+        min_size=0,
+        max_size=6,
+        unique=True,
+    ),
+)
+@settings(**_SETTINGS)
+def test_salted_join_is_plain_join(spark, left_keys, right_keys):
+    """salted_join == plain inner join for arbitrary key multisets
+    (including empty sides and keys that match nothing)."""
+    left = spark.createDataFrame(
+        [(k, i) for i, k in enumerate(left_keys)] or [(None, None)],
+        "k int, payload int",
+    ).filter(F.col("k").isNotNull())
+    right = spark.createDataFrame(
+        [(k, f"r{k}") for k in right_keys] or [(None, None)],
+        "k int, name string",
+    ).filter(F.col("k").isNotNull())
+    plain = sorted(
+        (r.k, r.payload, r.name)
+        for r in left.join(right, on=["k"]).collect()
+    )
+    salted = sorted(
+        (r.k, r.payload, r.name)
+        for r in salted_join(left, right, on=["k"], salt_buckets=4).collect()
+    )
+    assert salted == plain
