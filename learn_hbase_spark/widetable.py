@@ -244,6 +244,30 @@ class WideTable:
 
     # -- maintenance ---------------------------------------------------------
 
+    def partition_stats(self) -> DataFrame:
+        """Per-prefix health report: row count, distinct write versions
+        (append batches still unmerged — the compaction-debt signal), and
+        live-cell fraction after latest-wins resolution.
+
+        This is the scheduling input for per-prefix compaction at scale
+        (compact prefixes whose version count or dead-cell fraction crosses
+        a threshold instead of rewriting the whole table). One aggregation
+        pass, partial-aggregable, output bounded by the prefix count."""
+        cells = self._cells()
+        live = F.count_distinct("rowkey", "family", "qualifier")
+        return (
+            cells.groupBy("prefix")
+            .agg(
+                F.count("*").alias("n_cells"),
+                F.count_distinct("version").alias("n_versions"),
+                live.alias("n_live"),
+            )
+            .withColumn(
+                "live_fraction",
+                F.round(F.col("n_live") / F.col("n_cells"), 4),
+            )
+        )
+
     def compact(self) -> None:
         """Rewrite to latest-wins only. Idempotent; per-partition rewrite.
 

@@ -190,3 +190,17 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         assert joined.count() == plain
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_partition_stats_reports_compaction_debt(spark, table):
+    table.put(_cells(spark, [("0401_A", "info", "q", "v1")]))
+    table.put(_cells(spark, [("0401_A", "info", "q", "v2"),
+                             ("0402_B", "info", "q", "x")]))
+    stats = {r["prefix"]: r for r in table.partition_stats().collect()}
+    assert stats["0401"]["n_cells"] == 2 and stats["0401"]["n_live"] == 1
+    assert stats["0401"]["n_versions"] == 2
+    assert stats["0402"]["live_fraction"] == 1.0
+    table.compact()
+    stats2 = {r["prefix"]: r for r in table.partition_stats().collect()}
+    assert all(r["live_fraction"] == 1.0 for r in stats2.values())
+    assert stats2["0401"]["n_versions"] == 1
