@@ -1,0 +1,45 @@
+"""Partition-count invariance: a distributed operator's RESULT must not
+depend on parallelism. Any dependence on partition order/count (collect_*
+without sort, first() without order, float fold order surfacing at the
+row level) shows up as a diff between a 2-partition and a 16-partition run
+of the same query — the bug class that passes every single-machine test
+and corrupts output on a 1000-executor cluster.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from learn_hbase_spark import queries as Q
+
+SF = "/root/testdata/sf0.001"
+
+# order-sensitivity-risk queries: grouped collections, first-wins dedup,
+# hash bucketing, window tiebreaks, iterative convergence
+CASES = [
+    "dedup_first_wins",
+    "collect_set_groups",
+    "pack_sequences",
+    "minhash_lsh_pairs",
+    "neardup_clusters",
+    "scd2_user_state",
+    "domain_mixture",
+    "string_agg_nations",
+]
+
+
+def _rows(spark, name, parts):
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        df = Q.queries()[name](spark, SF)
+        return sorted(map(tuple, df.collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+@pytest.mark.parametrize("name", CASES)
+def test_result_invariant_under_partition_count(spark, name):
+    assert _rows(spark, name, 2) == _rows(spark, name, 16), (
+        f"{name} result depends on shuffle partition count"
+    )
