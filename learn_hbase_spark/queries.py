@@ -3474,3 +3474,31 @@ def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("shared"))
     )
+
+
+@_register(
+    "bitwise_bool_aggs",
+    """
+    SELECT o_orderpriority,
+           bit_and(o_orderkey) AS key_and,
+           bit_or(o_orderkey) AS key_or,
+           bit_xor(o_orderkey) AS key_xor,
+           bool_and(o_totalprice > 1000) AS every_big,
+           bool_or(o_totalprice > 400000) AS any_huge,
+           count(*) FILTER (o_orderstatus = 'F') AS n_finished
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def bitwise_bool_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise (AND/OR/XOR) and boolean (every/any) aggregates plus a
+    FILTER-clause conditional count — flag-mask folding and predicate
+    summaries in one partial-aggregable pass."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.bit_and("o_orderkey").alias("key_and"),
+        F.bit_or("o_orderkey").alias("key_or"),
+        F.bit_xor("o_orderkey").alias("key_xor"),
+        F.bool_and(F.col("o_totalprice") > 1000).alias("every_big"),
+        F.bool_or(F.col("o_totalprice") > 400000).alias("any_huge"),
+        F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
+    )

@@ -250,3 +250,32 @@ def click_purchase_stream_join(
         "purchase_ts",
         "purchase_value",
     )
+
+
+def enrich_stream_with_dim(
+    stream: DataFrame, dim: DataFrame, on: str = "user_id"
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against the
+    (batch) dimension as of that trigger — the streaming analog of the
+    reference's client-heap HashMap lookup (RdlETL.java:53-79). The static
+    side is re-resolved per micro-batch, so a dim refresh lands without
+    restarting the query; Catalyst broadcasts it when small. No watermark
+    needed: the static side never buffers state."""
+    return stream.join(F.broadcast(dim), on, "left")
+
+
+def dedup_stream_within_watermark(
+    stream: DataFrame,
+    keys: list[str],
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming dedup tolerant of REORDERED duplicates:
+    ``dropDuplicatesWithinWatermark`` keeps one row per key among
+    duplicates whose event times land within the watermark of each other,
+    even when the duplicate's timestamp differs (retransmits with fresh
+    timestamps — the case plain dropDuplicates(keys + ts) misses). State
+    still evicts on the watermark."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )

@@ -250,3 +250,67 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
     }
     assert closed <= got, f"missing closed pairs: {sorted(closed - got)[:5]}"
     assert got, "stream join emitted nothing"
+
+
+def test_stream_static_enrichment(spark, tmp_path):
+    """Stream-static join: every emitted row carries its dim attribute;
+    rows without a dim match survive with null (left join)."""
+    from pyspark.sql import functions as F
+
+    from learn_hbase_spark.streaming.events import enrich_stream_with_dim
+
+    src = str(tmp_path / "src")
+    load_table(spark, SF, "events").write.parquet(src)
+    dim = (
+        load_table(spark, SF, "events")
+        .select("user_id").distinct()
+        .filter(F.col("user_id") % 2 == 0)
+        .withColumn("segment", F.lit("even"))
+    )
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    run_bounded(
+        enrich_stream_with_dim(read_event_stream(spark, src), dim),
+        out_dir, ckpt,
+    )
+    got = spark.read.parquet(out_dir)
+    assert got.count() == load_table(spark, SF, "events").count()
+    assert got.filter(
+        (F.col("user_id") % 2 == 0) & (F.col("segment") != "even")
+    ).count() == 0
+    assert got.filter(
+        (F.col("user_id") % 2 == 1) & F.col("segment").isNotNull()
+    ).count() == 0
+
+
+def test_dedup_within_watermark_catches_retimed_duplicates(spark, tmp_path):
+    """A duplicate event_id retransmitted with a LATER timestamp must still
+    dedup (the case dropDuplicates on (id, ts) cannot catch)."""
+    import datetime as dt
+
+    from learn_hbase_spark.schemas import EVENTS
+    from learn_hbase_spark.streaming.events import dedup_stream_within_watermark
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [  # (event_id, ts, user_id, event_type, value, props)
+        (1, base, 100, "click", 1.0, "{}"),
+        (1, base + dt.timedelta(minutes=5), 100, "click", 1.0, "{}"),  # retimed dup
+        (2, base + dt.timedelta(minutes=1), 100, "view", 2.0, "{}"),
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [
+            dict(zip([f.name for f in EVENTS.fields], r))
+            for r in rows
+        ],
+        EVENTS,
+    ).write.parquet(src)
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    run_bounded(
+        dedup_stream_within_watermark(
+            read_event_stream(spark, src), ["event_id"], watermark="1 hour"
+        ),
+        out_dir, ckpt,
+    )
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 2
+    assert got.filter("event_id = 1").count() == 1
