@@ -143,9 +143,22 @@ def ngram_jaccard_pairs(
     At scale the shingle join is the standard document-pair candidate
     generator; feed it through ``minhash_bucket_pairs`` first to cap the
     candidate set when corpora are huge.
+
+    Per-doc shingle-set sizes come from the ARRAY LENGTH in a plain
+    projection — not a second explode+groupBy over the corpus (shingles
+    are distinct per doc, so |set| == array size); that removes a full
+    shuffle and a second evaluation of the shingle pipeline.
     """
-    sh = shingle_rows(df, text_col, id_col, n)
-    sizes = sh.groupBy("_id").agg(F.count("*").alias("_sz"))
+    # shuffle 8-byte shingle hashes, not the shingle strings themselves —
+    # the intersection only needs equality, and xxhash64 collisions are
+    # negligible against corpus-scale shingle counts (~N²/2⁶⁵)
+    sh = shingle_rows(df, text_col, id_col, n).select(
+        "_id", F.xxhash64("_sh").alias("_sh")
+    )
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    sizes = df.select(
+        F.col(id_col).alias("_id"), words.alias("_w")
+    ).select("_id", F.size(_grams_from_words(F.col("_w"), n)).alias("_sz"))
     inter = (
         sh.groupBy("_sh")
         .agg(F.sort_array(F.collect_list("_id")).alias("_ids"))
