@@ -3502,3 +3502,169 @@ def bitwise_bool_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_or(F.col("o_totalprice") > 400000).alias("any_huge"),
         F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
     )
+
+
+@_register(
+    "gap_fill_linear",
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, MAX(value) AS v
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    bounds AS (SELECT user_id, MIN(day) AS lo, MAX(day) AS hi
+               FROM daily GROUP BY user_id),
+    spine AS (
+      SELECT user_id,
+             CAST(UNNEST(generate_series(CAST(lo AS TIMESTAMP),
+                                         CAST(hi AS TIMESTAMP),
+                                         INTERVAL 1 DAY)) AS DATE) AS day
+      FROM bounds
+    ),
+    joined AS (
+      SELECT s.user_id, s.day, d.v,
+        LAST_VALUE(d.v IGNORE NULLS) OVER wp AS prev_v,
+        LAST_VALUE(CASE WHEN d.v IS NOT NULL THEN s.day END IGNORE NULLS)
+          OVER wp AS prev_day,
+        FIRST_VALUE(d.v IGNORE NULLS) OVER wn AS next_v,
+        FIRST_VALUE(CASE WHEN d.v IS NOT NULL THEN s.day END IGNORE NULLS)
+          OVER wn AS next_day
+      FROM spine s LEFT JOIN daily d
+        ON s.user_id = d.user_id AND s.day = d.day
+      WINDOW
+        wp AS (PARTITION BY s.user_id ORDER BY s.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        wn AS (PARTITION BY s.user_id ORDER BY s.day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, day,
+      round(CASE WHEN v IS NOT NULL THEN v
+            ELSE prev_v + (next_v - prev_v)
+                 * (CAST(date_diff('day', prev_day, day) AS DOUBLE)
+                    / CAST(date_diff('day', prev_day, next_day) AS DOUBLE))
+            END, 6) AS v_interp,
+      (v IS NULL) AS was_gap
+    FROM joined
+    """,
+)
+def gap_fill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill with LINEAR interpolation: missing days take the straight
+    line between the surrounding observations (the forward-fill variant's
+    smoother sibling — sensor/meter series repair). Spine rows are bounded
+    by each user's own [min, max] day, so every gap has both neighbors by
+    construction. The join and all four windows share one (user) shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(F.max("value").alias("v"))
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select("user_id", F.explode(F.sequence("lo", "hi")).alias("day"))
+    )
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("v").isNotNull(), F.col("day"))
+    joined = spine.join(daily, ["user_id", "day"], "left_outer").select(
+        "user_id",
+        "day",
+        "v",
+        F.last("v", ignorenulls=True).over(wp).alias("prev_v"),
+        F.last(obs_day, ignorenulls=True).over(wp).alias("prev_day"),
+        F.first("v", ignorenulls=True).over(wn).alias("next_v"),
+        F.first(obs_day, ignorenulls=True).over(wn).alias("next_day"),
+    )
+    frac = F.datediff("day", "prev_day").cast("double") / F.datediff(
+        "next_day", "prev_day"
+    ).cast("double")
+    return joined.select(
+        "user_id",
+        "day",
+        F.round(
+            F.when(F.col("v").isNotNull(), F.col("v")).otherwise(
+                F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * frac
+            ),
+            6,
+        ).alias("v_interp"),
+        F.col("v").isNull().alias("was_gap"),
+    )
+
+
+@_register(
+    "pivot_multi_agg",
+    """
+    SELECT user_id % 3 AS cohort,
+      CAST(sum(CAST(value AS DECIMAL(18,4))) FILTER (event_type = 'click')
+           AS DOUBLE) AS click_sum,
+      count(*) FILTER (event_type = 'click') AS click_n,
+      CAST(sum(CAST(value AS DECIMAL(18,4))) FILTER (event_type = 'view')
+           AS DOUBLE) AS view_sum,
+      count(*) FILTER (event_type = 'view') AS view_n
+    FROM events GROUP BY user_id % 3
+    """,
+)
+def pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with MULTIPLE aggregates per pivot value (sum + count per
+    event type) — one pass, explicit value list, deterministic column
+    names from agg aliases; decimal-exact sums for oracle parity."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy((F.col("user_id") % 3).alias("cohort"))
+        .pivot("event_type", ["click", "view"])
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum"),
+            F.count(F.lit(1)).alias("n"),  # count("*") is invalid in pivot
+        )
+    )
+
+
+@_register(
+    "q10_returned_revenue",
+    """
+    SELECT c.c_custkey, c.c_name,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: lost revenue from returned items per customer in a
+    quarter — 3-way join with pushed date/flag predicates, top-20 by
+    revenue. Catalyst broadcasts the customer dim and pushes both filters
+    into the scans."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    revenue = F.sum(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+            "decimal(18,4)"
+        )
+    ).cast("double")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(revenue.alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
