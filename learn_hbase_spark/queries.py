@@ -3668,3 +3668,132 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(20)
     )
+
+
+@_register(
+    "q7_nation_volume",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(strftime(l.l_shipdate, '%Y') AS INT) AS ship_year,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS volume
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+    WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+      AND n2.n_name IN ('NATION_1', 'NATION_2')
+      AND n1.n_name <> n2.n_name
+    GROUP BY n1.n_name, n2.n_name, CAST(strftime(l.l_shipdate, '%Y') AS INT)
+    """,
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral shipping volume between two nations by
+    year — a 6-way join where Catalyst broadcasts every dim (nation twice,
+    supplier, customer) and only the fact tables shuffle."""
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    volume = F.sum(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+            "decimal(18,4)"
+        )
+    ).cast("double")
+    return (
+        s.join(li, s.s_suppkey == li.l_suppkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n1), F.col("n1_key") == s.s_nationkey)
+        .join(F.broadcast(n2), F.col("n2_key") == c.c_nationkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("ship_year"),
+        )
+        .agg(volume.alias("volume"))
+    )
+
+
+@_register(
+    "set_ops_all",
+    """
+    WITH a AS (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'),
+         b AS (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O')
+    SELECT 'intersect_all' AS op, k, count(*) AS n FROM (
+      SELECT k FROM a INTERSECT ALL SELECT k FROM b
+    ) GROUP BY k
+    UNION ALL
+    SELECT 'except_all' AS op, k, count(*) AS n FROM (
+      SELECT k FROM a EXCEPT ALL SELECT k FROM b
+    ) GROUP BY k
+    """,
+)
+def set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (ALL) set operations — intersectAll/exceptAll keep
+    duplicate multiplicity (bag semantics), the variant plain
+    INTERSECT/EXCEPT silently collapses; grouped to a deterministic
+    (op, key, multiplicity) report."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("k")
+    )
+    b = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("k")
+    )
+    inter = (
+        a.intersectAll(b)
+        .groupBy("k")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "k", "n")
+    )
+    exc = (
+        a.exceptAll(b)
+        .groupBy("k")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("except_all").alias("op"), "k", "n")
+    )
+    return inter.unionAll(exc)
+
+
+@_register(
+    "string_funcs_extended",
+    """
+    SELECT p_partkey,
+           split_part(p_name, ' ', 2) AS second_word,
+           left(p_type, 3) AS type_l3,
+           right(p_type, 3) AS type_r3,
+           reverse(p_brand) AS brand_rev,
+           translate(p_brand, '#', '_') AS brand_us,
+           strpos(p_type, 'ED') AS ed_pos,
+           repeat(p_brand, 2) AS brand_2x
+    FROM part
+    """,
+)
+def string_funcs_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended string-function surface: split_part / left / right /
+    reverse / translate / position / repeat — all codegen'd projections,
+    each with an exact DuckDB twin."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("second_word"),
+        F.substring("p_type", 1, 3).alias("type_l3"),
+        F.substring(F.col("p_type"), -3, 3).alias("type_r3"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.translate("p_brand", "#", "_").alias("brand_us"),
+        F.instr(F.col("p_type"), "ED").alias("ed_pos"),
+        F.repeat(F.col("p_brand"), 2).alias("brand_2x"),
+    )
