@@ -279,3 +279,100 @@ def dedup_stream_within_watermark(
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         keys
     )
+
+
+def stateful_sessions_with_timeout(
+    stream: DataFrame, gap_seconds: int = 1800, watermark: str = "2 hours"
+) -> DataFrame:
+    """Timer-driven session aggregation: a custom stateful operator.
+
+    Sessions that close WITHIN a batch (a gap-separated successor arrives)
+    emit immediately; the trailing open session per user is carried in
+    state and emitted by an event-time TIMEOUT once the watermark passes
+    ``last_event + gap`` — ``GroupState.setTimeoutTimestamp`` is the
+    expiry-callback primitive (cart abandonment, device offline detection)
+    that plain windowed aggregation cannot express. Unlike
+    ``session_window_counts`` (engine-managed windows) the state here is
+    arbitrary: first/last event time plus any accumulator you need.
+    State: one row per ACTIVE user, evicted on emit.
+
+    NOTE: Spark 4's successor API (``transformWithStateInPandas``) is the
+    modern form, but its Python driver worker needs protobuf, which this
+    environment lacks — ``applyInPandasWithState`` is the supported path
+    here and carries identical semantics for this pattern.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_seconds * 1_000_000
+
+    def _row(key, s):
+        start_us, end_us, n, total = s
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "session_start": [pd.Timestamp(start_us, unit="us")],
+                "session_end": [pd.Timestamp(end_us, unit="us")],
+                "n_events": [n],
+                "sum_value": [total],
+            }
+        )
+
+    def _update(key: tuple, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            s = state.get
+            state.remove()
+            yield _row(key, s)
+            return
+        # microsecond precision end-to-end: the event table carries µs
+        # timestamps and session bounds must round-trip exactly
+        pairs = []
+        for pdf in pdfs:
+            ts_us = pdf["ts"].astype("int64") // 1_000
+            vals = pdf["value"].fillna(0.0)
+            pairs.extend(zip(ts_us.tolist(), vals.tolist()))
+        pairs.sort()
+        # split the batch into gap-separated sessions locally
+        sessions = []
+        for ts, v in pairs:
+            if sessions and ts - sessions[-1][1] <= gap_us:
+                s = sessions[-1]
+                sessions[-1] = (s[0], ts, s[2] + 1, s[3] + v)
+            else:
+                sessions.append((ts, ts, 1, v))
+        if state.exists:
+            prev = tuple(state.get)
+            if sessions and sessions[0][0] - prev[1] <= gap_us:
+                s0 = sessions[0]
+                sessions[0] = (
+                    min(prev[0], s0[0]), max(prev[1], s0[1]),
+                    prev[2] + s0[2], prev[3] + s0[3],
+                )
+            else:
+                # the carried session is gap-closed by the new data
+                yield _row(key, prev)
+        # sessions closed WITHIN the batch (another session follows) are
+        # final up to watermark-late bridging (bounded by the stream's
+        # watermark, same guarantee window as the engine's session_window)
+        for s in sessions[:-1]:
+            yield _row(key, s)
+        last = sessions[-1]
+        state.update(last)
+        state.setTimeoutTimestamp(last[1] // 1000 + gap_seconds * 1000)
+
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update,
+            outputStructType=(
+                "user_id long, session_start timestamp, "
+                "session_end timestamp, n_events long, sum_value double"
+            ),
+            stateStructType=(
+                "start_us long, end_us long, n long, total double"
+            ),
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -314,3 +314,51 @@ def test_dedup_within_watermark_catches_retimed_duplicates(spark, tmp_path):
     got = spark.read.parquet(out_dir)
     assert got.count() == 2
     assert got.filter("event_id = 1").count() == 1
+
+
+def test_stateful_sessions_with_timeout_match_session_windows(spark, tmp_path):
+    """The timer-driven custom session operator must agree with the
+    engine's session_window aggregation for every session it emitted
+    (emission requires the watermark to pass session_end + gap)."""
+    from pyspark.sql import functions as F
+
+    from learn_hbase_spark.streaming.events import (
+        stateful_sessions_with_timeout,
+    )
+
+    src = str(tmp_path / "src")
+    load_table(spark, SF, "events").write.parquet(src)
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    run_bounded(
+        stateful_sessions_with_timeout(
+            read_event_stream(spark, src), gap_seconds=1800
+        ),
+        out_dir, ckpt,
+    )
+    got = {
+        (r["user_id"], r["session_start"]): (
+            r["session_end"], r["n_events"], round(r["sum_value"], 6)
+        )
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got, "no sessions expired within the bounded run"
+
+    batch = (
+        load_table(spark, SF, "events")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("ws"),
+            "n", "s",
+        )
+    )
+    want = {
+        (r["user_id"], r["ws"]): (r["n"], round(r["s"], 6))
+        for r in batch.collect()
+    }
+    for (uid, start), (end, n, s) in got.items():
+        assert want[(uid, start)] == (n, s), (
+            f"user {uid} session {start}: custom {(n, s)} != "
+            f"engine {want[(uid, start)]}"
+        )
