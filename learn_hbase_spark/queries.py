@@ -3797,3 +3797,60 @@ def string_funcs_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.instr(F.col("p_type"), "ED").alias("ed_pos"),
         F.repeat(F.col("p_brand"), 2).alias("brand_2x"),
     )
+
+
+@_register(
+    "corr_covar_agg",
+    """
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_cov,
+           round(covar_pop(l_quantity, l_discount), 6) AS qty_disc_cov_pop
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def corr_covar_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics (Pearson correlation, sample/population
+    covariance) per group — single-pass co-moment aggregation, partial-
+    aggregable, one shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "qty_price_corr"
+        ),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "qty_price_cov"
+        ),
+        F.round(F.covar_pop("l_quantity", "l_discount"), 6).alias(
+            "qty_disc_cov_pop"
+        ),
+    )
+
+
+@_register(
+    "date_part_surface",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(date_part('dow', l_shipdate) + 1 AS INT) AS dow_sun1,
+           CAST(date_part('week', l_shipdate) AS INT) AS iso_week,
+           CAST(date_part('doy', l_shipdate) AS INT) AS day_of_year,
+           CAST(date_part('quarter', l_shipdate) AS INT) AS quarter,
+           CAST(epoch(l_shipdate) AS BIGINT) AS epoch_s
+    FROM lineitem
+    """,
+)
+def date_part_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar field extraction with the cross-engine traps pinned:
+    Spark's dayofweek is 1-based Sunday-start (DuckDB dow is 0-based —
+    oracle shifts), weekofyear is ISO (DuckDB week matches), epoch via
+    unix_timestamp."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.dayofweek("l_shipdate").alias("dow_sun1"),
+        F.weekofyear("l_shipdate").alias("iso_week"),
+        F.dayofyear("l_shipdate").alias("day_of_year"),
+        F.quarter("l_shipdate").alias("quarter"),
+        F.unix_timestamp("l_shipdate").alias("epoch_s"),
+    )
