@@ -7,8 +7,10 @@ by looping region codes. Spark-first: one partitioned ``spark.read.jdbc``
 whose `partitionColumn` IS that loop — N concurrent range queries, one per
 task, with predicate pushdown from Catalyst.
 
-No live DBMS exists in the test container, so `read_jdbc` is exercised via
-`ParquetStandin` in tests; the option plumbing is identical.
+Exercised LIVE against embedded Derby (the jar ships with Spark) in
+`tests/test_jdbc_live.py`: real driver resolution, partitioned range
+queries, predicate pushdown into remote SQL, fetchsize. `ParquetStandin`
+remains the substitute for pipeline tests that don't need a database.
 """
 
 from __future__ import annotations

@@ -1,0 +1,95 @@
+"""LIVE JDBC execution path (S1/S2) against embedded Derby — the jar ships
+with Spark, so the real `spark.read.jdbc` machinery (driver resolution,
+partitioned range queries, predicate pushdown into remote SQL, fetchsize)
+runs end-to-end instead of only the option plumbing."""
+
+from __future__ import annotations
+
+import pytest
+
+from learn_hbase_spark.sources.jdbc import JdbcSource
+
+N_ROWS = 200
+
+
+@pytest.fixture(scope="module")
+def derby_url(spark, tmp_path_factory):
+    db = str(tmp_path_factory.mktemp("derby") / "metersdb")
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(f"jdbc:derby:{db};create=true")
+    st = conn.createStatement()
+    st.execute(
+        "CREATE TABLE meters "
+        "(id INT, rowkey VARCHAR(32), reading DOUBLE, day VARCHAR(8))"
+    )
+    ps = conn.prepareStatement("INSERT INTO meters VALUES (?, ?, ?, ?)")
+    for i in range(N_ROWS):
+        ps.setInt(1, i)
+        ps.setString(2, f"04{i % 5:02d}_M{i}")
+        ps.setDouble(3, float(i))
+        ps.setString(4, f"2019050{i % 3 + 1}")
+        ps.addBatch()
+    ps.executeBatch()
+    conn.commit()
+    conn.close()
+    return f"jdbc:derby:{db}"
+
+
+def _source(url, **kw):
+    return JdbcSource(
+        url=url,
+        table="meters",
+        options={"driver": "org.apache.derby.jdbc.EmbeddedDriver"},
+        **kw,
+    )
+
+
+def test_jdbc_read_all_rows(spark, derby_url):
+    df = _source(derby_url).read(spark)
+    assert df.count() == N_ROWS
+    assert {f.name.lower() for f in df.schema.fields} == {
+        "id", "rowkey", "reading", "day",
+    }
+
+
+def test_jdbc_partitioned_read_covers_all_rows(spark, derby_url):
+    """partitionColumn bounds split the scan into N range queries; rows
+    outside [lower, upper) must STILL arrive (bounds partition, they do
+    not filter) — the classic JDBC-partitioning misunderstanding."""
+    src = _source(
+        derby_url,
+        partition_column="id",
+        lower_bound=50,
+        upper_bound=150,
+        num_partitions=4,
+    )
+    df = src.read(spark)
+    assert df.rdd.getNumPartitions() == 4
+    assert df.count() == N_ROWS  # including ids outside the bounds
+
+
+def test_jdbc_predicate_pushdown_into_remote_sql(spark, derby_url):
+    """A Catalyst filter must reach the remote database as SQL (visible as
+    PushedFilters on the JDBC scan), not scan-all-then-filter."""
+    from pyspark.sql import functions as F
+
+    df = _source(derby_url).read(spark).filter(F.col("DAY") == "20190501")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "DAY" in plan, plan
+    assert df.count() == len([i for i in range(N_ROWS) if i % 3 == 0])
+
+
+def test_jdbc_prefix_scan_matches_reference_shape(spark, derby_url):
+    """The reference's per-branch dim scan (YhCldETL.java:58-63) as one
+    pushed LIKE-prefix predicate."""
+    from pyspark.sql import functions as F
+
+    df = (
+        _source(derby_url)
+        .read(spark)
+        .filter(F.col("ROWKEY").startswith("0401"))
+        .select("ROWKEY", "READING")
+    )
+    rows = df.collect()
+    assert len(rows) == N_ROWS // 5
+    assert all(r["ROWKEY"].startswith("0401") for r in rows)
