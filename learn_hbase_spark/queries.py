@@ -3854,3 +3854,34 @@ def date_part_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.quarter("l_shipdate").alias("quarter"),
         F.unix_timestamp("l_shipdate").alias("epoch_s"),
     )
+
+
+# weighted_sample reuses quality_score's oracle SQL as a CTE so the two
+# stay definitionally in sync (quality is discrete {0,1/3,2/3,1} — the
+# 16-bit keep-threshold comparison is exact in both engines)
+@_register(
+    "weighted_sample",
+    """
+    WITH q AS ({qsql})
+    SELECT doc_id, quality FROM q
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':wsample'), 1, 4))
+               AS INT)
+          < CAST(floor(quality * 65536) AS INT)
+    """.format(qsql=_ORACLES["quality_score"]),
+)
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted deterministic sampling: keep probability is the
+    document's quality score (weighted Bernoulli by identity hash — the
+    'sample better data more' curation primitive). Pure projection+filter,
+    no shuffle; same identity-hash family as sampling.deterministic_sample,
+    salted so it is independent of other sampling decisions."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select("doc_id", T.quality_score(F.col("text")).alias("quality"))
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":wsample"))),
+            1, 4,
+        ),
+        16, 10,
+    ).cast("long")
+    return scored.filter(u < F.floor(F.col("quality") * 65536).cast("long"))
