@@ -3885,3 +3885,102 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         16, 10,
     ).cast("long")
     return scored.filter(u < F.floor(F.col("quality") * 65536).cast("long"))
+
+
+@_register(
+    "q18_large_orders",
+    """
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+    )
+    SELECT c.c_name, o.o_orderkey,
+           CAST(o.o_orderdate AS DATE) AS order_day,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+             AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN big ON big.l_orderkey = o.o_orderkey
+    GROUP BY c.c_name, o.o_orderkey, CAST(o.o_orderdate AS DATE)
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose line quantities exceed a threshold
+    (GROUP BY ... HAVING as a semi-join back onto the fact) with customer
+    attribution. The HAVING aggregate runs once and semi-joins — not a
+    correlated per-row subquery."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_sq"))
+        .filter(F.col("_sq") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(big.withColumnRenamed("l_orderkey", "_bk"),
+              F.col("_bk") == o.o_orderkey)
+        .groupBy(
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("order_day"),
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_qty")
+        )
+    )
+
+
+@_register(
+    "q22_idle_customers",
+    """
+    WITH avg_bal AS (
+      SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT substr(c.c_name, 1, 9) AS name_prefix, count(*) AS n_cust,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+             AS total_bal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT a FROM avg_bal)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY substr(c.c_name, 1, 9)
+    """,
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no RECENT
+    order (every synthetic customer has some order, so the anti join is
+    temporal) —
+    a scalar-aggregate subquery (broadcast one-row threshold) composed
+    with an anti join, then grouped. Catalyst decorrelates both; no
+    nested-loop plan."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    w_all = Window.partitionBy(F.lit(1))
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(F.avg("c_acctbal").alias("_a"))
+    )
+    rich = c.join(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("_a")
+    )
+    recent = o.filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    idle = rich.join(recent, rich.c_custkey == recent.o_custkey, "left_anti")
+    return (
+        idle.groupBy(F.substring("c_name", 1, 9).alias("name_prefix"))
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_bal"),
+        )
+    )
