@@ -3963,7 +3963,6 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     nested-loop plan."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
-    w_all = Window.partitionBy(F.lit(1))
     avg_bal = (
         c.filter(F.col("c_acctbal") > 0.0)
         .agg(F.avg("c_acctbal").alias("_a"))

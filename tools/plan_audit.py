@@ -31,6 +31,10 @@ NESTED_LOOP_ALLOWED: dict[str, str] = {
     # Theta self-join (<) over the 25-row nation dimension: dim x dim by
     # construction; corpus-scale fuzzy matching goes through blocking first.
     "fuzzy_nation_pairs": "bounded dim x dim theta join (25-row nation)",
+    # Scalar-aggregate threshold: the build side is the ONE-ROW avg frame,
+    # so the "nested loop" is a broadcast compare per row — O(N), exactly
+    # how Catalyst itself plans scalar subqueries.
+    "q22_idle_customers": "one-row scalar-aggregate broadcast threshold",
 }
 
 
