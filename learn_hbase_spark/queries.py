@@ -3461,16 +3461,16 @@ def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    a, b = fp.alias("a"), fp.alias("b")
+    # per-digest pair expansion instead of a fingerprint self-join: the
+    # corpus pipeline runs ONCE (a self-join would compute the distinct
+    # fingerprint set per join side — see minhash_bucket_pairs)
     return (
-        a.join(
-            b,
-            (F.col("a.fingerprint") == F.col("b.fingerprint"))
-            & (F.col("a.source") < F.col("b.source")),
-        )
+        fp.groupBy("fingerprint")
+        .agg(F.sort_array(F.collect_list("source")).alias("_ss"))
+        .select(F.explode(dedup._ordered_pairs(F.col("_ss"))).alias("_p"))
         .groupBy(
-            F.col("a.source").alias("source_a"),
-            F.col("b.source").alias("source_b"),
+            F.col("_p.id_a").alias("source_a"),
+            F.col("_p.id_b").alias("source_b"),
         )
         .agg(F.count("*").alias("shared"))
     )

@@ -156,3 +156,18 @@ def test_widetable_scan_prunes_partitions(spark, tmp_path):
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln][0]
     assert "isnotnull(prefix" in pf or "prefix" in pf
     assert t.scan(start="0002", stop="0003").count() == 5
+
+
+def test_source_overlap_single_corpus_pass(spark, qs):
+    """source_overlap must scan/fingerprint the corpus ONCE (per-digest
+    pair expansion) — a fingerprint self-join would plan TWO parquet scans
+    of documents and compute the pipeline per side."""
+    plan = _plan(qs["source_overlap"](spark, SF), "simple")
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_q7_broadcasts_all_dims(spark, qs):
+    """The 6-way Q7 join must broadcast every dim side; only the fact
+    tables may shuffle (no SortMergeJoin on a dim)."""
+    plan = _plan(qs["q7_nation_volume"](spark, SF), "simple")
+    assert plan.count("BroadcastHashJoin") >= 4, plan
