@@ -66,9 +66,8 @@ def audit(df) -> dict:
             re.findall(r"ArrowEvalPython|BatchEvalPython|FlatMapGroupsInPandas"
                        r"|MapInPandas|PythonMapInArrow", simple)
         ),
-        "wholestage_codegen_spans": len(
-            set(re.findall(r"WholeStageCodegen \((\d+)\)", simple))
-        ),
+        # simple-mode plans mark codegen stages as "*(N)" prefixes
+        "wholestage_codegen_spans": len(set(re.findall(r"\*\((\d+)\)", simple))),
     }
 
 
