@@ -66,8 +66,11 @@ def audit(df) -> dict:
             re.findall(r"ArrowEvalPython|BatchEvalPython|FlatMapGroupsInPandas"
                        r"|MapInPandas|PythonMapInArrow", simple)
         ),
-        # simple-mode plans mark codegen stages as "*(N)" prefixes
-        "wholestage_codegen_spans": len(set(re.findall(r"\*\((\d+)\)", simple))),
+        # AQE initial plans omit *(N) markers; formatted mode records each
+        # operator's codegen membership as "[codegen id : N]"
+        "wholestage_codegen_spans": len(
+            set(re.findall(r"codegen id : (\d+)", formatted))
+        ),
     }
 
 
@@ -83,6 +86,10 @@ def main() -> int:
         SparkSession.builder.master("local[8]")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.shuffle.partitions", "8")
+        # static audit: AQE's wrapper hides codegen ids / final shapes in
+        # unexecuted explain output. With AQE off the audit sees the full
+        # statically-planned tree; runtime AQE only improves on it.
+        .config("spark.sql.adaptive.enabled", "false")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
