@@ -46,6 +46,11 @@ CELL_SCHEMA = StructType(
     ]
 )
 
+# put() input shape: version is stamped by the writer
+CELL_SCHEMA_NO_VERSION = StructType(
+    [f for f in CELL_SCHEMA.fields if f.name != "version"]
+)
+
 # on-disk layout = cell schema + the derived partition column
 STORED_SCHEMA = StructType(
     list(CELL_SCHEMA.fields) + [StructField("prefix", StringType(), True)]
@@ -154,6 +159,18 @@ class WideTable:
         )
         self.put(df)
 
+    def delete(self, rowkey: str, family: str, qualifier: str) -> None:
+        """Delete a cell — LSM-style: append a TOMBSTONE (null value) that
+        wins the latest-wins window, exactly HBase's Delete marker model.
+        The cell disappears from reads immediately; the bytes disappear at
+        the next ``compact()``. Deletes are therefore as cheap as writes
+        (no read-modify-write, no table scan)."""
+        df = self.spark.createDataFrame(
+            [(rowkey, family, qualifier, None)],
+            CELL_SCHEMA_NO_VERSION,
+        )
+        self.put(df)
+
     def _next_version(self) -> int:
         """Monotonic write version from the wall clock (epoch nanoseconds) —
         the HBase cell-timestamp model. Constant-time: versioning must not
@@ -176,13 +193,17 @@ class WideTable:
     def _latest(self, cells: DataFrame) -> DataFrame:
         """Latest-wins per (rowkey, family, qualifier) — HBase cell upsert.
         Version ties (same-batch duplicates share one stamp) break on
-        ``value`` so resolution is deterministic, not partition-order luck."""
+        ``value`` so resolution is deterministic, not partition-order luck.
+        A winning NULL value is a tombstone (``delete``): the cell is
+        dropped from the resolved view — HBase's Delete-marker semantics
+        (absent cell, not null cell)."""
         w = Window.partitionBy("rowkey", "family", "qualifier").orderBy(
             F.col("version").desc(), F.col("value").desc_nulls_last()
         )
         return (
             cells.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
+            .filter(F.col("value").isNotNull())
             .drop("_rn", "version")
         )
 
@@ -193,6 +214,7 @@ class WideTable:
         families: list[str] | None = None,
         qualifiers: list[str] | None = None,
         predicate: Column | None = None,
+        as_of: int | None = None,
     ) -> DataFrame:
         """Range scan with projection + filter pushdown.
 
@@ -200,8 +222,15 @@ class WideTable:
         (RdlETL2.java:42-63). When start/stop share the 4-char prefix, the
         filter lands on the ``prefix`` partition column → partition pruning,
         exactly like HBase region pruning but optimizer-driven.
+
+        ``as_of`` time-travels: resolve latest-wins using only versions
+        ``<= as_of`` (epoch ns) — HBase's timestamp-bounded Scan
+        (``setTimeRange``), free here because every version survives until
+        compaction. A delete after ``as_of`` is invisible to the read.
         """
         df = self._cells()
+        if as_of is not None:
+            df = df.filter(F.col("version") <= as_of)
         if start is not None:
             df = df.filter(F.col("prefix") >= start[:PREFIX_LEN]).filter(
                 F.col("rowkey") >= start

@@ -204,3 +204,32 @@ def test_partition_stats_reports_compaction_debt(spark, table):
     stats2 = {r["prefix"]: r for r in table.partition_stats().collect()}
     assert all(r["live_fraction"] == 1.0 for r in stats2.values())
     assert stats2["0401"]["n_versions"] == 1
+
+
+def test_delete_tombstone_hides_cell_until_compact(spark, table):
+    table.put(_cells(spark, [("0401_A", "info", "q", "v1"),
+                             ("0401_A", "info", "r", "keep")]))
+    table.delete("0401_A", "info", "q")
+    # deleted cell is gone from reads; sibling cell survives
+    assert table.get("0401_A", "info", "q").count() == 0
+    assert table.get("0401_A", "info", "r").collect()[0]["value"] == "keep"
+    # the tombstone bytes persist until compaction, then disappear
+    stats = {r["prefix"]: r for r in table.partition_stats().collect()}
+    assert stats["0401"]["n_cells"] == 3  # v1 + tombstone + keep
+    table.compact()
+    stats2 = {r["prefix"]: r for r in table.partition_stats().collect()}
+    assert stats2["0401"]["n_cells"] == 1
+    assert table.get("0401_A", "info", "q").count() == 0
+
+
+def test_scan_as_of_time_travel(spark, table):
+    import time
+
+    table.put(_cells(spark, [("0401_A", "info", "q", "old")]))
+    t_between = time.time_ns()
+    table.put(_cells(spark, [("0401_A", "info", "q", "new")]))
+    table.delete("0401_A", "info", "q")
+    # present: deleted; as-of the capture point: the old value
+    assert table.scan().count() == 0
+    past = table.scan(as_of=t_between).collect()
+    assert len(past) == 1 and past[0]["value"] == "old"
