@@ -44,21 +44,27 @@ def asof_join(
     left_time: str,
     right_time: str,
     value_cols: list[str],
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: for each left row, the values from the latest
-    right row with ``right_time <= left_time`` within the same key (the J3
-    generalization — the reference's adjacent-day self-align,
-    RdlETL2.java:83-93, is the trivial per-row case).
+    """As-of join: for each left row, the values from the LATEST right row
+    with ``right_time <= left_time`` (``direction="backward"``, default —
+    the J3 generalization; the reference's adjacent-day self-align,
+    RdlETL2.java:83-93, is the trivial per-row case) or the EARLIEST right
+    row with ``right_time >= left_time`` (``direction="forward"`` — e.g.
+    "next purchase after this click").
 
-    Implemented as union + last(ignorenulls) over one ordered window, NOT a
-    range join: a theta/range join explodes to |L|x|R| candidate pairs per
-    key before filtering, while this shape is one shuffle on the key and a
-    single ordered pass — the 100 TB-safe plan. Right rows sort before left
-    rows at equal timestamps, so the match is inclusive (same semantics as
-    DuckDB ``ASOF JOIN ... ON l.t >= r.t``).
+    Implemented as union + last/first(ignorenulls) over one ordered
+    window, NOT a range join: a theta/range join explodes to |L|x|R|
+    candidate pairs per key before filtering, while this shape is one
+    shuffle on the key and a single ordered pass — the 100 TB-safe plan.
+    The left/right interleaving order at equal timestamps makes the match
+    inclusive in both directions (same semantics as DuckDB
+    ``ASOF JOIN ... ON l.t >= r.t`` / ``l.t <= r.t``).
 
     `right` must be unique per (on..., right_time); pre-aggregate otherwise.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
     l_marked = left.select(
         *on,
         F.col(left_time).alias("_t"),
@@ -74,18 +80,29 @@ def asof_join(
         F.lit(None).cast(l_marked.schema["_lrow"].dataType).alias("_lrow"),
     )
     u = l_marked.unionByName(r_marked)
-    w = (
-        Window.partitionBy(*on)
-        .orderBy(F.col("_t").asc(), F.col("_is_left").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    filled = u.select(
-        "*",
-        *[
+    if direction == "backward":
+        # rights sort before lefts at equal t -> inclusive match
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(F.col("_t").asc(), F.col("_is_left").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        picks = [
             F.last(f"_r_{c}", ignorenulls=True).over(w).alias(c)
             for c in value_cols
-        ],
-    )
+        ]
+    else:
+        # lefts sort before rights at equal t -> inclusive match
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(F.col("_t").asc(), F.col("_is_left").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        picks = [
+            F.first(f"_r_{c}", ignorenulls=True).over(w).alias(c)
+            for c in value_cols
+        ]
+    filled = u.select("*", *picks)
     return filled.filter(F.col("_is_left") == 1).select(
         *[F.col(f"_lrow.{c}").alias(c) for c in left.columns],
         *value_cols,

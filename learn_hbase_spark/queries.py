@@ -364,6 +364,40 @@ def asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "event_id", "purchase_value")
 
 
+@_register(
+    "asof_join_forward",
+    """
+    WITH c AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT user_id, ts, max(value) AS next_purchase
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    )
+    SELECT c.user_id, c.event_id, p.next_purchase
+    FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.ts
+    """,
+)
+def asof_join_forward_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each click annotated with the NEXT at-or-after
+    purchase value per user (conversion attribution). Same single-shuffle
+    union + ordered-window plan as the backward variant, frame reversed."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("next_purchase"))
+    )
+    out = joins.asof_join(
+        clicks, purchases, on=["user_id"], left_time="ts", right_time="ts",
+        value_cols=["next_purchase"], direction="forward",
+    )
+    return out.select("user_id", "event_id", "next_purchase")
+
+
 # ---------------------------------------------------------------------------
 # Dedup / sort / limit (D1-D3)
 # ---------------------------------------------------------------------------
