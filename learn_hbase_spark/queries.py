@@ -4017,3 +4017,79 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_bal"),
         )
     )
+
+
+@_register(
+    "sliding_distinct_users",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    expanded AS (
+      SELECT user_id,
+             CAST(UNNEST(generate_series(CAST(day AS TIMESTAMP),
+                                         CAST(day AS TIMESTAMP) + INTERVAL 6 DAY,
+                                         INTERVAL 1 DAY)) AS DATE) AS win_end
+      FROM pairs
+    )
+    SELECT win_end, count(DISTINCT user_id) AS active_7d
+    FROM expanded GROUP BY win_end
+    """,
+)
+def sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day sliding distinct active users (the rolling-DAU metric).
+    Distinct counts don't merge across window positions, so the scale-safe
+    exact form expands each (user, day) pair into the ≤7 windows it feeds —
+    a BOUNDED 7x fan-out + one distinct aggregation, instead of a per-day
+    self-join over the raw events. (The approximate path at extreme scale
+    is per-day HLL sketch union — operators.sketches.)"""
+    ev = _t(spark, sf_dir, "events")
+    pairs = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    expanded = pairs.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("win_end"),
+    )
+    return expanded.groupBy("win_end").agg(
+        F.count_distinct("user_id").alias("active_7d")
+    )
+
+
+@_register(
+    "arrival_gap_audit",
+    """
+    WITH seq AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_ts
+      FROM events
+    )
+    SELECT user_id,
+           count(*) AS n_events,
+           max(epoch_us(ts) - epoch_us(prev_ts)) AS max_gap_us,
+           CAST(sum(CASE WHEN epoch_us(ts) - epoch_us(prev_ts) > 3600000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps_over_1h
+    FROM seq GROUP BY user_id
+    """,
+)
+def arrival_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival gap audit per user: max gap and count of >1h gaps —
+    the empirical input for watermark sizing and session-gap tuning (how
+    late does data actually arrive, how sparse are the streams). One key
+    shuffle shared by the lag window and the aggregation; all-integer
+    outputs (epoch-MICROsecond diffs — second-level epoch truncates
+    differently across engines)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    seq = ev.select("user_id", gap.alias("_gap"))
+    return seq.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.max("_gap").alias("max_gap_us"),
+        F.sum(F.when(F.col("_gap") > 3_600_000_000, 1).otherwise(0)).alias(
+            "n_gaps_over_1h"
+        ),
+    )
