@@ -4093,3 +4093,29 @@ def arrival_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_gaps_over_1h"
         ),
     )
+
+
+@_register(
+    "variant_extract",
+    """
+    SELECT event_id,
+           TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+           json_extract_string(props, '$.missing') AS missing
+    FROM events
+    WHERE TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+    """,
+)
+def variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access via Spark 4's VARIANT type: parse_json once,
+    then typed path extraction (`try_variant_get`) — the engine stores a
+    binary-encoded variant and prunes shredded paths, vs per-access string
+    re-parsing with get_json_object. The oracle is plain JSON extraction
+    (DuckDB has no variant; values are identical by construction)."""
+    ev = _t(spark, sf_dir, "events")
+    v = ev.select("event_id", F.parse_json("props").alias("_v"))
+    out = v.select(
+        "event_id",
+        F.try_variant_get(F.col("_v"), "$.k", "int").alias("k"),
+        F.try_variant_get(F.col("_v"), "$.missing", "string").alias("missing"),
+    )
+    return out.filter(F.col("k") > 50)
