@@ -19,7 +19,12 @@ Register per session, then read by short name::
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import (
     DoubleType,
     LongType,
@@ -43,6 +48,20 @@ _MASK = (1 << 64) - 1
 
 def _lcg(x: int) -> int:
     return (x * 6364136223846793005 + 1442695040888963407) & _MASK
+
+
+def _gen_rows(start: int, end: int, seed: int):
+    """Rows for ids [start, end). Per-row determinism: state depends only
+    on (seed, row id), so contents are independent of partitioning AND of
+    micro-batch boundaries — rereading any range regenerates identically."""
+    for i in range(start, end):
+        x = _lcg((seed << 32) ^ i)
+        user = x % 100
+        x = _lcg(x)
+        etype = _TYPES[x % len(_TYPES)]
+        x = _lcg(x)
+        value = (x % 10_000) / 100.0
+        yield (i, user, etype, value)
 
 
 class _Shard(InputPartition):
@@ -69,17 +88,7 @@ class SyntheticEventsReader(DataSourceReader):
         return shards
 
     def read(self, partition: _Shard):
-        for i in range(partition.start, partition.end):
-            # per-row determinism: state depends only on (seed, row id), so
-            # the result is independent of partitioning — rerunning with a
-            # different n_partitions yields the identical dataset
-            x = _lcg((partition.seed << 32) ^ i)
-            user = x % 100
-            x = _lcg(x)
-            etype = _TYPES[x % len(_TYPES)]
-            x = _lcg(x)
-            value = (x % 10_000) / 100.0
-            yield (i, user, etype, value)
+        return _gen_rows(partition.start, partition.end, partition.seed)
 
 
 class SyntheticEventsDataSource(DataSource):
@@ -92,3 +101,31 @@ class SyntheticEventsDataSource(DataSource):
 
     def reader(self, schema):
         return SyntheticEventsReader(self.options)
+
+    def simpleStreamReader(self, schema):
+        return SyntheticEventsStreamReader(self.options)
+
+
+class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming face of the same generator: each micro-batch advances a
+    row-id offset cursor (`initialOffset`/`read` contract). Offsets make
+    the source replayable — on recovery Spark re-asks for the same range
+    and per-row seeding regenerates identical rows (exactly-once without
+    any sink cooperation)."""
+
+    def __init__(self, options):
+        self.rows_per_batch = int(options.get("rows_per_batch", 100))
+        self.max_rows = int(options.get("n_rows", 1000))
+        self.seed = int(options.get("seed", 7))
+
+    def initialOffset(self):
+        return {"offset": 0}
+
+    def read(self, start: dict):
+        lo = start["offset"]
+        hi = min(lo + self.rows_per_batch, self.max_rows)
+        rows = list(_gen_rows(lo, hi, self.seed))
+        return (iter(rows), {"offset": hi})
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(_gen_rows(start["offset"], end["offset"], self.seed))

@@ -52,3 +52,27 @@ def test_source_composes_with_engine_operators(spark):
     total = sum(r["n"] for r in rows)
     plain = df.filter(F.col("event_type") == "purchase").count()
     assert total == plain
+
+
+def test_streaming_read_resumes_from_checkpoint_offsets(spark, tmp_path):
+    """The streaming face advances a row-id offset cursor per micro-batch;
+    a SimpleDataSourceStreamReader under availableNow drains ONE prefetched
+    batch per run, so successive runs against the SAME checkpoint resume
+    from the stored offset — and the union of runs reproduces the batch
+    dataset exactly (offset ranges + per-row seeding = replayable)."""
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    for _ in range(3):  # 600 rows / 250 per batch -> 3 runs
+        q = (
+            spark.readStream.format("synthetic_events")
+            .option("n_rows", 600).option("rows_per_batch", 250)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    streamed = sorted(map(tuple, spark.read.parquet(out_dir).collect()))
+    batch = sorted(map(tuple, _read(spark, n_rows=600).collect()))
+    assert streamed == batch
