@@ -4119,3 +4119,39 @@ def variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_variant_get(F.col("_v"), "$.missing", "string").alias("missing"),
     )
     return out.filter(F.col("k") > 50)
+
+
+@_register(
+    "user_growth_curve",
+    """
+    WITH firsts AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS first_day
+      FROM events GROUP BY user_id
+    ),
+    daily AS (SELECT first_day, count(*) AS n_new FROM firsts GROUP BY first_day)
+    SELECT first_day AS day, n_new,
+           CAST(sum(n_new) OVER (ORDER BY first_day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_users
+    FROM daily
+    """,
+)
+def user_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct-user growth: first-seen day per user, new users
+    per day, running total. The only global-ordered window runs over the
+    DAY aggregate (tens of rows), never the event stream — the corpus
+    work is two partial-aggregable shuffles."""
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day")
+    )
+    daily = firsts.groupBy("first_day").agg(F.count("*").alias("n_new"))
+    w = (
+        Window.orderBy("first_day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.select(
+        F.col("first_day").alias("day"),
+        "n_new",
+        F.sum("n_new").over(w).alias("cum_users"),
+    )
