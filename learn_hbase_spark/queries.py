@@ -4155,3 +4155,86 @@ def user_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_new",
         F.sum("n_new").over(w).alias("cum_users"),
     )
+
+
+@_register(
+    "revenue_share",
+    """
+    WITH per_nation AS (
+      SELECT n.n_name AS nation,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS revenue
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY n.n_name
+    )
+    SELECT nation, revenue,
+           round(revenue / sum(revenue) OVER (), 6) AS share,
+           rank() OVER (ORDER BY revenue DESC, nation) AS rnk
+    FROM per_nation
+    """,
+)
+def revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's share of total revenue plus a rank —
+    the global windows run over the NATION aggregate (25 rows), never the
+    fact; the corpus work is one broadcast-joined partial aggregation."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    per_nation = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    w_all = Window.partitionBy(F.lit(1))
+    w_rank = Window.orderBy(F.col("revenue").desc(), F.col("nation").asc())
+    return per_nation.select(
+        "nation",
+        "revenue",
+        F.round(F.col("revenue") / F.sum("revenue").over(w_all), 6).alias(
+            "share"
+        ),
+        F.rank().over(w_rank).alias("rnk"),
+    )
+
+
+@_register(
+    "conditional_expr_surface",
+    """
+    SELECT o_orderkey,
+           nullif(o_orderstatus, 'O') AS status_or_null,
+           coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_label,
+           least(o_totalprice, 100000.0) AS capped_price,
+           greatest(o_totalprice, 1000.0) AS floored_price,
+           CASE WHEN o_totalprice > 300000 THEN 'high'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'low' END AS price_band,
+           (o_orderstatus = 'F' AND o_totalprice > 200000) AS big_finished
+    FROM orders
+    """,
+)
+def conditional_expr_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-expression surface: nullif / coalesce / least /
+    greatest / searched CASE / boolean projection — one codegen'd pass."""
+    o = _t(spark, sf_dir, "orders")
+    status_or_null = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    return o.select(
+        "o_orderkey",
+        status_or_null.alias("status_or_null"),
+        F.coalesce(status_or_null, F.lit("OPEN")).alias("status_label"),
+        F.least("o_totalprice", F.lit(100000.0)).alias("capped_price"),
+        F.greatest("o_totalprice", F.lit(1000.0)).alias("floored_price"),
+        F.when(F.col("o_totalprice") > 300000, "high")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        (
+            (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 200000)
+        ).alias("big_finished"),
+    )
