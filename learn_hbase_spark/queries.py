@@ -4238,3 +4238,27 @@ def conditional_expr_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 200000)
         ).alias("big_finished"),
     )
+
+
+@_register(
+    "explode_outer_matches",
+    """
+    SELECT d.doc_id, t.m AS match
+    FROM documents d
+    LEFT JOIN LATERAL (
+      SELECT unnest(regexp_extract_all(d.text, '[a-z]*data[a-z]*')) AS m
+    ) t ON TRUE
+    """,
+)
+def explode_outer_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer semantics pinned: documents with ZERO regex matches
+    still emit one row with a null match (plain explode would silently
+    drop them — the row-loss trap in extraction pipelines). Oracle is the
+    lateral-unnest LEFT JOIN, DuckDB's equivalent construct."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.explode_outer(
+            F.regexp_extract_all(F.col("text"), F.lit("[a-z]*data[a-z]*"), 0)
+        ).alias("match"),
+    )
