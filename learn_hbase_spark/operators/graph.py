@@ -100,3 +100,69 @@ def dedup_decisions(
         "cluster_id",
         (F.col(node_col) == F.col("cluster_id")).alias("keep"),
     )
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str = "node",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    damping: float = 0.85,
+    n_iter: int = 10,
+) -> DataFrame:
+    """PageRank over an undirected edge list, fixed iteration count.
+
+    Returns ``(node_col, rank)`` with ranks summing to ~|V| (the classic
+    1-centered formulation). Each iteration is one join + one aggregation
+    on the edge list — rank mass flows along edges, damped toward the
+    uniform prior; dangling (isolated) nodes keep the prior mass. Fixed
+    ``n_iter`` (not convergence-tested) keeps the result deterministic for
+    a given graph. Lineage is truncated per round (``localCheckpoint``) so
+    the plan doesn't grow with iterations — at cluster scale, persist to a
+    bucketed table instead and co-partition ``edges`` by ``u`` so every
+    round's join is shuffle-free on the edge side.
+    """
+    sym = edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+    sym = sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    sym = sym.localCheckpoint()
+    degrees = sym.groupBy("u").agg(F.count("*").alias("_deg"))
+    # iteration frames carry (id, rank/deg) only — far smaller than the
+    # input. Sizing their partition count to the EDGE count (not the
+    # session's shuffle.partitions) keeps per-round task-scheduling
+    # overhead proportional to the graph, which is what dominates an
+    # iterative algorithm's wall clock when the graph is much smaller
+    # than the corpus that produced it.
+    n_parts = max(1, min(sym.sparkSession.sparkContext.defaultParallelism,
+                         sym.count() // 10_000 + 1))
+    out_edges = sym.join(degrees, "u").coalesce(n_parts).localCheckpoint()
+
+    base = nodes.select(F.col(node_col).alias("u")).coalesce(n_parts)
+    ranks = base.withColumn("rank", F.lit(1.0)).localCheckpoint()
+
+    for i in range(n_iter):
+        contrib = (
+            out_edges.join(ranks, "u")
+            .select(
+                F.col("v").alias("u"),
+                (F.col("rank") / F.col("_deg")).alias("_c"),
+            )
+            .groupBy("u")
+            .agg(F.sum("_c").alias("_in"))
+        )
+        ranks = base.join(contrib, "u", "left").select(
+            "u",
+            (
+                F.lit(1.0 - damping)
+                + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0))
+            ).alias("rank"),
+        )
+        # truncate lineage every few rounds: a checkpoint per round pays a
+        # full materialization each iteration, while a 3-round join-agg
+        # lineage is still cheap to plan — checkpoint cadence trades
+        # materialization cost against plan depth
+        if (i + 1) % 3 == 0 or i == n_iter - 1:
+            ranks = ranks.localCheckpoint()
+    return ranks.select(
+        F.col("u").alias(node_col), F.round("rank", 6).alias("rank")
+    )

@@ -4262,3 +4262,64 @@ def explode_outer_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_extract_all(F.col("text"), F.lit("[a-z]*data[a-z]*"), 0)
         ).alias("match"),
     )
+
+
+@_register(
+    "hopping_window_agg",
+    """
+    WITH expanded AS (
+      SELECT event_type, value,
+             UNNEST([date_trunc('hour', ts),
+                     date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS win_start
+      FROM events
+    )
+    SELECT win_start, win_start + INTERVAL 2 HOUR AS win_end, event_type,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM expanded
+    GROUP BY win_start, event_type
+    """,
+)
+def hopping_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) window aggregation: 2-hour windows every hour, so
+    each event feeds exactly TWO windows — F.window with a slideDuration
+    plans the bounded expansion natively; the oracle replays it as an
+    explicit 2-element unnest. Same operator drives the streaming form."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "2 hours", "1 hour"), F.col("event_type")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@_register("pagerank_neardup")  # iterative float fixpoint → rows-only check
+def pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the MinHash-LSH near-duplicate graph: documents
+    central to large duplicate clusters rank high — a dedup-priority /
+    canonical-pick signal beyond plain cluster membership. 5 fixed
+    iterations here (plenty for tiny near-dup cliques whose diameter is
+    1-2; production graphs run the operator's default 10+) of
+    join+aggregate per round with lineage truncation
+    (operators.graph.pagerank); iterative float fixpoints are outside the
+    SQL-oracle scope (convergence properties are pytest-verified)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_bucket_pairs(
+        docs, "text", "doc_id", num_hashes=8, bands=4
+    )
+    return graph.pagerank(
+        docs.select("doc_id"), pairs, node_col="doc_id", n_iter=5
+    )

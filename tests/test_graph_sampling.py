@@ -73,3 +73,37 @@ def test_deterministic_sample_is_nested(spark):
     s50 = {r["doc_id"] for r in sampling.deterministic_sample(df, "doc_id", 0.5).collect()}
     assert s20 <= s50
     assert abs(len(s50) / 1000 - 0.5) < 0.05
+
+
+def test_pagerank_properties(spark):
+    """PageRank on a small known graph: a hub node outranks leaves,
+    isolated nodes keep the uniform prior, and total rank mass is
+    conserved at ~|V|."""
+    from pyspark.sql import functions as F
+
+    from learn_hbase_spark.operators.graph import pagerank
+
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "node long")
+    # star: 0 connected to 1..3; pair: 4-5 isolated from the star... 4-5 edge
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (4, 5)], "id_a long, id_b long"
+    )
+    got = {r["node"]: r["rank"] for r in pagerank(nodes, edges).collect()}
+    assert set(got) == set(range(6))
+    hub, leaf = got[0], got[1]
+    assert hub > leaf  # the hub accumulates its leaves' mass
+    assert abs(got[1] - got[2]) < 1e-9 and abs(got[2] - got[3]) < 1e-9
+    assert abs(got[4] - got[5]) < 1e-9  # symmetric pair
+    assert abs(sum(got.values()) - 6.0) < 0.2  # mass conserved (~|V|)
+
+
+def test_pagerank_deterministic_across_partitioning(spark):
+    from learn_hbase_spark.operators.graph import pagerank
+
+    nodes = spark.createDataFrame([(i,) for i in range(20)], "node long")
+    edges = spark.createDataFrame(
+        [(i, (i * 7 + 3) % 20) for i in range(20)], "id_a long, id_b long"
+    )
+    a = sorted(map(tuple, pagerank(nodes, edges).collect()))
+    b = sorted(map(tuple, pagerank(nodes.repartition(7), edges.repartition(5)).collect()))
+    assert a == b
