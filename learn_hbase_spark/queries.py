@@ -4323,3 +4323,84 @@ def pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.pagerank(
         docs.select("doc_id"), pairs, node_col="doc_id", n_iter=5
     )
+
+
+@_register(
+    "point_in_time_join",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER w AS prev,
+             row_number() OVER w AS rn
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    dim AS (
+      SELECT user_id, event_type AS state, ts AS valid_from
+      FROM ordered
+      WHERE rn = 1 OR event_type IS DISTINCT FROM prev
+    ),
+    purchases AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.user_id, p.event_id, d.state
+    FROM purchases p
+    ASOF LEFT JOIN dim d
+      ON p.user_id = d.user_id AND p.ts >= d.valid_from
+    """,
+)
+def point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join: each purchase annotated with the SCD2
+    state valid AT its timestamp — the warehouse pattern for joining facts
+    to slowly-changing dimensions without interval-overlap explosion.
+    Because validity intervals partition time per key, 'state at ts' is
+    exactly the backward as-of match on interval starts, so this reuses
+    the single-shuffle asof_join instead of a range join. A purchase that
+    IS the user's first event matches its own state-change row (inclusive
+    as-of semantics, pinned by the oracle's ASOF >=)."""
+    ev = _t(spark, sf_dir, "events")
+    dim = window_ops.scd2(
+        ev, key="user_id", ts_col="ts", value_col="event_type",
+        tiebreak="event_id",
+    ).select(
+        "user_id", F.col("event_type").alias("state"),
+        F.col("valid_from"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    out = joins.asof_join(
+        purchases, dim, on=["user_id"], left_time="ts",
+        right_time="valid_from", value_cols=["state"],
+    )
+    return out.select("user_id", "event_id", "state")
+
+
+@_register(
+    "null_safe_division",
+    """
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice / nullif(l_discount, 0.0) AS price_per_discount,
+           l_extendedprice / greatest(l_quantity, 1.0) AS price_per_unit
+    FROM lineitem
+    """,
+)
+def null_safe_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe division patterns: divide-by-zero → null via nullif
+    (Spark's `/` on a null divisor is null in BOTH ANSI and legacy modes —
+    unlike a zero divisor, which ANSI rejects), and a floor-guard
+    denominator via greatest. Raw doubles, deliberately unrounded:
+    per-row IEEE division is bit-identical across engines, while round()
+    implementations differ at representation boundaries (BigDecimal
+    HALF_UP vs scaled-double llround)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") / F.nullif("l_discount", F.lit(0.0))).alias(
+            "price_per_discount"
+        ),
+        (F.col("l_extendedprice") / F.greatest("l_quantity", F.lit(1.0))).alias(
+            "price_per_unit"
+        ),
+    )
