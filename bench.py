@@ -27,6 +27,14 @@ BENCH_QUERIES = list(Q.queries())
 
 
 def main() -> None:
+    # The driver contract is ONE JSON line on stdout. The JVM child process
+    # inherits fd 1 and can emit stray stdout lines (BENCH_r02 recorded 2
+    # lines -> parse failure), so before launching Spark, point fd 1 at
+    # stderr and keep a dup of the real stdout for the final JSON only.
+    real_stdout_fd = os.dup(1)
+    os.dup2(2, 1)
+    sys.stdout = os.fdopen(os.dup(2), "w")
+    real_stdout = os.fdopen(real_stdout_fd, "w")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
     spark = get_session("bench")
@@ -49,7 +57,7 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
+    real_stdout.write(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
@@ -59,7 +67,9 @@ def main() -> None:
                 "sf": float(sf),
             }
         )
+        + "\n"
     )
+    real_stdout.flush()
 
 
 if __name__ == "__main__":

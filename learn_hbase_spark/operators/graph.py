@@ -113,10 +113,14 @@ def pagerank(
 ) -> DataFrame:
     """PageRank over an undirected edge list, fixed iteration count.
 
-    Returns ``(node_col, rank)`` with ranks summing to ~|V| (the classic
-    1-centered formulation). Each iteration is one join + one aggregation
-    on the edge list — rank mass flows along edges, damped toward the
-    uniform prior; dangling (isolated) nodes keep the prior mass. Fixed
+    Returns ``(node_col, rank)`` in the 1-centered formulation
+    ``rank = (1-d) + d * sum(in)``. No dangling-mass redistribution is
+    applied: an isolated node settles at ``1-d`` and total mass is <= |V|
+    (equal only when every node has out-degree > 0) — fine for the
+    near-dup-cluster ranking this feeds, where only relative order within
+    a connected component matters. Each iteration is one join + one
+    aggregation on the edge list — rank mass flows along edges, damped
+    toward the uniform prior. Fixed
     ``n_iter`` (not convergence-tested) keeps the result deterministic for
     a given graph. Lineage is truncated per round (``localCheckpoint``) so
     the plan doesn't grow with iterations — at cluster scale, persist to a

@@ -61,51 +61,63 @@ def asof_join(
     inclusive in both directions (same semantics as DuckDB
     ``ASOF JOIN ... ON l.t >= r.t`` / ``l.t <= r.t``).
 
-    `right` must be unique per (on..., right_time); pre-aggregate otherwise.
+    All right values travel in ONE struct column, so (a) every output
+    column comes from the same matched right row — a NULL inside the
+    matched row stays NULL instead of falling through to an older row,
+    and (b) when several right rows share (on..., right_time) the struct
+    itself is the deterministic tiebreak (greatest struct wins backward,
+    smallest forward), so results don't depend on partition order.
     """
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
-    l_marked = left.select(
-        *on,
-        F.col(left_time).alias("_t"),
-        F.lit(1).alias("_is_left"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
-        F.struct(*left.columns).alias("_lrow"),
-    )
+    rv = F.struct(*[F.col(c) for c in value_cols])
     r_marked = right.select(
         *on,
         F.col(right_time).alias("_t"),
         F.lit(0).alias("_is_left"),
-        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
-        F.lit(None).cast(l_marked.schema["_lrow"].dataType).alias("_lrow"),
+        rv.alias("_rv"),
+    )
+    l_marked = left.select(
+        *on,
+        F.col(left_time).alias("_t"),
+        F.lit(1).alias("_is_left"),
+        F.lit(None).cast(r_marked.schema["_rv"].dataType).alias("_rv"),
+        F.struct(*left.columns).alias("_lrow"),
+    )
+    r_marked = r_marked.withColumn(
+        "_lrow", F.lit(None).cast(l_marked.schema["_lrow"].dataType)
     )
     u = l_marked.unionByName(r_marked)
     if direction == "backward":
-        # rights sort before lefts at equal t -> inclusive match
+        # rights sort before lefts at equal t -> inclusive match; among
+        # tied rights the greatest struct is last, hence picked.
         w = (
             Window.partitionBy(*on)
-            .orderBy(F.col("_t").asc(), F.col("_is_left").asc())
+            .orderBy(
+                F.col("_t").asc(),
+                F.col("_is_left").asc(),
+                F.col("_rv").asc_nulls_first(),
+            )
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        picks = [
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(c)
-            for c in value_cols
-        ]
+        pick = F.last("_rv", ignorenulls=True).over(w)
     else:
-        # lefts sort before rights at equal t -> inclusive match
+        # lefts sort before rights at equal t -> inclusive match; among
+        # tied rights the smallest struct is first, hence picked.
         w = (
             Window.partitionBy(*on)
-            .orderBy(F.col("_t").asc(), F.col("_is_left").desc())
+            .orderBy(
+                F.col("_t").asc(),
+                F.col("_is_left").desc(),
+                F.col("_rv").asc_nulls_first(),
+            )
             .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
-        picks = [
-            F.first(f"_r_{c}", ignorenulls=True).over(w).alias(c)
-            for c in value_cols
-        ]
-    filled = u.select("*", *picks)
+        pick = F.first("_rv", ignorenulls=True).over(w)
+    filled = u.select("*", pick.alias("_picked"))
     return filled.filter(F.col("_is_left") == 1).select(
         *[F.col(f"_lrow.{c}").alias(c) for c in left.columns],
-        *value_cols,
+        *[F.col(f"_picked.{c}").alias(c) for c in value_cols],
     )
 
 

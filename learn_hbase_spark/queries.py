@@ -64,10 +64,27 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 # The driver's correctness sweep caps at ~50 queries taken in queries()
-# key order. Round 1 verified the first 50 registered; listing those LAST
-# puts the 40 not-yet-driver-verified queries at the front this round, so
-# every query accumulates a driver-verified CORRECTNESS row across rounds.
+# key order. Queries with a green CORRECTNESS row from a past round are
+# listed LAST, so the not-yet-driver-verified remainder sits at the front
+# and every query accumulates a driver-verified row across rounds.
 _DRIVER_VERIFIED = [
+    # round 2 (CORRECTNESS_r02.json, all green)
+    "marker_filter_strict", "marker_filter_lenient", "asof_join_forward",
+    "disjunctive_pushdown", "string_agg_nations", "filtered_agg", "cube_agg",
+    "value_histogram", "period_over_period", "retention_cohorts",
+    "scalar_funcs", "json_extract", "dedup_exact", "minhash_signature",
+    "minhash_lsh_pairs", "minhash_lsh_capped", "ngram_jaccard_pairs",
+    "neardup_clusters", "embedding_neardup", "embedding_neardup_lsh",
+    "simhash_fingerprints", "text_profile", "language_id",
+    "rolling_fingerprint", "quality_score", "hash_split", "vocab_topk",
+    "stratified_sample", "pack_sequences", "redact_pii", "repetition_score",
+    "decontaminate", "tfidf_topk", "length_profile", "range_join_events",
+    "column_profile", "heavy_hitters", "approx_profile", "curation_pipeline",
+    "sql_passthrough_q5", "multimodal_features", "multimodal_frame_plan",
+    "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_topk", "chunk_documents",
+    "scd2_user_state", "ntile_quartiles", "domain_mixture",
+    "percentile_bands",
+    # round 1 (CORRECTNESS_r01.json, all green)
     "rdl_flagship", "filter_scan", "prefix_scan", "rowkey_range_scan",
     "point_get", "lookup_join", "semi_join", "anti_join", "asof_join",
     "dedup_first_wins", "sort_limit", "date_spine", "pivot_events",

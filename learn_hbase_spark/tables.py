@@ -6,6 +6,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .schemas import TESTDATA_TABLES
 
@@ -16,8 +17,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table. Plain `spark.read.parquet` keeps Catalyst's
     predicate pushdown / column pruning on the scan (SURVEY §4).
 
-    `events` carries TIMESTAMP(NANOS), which Spark's parquet reader rejects;
-    it is read nanos-as-long and truncated to µs (lossless: the generator
+    `events.ts` has shipped as both TIMESTAMP(NANOS) (which Spark's parquet
+    reader rejects without the nanos-as-long legacy flag) and plain
+    TIMESTAMP(MICROS) across driver data generations; detect from the file
+    and normalize to a µs timestamp either way (lossless: the generator
     emits µs-precision values)."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
@@ -34,7 +37,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 spark.conf.unset(flag)
             else:
                 spark.conf.set(flag, prev)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, T.TimestampNTZType):
+            # Session TZ is pinned UTC, so NTZ -> LTZ is value-preserving;
+            # downstream ops (unix_micros, range windows) expect TIMESTAMP.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(path)
 
 

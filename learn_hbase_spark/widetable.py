@@ -132,8 +132,13 @@ class WideTable:
         family_checked = F.when(
             F.col("family").isin(self.families), F.col("family")
         ).otherwise(
+            # coalesce: concat(lit, NULL) would null the whole message and
+            # the substring match below would miss, leaking a raw Py4J error
             F.raise_error(
-                F.concat(F.lit("unknown column family: "), F.col("family"))
+                F.concat(
+                    F.lit("unknown column family: "),
+                    F.coalesce(F.col("family"), F.lit("<null>")),
+                )
             )
         )
         stamped = cells.select(
@@ -280,17 +285,25 @@ class WideTable:
 
         This is the scheduling input for per-prefix compaction at scale
         (compact prefixes whose version count or dead-cell fraction crosses
-        a threshold instead of rewriting the whole table). One aggregation
-        pass, partial-aggregable, output bounded by the prefix count."""
+        a threshold instead of rewriting the whole table). Output bounded by
+        the prefix count. ``n_live`` counts keys whose LATEST-WINS value is
+        non-null — a key whose newest version is a tombstone is dead, which
+        is precisely what matters on the delete-heavy prefixes this signal
+        targets (counting all distinct keys would overstate liveness there).
+        """
         cells = self._cells()
-        live = F.count_distinct("rowkey", "family", "qualifier")
+        batch_stats = cells.groupBy("prefix").agg(
+            F.count("*").alias("n_cells"),
+            F.count_distinct("version").alias("n_versions"),
+        )
+        live = (
+            self._latest(cells)
+            .groupBy("prefix")
+            .agg(F.count("*").alias("n_live"))
+        )
         return (
-            cells.groupBy("prefix")
-            .agg(
-                F.count("*").alias("n_cells"),
-                F.count_distinct("version").alias("n_versions"),
-                live.alias("n_live"),
-            )
+            batch_stats.join(live, on="prefix", how="left")
+            .withColumn("n_live", F.coalesce(F.col("n_live"), F.lit(0)))
             .withColumn(
                 "live_fraction",
                 F.round(F.col("n_live") / F.col("n_cells"), 4),
@@ -307,6 +320,12 @@ class WideTable:
         file:/hdfs:; on S3A the renames are copies but the aside still
         guarantees no data loss). A crash between the two renames is healed
         by ``_recover`` on the next read/exists/compact.
+
+        SINGLE-WRITER: at most one compact() (and no concurrent put()) may
+        run at a time. A concurrent reader racing ``_recover`` between the
+        two renames could re-install the aside copy first; the install
+        rename then fails and the rollback path below reports exactly what
+        state the table was left in instead of passing silently.
         """
         fs = self._fs()
         self._recover(fs)
@@ -328,6 +347,22 @@ class WideTable:
         if not fs.rename(main, aside):
             raise IOError(f"compact: failed to move {self.path} aside")
         if not fs.rename(tmp, main):
-            fs.rename(aside, main)  # roll back — table is intact
-            raise IOError(f"compact: failed to install {tmp_path}")
+            if fs.rename(aside, main):  # roll back — table is intact
+                raise IOError(
+                    f"compact: failed to install {tmp_path}; "
+                    f"rolled back, table unchanged at {self.path}"
+                )
+            # rollback also failed: either a racing _recover already moved
+            # the aside back (table intact) or the aside is gone — say which.
+            if fs.exists(main):
+                raise IOError(
+                    f"compact: install of {tmp_path} failed but {self.path} "
+                    "is present (likely re-installed by a concurrent "
+                    f"reader's _recover); leftover copy at {tmp_path}"
+                )
+            raise IOError(
+                f"compact: install AND rollback failed — table missing at "
+                f"{self.path}; data preserved at {self.path}__old and "
+                f"{tmp_path}, manual rename required"
+            )
         fs.delete(aside, True)
