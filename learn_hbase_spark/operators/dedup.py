@@ -352,3 +352,52 @@ def simhash(
             F.when(F.col(f"_b{i}") > 0, F.shiftleft(one, i)).otherwise(F.lit(0).cast("long"))
         )
     return sums.select(F.col("_id").alias(id_col), fp.alias("simhash"))
+
+
+def line_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_count: int = 10,
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-level boilerplate line removal (the CCNet/RefinedWeb line-dedup
+    pass): any line occurring more than ``max_count`` times ACROSS the corpus
+    (nav bars, license footers, cookie banners) is dropped from every
+    document; whitespace-only lines are document structure and always kept.
+
+    Returns ``(id_col, clean_text, n_kept, n_dropped)`` with the surviving
+    lines rejoined in original order.
+
+    Scale shape: the frequency aggregation shuffles 8-byte line hashes, not
+    line text; the hot set (count > max_count) is tiny by construction —
+    it's the corpus-wide boilerplate — and broadcasts to mark lines without
+    shuffling the corpus; the rebuild is the one unavoidable corpus-wide
+    shuffle, keyed by document id. Not in the reference (its D1 dedup is
+    row-level); this is the LLM-pipeline extension of the same idea.
+    """
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep, -1)).alias("pos", "line"),
+    ).withColumn("_h", F.xxhash64("line"))
+    hot = (
+        lines.filter(F.trim("line") != "")
+        .groupBy("_h")
+        .agg(F.count("*").alias("_c"))
+        .filter(F.col("_c") > max_count)
+        .select("_h", F.lit(True).alias("_hot"))
+    )
+    marked = lines.join(F.broadcast(hot), on="_h", how="left").withColumn(
+        "_drop", F.coalesce(F.col("_hot"), F.lit(False))
+    )
+    keep = F.when(~F.col("_drop"), F.struct("pos", "line"))
+    return marked.groupBy(id_col).agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(keep)), lambda x: x["line"]
+            ),
+        ).alias("clean_text"),
+        F.count(F.when(~F.col("_drop"), 1)).alias("n_kept"),
+        F.count(F.when(F.col("_drop"), 1)).alias("n_dropped"),
+    )

@@ -4421,3 +4421,190 @@ def null_safe_division(spark: SparkSession, sf_dir: str) -> DataFrame:
             "price_per_unit"
         ),
     )
+
+
+@_register(
+    "line_dedup_boilerplate",
+    """
+    WITH docs2 AS (
+      SELECT doc_id,
+             text || chr(10) || '=== FOOTER ===' || chr(10) ||
+             'license variant ' || CAST(doc_id % 3 AS STRING) AS text
+      FROM documents
+    ),
+    lines AS (
+      SELECT unnest(string_split(text, chr(10))) AS line FROM docs2
+    ),
+    hot AS (
+      SELECT line FROM lines
+      WHERE trim(line) <> '' GROUP BY line HAVING count(*) > 50
+    ),
+    hotl AS (SELECT coalesce(list(line), []) AS hl FROM hot)
+    SELECT d.doc_id,
+           array_to_string(
+             list_filter(string_split(d.text, chr(10)),
+                         l -> NOT list_contains(hl, l)), chr(10)
+           ) AS clean_text,
+           CAST(len(list_filter(string_split(d.text, chr(10)),
+                                l -> NOT list_contains(hl, l))) AS BIGINT)
+             AS n_kept,
+           CAST(len(string_split(d.text, chr(10))) -
+                len(list_filter(string_split(d.text, chr(10)),
+                                l -> NOT list_contains(hl, l))) AS BIGINT)
+             AS n_dropped
+    FROM docs2 d, hotl
+    """,
+)
+def line_dedup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus boilerplate-line removal (CCNet/RefinedWeb line dedup). The
+    synthetic corpus is single-line, so the query first stamps every doc
+    with a shared footer and one of three rotating license lines — exactly
+    the cross-document boilerplate the operator exists to strip — then runs
+    ``line_dedup`` (count > 50 across the corpus → dropped). Every doc
+    comes back as its original text with n_dropped = 2, proving both the
+    hot-set path and the order-preserving rebuild."""
+    d = _t(spark, sf_dir, "documents")
+    stamped = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.lit("=== FOOTER ==="),
+            F.concat(
+                F.lit("license variant "), (F.col("doc_id") % 3).cast("string")
+            ),
+        ).alias("text"),
+    )
+    return dedup.line_dedup(stamped, max_count=50)
+
+
+_RECURSIVE_CHAIN_SQL = """
+    WITH RECURSIVE ordered AS (
+      SELECT n_regionkey, n_name,
+             row_number() OVER (PARTITION BY n_regionkey ORDER BY n_name)
+               AS rn
+      FROM nation
+    ),
+    chain AS (
+      SELECT n_regionkey, n_name, rn, 1 AS depth,
+             CAST(n_name AS STRING) AS path
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.n_regionkey, o.n_name, o.rn, c.depth + 1,
+             c.path || '>' || o.n_name
+      FROM ordered o
+      JOIN chain c ON o.n_regionkey = c.n_regionkey AND o.rn = c.rn + 1
+    )
+    SELECT n_regionkey AS region_key, n_name AS nation, depth, path
+    FROM chain
+"""
+
+
+@_register("recursive_chain", _RECURSIVE_CHAIN_SQL)
+def recursive_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE): walk each region's nations
+    in alphabetical order, accumulating depth and the visited path — the
+    linked-list traversal shape (org charts, BOM explosions, referral
+    chains) that no fixed-depth join can express. The SQL text is shared
+    verbatim with the DuckDB oracle (compat dialect: STRING cast, ``||``
+    concat). Iteration count is bounded by the longest per-region chain
+    (5 here); each step is a broadcast-size join, and at scale the
+    recursion's working set is one frontier row per chain, not the corpus."""
+    tables.load_table(spark, sf_dir, "nation").createOrReplaceTempView(
+        "nation"
+    )
+    return spark.sql(_RECURSIVE_CHAIN_SQL)
+
+
+@_register(
+    "udtf_chunk_windows",
+    """
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    starts AS (
+      SELECT doc_id, ws, unnest(generate_series(1, len(ws), 40)) AS s
+      FROM words
+    )
+    SELECT doc_id, CAST((s - 1) / 40 AS INT) AS chunk_id,
+           array_to_string(ws[s:s+49], ' ') AS chunk,
+           CAST(least(50, len(ws) - s + 1) AS INT) AS n_tokens
+    FROM starts
+    """,
+)
+def udtf_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 table function, Arrow-batched): split each
+    document into sliding 50-token windows with stride 40 — the
+    tokenize-and-chunk shape of LLM pretraining ingestion. A UDTF is the
+    right API when one input row yields a variable number of typed output
+    rows and the per-row logic is genuinely imperative; for this simple
+    windowing a pure-SQL form exists (the oracle is one), so the registry
+    carries the UDTF face to pin the API's semantics: lateral join over
+    the table function, schema declared at decoration time, deterministic
+    output. The heavy-lift chunkers (operators/chunking.py) stay in
+    applyInPandas for batch-level vectorization."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="chunk_id: int, chunk: string, n_tokens: int")
+    class ChunkWindows:
+        def eval(self, text: str, window: int, stride: int):
+            words = text.split(" ")
+            cid = 0
+            for s in range(0, max(len(words), 1), stride):
+                piece = words[s : s + window]
+                yield cid, " ".join(piece), len(piece)
+                cid += 1
+
+    spark.udtf.register("chunk_windows", ChunkWindows)
+    d = _t(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("_docs_for_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_id, c.chunk, c.n_tokens
+        FROM _docs_for_udtf d,
+             LATERAL chunk_windows(d.text, 50, 40) c
+        """
+    )
+
+
+@_register(
+    "map_ops_surface",
+    """
+    WITH per AS (
+      SELECT user_id, event_type,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v
+      FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id, n_types, event_type, total FROM (
+      SELECT user_id, event_type, v AS total,
+             CAST(count(*) OVER (PARTITION BY user_id) AS INT) AS n_types
+      FROM per
+    ) WHERE total > 600.0
+    """,
+)
+def map_ops_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column surface: per-user map of event_type → exact-decimal
+    total (map_from_entries over a sorted entry list, so map construction
+    is deterministic), map_filter to keep heavy types, size() of the
+    pre-filter map, explode back to rows. Maps are the natural carrier for
+    ragged per-entity feature bags at scale — the map column shuffles as
+    one binary value per user instead of N rows. The oracle expresses the
+    same semantics relationally (window count + filter)."""
+    e = _t(spark, sf_dir, "events")
+    per = e.groupBy("user_id", "event_type").agg(
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("v")
+    )
+    m = per.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "v")))
+        ).alias("tm")
+    )
+    return m.select(
+        "user_id",
+        F.size("tm").alias("n_types"),
+        F.explode(
+            F.map_filter("tm", lambda _k, v: v > 600.0)
+        ).alias("event_type", "total"),
+    )

@@ -76,3 +76,68 @@ def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     good = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     bad = df.filter(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)
     return good, bad
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """ORC sink (zlib default). ORC is the interchange format for
+    Hive-ecosystem consumers the way parquet is for Spark-native ones;
+    both carry column stats for predicate pushdown, so a table landed here
+    stays scan-prunable."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
+def read_orc(
+    spark: SparkSession, path: str, schema: StructType | None = None
+) -> DataFrame:
+    """ORC source. Explicit schema skips footer sampling (same rule as the
+    CSV/JSON readers above); ORC scans support filter pushdown and column
+    pruning exactly like parquet, so downstream plans keep their shape."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_xml(
+    df: DataFrame,
+    path: str,
+    row_tag: str = "row",
+    root_tag: str = "rows",
+    mode: str = "overwrite",
+) -> None:
+    """XML sink (Spark 4 native XML data source — no external package).
+    XML is the land-from-enterprise-feeds format; one element per row."""
+    (
+        df.write.format("xml")
+        .option("rowTag", row_tag)
+        .option("rootTag", root_tag)
+        .mode(mode)
+        .save(path)
+    )
+
+
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    row_tag: str = "row",
+) -> DataFrame:
+    """Schema-enforced XML read with corrupt-record capture — same
+    PERMISSIVE + quarantine contract as the CSV/JSON readers (malformed
+    elements become auditable rows, never silent drops)."""
+    return (
+        spark.read.format("xml")
+        .schema(_with_corrupt(schema))
+        .option("rowTag", row_tag)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .load(path)
+    )

@@ -50,3 +50,51 @@ def test_csv_type_mismatch_is_corrupt_not_fatal(spark, tmp_path):
     good, bad = split_corrupt(df)
     assert [r["id"] for r in good.collect()] == [1]
     assert bad.count() == 1
+
+
+def test_orc_round_trip_preserves_rows_and_pushdown(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from learn_hbase_spark.sources.files import read_orc, write_orc
+    from learn_hbase_spark.tables import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    out = str(tmp_path / "orc")
+    write_orc(li, out, partition_by=["l_returnflag"])
+    back = read_orc(spark, out)
+    assert back.count() == li.count()
+    # partition column survives and selective reads prune + push down
+    scan = back.filter(
+        (F.col("l_returnflag") == "R") & (F.col("l_quantity") > 30)
+    )
+    expected = li.filter(
+        (F.col("l_returnflag") == "R") & (F.col("l_quantity") > 30)
+    ).count()
+    assert scan.count() == expected
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "l_quantity" in plan
+
+
+def test_xml_round_trip_and_corrupt_capture(spark, tmp_path):
+    from learn_hbase_spark.sources.files import read_xml, write_xml
+
+    src = spark.createDataFrame([(1, "a"), (2, "b")], SCHEMA)
+    out = str(tmp_path / "xml")
+    write_xml(src, out)
+    back = read_xml(spark, out, SCHEMA)
+    good, bad = split_corrupt(back)
+    assert bad.count() == 0
+    assert sorted((r["id"], r["name"]) for r in good.collect()) == [
+        (1, "a"),
+        (2, "b"),
+    ]
+    # malformed element -> quarantined, not fatal / not dropped
+    p = tmp_path / "bad.xml"
+    p.write_text("<rows><row><id>1</id><name>ok</name></row>"
+                 "<row><id>oops</id><name>x</name></row></rows>")
+    df = read_xml(spark, str(p), SCHEMA)
+    good2, bad2 = split_corrupt(df)
+    assert [r["id"] for r in good2.collect()] == [1]
+    assert bad2.count() == 1

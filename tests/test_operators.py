@@ -179,3 +179,76 @@ def test_asof_join_matches_pandas_merge_asof(spark):
             assert pd.isna(g["v"]), f"row {i}: got {g['v']}, want NaN"
         else:
             assert g["v"] == w["v"], f"row {i}: got {g['v']}, want {w['v']}"
+
+
+def test_asof_join_tied_right_rows_deterministic(spark):
+    """Two right rows sharing (key, time): backward picks the greatest value
+    struct, forward the smallest — independent of partitioning."""
+    from learn_hbase_spark.operators.joins import asof_join
+
+    # left at the SAME instant as the tied rights: inclusive in both
+    # directions, so backward and forward each have to break the tie
+    left = spark.createDataFrame([("k", 5)], "id string, t int")
+    right = spark.createDataFrame(
+        [("k", 5, "a", 1), ("k", 5, "b", 2)],
+        "id string, t int, val string, n int",
+    )
+    for parts in (1, 7):
+        out = asof_join(
+            left.repartition(parts),
+            right.repartition(parts),
+            on=["id"],
+            left_time="t",
+            right_time="t",
+            value_cols=["val", "n"],
+        ).collect()
+        assert [(r["val"], r["n"]) for r in out] == [("b", 2)]
+        fwd = asof_join(
+            left.repartition(parts),
+            right.repartition(parts),
+            on=["id"],
+            left_time="t",
+            right_time="t",
+            value_cols=["val", "n"],
+            direction="forward",
+        ).collect()
+        assert [(r["val"], r["n"]) for r in fwd] == [("a", 1)]
+
+
+def test_asof_join_matched_row_null_stays_null(spark):
+    """A NULL inside the matched right row must come through as NULL, not
+    fall back to an older row's value (per-column ignorenulls would)."""
+    from learn_hbase_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([("k", 10)], "id string, t int")
+    right = spark.createDataFrame(
+        [("k", 1, "old", 1), ("k", 5, None, 5)],
+        "id string, t int, val string, n int",
+    )
+    out = asof_join(
+        left, right, on=["id"], left_time="t", right_time="t",
+        value_cols=["val", "n"],
+    ).collect()
+    assert [(r["val"], r["n"]) for r in out] == [(None, 5)]
+
+
+def test_line_dedup_drops_hot_keeps_structure(spark):
+    from learn_hbase_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a\nBOIL\nb"),
+            (2, "BOIL\nc\n \nd"),
+            (3, "BOIL\ne"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_dropped"])
+        for r in line_dedup(docs, max_count=2).collect()
+    }
+    # BOIL appears 3 times > 2 -> dropped everywhere; the whitespace-only
+    # line in doc 2 is structural and survives; order is preserved.
+    assert out[1] == ("a\nb", 2, 1)
+    assert out[2] == ("c\n \nd", 3, 1)
+    assert out[3] == ("e", 1, 1)
