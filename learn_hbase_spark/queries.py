@@ -4608,3 +4608,312 @@ def map_ops_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.map_filter("tm", lambda _k, v: v > 600.0)
         ).alias("event_type", "total"),
     )
+
+
+@_register(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))
+                AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter-and-sum, the canonical pushdown
+    benchmark — every predicate lands in the parquet scan (date range,
+    discount band, quantity cap), and the aggregation is a single
+    partial-aggregable decimal sum. At 100 TB this is the query whose
+    entire cost is I/O after pruning; anything beyond one exchange in the
+    plan is a bug."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.sum(
+            (F.col("l_extendedprice") * F.col("l_discount")).cast(
+                "decimal(18,4)"
+            )
+        )
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+@_register(
+    "q14_promo_effect",
+    """
+    SELECT
+      CAST(SUM(CASE WHEN p_type LIKE 'ECO%'
+                    THEN CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(18,4))
+                    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+        AS promo_revenue,
+      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+           AS DOUBLE) AS total_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l_shipdate < TIMESTAMP '1997-10-01'
+    """,
+)
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promo revenue share): date-pruned fact scan,
+    broadcast dimension join on partkey, conditional decimal aggregation.
+    The month filter prunes before the join, so the join input is a month
+    of facts, not the table."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    net = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(
+                F.when(F.col("p_type").like("ECO%"), net).otherwise(
+                    F.lit(0).cast("decimal(18,4)")
+                )
+            )
+            .cast("double")
+            .alias("promo_revenue"),
+            F.sum(net).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@_register(
+    "q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier by quarterly revenue): a reused CTE —
+    aggregated once, then both joined against the dimension and reduced to
+    its max in a scalar subquery. Exact decimal sums make the max
+    comparison tie-stable across engines. Spark evaluates the scalar
+    subquery as a one-row broadcast; the revenue agg shuffles supplier
+    keys only."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(
+                (
+                    F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+                ).cast("decimal(18,4)")
+            )
+            .cast("double")
+            .alias("total_revenue")
+        )
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("_m"))
+    return (
+        s.join(
+            F.broadcast(revenue),
+            F.col("s_suppkey") == F.col("supplier_no"),
+        )
+        .join(
+            F.broadcast(max_rev),
+            F.col("total_revenue") == F.col("_m"),
+        )
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+_LATERAL_TOPK_SQL = """
+    SELECT n.n_name AS nation, c.c_name AS customer, c.c_acctbal AS acctbal
+    FROM nation n, LATERAL (
+      SELECT c_name, c_acctbal FROM customer
+      WHERE c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_name LIMIT 2
+    ) c
+"""
+
+
+@_register("lateral_topk", _LATERAL_TOPK_SQL)
+def lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (SQL-standard lateral join): top-2
+    customers by balance per nation, written as a per-row dependent
+    subquery. Catalyst DECORRELATES it — the executed plan is
+    WindowGroupLimit (rank pushed into the shuffle, partial + final) plus
+    one broadcast join, not a nested loop per nation — so the declarative
+    per-row form costs the same as the hand-written window-rank version.
+    SQL text shared verbatim with the DuckDB oracle."""
+    tables.load_table(spark, sf_dir, "nation").createOrReplaceTempView(
+        "nation"
+    )
+    tables.load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "customer"
+    )
+    return spark.sql(_LATERAL_TOPK_SQL)
+
+
+@_register(
+    "group_by_all_surface",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           count(*) AS n_rows
+    FROM lineitem GROUP BY ALL
+    """,
+)
+def group_by_all_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL (Spark 4 / DuckDB shared dialect): grouping keys
+    inferred as every non-aggregate select item. Same SQL text runs in
+    both engines; the plan is the ordinary partial+final hash aggregate."""
+    tables.load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                 AS sum_qty,
+               count(*) AS n_rows
+        FROM lineitem GROUP BY ALL
+        """
+    )
+
+
+@_register(
+    "try_funcs_surface",
+    """
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice / nullif(l_discount, 0.0) AS safe_ratio,
+           try_cast(l_returnflag || CAST(l_linenumber AS STRING) AS INT)
+             AS bad_number,
+           CASE WHEN l_linenumber >= 3
+                THEN CAST(3 AS BIGINT) END AS third_elem
+    FROM lineitem
+    """,
+)
+def try_funcs_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode error-safe function family: Spark 4 runs the driver
+    session with ANSI on, where a bad cast or division raises — the
+    ``try_*`` forms give per-row NULL-on-error semantics WITHOUT turning
+    ANSI off globally. try_divide(x, 0) → NULL, try_cast garbage → NULL,
+    try_element_at past the end → NULL. The oracle expresses the same
+    semantics with nullif / try_cast / a bounds CASE (DuckDB has no
+    try_divide/try_element_at)."""
+    li = _t(spark, sf_dir, "lineitem")
+    arr = F.sequence(F.lit(1).cast("bigint"), F.col("l_linenumber").cast("bigint"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(
+            F.col("l_extendedprice"), F.col("l_discount")
+        ).alias("safe_ratio"),
+        F.try_to_number(
+            F.concat(F.col("l_returnflag"), F.col("l_linenumber").cast("string")),
+            F.lit("999"),
+        ).cast("int").alias("bad_number"),
+        F.try_element_at(arr, F.lit(3)).alias("third_elem"),
+    )
+
+
+@_register(
+    "q8_market_share",
+    """
+    WITH all_nations AS (
+      SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+             CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+               AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region   ON n1.n_regionkey = r_regionkey
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+    )
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'BRAZIL' THEN volume
+                         ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             AS brazil_volume,
+           CAST(SUM(volume) AS DOUBLE) AS total_volume
+    FROM all_nations
+    GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): the widest join in the
+    registry — fact lineitem against orders plus five broadcast-size
+    dimensions (customer at sf's scale rides under the 64 MB broadcast
+    threshold; on a production cluster AQE demotes it to shuffle join
+    automatically). Region/type filters reduce the fact side BEFORE the
+    wide join via Catalyst's filter pushdown through join reordering;
+    the conditional national aggregation happens once at the end."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation").alias("n1")
+    n2 = _t(spark, sf_dir, "nation").alias("n2")
+    r = _t(spark, sf_dir, "region")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    vol = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    joined = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(n1, F.col("c_nationkey") == F.col("n1.n_nationkey"))
+        .join(
+            F.broadcast(r.filter(F.col("r_name") == "AMERICA")),
+            F.col("n1.n_regionkey") == F.col("r_regionkey"),
+        )
+        .join(
+            F.broadcast(p.filter(F.col("p_type") == "ECONOMY")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(n2, F.col("s_nationkey") == F.col("n2.n_nationkey"))
+    )
+    return (
+        joined.select(
+            F.year("o_orderdate").alias("o_year"),
+            vol.alias("volume"),
+            F.col("n2.n_name").alias("supp_nation"),
+        )
+        .groupBy("o_year")
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == "BRAZIL", F.col("volume"))
+                .otherwise(F.lit(0).cast("decimal(18,4)"))
+            )
+            .cast("double")
+            .alias("brazil_volume"),
+            F.sum("volume").cast("double").alias("total_volume"),
+        )
+    )
