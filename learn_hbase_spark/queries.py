@@ -4917,3 +4917,74 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("volume").cast("double").alias("total_volume"),
         )
     )
+
+
+@_register(
+    "neardup_canonical",
+    f"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, unnest({_SHINGLES}) AS s FROM documents
+    ),
+    sig AS (
+      SELECT doc_id,
+        {", ".join(f"min(substr(md5(s || '#{i // 4}'), {1 + 8 * (i % 4)}, 8)) AS mh_{i}" for i in range(8))}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, md5('0' || '|' || mh_0 || '|' || mh_1) AS bk FROM sig
+      UNION ALL
+      SELECT doc_id, md5('1' || '|' || mh_2 || '|' || mh_3) AS bk FROM sig
+      UNION ALL
+      SELECT doc_id, md5('2' || '|' || mh_4 || '|' || mh_5) AS bk FROM sig
+      UNION ALL
+      SELECT doc_id, md5('3' || '|' || mh_6 || '|' || mh_7) AS bk FROM sig
+    ),
+    edges AS (
+      SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+      FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id <> b.doc_id
+    ),
+    cc(u, comp) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.v, c.comp FROM cc c JOIN edges e ON e.u = c.u
+    ),
+    members AS (SELECT u AS doc_id, min(comp) AS cluster_id FROM cc GROUP BY u)
+    SELECT cluster_id, doc_id AS canonical_doc_id, n_members FROM (
+      SELECT m.cluster_id, m.doc_id, d.n_chars,
+             row_number() OVER (PARTITION BY m.cluster_id
+                                ORDER BY d.n_chars DESC, m.doc_id) AS rn,
+             count(*) OVER (PARTITION BY m.cluster_id) AS n_members
+      FROM members m JOIN documents d ON d.doc_id = m.doc_id
+    ) WHERE rn = 1
+    """,
+)
+def neardup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection — the retention step that FOLLOWS
+    near-dup clustering in a pretraining pipeline: within each transitive
+    near-dup cluster keep exactly one representative (longest text wins,
+    doc_id tiebreak) and record the cluster size. One window pass over the
+    cluster assignment joined to doc lengths; the corpus shuffles by
+    cluster id once. Oracle replays clustering as a recursive CTE and the
+    selection as the same window."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_bucket_pairs(
+        docs, "text", "doc_id", num_hashes=8, bands=4
+    )
+    clusters = graph.connected_components(
+        docs.select("doc_id"), pairs, node_col="doc_id"
+    )
+    scored = clusters.join(docs.select("doc_id", "n_chars"), on="doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    wc = Window.partitionBy("cluster_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count("*").over(wc))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("canonical_doc_id"),
+            "n_members",
+        )
+    )

@@ -82,12 +82,24 @@ class WideTable:
 
     def _recover(self, fs=None) -> None:
         """Heal a crash between ``compact()``'s two renames: if the main path
-        is gone but the aside copy survives, rename it back. Idempotent."""
+        is gone but the aside copy survives, rename it back. Also heals
+        per-prefix compaction (``compact(prefixes=...)``): any partition dir
+        parked under ``<path>__aside`` whose main copy vanished is renamed
+        back. Idempotent."""
         fs = fs or self._fs()
         main = self._hpath(self.path)
         aside = self._hpath(self.path + "__old")
         if not fs.exists(main) and fs.exists(aside):
             fs.rename(aside, main)
+        prefix_aside = self._hpath(self.path + "__aside")
+        if fs.exists(prefix_aside):
+            for st in fs.listStatus(prefix_aside):
+                name = st.getPath().getName()
+                dst = self._hpath(self.path + "/" + name)
+                if not fs.exists(dst):
+                    fs.rename(st.getPath(), dst)
+            if len(fs.listStatus(prefix_aside)) == 0:
+                fs.delete(prefix_aside, True)
 
     # -- DDL (S8/S9: HBaseClient.createTable/tableExists) -------------------
 
@@ -309,6 +321,61 @@ class WideTable:
                 F.round(F.col("n_live") / F.col("n_cells"), 4),
             )
         )
+
+    def compact_prefixes(self, prefixes: list[str]) -> None:
+        """Targeted compaction: rewrite ONLY the given prefix partitions to
+        latest-wins, leaving the rest of the table untouched. This is the
+        100 TB operating mode — feed it the prefixes ``partition_stats``
+        flags (high version count / low live fraction) instead of rewriting
+        the whole table (SCALE.md: per-prefix compaction schedule).
+
+        Per-prefix swap protocol (same crash-safety as ``compact``): write
+        the compacted copy under ``<path>__compact/prefix=<p>``, park the
+        live partition dir under ``<path>__aside/``, rename the copy in,
+        delete the parked dir. A crash mid-swap leaves the partition parked;
+        ``_recover`` renames it back on the next read. SINGLE-WRITER, like
+        ``compact``.
+        """
+        if not prefixes:
+            return
+        fs = self._fs()
+        self._recover(fs)
+        tmp_root = self.path + "__compact"
+        aside_root = self._hpath(self.path + "__aside")
+        fs.delete(self._hpath(tmp_root), True)
+        resolved = (
+            self._latest(self._cells().filter(F.col("prefix").isin(prefixes)))
+            .withColumn("version", F.lit(1).cast("long"))
+            .withColumn("prefix", F.substring("rowkey", 1, PREFIX_LEN))
+        )
+        resolved.write.partitionBy("prefix").mode("overwrite").parquet(tmp_root)
+        fs.mkdirs(aside_root)
+        for p in prefixes:
+            part = f"prefix={p}"
+            main_p = self._hpath(f"{self.path}/{part}")
+            tmp_p = self._hpath(f"{tmp_root}/{part}")
+            aside_p = self._hpath(f"{self.path}__aside/{part}")
+            fs.delete(aside_p, True)
+            has_tmp = fs.exists(tmp_p)  # a fully-tombstoned prefix writes 0 rows
+            if fs.exists(main_p):
+                if not fs.rename(main_p, aside_p):
+                    raise IOError(
+                        f"compact_prefixes: failed to park {part}; "
+                        "table unchanged"
+                    )
+            if has_tmp and not fs.rename(tmp_p, main_p):
+                if not fs.rename(aside_p, main_p):
+                    raise IOError(
+                        f"compact_prefixes: install AND rollback failed for "
+                        f"{part}; data parked at {self.path}__aside/{part}"
+                    )
+                raise IOError(
+                    f"compact_prefixes: failed to install {part}; rolled back"
+                )
+            fs.delete(aside_p, True)
+        fs.delete(self._hpath(tmp_root), True)
+        if fs.exists(aside_root) and len(fs.listStatus(aside_root)) == 0:
+            fs.delete(aside_root, True)
 
     def compact(self) -> None:
         """Rewrite to latest-wins only. Idempotent; per-partition rewrite.

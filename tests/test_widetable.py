@@ -233,3 +233,55 @@ def test_scan_as_of_time_travel(spark, table):
     assert table.scan().count() == 0
     past = table.scan(as_of=t_between).collect()
     assert len(past) == 1 and past[0]["value"] == "old"
+
+
+def test_compact_prefixes_targets_only_named_partitions(spark, table):
+    # two prefixes, three append batches on 0401, one on 0402
+    for v in ("U1", "U2", "U3"):
+        table.put(_cells(spark, [("0401_M1", "info", "yhbh", v)]))
+    table.put(_cells(spark, [("0402_M9", "info", "yhbh", "X1")]))
+    before = {
+        r["prefix"]: r["n_versions"]
+        for r in table.partition_stats().collect()
+    }
+    assert before["0401"] == 3 and before["0402"] == 1
+    full_before = sorted(map(tuple, table.scan().collect()))
+
+    table.compact_prefixes(["0401"])
+
+    after = {
+        (r["prefix"]): (r["n_versions"], r["n_cells"])
+        for r in table.partition_stats().collect()
+    }
+    assert after["0401"] == (1, 1)  # rewritten to latest-wins only
+    assert after["0402"] == (1, 1)  # untouched
+    assert sorted(map(tuple, table.scan().collect())) == full_before
+    got = table.get("0401_M1", "info", "yhbh").collect()
+    assert got[0]["value"] == "U3"
+
+
+def test_compact_prefixes_drops_fully_tombstoned_prefix(spark, table):
+    table.put(_cells(spark, [("0401_M1", "info", "yhbh", "U1")]))
+    table.put(_cells(spark, [("0402_M9", "info", "yhbh", "X1")]))
+    table.delete("0401_M1", "info", "yhbh")
+    table.compact_prefixes(["0401"])
+    rows = sorted(r["rowkey"] for r in table.scan().collect())
+    assert rows == ["0402_M9"]
+
+
+def test_compact_prefixes_crash_recovery(spark, table, tmp_path):
+    """A parked partition (simulated crash between the two renames) is
+    healed by the next read's _recover."""
+    import shutil
+    from pathlib import Path
+
+    table.put(_cells(spark, [("0401_M1", "info", "yhbh", "U1")]))
+    table.put(_cells(spark, [("0402_M9", "info", "yhbh", "X1")]))
+    root = Path(table.path)
+    aside = Path(str(root) + "__aside")
+    aside.mkdir()
+    shutil.move(str(root / "prefix=0401"), str(aside / "prefix=0401"))
+    # table is missing a partition on disk; a read must heal it first
+    rows = sorted(r["rowkey"] for r in table.scan().collect())
+    assert rows == ["0401_M1", "0402_M9"]
+    assert not aside.exists()
