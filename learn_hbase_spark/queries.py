@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import tables
-from .functions import scalar
+from .functions import layout, scalar
 from .functions import text as T
 from .operators import (
     chunking,
@@ -4987,4 +4987,225 @@ def neardup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id").alias("canonical_doc_id"),
             "n_members",
         )
+    )
+
+
+@_register(
+    "cooccurrence_lift",
+    """
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    tot AS (
+      SELECT CAST(count(DISTINCT user_id) AS DOUBLE) AS n FROM events
+    ),
+    tc AS (
+      SELECT event_type, CAST(count(*) AS DOUBLE) AS c FROM ut
+      GROUP BY event_type
+    ),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             count(*) AS n_both
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY a.event_type, b.event_type
+    )
+    SELECT type_a, type_b, n_both,
+           (n_both / n) / ((ca.c / n) * (cb.c / n)) AS lift
+    FROM pairs
+    CROSS JOIN tot
+    JOIN tc ca ON ca.event_type = type_a
+    JOIN tc cb ON cb.event_type = type_b
+    """,
+)
+def cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence with lift: which event types attract the
+    same users beyond what their individual popularity predicts
+    (lift > 1 = affinity, < 1 = repulsion). The per-user distinct
+    projection shuffles (user, type) pairs once; the pair join fans out
+    bounded by the TYPE vocabulary (small by nature), never by users²;
+    singleton counts and the user total are broadcast-size aggregates.
+    Division structure is kept identical in both engines for bit-equal
+    lift values."""
+    e = _t(spark, sf_dir, "events")
+    ut = e.select("user_id", "event_type").distinct()
+    tot = e.agg(
+        F.count_distinct("user_id").cast("double").alias("n")
+    )
+    tc = ut.groupBy("event_type").agg(F.count("*").cast("double").alias("c"))
+    a = ut.alias("a")
+    b = ut.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("n_both"))
+    )
+    ca = tc.select(
+        F.col("event_type").alias("type_a"), F.col("c").alias("_ca")
+    )
+    cb = tc.select(
+        F.col("event_type").alias("type_b"), F.col("c").alias("_cb")
+    )
+    return (
+        pairs.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(ca), "type_a")
+        .join(F.broadcast(cb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            (
+                (F.col("n_both") / F.col("n"))
+                / ((F.col("_ca") / F.col("n")) * (F.col("_cb") / F.col("n")))
+            ).alias("lift"),
+        )
+    )
+
+
+_JACCARD_EDGES_SQL = f"""
+    sh AS (
+      SELECT doc_id, unnest({_SHINGLES}) AS s FROM documents
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.05
+    )
+"""
+
+
+@_register(
+    "graph_triangle_stats",
+    f"""
+    WITH {_JACCARD_EDGES_SQL},
+    deg AS (
+      SELECT node, count(*) AS d FROM (
+        SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges
+      ) GROUP BY node
+    )
+    SELECT
+      (SELECT count(*) FROM edges) AS n_edges,
+      (SELECT CAST(coalesce(sum(d * (d - 1) / 2), 0) AS BIGINT) FROM deg)
+        AS n_wedges,
+      (SELECT count(*) FROM edges e1
+         JOIN edges e2 ON e2.u = e1.v
+         JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles
+    """,
+)
+def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the near-duplicate graph: edges = n-gram Jaccard
+    pairs (>= 0.05), wedges from the degree sequence, triangles by the
+    ordered three-way edge join (u<v<w makes each triangle count exactly
+    once). Triangle density distinguishes genuine duplicate CLUSTERS
+    (cliques → many triangles) from chains of borderline matches —
+    the quality signal for dedup threshold tuning. The ordered join is
+    the standard distributed-triangle algorithm: candidate wedges shuffle
+    by vertex, closure checks by edge."""
+    docs = _t(spark, sf_dir, "documents")
+    # materialize the (tiny) edge set once: three downstream branches
+    # (edge count, degree sequence, triangle join) would otherwise each
+    # re-run the full shingle-join pipeline
+    edges = (
+        dedup.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.05)
+        .select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .localCheckpoint()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    n_edges = edges.agg(F.count("*").alias("n_edges"))
+    n_wedges = deg.agg(
+        F.coalesce(
+            F.sum((F.col("d") * (F.col("d") - 1) / 2).cast("long")), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_wedges")
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    return n_edges.crossJoin(n_wedges).crossJoin(tri)
+
+
+@_register(
+    "zorder_layout_key",
+    """
+    WITH s0 AS (
+      SELECT l_orderkey, l_linenumber,
+             l_partkey % 65536 AS xa, l_suppkey % 65536 AS xb
+      FROM lineitem
+    ),
+    sa AS (
+      SELECT l_orderkey, l_linenumber, xb,
+             ((xa | (xa << 8)) & 16711935) AS a1 FROM s0
+    ),
+    sb AS (
+      SELECT l_orderkey, l_linenumber, xb,
+             ((a1 | (a1 << 4)) & 252645135) AS a2 FROM sa
+    ),
+    sc AS (
+      SELECT l_orderkey, l_linenumber, xb,
+             ((a2 | (a2 << 2)) & 858993459) AS a3 FROM sb
+    ),
+    sd AS (
+      SELECT l_orderkey, l_linenumber, xb,
+             ((a3 | (a3 << 1)) & 1431655765) AS sa_ FROM sc
+    ),
+    t1 AS (
+      SELECT l_orderkey, l_linenumber, sa_,
+             ((xb | (xb << 8)) & 16711935) AS b1 FROM sd
+    ),
+    t2 AS (
+      SELECT l_orderkey, l_linenumber, sa_,
+             ((b1 | (b1 << 4)) & 252645135) AS b2 FROM t1
+    ),
+    t3 AS (
+      SELECT l_orderkey, l_linenumber, sa_,
+             ((b2 | (b2 << 2)) & 858993459) AS b3 FROM t2
+    ),
+    t4 AS (
+      SELECT l_orderkey, l_linenumber, sa_,
+             ((b3 | (b3 << 1)) & 1431655765) AS sb_ FROM t3
+    )
+    SELECT l_orderkey, l_linenumber, (sa_ | (sb_ << 1)) AS zcode
+    FROM t4
+    """,
+)
+def zorder_layout_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (partkey, suppkey): the
+    deterministic bit-interleave that makes files written in key order
+    min/max-prunable on BOTH dimensions (functions/layout.py — the
+    data-layout story Delta's OPTIMIZE ZORDER automates, as a plain
+    column any writer can sort by). Pure codegen'd bit arithmetic; the
+    oracle replays the identical magic-number spread step by step."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        layout.morton2(
+            F.col("l_partkey") % 65536, F.col("l_suppkey") % 65536
+        ).alias("zcode"),
     )

@@ -252,3 +252,27 @@ def test_line_dedup_drops_hot_keeps_structure(spark):
     assert out[1] == ("a\nb", 2, 1)
     assert out[2] == ("c\n \nd", 3, 1)
     assert out[3] == ("e", 1, 1)
+
+
+def test_morton2_interleaves_bits(spark):
+    from learn_hbase_spark.functions.layout import morton2
+
+    df = spark.createDataFrame(
+        [(1, 0), (0, 1), (3, 5), (65535, 65535)], "a int, b int"
+    )
+    out = [
+        r["z"]
+        for r in df.select(
+            morton2(F.col("a"), F.col("b")).alias("z")
+        ).collect()
+    ]
+    # bit i of a -> position 2i; bit i of b -> 2i+1
+    def ref(a, b):
+        z = 0
+        for i in range(16):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    assert out == [ref(1, 0), ref(0, 1), ref(3, 5), ref(65535, 65535)]
+    assert out[-1] == (1 << 32) - 1

@@ -35,6 +35,13 @@ NESTED_LOOP_ALLOWED: dict[str, str] = {
     # so the "nested loop" is a broadcast compare per row — O(N), exactly
     # how Catalyst itself plans scalar subqueries.
     "q22_idle_customers": "one-row scalar-aggregate broadcast threshold",
+    # The lift denominator is the ONE-ROW distinct-user total crossed into
+    # the (|types| choose 2)-row pair frame — both sides bounded by the
+    # type vocabulary, never by users or events.
+    "cooccurrence_lift": "one-row total crossed into type-pair frame",
+    # Three ONE-ROW aggregates (edges / wedges / triangles) crossed into a
+    # single summary row; the triangle join itself is equi (hash).
+    "graph_triangle_stats": "cross of three one-row aggregate summaries",
 }
 
 
