@@ -5209,3 +5209,110 @@ def zorder_layout_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_partkey") % 65536, F.col("l_suppkey") % 65536
         ).alias("zcode"),
     )
+
+
+@_register(
+    "expectation_report",
+    """
+    WITH agg AS (
+      SELECT count(*) AS total,
+        count(CASE WHEN l_orderkey IS NOT NULL THEN 1 END) AS s1,
+        count(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 1 END) AS s2,
+        count(CASE WHEN l_discount BETWEEN 0.0 AND 0.08 THEN 1 END) AS s3,
+        count(CASE WHEN regexp_matches(l_returnflag, '^[ARN]$') THEN 1 END)
+          AS s4,
+        count(DISTINCT l_linenumber) AS s5
+      FROM lineitem
+    )
+    SELECT rule, n_rows, n_satisfied,
+           CAST(n_satisfied AS DOUBLE) / greatest(n_rows, 1)
+             AS observed_fraction,
+           min_fraction,
+           n_satisfied >= CAST(ceil(min_fraction * n_rows) AS BIGINT)
+             AS passed
+    FROM (
+      SELECT 'l_orderkey_not_null' AS rule, total AS n_rows,
+             s1 AS n_satisfied, 1.0 AS min_fraction FROM agg
+      UNION ALL
+      SELECT 'l_quantity_between_1_50', total, s2, 1.0 FROM agg
+      UNION ALL
+      SELECT 'l_discount_between_0.0_0.08', total, s3, 0.8 FROM agg
+      UNION ALL
+      SELECT 'l_returnflag_valid', total, s4, 1.0 FROM agg
+      UNION ALL
+      SELECT 'l_linenumber_unique', total, s5, 1.0 FROM agg
+    )
+    """,
+)
+def expectation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate (operators/expectations.py): five
+    rules — non-null key, two range checks (one with a tolerance
+    threshold), a regex domain check, and a uniqueness probe that is
+    EXPECTED to fail (linenumber repeats per order) — all evaluated in a
+    SINGLE aggregation pass: one scan, one exchange, a bounded one-row-
+    per-rule report. The reference hand-rolls these checks inline
+    (RdlETL2 null guards, HBaseClient family checks); declaring them
+    makes the same scan auditable."""
+    from .operators import expectations as X
+
+    li = _t(spark, sf_dir, "lineitem")
+    rules = [
+        X.not_null("l_orderkey"),
+        X.Expectation(
+            "l_quantity_between_1_50",
+            F.col("l_quantity").between(F.lit(1), F.lit(50)),
+        ),
+        X.Expectation(
+            "l_discount_between_0.0_0.08",
+            F.col("l_discount").between(F.lit(0.0), F.lit(0.08)),
+            min_fraction=0.8,
+        ),
+        X.matches("l_returnflag", "^[ARN]$", name="l_returnflag_valid"),
+        X.unique("l_linenumber"),
+    ]
+    return X.check(li, rules)
+
+
+@_register(
+    "forecast_backtest",
+    """
+    WITH weekly AS (
+      SELECT event_type, CAST(date_trunc('week', ts) AS DATE) AS week,
+             count(*) AS n
+      FROM events GROUP BY event_type, CAST(date_trunc('week', ts) AS DATE)
+    ),
+    scored AS (
+      SELECT event_type, week, n,
+             lag(n) OVER (PARTITION BY event_type ORDER BY week) AS predicted
+      FROM weekly
+    )
+    SELECT event_type,
+           count(*) AS n_weeks,
+           CAST(sum(abs(n - predicted)) AS BIGINT) AS total_abs_err,
+           CAST(sum(abs(n - predicted)) AS DOUBLE) / count(*) AS mae
+    FROM scored WHERE predicted IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each week's event count
+    with the previous week's, score MAE per event type — the
+    walk-forward evaluation harness every production forecast gets
+    judged by, expressed as aggregation + one lag window. The weekly
+    rollup shrinks the corpus to (type × week) rows before the window,
+    so the ordered pass is over a dim-sized frame."""
+    e = _t(spark, sf_dir, "events")
+    weekly = e.groupBy(
+        "event_type",
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("week")
+    scored = weekly.withColumn("predicted", F.lag("n").over(w)).filter(
+        F.col("predicted").isNotNull()
+    )
+    abs_err = F.abs(F.col("n") - F.col("predicted"))
+    return scored.groupBy("event_type").agg(
+        F.count("*").alias("n_weeks"),
+        F.sum(abs_err).cast("long").alias("total_abs_err"),
+        (F.sum(abs_err).cast("double") / F.count("*")).alias("mae"),
+    )

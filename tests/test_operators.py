@@ -276,3 +276,34 @@ def test_morton2_interleaves_bits(spark):
 
     assert out == [ref(1, 0), ref(0, 1), ref(3, 5), ref(65535, 65535)]
     assert out[-1] == (1 << 32) - 1
+
+
+def test_expectations_single_pass_report(spark):
+    from learn_hbase_spark.operators import expectations as X
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, 20.0, "B"), (3, None, "A"), (4, 99.0, "C")],
+        "id int, v double, cat string",
+    )
+    report = {
+        r["rule"]: (r["n_satisfied"], r["passed"])
+        for r in X.check(
+            df,
+            [
+                X.not_null("v"),
+                X.in_range("v", 0, 50),
+                X.Expectation(
+                    "v_mostly_present",
+                    F.col("v").isNotNull(),
+                    min_fraction=0.7,
+                ),
+                X.unique("id"),
+                X.unique("cat"),
+            ],
+        ).collect()
+    }
+    assert report["v_not_null"] == (3, False)       # 1 null -> hard fail
+    assert report["v_between_0_50"] == (2, False)   # 99 and null fail
+    assert report["v_mostly_present"] == (3, True)  # 3/4 >= 0.7
+    assert report["id_unique"] == (4, True)
+    assert report["cat_unique"] == (3, False)       # A repeats
