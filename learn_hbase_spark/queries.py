@@ -5316,3 +5316,57 @@ def forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(abs_err).cast("long").alias("total_abs_err"),
         (F.sum(abs_err).cast("double") / F.count("*")).alias("mae"),
     )
+
+
+@_register(
+    "mad_outlier_days",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             count(*) AS n
+      FROM events GROUP BY event_type, CAST(date_trunc('day', ts) AS DATE)
+    ),
+    med AS (
+      SELECT event_type, median(n) AS med FROM daily GROUP BY event_type
+    ),
+    dev AS (
+      SELECT d.event_type, d.day, d.n, abs(d.n - m.med) AS dev
+      FROM daily d JOIN med m ON d.event_type = m.event_type
+    ),
+    mad AS (
+      SELECT event_type, median(dev) AS mad FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type, d.day, d.n,
+           d.dev / (1.4826 * nullif(m.mad, 0)) AS robust_z
+    FROM dev d JOIN mad m ON d.event_type = m.event_type
+    WHERE d.dev / (1.4826 * nullif(m.mad, 0)) > 2.0
+    """,
+)
+def mad_outlier_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection: daily event counts scored by the median/
+    MAD robust z-score (outliers can't poison the baseline the way a
+    mean/stddev z-score lets them). Two exact-median passes over the
+    DIM-SIZED (type x day) rollup — the corpus shrinks before any
+    ordered statistic runs; a zero MAD (constant series) null-guards the
+    score instead of dividing by zero. Same interpolated-median and IEEE
+    scoring arithmetic in both engines."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+    ).agg(F.count("*").alias("n"))
+    med = daily.groupBy("event_type").agg(
+        F.percentile("n", F.lit(0.5)).alias("med")
+    )
+    dev = daily.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("n") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("dev", F.lit(0.5)).alias("mad")
+    )
+    z = F.col("dev") / (F.lit(1.4826) * F.nullif("mad", F.lit(0.0)))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(z > 2.0)
+        .select("event_type", "day", "n", z.alias("robust_z"))
+    )
