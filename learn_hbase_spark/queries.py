@@ -5370,3 +5370,89 @@ def mad_outlier_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(z > 2.0)
         .select("event_type", "day", "n", z.alias("robust_z"))
     )
+
+
+@_register(
+    "interval_coverage",
+    """
+    WITH iv AS (
+      SELECT user_id, ts AS s,
+             ts + INTERVAL 30 MINUTE AS e
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, s, e,
+             CASE WHEN s > max(e) OVER (
+                    PARTITION BY user_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  OR max(e) OVER (
+                    PARTITION BY user_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    IS NULL
+                  THEN 1 ELSE 0 END AS new_island
+      FROM iv
+    ),
+    islands AS (
+      SELECT user_id, s, e,
+             sum(new_island) OVER (
+               PARTITION BY user_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island_id
+      FROM flagged
+    ),
+    merged AS (
+      SELECT user_id, island_id, min(s) AS island_start, max(e) AS island_end
+      FROM islands GROUP BY user_id, island_id
+    )
+    SELECT user_id,
+           count(*) AS n_intervals,
+           CAST(sum(date_diff('second', island_start, island_end))
+                AS BIGINT) AS covered_seconds
+    FROM merged GROUP BY user_id
+    """,
+)
+def interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands interval merge: each event opens a 30-minute
+    activity interval; overlapping intervals per user merge into islands
+    (running max of prior interval ends marks island starts), then per
+    user: island count + total covered wall-clock. The canonical
+    dedup-of-time pattern (billing, SLA uptime, effective sessions) in
+    one ordered window + two aggregations over per-user frames — no
+    self-join explosion. Same window/flag formulation in both engines."""
+    e = _t(spark, sf_dir, "events")
+    iv = e.select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTE")).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_max_e = F.max("e").over(w_prev)
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(
+            (F.col("s") > prev_max_e) | prev_max_e.isNull(), 1
+        ).otherwise(0),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    islands = flagged.withColumn(
+        "island_id", F.sum("new_island").over(w_run)
+    )
+    merged = islands.groupBy("user_id", "island_id").agg(
+        F.min("s").alias("island_start"), F.max("e").alias("island_end")
+    )
+    return merged.groupBy("user_id").agg(
+        F.count("*").alias("n_intervals"),
+        F.sum(
+            F.unix_timestamp("island_end") - F.unix_timestamp("island_start")
+        )
+        .cast("long")
+        .alias("covered_seconds"),
+    )

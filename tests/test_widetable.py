@@ -285,3 +285,14 @@ def test_compact_prefixes_crash_recovery(spark, table, tmp_path):
     rows = sorted(r["rowkey"] for r in table.scan().collect())
     assert rows == ["0401_M1", "0402_M9"]
     assert not aside.exists()
+
+
+def test_null_family_raises_typed_error(spark, table):
+    import pytest as _pytest
+
+    cells = spark.createDataFrame(
+        [("0401_M1", None, "q", "v")],
+        "rowkey string, family string, qualifier string, value string",
+    )
+    with _pytest.raises(ValueError, match="unknown column family"):
+        table.put(cells)
