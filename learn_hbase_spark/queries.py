@@ -5456,3 +5456,41 @@ def interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("covered_seconds"),
     )
+
+
+@_register(
+    "null_safe_join",
+    """
+    WITH l AS (
+      SELECT event_id, nullif(event_type, 'click') AS k FROM events
+    ),
+    r AS (
+      SELECT DISTINCT nullif(event_type, 'click') AS k,
+             upper(coalesce(nullif(event_type, 'click'), 'none')) AS label
+      FROM events
+    )
+    SELECT l.k, r.label, count(*) AS n
+    FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+    GROUP BY l.k, r.label
+    """,
+)
+def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi join (<=> / IS NOT DISTINCT FROM): NULL keys MATCH
+    each other instead of silently dropping — the nullable-dimension-key
+    trap where a plain equi join loses every unkeyed row. Spark plans <=>
+    as a hash join (null-safe equality is still an equi key), so this
+    costs the same as the plain join; the one real hazard at scale is
+    that all NULL rows land in ONE hash bucket — a built-in skew key that
+    AQE's skew-join split handles, exactly like any other hot key."""
+    e = _t(spark, sf_dir, "events")
+    k = F.nullif("event_type", F.lit("click"))
+    left = e.select("event_id", k.alias("k"))
+    right = e.select(
+        k.alias("k"),
+        F.upper(F.coalesce(k, F.lit("none"))).alias("label"),
+    ).distinct()
+    return (
+        left.join(right, left["k"].eqNullSafe(right["k"]))
+        .groupBy(left["k"].alias("k"), "label")
+        .agg(F.count("*").alias("n"))
+    )
