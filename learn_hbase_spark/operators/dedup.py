@@ -251,6 +251,69 @@ def minhash_signature(
     return sh.groupBy("_id").agg(*aggs).withColumnRenamed("_id", id_col)
 
 
+def minhash_bands(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Long band-key frame ``(_id, _bk)``: the document's LSH index rows.
+    Band key = md5 over (band index | that band's signature slice), so a
+    key only collides within the same band. This frame IS the persistable
+    dedup index — at scale, write it bucketed by ``_bk`` at ingest and
+    incremental batches join against it (``minhash_incremental_pairs``)
+    instead of re-banding the corpus."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(df, text_col, id_col, num_hashes, shingle_n)
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.lit(str(b)),
+                *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)],
+            )
+        ).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select(F.col(id_col).alias("_id"), *band_cols)
+    return banded.select(
+        "_id",
+        F.explode(F.array(*[F.col(f"band_{b}") for b in range(bands)])).alias("_bk"),
+    )
+
+
+def minhash_incremental_pairs(
+    history: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Incremental near-dup candidates: NEW batch against the HISTORICAL
+    corpus — the arriving-data shape of LSH dedup. Cost is O(new): only
+    the new batch is shingled/banded fresh; the history side is its band
+    index (`minhash_bands`), which a production pipeline PERSISTS at
+    ingest (bucketed by band key) so this join is index-lookup-shaped,
+    never a corpus re-scan. Returns distinct ``(new_id, hist_id)``
+    collisions; in-batch pairs come from ``minhash_bucket_pairs(new)``,
+    keeping the two concerns (intra-batch vs against-history) separately
+    cappable. The exact-dedup twin of this pattern is
+    ``dedup_incremental`` (anti join on digests).
+    """
+    h = minhash_bands(history, text_col, id_col, num_hashes, bands, shingle_n)
+    n = minhash_bands(new, text_col, id_col, num_hashes, bands, shingle_n)
+    return (
+        n.select(F.col("_id").alias("new_id"), "_bk")
+        .join(h.select(F.col("_id").alias("hist_id"), "_bk"), "_bk")
+        .select("new_id", "hist_id")
+        .distinct()
+    )
+
+
 def minhash_bucket_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -282,22 +345,8 @@ def minhash_bucket_pairs(
     so pipelines can alert on silent candidate loss. Deterministic — the
     cap is a pure size predicate, mirrored exactly by the SQL oracle.
     """
-    rows_per_band = num_hashes // bands
-    sig = minhash_signature(df, text_col, id_col, num_hashes, shingle_n)
-    band_cols = [
-        F.md5(
-            F.concat_ws(
-                "|",
-                F.lit(str(b)),
-                *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)],
-            )
-        ).alias(f"band_{b}")
-        for b in range(bands)
-    ]
-    banded = sig.select(F.col(id_col).alias("_id"), *band_cols)
-    long_bands = banded.select(
-        "_id",
-        F.explode(F.array(*[F.col(f"band_{b}") for b in range(bands)])).alias("_bk"),
+    long_bands = minhash_bands(
+        df, text_col, id_col, num_hashes, bands, shingle_n
     )
     buckets = long_bands.groupBy("_bk").agg(
         F.sort_array(F.collect_list("_id")).alias("_ids")

@@ -5494,3 +5494,49 @@ def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(left["k"].alias("k"), "label")
         .agg(F.count("*").alias("n"))
     )
+
+
+@_register(
+    "minhash_incremental",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_SHINGLES}) AS s FROM documents
+    ),
+    sig AS (
+      SELECT doc_id,
+        {", ".join(f"min(substr(md5(s || '#{i // 4}'), {1 + 8 * (i % 4)}, 8)) AS mh_{i}" for i in range(8))}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, md5('0' || '|' || mh_0 || '|' || mh_1) AS bk FROM sig
+      UNION ALL
+      SELECT doc_id, md5('1' || '|' || mh_2 || '|' || mh_3) AS bk FROM sig
+      UNION ALL
+      SELECT doc_id, md5('2' || '|' || mh_4 || '|' || mh_5) AS bk FROM sig
+      UNION ALL
+      SELECT doc_id, md5('3' || '|' || mh_6 || '|' || mh_7) AS bk FROM sig
+    ),
+    hist AS (
+      SELECT b.doc_id, b.bk FROM bands b
+      JOIN documents d ON d.doc_id = b.doc_id AND d.source <> 'src0'
+    ),
+    newb AS (
+      SELECT b.doc_id, b.bk FROM bands b
+      JOIN documents d ON d.doc_id = b.doc_id AND d.source = 'src0'
+    )
+    SELECT DISTINCT n.doc_id AS new_id, h.doc_id AS hist_id
+    FROM newb n JOIN hist h ON n.bk = h.bk
+    """,
+)
+def minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental LSH dedup: the src0 slice plays the ARRIVING batch, the
+    rest of the corpus the historical band index — candidates are the
+    batch's band-key collisions against history, O(batch) work with the
+    index persisted at ingest (dedup.minhash_incremental_pairs). The
+    streaming-ingest twin of minhash_lsh_pairs' full-corpus pass."""
+    docs = _t(spark, sf_dir, "documents")
+    history = docs.filter(F.col("source") != "src0")
+    new = docs.filter(F.col("source") == "src0")
+    return dedup.minhash_incremental_pairs(
+        history, new, "text", "doc_id", num_hashes=8, bands=4
+    )
