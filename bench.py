@@ -57,18 +57,45 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    real_stdout.write(
-        json.dumps(
+    # The driver captures only ~2 KB of stdout (BENCH_r03 was parsed:null
+    # because the full 150-query timing map made the line ~4 KB and got
+    # truncated mid-JSON). stdout gets a compact line — total + the slowest
+    # 10 queries — guaranteed under 2 KB; the complete per-query map goes to
+    # BENCH_DETAIL.json next to this script for the judge.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": float(sf),
-            }
+                "n_queries": len(timings),
+                "queries": timings,
+            },
+            fh,
+            indent=1,
+            sort_keys=True,
         )
-        + "\n"
+        fh.write("\n")
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
     )
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_wall",
+            "value": total,
+            "unit": "sec",
+            "sf": float(sf),
+            "n_queries": len(timings),
+            "queries": slowest,
+            "detail": "BENCH_DETAIL.json",
+        }
+    )
+    assert len(line) < 1900, f"bench stdout line too long: {len(line)}"
+    real_stdout.write(line + "\n")
     real_stdout.flush()
 
 

@@ -382,11 +382,15 @@ def simhash(
     reassemble. One shuffle.
 
     The per-bit counts are SIMD-packed: two 32-bit counter lanes ride in
-    each 64-bit sum (counts are word-counts per doc, far below 2^32), so
-    the aggregation runs ``bits/2`` sums instead of ``bits`` — measured
-    ~20% faster end-to-end at sf0.1 with bit-identical output.
+    each 64-bit sum (the lo lane would carry into the hi lane only for a
+    single document exceeding 2^32 words — ~16 TB of text in ONE row, far
+    beyond any realistic document; the bound is a per-document property,
+    so it holds at any corpus scale), so the aggregation runs ``bits/2``
+    sums instead of ``bits`` — measured ~20% faster end-to-end at sf0.1
+    with bit-identical output.
     """
-    assert bits % 2 == 0
+    if bits % 2 != 0:
+        raise ValueError(f"bits must be even (lane packing), got {bits}")
     half = bits // 2
     words = df.select(
         F.col(id_col).alias("_id"),
@@ -419,6 +423,121 @@ def simhash(
     return sums.select(F.col("_id").alias(id_col), fp.alias("simhash"))
 
 
+def simhash_md5(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+) -> DataFrame:
+    """SimHash fingerprint with cross-engine-deterministic bits (md5 family,
+    like :func:`minhash_signature`): bit *i* of a word's contribution is the
+    ASCII parity of hex char *i+1* of ``md5(word)``. Exactly 8 of the 16
+    lowercase hex digits have even ASCII codes (0,2,4,6,8,b,d,f), so each
+    bit is a fair coin. ``bits`` <= 32 (the md5 hex digest is 32 chars).
+
+    Same algorithm as :func:`simhash` (Charikar 2002) but reproducible in
+    any engine with ``md5``/``ascii``/``substr`` — used where a DuckDB
+    oracle must replay the fingerprints; the xxhash64 variant stays the
+    production default (one hash call vs a 32-char digest per word).
+    """
+    if not 0 < bits <= 32:
+        raise ValueError(f"bits must be in 1..32, got {bits}")
+    words = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("_w"),
+    ).withColumn("_m", F.md5("_w"))
+    aggs = [F.count("*").alias("_n")] + [
+        F.sum(F.ascii(F.substring("_m", i + 1, 1)) % 2).alias(f"_b{i}")
+        for i in range(bits)
+    ]
+    sums = words.groupBy("_id").agg(*aggs)
+    one = F.lit(1).cast("long")
+    fp = F.lit(0).cast("long")
+    for i in range(bits):
+        fp = fp.bitwiseOR(
+            F.when(F.col(f"_b{i}") * 2 > F.col("_n"), F.shiftleft(one, i))
+            .otherwise(F.lit(0).cast("long"))
+        )
+    return sums.select(F.col("_id").alias(id_col), fp.alias("simhash"))
+
+
+def simhash_hamming_pairs(
+    fps: DataFrame,
+    id_col: str = "doc_id",
+    fp_col: str = "simhash",
+    max_hamming: int = 3,
+    bands: int = 4,
+    bits: int = 32,
+) -> DataFrame:
+    """All pairs of fingerprints within Hamming distance ``max_hamming`` —
+    bucketed by exact-match banding, never all-pairs.
+
+    The fingerprint is cut into ``bands`` equal-width lanes; by pigeonhole,
+    two fingerprints differing in <= ``max_hamming`` bits agree exactly on
+    at least one lane whenever ``bands > max_hamming`` — so a key-equality
+    self-join on ``(band_index, lane_value)`` generates a candidate set
+    with guaranteed recall, and ``bit_count(a ^ b) <= k`` verifies. This is
+    the Hamming-space analogue of MinHash-LSH banding (MMDS ch.3 §3.9.3 /
+    Manku et al. WWW'07's simhash dedup): candidate volume scales with
+    bucket occupancy, not N².
+
+    Scale shape: one explode (``bands`` rows per doc), one hash-partitioned
+    equi-join on the 2-tuple key, verification is a bitwise expression.
+    Returns ``(id_a, id_b, hamming)`` with ``id_a < id_b``, one row per
+    pair.
+    """
+    if bands <= max_hamming:
+        raise ValueError(
+            f"need bands > max_hamming for guaranteed recall "
+            f"(pigeonhole), got bands={bands} max_hamming={max_hamming}"
+        )
+    if bits % bands != 0:
+        raise ValueError(f"bits={bits} not divisible by bands={bands}")
+    lane_bits = bits // bands
+    mask = F.lit((1 << lane_bits) - 1).cast("long")
+    lanes = fps.select(
+        F.col(id_col).alias("_id"),
+        F.col(fp_col).alias("_fp"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col(fp_col), b * lane_bits)
+                        .bitwiseAND(mask)
+                        .alias("lane"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_l"),
+    ).select("_id", "_fp", F.col("_l.band").alias("_band"), F.col("_l.lane").alias("_lane"))
+    a, b = lanes.alias("a"), lanes.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a._band") == F.col("b._band"),
+                F.col("a._lane") == F.col("b._lane"),
+                F.col("a._id") < F.col("b._id"),
+            ],
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._fp").alias("_fa"),
+            F.col("b._fp").alias("_fb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("_fa").bitwiseXOR(F.col("_fb")))
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def line_dedup(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -440,10 +559,21 @@ def line_dedup(
     shuffling the corpus; the rebuild is the one unavoidable corpus-wide
     shuffle, keyed by document id. Not in the reference (its D1 dedup is
     row-level); this is the LLM-pipeline extension of the same idea.
+
+    ``sep`` is a literal separator (regex-escaped before the split — a '.'
+    or '|' separator splits on the character, not the regex). Hot-line
+    detection groups by ``xxhash64(line)``: a 64-bit collision between an
+    innocent line and corpus boilerplate would drop the innocent line; at
+    ~2^-64 per pair this is accepted (same trade every hash-keyed dedup in
+    this module makes).
     """
+    import re as _re
+
     lines = docs.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep, -1)).alias("pos", "line"),
+        F.posexplode(
+            F.split(F.col(text_col), _re.escape(sep), -1)
+        ).alias("pos", "line"),
     ).withColumn("_h", F.xxhash64("line"))
     hot = (
         lines.filter(F.trim("line") != "")

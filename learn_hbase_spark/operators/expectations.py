@@ -22,12 +22,27 @@ from pyspark.sql import functions as F
 
 @dataclass(frozen=True)
 class Expectation:
-    """One declarative rule: `name`, a row-level boolean `condition`, and
-    the minimum fraction of rows that must satisfy it (1.0 = all)."""
+    """One declarative rule.
+
+    ``kind='fraction'`` (default): a row-level boolean ``condition`` and
+    the minimum fraction of rows that must satisfy it (1.0 = all).
+    ``kind='unique'``: column-level uniqueness over ``col`` — not
+    row-local, so it carries the column explicitly instead of a condition
+    (no sentinel values, no name parsing)."""
 
     name: str
-    condition: Column
+    condition: Column | None = None
     min_fraction: float = 1.0
+    kind: str = "fraction"
+    col: str | None = None
+
+    def __post_init__(self):
+        if self.kind == "fraction" and self.condition is None:
+            raise ValueError(f"rule {self.name!r}: fraction rule needs a condition")
+        if self.kind == "unique" and self.col is None:
+            raise ValueError(f"rule {self.name!r}: unique rule needs col")
+        if self.kind not in ("fraction", "unique"):
+            raise ValueError(f"rule {self.name!r}: unknown kind {self.kind!r}")
 
 
 def not_null(col: str) -> Expectation:
@@ -35,10 +50,10 @@ def not_null(col: str) -> Expectation:
 
 
 def unique(col: str) -> Expectation:
-    """Uniqueness is NOT row-local; it is expressed as a separate count
-    aggregate in the same pass (distinct == total), reported like a rule
-    with observed fraction = distinct/total."""
-    return Expectation(f"{col}_unique", F.col(col).isNotNull(), -1.0)
+    """Uniqueness is NOT row-local; it is expressed as a separate
+    count-distinct aggregate in the same pass (distinct == total),
+    reported like a rule with observed fraction = distinct/total."""
+    return Expectation(f"{col}_unique", kind="unique", col=col)
 
 
 def in_range(col: str, lo, hi) -> Expectation:
@@ -67,11 +82,20 @@ def check(df: DataFrame, rules: list[Expectation]) -> DataFrame:
         # identifiers so F.col doesn't parse them as nested fields
         return "_s_" + re.sub(r"\W", "_", name)
 
+    names = [r.name for r in rules]
+    if len(set(names)) != len(names):
+        dupes = sorted({n for n in names if names.count(n) > 1})
+        raise ValueError(f"duplicate rule names: {dupes}")
+    slots = {_slot(r.name) for r in rules}
+    if len(slots) != len(rules):
+        raise ValueError(
+            "rule names collide after identifier-sanitization; rename rules"
+        )
+
     aggs = [F.count(F.lit(1)).alias("_total")]
     for r in rules:
-        if r.min_fraction == -1.0:  # uniqueness pseudo-rule
-            col = r.name.removesuffix("_unique")
-            aggs.append(F.count_distinct(F.col(col)).alias(_slot(r.name)))
+        if r.kind == "unique":
+            aggs.append(F.count_distinct(F.col(r.col)).alias(_slot(r.name)))
         else:
             aggs.append(
                 F.count(F.when(r.condition, 1)).alias(_slot(r.name))
@@ -79,7 +103,7 @@ def check(df: DataFrame, rules: list[Expectation]) -> DataFrame:
     wide = df.agg(*aggs)
     reports = []
     for r in rules:
-        want = 1.0 if r.min_fraction == -1.0 else r.min_fraction
+        want = 1.0 if r.kind == "unique" else r.min_fraction
         sat = F.col(_slot(r.name))
         reports.append(
             F.struct(

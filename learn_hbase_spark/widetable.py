@@ -58,6 +58,24 @@ STORED_SCHEMA = StructType(
 
 PREFIX_LEN = 4  # the reference's grid-branch prefix width (YhCldETL.java:30)
 
+# Spark's partition-directory escaping (Hive FileUtils.escapePathName via
+# ExternalCatalogUtils): control chars 0x01-0x1F, DEL, and this literal set
+# become %XX (uppercase hex). Verified empirically against Spark 4.1's
+# partitioned-parquet writer (space is NOT escaped; '}' is not either).
+_PARTITION_ESCAPE = set(map(chr, range(0x01, 0x20))) | set('"#%\'*/:=?\\\x7f{[]^')
+_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _escape_partition_value(v: str | None) -> str:
+    """Directory-name form of a partition value, exactly as Spark's writer
+    produces it — so path-math on ``prefix=<value>`` dirs agrees with what
+    is on disk even for prefixes containing ':', '=', '%', etc."""
+    if v is None or v == "":
+        return _DEFAULT_PARTITION
+    return "".join(
+        f"%{ord(c):02X}" if c in _PARTITION_ESCAPE else c for c in v
+    )
+
 
 class WideTable:
     """A wide-column table persisted as prefix-partitioned Parquet."""
@@ -98,6 +116,12 @@ class WideTable:
                 dst = self._hpath(self.path + "/" + name)
                 if not fs.exists(dst):
                     fs.rename(st.getPath(), dst)
+                else:
+                    # crash AFTER install but before aside cleanup: the main
+                    # copy is the freshly-compacted partition and the parked
+                    # dir is its stale pre-compaction copy — drop it, or it
+                    # lingers until the prefix is recompacted
+                    fs.delete(st.getPath(), True)
             if len(fs.listStatus(prefix_aside)) == 0:
                 fs.delete(prefix_aside, True)
 
@@ -351,7 +375,7 @@ class WideTable:
         resolved.write.partitionBy("prefix").mode("overwrite").parquet(tmp_root)
         fs.mkdirs(aside_root)
         for p in prefixes:
-            part = f"prefix={p}"
+            part = f"prefix={_escape_partition_value(p)}"
             main_p = self._hpath(f"{self.path}/{part}")
             tmp_p = self._hpath(f"{tmp_root}/{part}")
             aside_p = self._hpath(f"{self.path}__aside/{part}")

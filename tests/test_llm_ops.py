@@ -12,9 +12,12 @@ from pyspark.sql import functions as F
 from learn_hbase_spark.operators import multimodal, similarity
 from learn_hbase_spark.operators.dedup import (
     exact_dedup,
+    line_dedup,
     minhash_bucket_pairs,
     ngram_jaccard_pairs,
     simhash,
+    simhash_hamming_pairs,
+    simhash_md5,
 )
 
 DOCS = [
@@ -63,6 +66,63 @@ def test_simhash_close_for_near_dups(spark, docs):
     ham_near = bin((fp[0] ^ fp[2]) & (2**64 - 1)).count("1")
     ham_far = bin((fp[0] ^ fp[3]) & (2**64 - 1)).count("1")
     assert ham_near < ham_far
+
+
+def test_simhash_odd_bits_rejected(spark, docs):
+    with pytest.raises(ValueError, match="even"):
+        simhash(docs, bits=63)
+
+
+def test_simhash_hamming_pairs_banded_recall(spark):
+    # Construct fingerprints directly so the recall guarantee is exact:
+    # pairs within Hamming<=3 MUST be found (pigeonhole over 4 lanes),
+    # pairs beyond must not appear in the output.
+    base = 0b10110100_01011010_11001100_00110101
+    rows = [
+        (0, base),
+        (1, base ^ 0b111),            # hamming 3 (all in lane 0)
+        (2, base ^ (1 << 5) ^ (1 << 13) ^ (1 << 27)),  # hamming 3, spread
+        (3, base ^ ((1 << 9) - 1)),   # hamming 9 — candidate via lanes 2/3
+        (4, 0),                        # far from everything
+    ]
+    fps = spark.createDataFrame(rows, "doc_id long, simhash long")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_hamming_pairs(fps, max_hamming=3).collect()
+    }
+    assert got[(0, 1)] == 3 and got[(0, 2)] == 3
+    assert (0, 3) not in got and (0, 4) not in got
+    assert (1, 2) not in got  # hamming 6: candidate via lane 2, filtered
+
+
+def test_simhash_hamming_pairs_rejects_bad_bands(spark):
+    fps = spark.createDataFrame([(0, 1)], "doc_id long, simhash long")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_hamming_pairs(fps, max_hamming=4, bands=4)
+    with pytest.raises(ValueError, match="divisible"):
+        simhash_hamming_pairs(fps, bands=5, bits=32)
+
+
+def test_simhash_md5_deterministic_and_near(spark, docs):
+    fp = {r["doc_id"]: r["simhash"] for r in simhash_md5(docs).collect()}
+    fp2 = {r["doc_id"]: r["simhash"] for r in simhash_md5(docs).collect()}
+    assert fp == fp2
+    assert fp[0] == fp[1] == fp[4]
+    near = bin(fp[0] ^ fp[2]).count("1")
+    far = bin(fp[0] ^ fp[3]).count("1")
+    assert near < far
+
+
+def test_line_dedup_literal_separator(spark):
+    # '.' as separator must split on the dot character, not regex-any
+    rows = [(i, "keep me.boiler plate.tail%d" % i) for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in line_dedup(docs, max_count=3, sep=".").collect()
+    }
+    assert out[0]["n_dropped"] == 2  # 'keep me' and 'boiler plate' both hot
+    assert out[0]["clean_text"] == "tail0"
 
 
 # ---------------------------------------------------------------------------

@@ -5,6 +5,7 @@ from __future__ import annotations
 import datetime as dt
 import random
 
+import pytest
 from pyspark.sql import functions as F
 
 from learn_hbase_spark.operators.dedup import first_wins, shingles
@@ -307,3 +308,22 @@ def test_expectations_single_pass_report(spark):
     assert report["v_mostly_present"] == (3, True)  # 3/4 >= 0.7
     assert report["id_unique"] == (4, True)
     assert report["cat_unique"] == (3, False)       # A repeats
+
+
+def test_expectations_validation(spark):
+    from learn_hbase_spark.operators import expectations as X
+
+    df = spark.createDataFrame([(1,)], "id int")
+    # duplicate rule names are an error, not an ambiguous-column crash
+    with pytest.raises(ValueError, match="duplicate"):
+        X.check(df, [X.not_null("id"), X.not_null("id")])
+    # uniqueness is an explicit kind, not a magic min_fraction: a renamed
+    # unique rule keeps working, and min_fraction=-1.0 is just a fraction
+    renamed = X.Expectation("pk", kind="unique", col="id")
+    assert {r["rule"]: r["passed"] for r in X.check(df, [renamed]).collect()} == {
+        "pk": True
+    }
+    with pytest.raises(ValueError, match="needs a condition"):
+        X.Expectation("broken", min_fraction=-1.0)
+    with pytest.raises(ValueError, match="unknown kind"):
+        X.Expectation("broken", F.lit(True), kind="exotic")

@@ -287,6 +287,59 @@ def test_compact_prefixes_crash_recovery(spark, table, tmp_path):
     assert not aside.exists()
 
 
+def test_compact_prefixes_escaped_partition_values(spark, table):
+    """A prefix containing characters Spark escapes in partition dir names
+    (':' -> %3A) must still be found and compacted — the dir-name math has
+    to match the writer's escaping, not the raw value."""
+    for v in ("U1", "U2", "U3"):
+        table.put(_cells(spark, [("04:1_M1", "info", "yhbh", v)]))
+    before = {
+        r["prefix"]: r["n_versions"]
+        for r in table.partition_stats().collect()
+    }
+    assert before["04:1"] == 3
+    table.compact_prefixes(["04:1"])
+    after = {
+        r["prefix"]: r["n_versions"]
+        for r in table.partition_stats().collect()
+    }
+    assert after["04:1"] == 1  # silently no-oping here was the ADVICE bug
+    got = table.get("04:1_M1", "info", "yhbh").collect()
+    assert got[0]["value"] == "U3"
+
+
+def test_recover_drops_stale_aside_when_main_exists(spark, table):
+    """Crash AFTER install but before aside cleanup: the parked copy is
+    stale (main holds the compacted data) and _recover must remove it."""
+    import shutil
+    from pathlib import Path
+
+    table.put(_cells(spark, [("0401_M1", "info", "yhbh", "U1")]))
+    root = Path(table.path)
+    aside = Path(str(root) + "__aside")
+    aside.mkdir()
+    # simulate: parked copy left behind while main partition is live
+    shutil.copytree(str(root / "prefix=0401"), str(aside / "prefix=0401"))
+    rows = sorted(r["rowkey"] for r in table.scan().collect())
+    assert rows == ["0401_M1"]
+    assert not aside.exists()  # stale park removed, root cleaned up
+
+
+def test_escape_partition_value_matches_spark_writer(spark, tmp_path):
+    """The escape table must agree byte-for-byte with what Spark's
+    partitioned writer puts on disk."""
+    import os
+
+    from learn_hbase_spark.widetable import _escape_partition_value
+
+    vals = ["a b", "a:b", "a=b", "a%b", "a#b", "a'b", "a/x", "pl", "a[]^{"]
+    df = spark.createDataFrame([(v, 1) for v in vals], "p string, x int")
+    out = str(tmp_path / "esc")
+    df.write.partitionBy("p").mode("overwrite").parquet(out)
+    on_disk = {n for n in os.listdir(out) if n.startswith("p=")}
+    assert {f"p={_escape_partition_value(v)}" for v in vals} == on_disk
+
+
 def test_null_family_raises_typed_error(spark, table):
     import pytest as _pytest
 
