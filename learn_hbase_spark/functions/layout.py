@@ -33,6 +33,76 @@ def _spread16(c: Column) -> Column:
     return out
 
 
+def write_zordered(
+    df,
+    path: str,
+    col_a: str,
+    col_b: str,
+    n_files: int = 16,
+) -> None:
+    """Write ``df`` as parquet physically laid out in Morton order of
+    ``(col_a, col_b)`` — the storage half of :func:`morton2`.
+
+    ``repartitionByRange`` on the z-key splits the keyspace into
+    ``n_files`` contiguous z-ranges (one file each, quadrant-shaped in the
+    2-D plane) and ``sortWithinPartitions`` clusters rows inside each file
+    so parquet row-group min/max stats are tight on BOTH dimensions. At
+    cluster scale the identical two calls lay out any number of files;
+    nothing here is local-mode-specific. Both columns are clamped to 16
+    bits (order-preserving ``least``) — callers with wider domains should
+    pre-bucket, as :func:`morton2` documents.
+    """
+    clamp = F.lit((1 << 16) - 1)
+    z = morton2(
+        F.least(F.col(col_a), clamp), F.least(F.col(col_b), clamp)
+    ).alias("_z")
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def candidate_row_groups(
+    path: str,
+    col_a: str,
+    range_a: tuple,
+    col_b: str,
+    range_b: tuple,
+) -> tuple[int, int]:
+    """(candidate, total) parquet row-group counts for a 2-D box query,
+    decided purely from footer min/max statistics — exactly the pruning
+    decision a scan makes before touching data. Driver-side metadata walk
+    (footers only, no row data); used by tests and layout diagnostics to
+    QUANTIFY how much a layout prunes, not in any query path."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    total = candidate = 0
+    for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+        md = pq.ParquetFile(f).metadata
+        schema_names = [md.schema.column(i).name for i in range(md.num_columns)]
+        ia, ib = schema_names.index(col_a), schema_names.index(col_b)
+        for rg in range(md.num_row_groups):
+            total += 1
+            sa = md.row_group(rg).column(ia).statistics
+            sb = md.row_group(rg).column(ib).statistics
+            hit_a = sa is None or not (
+                sa.max < range_a[0] or sa.min > range_a[1]
+            )
+            hit_b = sb is None or not (
+                sb.max < range_b[0] or sb.min > range_b[1]
+            )
+            if hit_a and hit_b:
+                candidate += 1
+    return candidate, total
+
+
 def morton2(a: Column, b: Column) -> Column:
     """Interleave the low 16 bits of two non-negative int columns into one
     32-bit Z-order key: bit i of `a` lands at position 2i, bit i of `b` at

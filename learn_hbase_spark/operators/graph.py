@@ -110,15 +110,25 @@ def pagerank(
     dst_col: str = "id_b",
     damping: float = 0.85,
     n_iter: int = 10,
+    redistribute_dangling: bool = False,
 ) -> DataFrame:
     """PageRank over an undirected edge list, fixed iteration count.
 
     Returns ``(node_col, rank)`` in the 1-centered formulation
-    ``rank = (1-d) + d * sum(in)``. No dangling-mass redistribution is
-    applied: an isolated node settles at ``1-d`` and total mass is <= |V|
-    (equal only when every node has out-degree > 0) — fine for the
-    near-dup-cluster ranking this feeds, where only relative order within
-    a connected component matters. Each iteration is one join + one
+    ``rank = (1-d) + d * sum(in)``. By default no dangling-mass
+    redistribution is applied: an isolated node settles at ``1-d`` and
+    total mass is <= |V| (equal only when every node has out-degree > 0)
+    — fine for the near-dup-cluster ranking this feeds, where only
+    relative order within a connected component matters. With
+    ``redistribute_dangling=True`` the standard correction (Page et al.
+    1999) is applied: each round, the rank mass sitting on out-degree-0
+    nodes is spread uniformly over all nodes
+    (``rank = (1-d) + d*(sum_in + dangling_mass/|V|)``), and total mass
+    converges to exactly ``|V|`` — use it when absolute rank values
+    matter (cross-component comparison, mass-conservation audits). Cost:
+    one extra scalar aggregate per round over the (static, usually tiny)
+    dangling-node set, broadcast back as a one-row crossJoin. Each
+    iteration is one join + one
     aggregation on the edge list — rank mass flows along edges, damped
     toward the uniform prior. Fixed
     ``n_iter`` (not convergence-tested) keeps the result deterministic for
@@ -144,6 +154,12 @@ def pagerank(
     base = nodes.select(F.col(node_col).alias("u")).coalesce(n_parts)
     ranks = base.withColumn("rank", F.lit(1.0)).localCheckpoint()
 
+    if redistribute_dangling:
+        # static set: symmetrized edges give every endpoint out-degree >0,
+        # so dangling == node never appearing in an edge
+        dangling = base.join(degrees, "u", "left_anti").localCheckpoint()
+        n_nodes = base.count()  # scalar; bounded driver value
+
     for i in range(n_iter):
         contrib = (
             out_edges.join(ranks, "u")
@@ -154,13 +170,32 @@ def pagerank(
             .groupBy("u")
             .agg(F.sum("_c").alias("_in"))
         )
-        ranks = base.join(contrib, "u", "left").select(
-            "u",
-            (
-                F.lit(1.0 - damping)
-                + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0))
-            ).alias("rank"),
-        )
+        incoming = F.coalesce(F.col("_in"), F.lit(0.0))
+        if redistribute_dangling:
+            dang_mass = dangling.join(ranks, "u").agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")
+            )
+            # one-row crossJoin (allowlisted bounded NLJ): ships the scalar
+            # to every task without a driver round-trip inside the lineage
+            ranks = (
+                base.join(contrib, "u", "left")
+                .crossJoin(F.broadcast(dang_mass))
+                .select(
+                    "u",
+                    (
+                        F.lit(1.0 - damping)
+                        + F.lit(damping)
+                        * (incoming + F.col("_dm") / F.lit(float(n_nodes)))
+                    ).alias("rank"),
+                )
+            )
+        else:
+            ranks = base.join(contrib, "u", "left").select(
+                "u",
+                (F.lit(1.0 - damping) + F.lit(damping) * incoming).alias(
+                    "rank"
+                ),
+            )
         # truncate lineage every few rounds: a checkpoint per round pays a
         # full materialization each iteration, while a 3-round join-agg
         # lineage is still cheap to plan — checkpoint cadence trades

@@ -51,6 +51,32 @@ class JdbcSource:
             reader = reader.option(k, v)
         return reader.load()
 
+    def register_catalog(self, spark: SparkSession, name: str) -> str:
+        """Expose this source as a DataSource-V2 JDBC table catalog.
+
+        The plain ``spark.read.jdbc`` path (``read``) is V1: it pushes
+        filters and column pruning but NOT aggregates. Registering a
+        ``JDBCTableCatalog`` switches table reads to the V2 scan builder,
+        where Catalyst additionally pushes ``COUNT/SUM/MIN/MAX/AVG`` and
+        ``GROUP BY`` into the remote database — at scale the difference
+        between shipping a 3-row aggregate and shipping the whole fact
+        table over the wire. Tables resolve as ``<name>.<schema>.<table>``
+        (e.g. ``mydb.APP.METERS`` on Derby). Catalog instances are cached
+        per session after first resolution, so register before first use.
+        """
+        base = f"spark.sql.catalog.{name}"
+        spark.conf.set(
+            base,
+            "org.apache.spark.sql.execution.datasources.v2.jdbc."
+            "JDBCTableCatalog",
+        )
+        spark.conf.set(f"{base}.url", self.url)
+        spark.conf.set(f"{base}.pushDownAggregate", "true")
+        spark.conf.set(f"{base}.pushDownLimit", "true")
+        for k, v in self.options.items():
+            spark.conf.set(f"{base}.{k}", v)
+        return name
+
 
 @dataclass
 class ParquetStandin:

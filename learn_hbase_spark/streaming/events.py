@@ -16,6 +16,35 @@ from pyspark.sql import functions as F
 from ..schemas import EVENTS
 
 
+# Spark's spillable state store (built-in since 3.2; rocksdbjni ships in
+# Spark's jars). The default HDFS-backed provider keeps every key of every
+# stateful operator (session windows, timers, stream-stream join buffers,
+# dedup sets) in executor HEAP — at 100 TB-scale key cardinality that is an
+# OOM, not a tuning problem. RocksDB keeps working set in memory and spills
+# the rest to local disk, bounding heap regardless of key count.
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+_PROVIDER_CONF = "spark.sql.streaming.stateStore.providerClass"
+
+
+def use_rocksdb_state_store(spark: SparkSession, enable: bool = True) -> None:
+    """Config-gate the RocksDB state store for subsequent streaming queries.
+
+    The provider is read per-query at START, so call this before
+    ``.start()``; already-running queries keep their provider, and a
+    query's checkpoint pins its provider for the life of that checkpoint
+    (don't flip providers on an existing checkpoint dir). ``enable=False``
+    restores the default (HDFS-backed in-heap) provider — the local-mode
+    fallback where state fits comfortably in one JVM's heap.
+    """
+    if enable:
+        spark.conf.set(_PROVIDER_CONF, ROCKSDB_PROVIDER)
+    else:
+        spark.conf.unset(_PROVIDER_CONF)
+
+
 def read_event_stream(
     spark: SparkSession, path: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:

@@ -97,6 +97,39 @@ def test_pagerank_properties(spark):
     assert abs(sum(got.values()) - 6.0) < 0.2  # mass conserved (~|V|)
 
 
+def test_pagerank_dangling_mass_redistribution(spark):
+    """On a graph WITH dangling (edge-less) nodes: default mode leaks mass
+    (isolated nodes pin at 1-d, total < |V|); redistribution mode conserves
+    total mass at |V| and lifts connected nodes, while relative order
+    within the connected component is unchanged."""
+    from learn_hbase_spark.operators.graph import pagerank
+
+    nodes = spark.createDataFrame([(i,) for i in range(8)], "node long")
+    # star on 0..3; nodes 4..7 dangling (no edges at all)
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], "id_a long, id_b long"
+    )
+    plain = {
+        r["node"]: r["rank"] for r in pagerank(nodes, edges).collect()
+    }
+    redis = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            nodes, edges, redistribute_dangling=True, n_iter=30
+        ).collect()
+    }
+    # default: each dangling node sits at exactly 1-d; total mass short
+    assert all(abs(plain[i] - 0.15) < 1e-9 for i in range(4, 8))
+    assert sum(plain.values()) < 8.0 - 1.0
+    # redistribution: mass conserved at |V| (0.85^30 * initial deficit)
+    assert abs(sum(redis.values()) - 8.0) < 0.05
+    # dangling nodes now hold more than the bare prior, all equal
+    assert redis[4] > 0.15 and len({round(redis[i], 6) for i in range(4, 8)}) == 1
+    # hub still outranks leaves; leaves still tie
+    assert redis[0] > redis[1]
+    assert abs(redis[1] - redis[2]) < 1e-9
+
+
 def test_pagerank_deterministic_across_partitioning(spark):
     from learn_hbase_spark.operators.graph import pagerank
 

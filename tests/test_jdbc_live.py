@@ -79,6 +79,30 @@ def test_jdbc_predicate_pushdown_into_remote_sql(spark, derby_url):
     assert df.count() == len([i for i in range(N_ROWS) if i % 3 == 0])
 
 
+def test_jdbc_aggregate_pushdown_via_v2_catalog(spark, derby_url):
+    """count/sum/GROUP BY must execute INSIDE the database (visible as
+    PushedAggregates on the V2 scan), not as a full-table fetch plus a
+    Spark-side aggregation — the V1 reader can't do this; the registered
+    JDBCTableCatalog path can."""
+    from pyspark.sql import functions as F
+
+    cat = _source(derby_url).register_catalog(spark, "derbyagg")
+    df = (
+        spark.table(f"{cat}.APP.METERS")
+        .groupBy("DAY")
+        .agg(F.count("*").alias("n"), F.sum("READING").alias("s"))
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedAggregates: [COUNT(*), SUM(READING)]" in plan, plan
+    assert "PushedGroupByExpressions: [DAY]" in plan, plan
+    got = {r["DAY"]: (r["n"], r["s"]) for r in df.collect()}
+    want: dict[str, list[float]] = {}
+    for i in range(N_ROWS):
+        day = f"2019050{i % 3 + 1}"
+        want.setdefault(day, []).append(float(i))
+    assert got == {d: (len(v), sum(v)) for d, v in want.items()}
+
+
 def test_jdbc_prefix_scan_matches_reference_shape(spark, derby_url):
     """The reference's per-branch dim scan (YhCldETL.java:58-63) as one
     pushed LIKE-prefix predicate."""

@@ -279,6 +279,64 @@ def test_morton2_interleaves_bits(spark):
     assert out[-1] == (1 << 32) - 1
 
 
+def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
+    """Storage proof for the Morton key: the same rows written (a) sorted
+    by x only and (b) in z-order are queried with a 2-D box; row-group
+    min/max stats must prune MORE of the z-ordered layout on the
+    y-constrained box, and the z-layout must stay selective on x too."""
+    import random
+
+    from learn_hbase_spark.functions.layout import (
+        candidate_row_groups,
+        write_zordered,
+    )
+
+    rng = random.Random(7)
+    rows = [(rng.randrange(4096), rng.randrange(4096)) for _ in range(40_000)]
+    df = spark.createDataFrame(rows, "x int, y int")
+    n_files = 16
+
+    linear = str(tmp_path / "linear")
+    (
+        df.repartitionByRange(n_files, "x")
+        .sortWithinPartitions("x")
+        .write.mode("overwrite")
+        .parquet(linear)
+    )
+    zordered = str(tmp_path / "zorder")
+    write_zordered(df, zordered, "x", "y", n_files=n_files)
+
+    box_y = ((0, 4095), (100, 300))  # selective on y only
+    lin_y, lin_total = candidate_row_groups(
+        linear, "x", box_y[0], "y", box_y[1]
+    )
+    z_y, z_total = candidate_row_groups(
+        zordered, "x", box_y[0], "y", box_y[1]
+    )
+    # linear-on-x clusters nothing about y: every row group is a candidate;
+    # the z-layout must actually prune
+    assert lin_y == lin_total
+    assert z_y < z_total / 2
+
+    box_xy = ((100, 300), (100, 300))  # selective on both
+    lin_xy, _ = candidate_row_groups(linear, "x", box_xy[0], "y", box_xy[1])
+    z_xy, _ = candidate_row_groups(zordered, "x", box_xy[0], "y", box_xy[1])
+    assert z_xy < z_total / 2
+    # and correctness: both layouts return identical query results
+    want = sorted(
+        map(tuple, df.filter("x between 100 and 300 and y between 100 and 300").collect())
+    )
+    got = sorted(
+        map(
+            tuple,
+            spark.read.parquet(zordered)
+            .filter("x between 100 and 300 and y between 100 and 300")
+            .collect(),
+        )
+    )
+    assert got == want
+
+
 def test_expectations_single_pass_report(spark):
     from learn_hbase_spark.operators import expectations as X
 

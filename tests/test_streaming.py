@@ -102,6 +102,52 @@ def test_session_windows_match_batch(spark, tmp_path):
     assert not missing, f"closed sessions not emitted: {sorted(missing)[:5]}"
 
 
+def test_session_windows_under_rocksdb_state_store(spark, tmp_path):
+    """The same stateful query must produce identical results under the
+    spillable RocksDB state store provider (the 100 TB posture — state off
+    the heap) as under the default in-heap provider, and the RocksDB run
+    must actually materialize RocksDB state files in its checkpoint."""
+    from learn_hbase_spark.streaming.events import use_rocksdb_state_store
+
+    src = str(tmp_path / "src")
+    load_table(spark, SF, "events").write.parquet(src)
+
+    def run(tag):
+        out, ckpt = str(tmp_path / f"out_{tag}"), str(tmp_path / f"ck_{tag}")
+        agg = session_window_counts(
+            read_event_stream(spark, src), gap="30 minutes", watermark="2 hours"
+        )
+        run_bounded(agg, out, ckpt)
+        return (
+            {
+                (r["user_id"], r["session_start"]): (
+                    r["n_events"],
+                    round(r["sum_value"], 6),
+                )
+                for r in spark.read.parquet(out).collect()
+            },
+            ckpt,
+        )
+
+    default_res, _ = run("heap")
+    use_rocksdb_state_store(spark)
+    try:
+        rocks_res, rocks_ckpt = run("rocks")
+    finally:
+        use_rocksdb_state_store(spark, enable=False)
+
+    assert rocks_res == default_res and rocks_res
+    # RocksDB leaves its own artifacts (.zip snapshots / .changelog) in the
+    # state dir — proof the provider was actually in effect, not silently
+    # defaulted
+    import glob
+
+    state_files = glob.glob(f"{rocks_ckpt}/state/**/*", recursive=True)
+    assert any(f.endswith((".zip", ".changelog")) for f in state_files), (
+        state_files[:10]
+    )
+
+
 def test_stateful_user_totals_match_batch(spark, tmp_path):
     """applyInPandasWithState running totals: after draining the bounded
     stream, the latest state per user equals the batch groupBy."""
