@@ -337,3 +337,91 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
     )
+
+
+def kmeans_clusters(
+    corpus: DataFrame,
+    k: int = 8,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd's k-means over the embedding column — corpus
+    clustering for curation (domain discovery, cluster-balanced sampling,
+    per-cluster dedup budgets; the same clustering ``ivf_topk`` uses as an
+    index, exposed as a first-class operator).
+
+    Deterministic by construction: seeds are the ``k`` lowest-id vectors,
+    a FIXED ``n_iter`` Lloyd rounds (no convergence race), cosine
+    assignment with argmax-ties broken by lowest centroid index (numpy
+    argmax). Each round is one Arrow-batched assignment pass
+    (``mapInPandas``) + one per-cell mean (``applyInPandas``); only the
+    k x dim centroid matrix ever reaches the driver — bounded index
+    metadata, the corpus stays distributed. At 100 TB: k grows ~sqrt(N),
+    the assignment pass is embarrassingly parallel, and the per-round
+    driver collect is k rows regardless of corpus size.
+
+    Returns ``(id_col, cluster_id, sim)`` — sim is cosine similarity to
+    the assigned (final) centroid, rounded to 6.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def _norm_rows(m: "np.ndarray") -> "np.ndarray":
+        return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+    prepped = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    )
+    seeds = (
+        prepped.orderBy(F.col("_id").asc()).limit(k).toPandas()["_v"]
+    )
+    cents = _norm_rows(np.stack([np.asarray(v, dtype=np.float64) for v in seeds]))
+
+    def _assign(cent_matrix: "np.ndarray"):
+        def fn(batches):
+            for pdf in batches:
+                m = _norm_rows(
+                    np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
+                )
+                pdf = pdf[["_id", "_v"]].copy()
+                pdf["_cell"] = np.argmax(m @ cent_matrix.T, axis=1).astype("int32")
+                yield pdf
+        return fn
+
+    schema = "_id long, _v array<double>, _cell int"
+
+    def _cell_mean(key: tuple, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        # id-sorted before the mean: float summation is order-dependent,
+        # and group row order otherwise varies with upstream partitioning
+        pdf = pdf.sort_values("_id")
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
+        return pd.DataFrame({"_cell": [key[0]], "_v": [m.mean(axis=0).tolist()]})
+
+    for _ in range(n_iter):
+        assigned = prepped.mapInPandas(_assign(cents), schema=schema)
+        means = (
+            assigned.groupBy("_cell")
+            .applyInPandas(_cell_mean, schema="_cell int, _v array<double>")
+            .toPandas()  # bounded: k rows
+        )
+        new_cents = cents.copy()
+        new_cents[means["_cell"].to_numpy()] = _norm_rows(
+            np.stack([np.asarray(v) for v in means["_v"]])
+        )
+        cents = new_cents  # empty cells keep their previous centroid
+
+    final = prepped.mapInPandas(_assign(cents), schema=schema)
+    cent_rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)]
+    cent_df = corpus.sparkSession.createDataFrame(
+        cent_rows, "_cell int, _cv array<double>"
+    )
+    return (
+        final.join(F.broadcast(cent_df), "_cell")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_cell").alias("cluster_id"),
+            F.round(cosine(F.col("_v"), F.col("_cv")), 6).alias("sim"),
+        )
+    )

@@ -3210,6 +3210,18 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(q, emb, k=10, nlist=16, nprobe=4)
 
 
+@_register("embedding_kmeans")  # iterative float fixpoint → rows-only check
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus clustering: deterministic Lloyd's k-means over the embedding
+    table (similarity.kmeans_clusters) — domain discovery / cluster-
+    balanced sampling for curation. Iterative float fixpoint ⇒ no SQL
+    oracle (the same declared class as pagerank_neardup); determinism and
+    agreement with a single-node numpy reference are pytest-asserted
+    (tests/test_llm_ops.py)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.kmeans_clusters(emb, k=8, n_iter=5)
+
+
 @_register("ann_lsh_topk")  # approximate by design → rows-only check
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k (random-hyperplane signs). The scale
@@ -3559,6 +3571,57 @@ def lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "quality_band_sample",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS w FROM documents
+    ),
+    vocab AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+    total AS (SELECT sum(c) AS t FROM vocab),
+    scored AS (
+      SELECT doc_id, round(avg(ln(c / (SELECT t FROM total))), 6) AS score
+      FROM toks JOIN vocab USING (w) GROUP BY doc_id
+    ),
+    bounds AS (
+      SELECT round(quantile_cont(score, 0.10), 4) AS lo,
+             round(quantile_cont(score, 0.90), 4) AS hi
+      FROM scored
+    )
+    SELECT doc_id, score
+    FROM scored, bounds
+    WHERE score >= lo AND score <= hi
+      AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+          < '{sampling.threshold(0.5)}'
+    """,
+)
+def quality_band_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-band curation sampling — the standard LLM-data recipe:
+    score every document with the cheap unigram LM proxy (composes the
+    ``lm_score`` query), drop the bottom decile (gibberish / rare-token
+    soup) AND the top decile (degenerate all-stopword text), then take a
+    deterministic 50% identity-hash subsample of the band. Thresholds are
+    exact interpolated percentiles computed by AGGREGATION (partial-
+    aggregable, broadcast back as a one-row frame) — deliberately not a
+    global rank window, which would serialize 100 TB into one task. Band
+    membership compares round-6 scores to round-4 thresholds so both
+    engines make identical keep/drop calls."""
+    scored = lm_score(spark, sf_dir).select(
+        "doc_id", F.col("avg_logprob").alias("score")
+    )
+    bounds = scored.agg(
+        F.round(F.expr("percentile(score, 0.10)"), 4).alias("lo"),
+        F.round(F.expr("percentile(score, 0.90)"), 4).alias("hi"),
+    )
+    kept = (
+        scored.crossJoin(F.broadcast(bounds))
+        .filter((F.col("score") >= F.col("lo")) & (F.col("score") <= F.col("hi")))
+    )
+    return sampling.deterministic_sample(kept, "doc_id", 0.5).select(
+        "doc_id", "score"
+    )
+
+
+@_register(
     "source_overlap",
     f"""
     WITH fp AS (
@@ -3851,6 +3914,174 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("l_shipdate").alias("ship_year"),
         )
         .agg(volume.alias("volume"))
+    )
+
+
+@_register(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: order-priority checking — EXISTS decorrelated to a
+    left-semi join whose residual is the correlated lateness predicate.
+    The testdata carries no l_commitdate/l_receiptdate, so "late" is
+    l_shipdate > o_orderdate + 60 days (same correlated-comparison shape).
+    The semi join hashes on the order key; the non-equi lateness conjunct
+    rides as the join residual, so no second pass over lineitem."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            on=[
+                F.col("l_orderkey") == F.col("o_orderkey"),
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+            ],
+            how="left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@_register(
+    "q12_priority_split",
+    """
+    SELECT l_returnflag AS ship_class,
+           count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                 THEN 1 END) AS high_line_count,
+           count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                 THEN 1 END) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+    GROUP BY l_returnflag
+    """,
+)
+def q12_priority_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: late shipments split into high/low-priority counts
+    per shipping class (l_returnflag stands in for the absent l_shipmode;
+    lateness is the shipdate-vs-orderdate analogue of receipt-vs-commit).
+    One fact-fact join keyed on the order key + conditional counts — the
+    CASE aggregation is map-side partial, so the shuffle carries 3 rows
+    per partition, not the join output."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+        )
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+    )
+
+
+@_register(
+    "q21_waiting_supplier",
+    """
+    WITH sup_lines AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    late AS (
+      SELECT DISTINCT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    )
+    SELECT s_name, count(*) AS numwait
+    FROM late t
+    JOIN supplier ON s_suppkey = t.l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE n_name = 'NATION_1'
+      AND EXISTS (SELECT 1 FROM sup_lines x
+                  WHERE x.l_orderkey = t.l_orderkey
+                    AND x.l_suppkey <> t.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late y
+                      WHERE y.l_orderkey = t.l_orderkey
+                        AND y.l_suppkey <> t.l_suppkey)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late supplier on a
+    multi-supplier order — the classic EXISTS + NOT-EXISTS pair,
+    decorrelated to a left-semi join (another supplier contributed) and a
+    left-anti join (no other supplier was late), each hashing on the
+    order key with the supplier-inequality as join residual. Lateness is
+    the shipdate analogue (no commit/receipt dates in the testdata).
+    Deterministic ORDER BY (count DESC, unique name) + LIMIT."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    sup_lines = li.select("l_orderkey", "l_suppkey").distinct()
+    late = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            (F.col("o_orderstatus") == "F")
+            & (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+            )
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    t = late.alias("t")
+    x = sup_lines.alias("x")
+    y = late.alias("y")
+    sole_late_multi = (
+        t.join(
+            x,
+            on=[
+                F.col("x.l_orderkey") == F.col("t.l_orderkey"),
+                F.col("x.l_suppkey") != F.col("t.l_suppkey"),
+            ],
+            how="left_semi",
+        )
+        .join(
+            y,
+            on=[
+                F.col("y.l_orderkey") == F.col("t.l_orderkey"),
+                F.col("y.l_suppkey") != F.col("t.l_suppkey"),
+            ],
+            how="left_anti",
+        )
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    return (
+        sole_late_multi.join(
+            F.broadcast(s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)),
+            F.col("s_suppkey") == F.col("t.l_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
     )
 
 

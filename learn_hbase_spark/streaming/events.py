@@ -6,6 +6,16 @@ The streaming analog of the reference's ingest is: file/Kafka source →
 the same declarative transforms → idempotent sink. Watermarked windowed
 aggregation replaces the driver-scheduled day loop; ``availableNow`` makes
 the same query testable as a bounded run.
+
+Arbitrary state uses ``applyInPandasWithState`` (``stateful_user_totals``,
+``stateful_sessions_with_timeout``). Spark 4's successor API
+(``transformWithStateInPandas`` — typed ValueState/ListState/MapState,
+schema evolution) was evaluated and is unusable in this container: its
+driver worker imports ``google.protobuf``, which is not installed (verified:
+STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE / ImportError). On a cluster
+with protobuf present the ``stateful_user_totals`` processor ports 1:1
+(ValueState replaces the GroupState tuple); the operator semantics and
+tests here are unchanged by that swap.
 """
 
 from __future__ import annotations

@@ -130,6 +130,54 @@ def test_line_dedup_literal_separator(spark):
 # ---------------------------------------------------------------------------
 
 
+def _numpy_lloyd(rows, k, n_iter):
+    """Single-node reference for kmeans_clusters: identical seeding
+    (k lowest ids), identical fixed-iteration Lloyd's on normalized
+    vectors, identical argmax tie-break."""
+    import numpy as np
+
+    ids = sorted(r[0] for r in rows)
+    by_id = dict(rows)
+
+    def norm(m):
+        return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+    raw = np.stack([np.asarray(by_id[i], float) for i in ids])
+    cents = norm(raw[:k].copy())
+    data = norm(raw)
+    for _ in range(n_iter):
+        cells = np.argmax(data @ cents.T, axis=1)
+        new = cents.copy()
+        for c in range(k):
+            members = raw[cells == c]  # operator means RAW vectors in id order
+            if len(members):
+                new[c] = members.mean(axis=0)
+        cents = norm(new)
+    final = np.argmax(data @ cents.T, axis=1)
+    return dict(zip(ids, final.tolist()))
+
+
+def test_kmeans_matches_numpy_reference(spark, vectors):
+    from learn_hbase_spark.operators.similarity import kmeans_clusters
+
+    got = {
+        r["vec_id"]: r["cluster_id"]
+        for r in kmeans_clusters(vectors, k=4, n_iter=3).collect()
+    }
+    rows = [(r["vec_id"], r["embedding"]) for r in vectors.collect()]
+    want = _numpy_lloyd(rows, k=4, n_iter=3)
+    assert got == want
+    # determinism across partitioning
+    got2 = {
+        r["vec_id"]: r["cluster_id"]
+        for r in kmeans_clusters(vectors.repartition(7), k=4, n_iter=3).collect()
+    }
+    assert got2 == got
+    # similarity to assigned centroid is a valid cosine
+    sims = [r["sim"] for r in kmeans_clusters(vectors, k=4, n_iter=3).collect()]
+    assert all(-1.0 <= s <= 1.0 for s in sims)
+
+
 @pytest.fixture(scope="module")
 def vectors(spark):
     rng = random.Random(3)

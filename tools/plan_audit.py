@@ -42,6 +42,10 @@ NESTED_LOOP_ALLOWED: dict[str, str] = {
     # Three ONE-ROW aggregates (edges / wedges / triangles) crossed into a
     # single summary row; the triangle join itself is equi (hash).
     "graph_triangle_stats": "cross of three one-row aggregate summaries",
+    # The band thresholds are a ONE-ROW percentile aggregate broadcast into
+    # the scored frame — O(N) compare, the aggregation alternative to a
+    # single-task global rank window.
+    "quality_band_sample": "one-row percentile-bounds broadcast threshold",
 }
 
 
