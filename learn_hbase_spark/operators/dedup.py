@@ -430,32 +430,47 @@ def simhash_md5(
     bits: int = 32,
 ) -> DataFrame:
     """SimHash fingerprint with cross-engine-deterministic bits (md5 family,
-    like :func:`minhash_signature`): bit *i* of a word's contribution is the
-    ASCII parity of hex char *i+1* of ``md5(word)``. Exactly 8 of the 16
-    lowercase hex digits have even ASCII codes (0,2,4,6,8,b,d,f), so each
-    bit is a fair coin. ``bits`` <= 32 (the md5 hex digest is 32 chars).
+    like :func:`minhash_signature`): each word's ``bits`` feature bits are
+    the low bits of ``conv(substr(md5(word), 1, 8), 16, 10)`` — one hex
+    parse per word (DuckDB twin: ``('0x' || substr(md5(s),1,8))::BIGINT``),
+    not one string op per bit. ``bits`` <= 32 (8 hex chars).
 
     Same algorithm as :func:`simhash` (Charikar 2002) but reproducible in
-    any engine with ``md5``/``ascii``/``substr`` — used where a DuckDB
-    oracle must replay the fingerprints; the xxhash64 variant stays the
-    production default (one hash call vs a 32-char digest per word).
+    any engine with ``md5`` + hex-to-int — used where a DuckDB oracle must
+    replay the fingerprints; the xxhash64 variant stays the production
+    default. Per-bit counts are lane-packed 4-per-sum (16-bit lanes →
+    ``bits/4`` aggregation buffers instead of ``bits``); a 16-bit lane
+    caps a SINGLE document at 65535 words (~0.4 MB of text) — beyond
+    that, use :func:`simhash`, whose 32-bit lanes are unbounded for any
+    realistic document.
     """
     if not 0 < bits <= 32:
         raise ValueError(f"bits must be in 1..32, got {bits}")
+    if bits % 4 != 0:
+        raise ValueError(f"bits must be a multiple of 4 (lane packing), got {bits}")
     words = df.select(
         F.col(id_col).alias("_id"),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("_w"),
-    ).withColumn("_m", F.md5("_w"))
-    aggs = [F.count("*").alias("_n")] + [
-        F.sum(F.ascii(F.substring("_m", i + 1, 1)) % 2).alias(f"_b{i}")
-        for i in range(bits)
-    ]
-    sums = words.groupBy("_id").agg(*aggs)
+    ).withColumn(
+        "_h", F.conv(F.substring(F.md5("_w"), 1, 8), 16, 10).cast("long")
+    )
     one = F.lit(1).cast("long")
+    aggs = [F.count("*").alias("_n")]
+    for j in range(bits // 4):
+        packed = F.lit(0).cast("long")
+        for lane in range(4):
+            bit = F.shiftrightunsigned("_h", 4 * j + lane).bitwiseAND(one)
+            packed = packed + F.shiftleft(bit, 16 * lane)
+        aggs.append(F.sum(packed).alias(f"_p{j}"))
+    sums = words.groupBy("_id").agg(*aggs)
+    lane_mask = F.lit((1 << 16) - 1).cast("long")
     fp = F.lit(0).cast("long")
     for i in range(bits):
+        cnt = F.shiftrightunsigned(f"_p{i // 4}", 16 * (i % 4)).bitwiseAND(
+            lane_mask
+        )
         fp = fp.bitwiseOR(
-            F.when(F.col(f"_b{i}") * 2 > F.col("_n"), F.shiftleft(one, i))
+            F.when(cnt * 2 > F.col("_n"), F.shiftleft(one, i))
             .otherwise(F.lit(0).cast("long"))
         )
     return sums.select(F.col("_id").alias(id_col), fp.alias("simhash"))

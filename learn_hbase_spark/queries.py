@@ -2487,17 +2487,17 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(docs, "text", "doc_id")
 
 
-# md5-parity simhash, reproducible in DuckDB (see dedup.simhash_md5): bit i
-# of a word's contribution = ascii parity of hex char i+1 of md5(word).
+# md5-derived simhash, reproducible in DuckDB (see dedup.simhash_md5): each
+# word's 32 feature bits come from one hex parse of md5's first 8 chars.
 _SIMHASH32 = f"""
   w AS (
-    SELECT doc_id, md5(s) AS m
+    SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h
     FROM (SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS s
           FROM documents)
   ),
   sums AS (
     SELECT doc_id, count(*) AS n,
-      {", ".join(f"sum(ascii(substr(m, {i + 1}, 1)) % 2) AS b{i}" for i in range(32))}
+      {", ".join(f"sum((h >> {i}) & 1) AS b{i}" for i in range(32))}
     FROM w GROUP BY doc_id
   ),
   fp AS (
