@@ -171,3 +171,53 @@ def test_q7_broadcasts_all_dims(spark, qs):
     tables may shuffle (no SortMergeJoin on a dim)."""
     plan = _plan(qs["q7_nation_volume"](spark, SF), "simple")
     assert plan.count("BroadcastHashJoin") >= 4, plan
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    """Runtime row-level filtering at scale: a selective filter on one join
+    side must inject a bloom filter that pre-prunes the OTHER (fact) side
+    before its shuffle — Spark's runtime bloom-filter join optimization.
+    At 100 TB this is the difference between shuffling the whole fact
+    table and shuffling only rows that can possibly match. Config-driven
+    (no code change to any query); this test pins that the optimization
+    actually fires on our data layout so a session-config regression
+    can't silently lose it."""
+    from pyspark.sql import functions as F
+
+    from learn_hbase_spark.tables import load_table
+
+    li = load_table(spark, SF, "lineitem")
+    o = load_table(spark, SF, "orders").filter(F.col("o_totalprice") > 400000)
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_thresh = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    try:
+        # force a shuffle join (broadcast would bypass the bloom path) and
+        # drop the size floor so sf0.01 qualifies like a real fact table
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        j = li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan
+        assert "might_contain" in plan, plan
+        # and the result is unaffected by the pruning
+        n_expected = (
+            load_table(spark, SF, "lineitem")
+            .join(
+                load_table(spark, SF, "orders"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .filter(F.col("o_totalprice") > 400000)
+            .count()
+        )
+        assert j.count() == n_expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            prev_thresh,
+        )
