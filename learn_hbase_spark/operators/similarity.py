@@ -425,3 +425,41 @@ def kmeans_clusters(
             F.round(cosine(F.col("_v"), F.col("_cv")), 6).alias("sim"),
         )
     )
+
+
+def within_cluster_pairs(
+    assigned: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Embedding near-dup candidate pairs restricted to k-means cells —
+    the SemDeDup recipe (Abbas et al. 2023, arXiv:2303.09540): semantic
+    duplicates are near-identical vectors, near-identical vectors land in
+    the same cluster, so the pair search runs per-cell instead of
+    all-pairs. Candidate volume drops from O(N²) to Σ|cell|², and the
+    cell id is the one shuffle key — each cell's pairs compute where its
+    vectors already live. Guaranteeing recall ACROSS cell boundaries is
+    the caller's k/threshold trade (SemDeDup accepts boundary misses;
+    for guaranteed recall use the LSH path in ``lsh_topk``).
+
+    Returns ``(id_a, id_b, sim)`` with ``id_a < id_b``, cosine >= threshold.
+    """
+    a = assigned.select(
+        F.col(cluster_col).alias("_c"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+    )
+    b = assigned.select(
+        F.col(cluster_col).alias("_c"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+    )
+    return (
+        a.join(b, on=["_c"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", F.round(cosine(F.col("_va"), F.col("_vb")), 6))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )

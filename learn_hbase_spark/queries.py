@@ -5297,6 +5297,34 @@ def neardup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("semantic_dedup")  # k-means fixpoint upstream → rows-only check
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate removal with
+    the pair search RESTRICTED to k-means cells — cluster the embedding
+    corpus (similarity.kmeans_clusters), score cosine pairs only within
+    each cell (similarity.within_cluster_pairs, O(Σ|cell|²) not O(N²)),
+    close transitively (graph.connected_components), keep the min-id
+    representative per cluster. The composition the big labs run to
+    semantically dedup pretraining corpora; every stage here is the
+    individually-tested operator. Rows-only: the upstream k-means is an
+    iterative float fixpoint (same declared class as pagerank_neardup);
+    stage semantics are pytest-verified."""
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned = similarity.kmeans_clusters(emb, k=8, n_iter=3).select(
+        "vec_id", "cluster_id"
+    )
+    with_vec = assigned.join(emb.select("vec_id", "embedding"), "vec_id")
+    # 0.35 matches the synthetic embeddings' similarity range (max ~0.51,
+    # same family as embedding_neardup's 0.3); real text embeddings run
+    # this at ~0.93-0.97 per the SemDeDup paper
+    pairs = similarity.within_cluster_pairs(with_vec, threshold=0.35)
+    comps = graph.connected_components(
+        emb.select(F.col("vec_id")), pairs, node_col="vec_id",
+        src_col="id_a", dst_col="id_b",
+    )
+    return graph.dedup_decisions(comps, node_col="vec_id")
+
+
 @_register(
     "cooccurrence_lift",
     """

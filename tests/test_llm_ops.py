@@ -178,6 +178,31 @@ def test_kmeans_matches_numpy_reference(spark, vectors):
     assert all(-1.0 <= s <= 1.0 for s in sims)
 
 
+def test_within_cluster_pairs_semdedup_semantics(spark):
+    """SemDeDup pair generation: near-identical vectors in the same cell
+    pair up; vectors in different cells NEVER pair (the declared recall
+    trade); below-threshold same-cell pairs are filtered."""
+    from learn_hbase_spark.operators.similarity import within_cluster_pairs
+
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [0.999, 0.01, 0.0], 0),   # ~identical to 0, same cell
+        (2, [0.0, 1.0, 0.0], 0),      # same cell, orthogonal -> filtered
+        (3, [1.0, 0.0, 0.0], 1),      # identical to 0 but OTHER cell
+    ]
+    assigned = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, cluster_id int"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in within_cluster_pairs(assigned, threshold=0.9).collect()
+    }
+    assert (0, 1) in got and got[(0, 1)] > 0.99
+    assert (0, 2) not in got          # below threshold
+    assert (0, 3) not in got          # cross-cell: never compared
+    assert list(got) == [(0, 1)]
+
+
 @pytest.fixture(scope="module")
 def vectors(spark):
     rng = random.Random(3)

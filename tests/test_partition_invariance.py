@@ -25,6 +25,11 @@ CASES = [
     "scd2_user_state",
     "domain_mixture",
     "string_agg_nations",
+    # round 4: banded Hamming pairing (join-order risk), percentile-band
+    # sampling (float threshold risk), iterative k-means (mean-order risk)
+    "simhash_hamming_pairs",
+    "quality_band_sample",
+    "embedding_kmeans",
 ]
 
 
