@@ -302,6 +302,45 @@ class WideTable:
             df = df.filter(F.col("qualifier") == qualifier)
         return self._latest(df).select("rowkey", "family", "qualifier", "value")
 
+    def versions(
+        self,
+        rowkey: str | None = None,
+        family: str | None = None,
+        qualifier: str | None = None,
+        max_versions: int | None = None,
+    ) -> DataFrame:
+        """Per-cell version history, newest first — HBase's multi-version
+        read (``Get.readVersions(n)`` / ``Scan.readAllVersions``). The
+        reference keeps its tables at VERSIONS=1 (default), so this is
+        beyond-parity wide-column surface; here history is free until
+        ``compact()`` because every ``put`` batch survives as its own
+        version stamp.
+
+        Returns ``(rowkey, family, qualifier, value, version, version_rank)``
+        with rank 1 = newest; rows with NULL ``value`` are delete
+        tombstones — surfaced as data (the caller is reading raw history,
+        not the resolved view). ``max_versions`` caps history per cell;
+        a ``rowkey`` argument prunes to its prefix partition.
+        """
+        df = self._cells()
+        if rowkey is not None:
+            df = df.filter(F.col("prefix") == rowkey[:PREFIX_LEN]).filter(
+                F.col("rowkey") == rowkey
+            )
+        if family:
+            df = df.filter(F.col("family") == family)
+        if qualifier:
+            df = df.filter(F.col("qualifier") == qualifier)
+        w = Window.partitionBy("rowkey", "family", "qualifier").orderBy(
+            F.col("version").desc(), F.col("value").desc_nulls_last()
+        )
+        df = df.withColumn("version_rank", F.row_number().over(w))
+        if max_versions is not None:
+            df = df.filter(F.col("version_rank") <= max_versions)
+        return df.select(
+            "rowkey", "family", "qualifier", "value", "version", "version_rank"
+        )
+
     def to_wide(self, family: str, qualifiers: list[str]) -> DataFrame:
         """Pivot one family long→wide with an explicit qualifier list
         (one-pass pivot, SURVEY §2.5 W3)."""

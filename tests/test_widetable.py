@@ -287,6 +287,26 @@ def test_compact_prefixes_crash_recovery(spark, table, tmp_path):
     assert not aside.exists()
 
 
+def test_versions_returns_full_history_newest_first(spark, table):
+    """Multi-version read (HBase Get.readVersions): full per-cell history
+    ranked newest-first, tombstones visible as raw data, max_versions cap,
+    and scan() still resolves latest-wins over the same cells."""
+    for v in ("U1", "U2", "U3"):
+        table.put(_cells(spark, [("0401_M1", "info", "yhbh", v)]))
+    table.delete("0401_M1", "info", "yhbh")
+
+    hist = table.versions("0401_M1", "info", "yhbh").orderBy("version_rank")
+    rows = hist.collect()
+    assert [r["value"] for r in rows] == [None, "U3", "U2", "U1"]
+    assert [r["version_rank"] for r in rows] == [1, 2, 3, 4]
+    assert rows[0]["version"] > rows[1]["version"] > rows[2]["version"]
+
+    capped = table.versions("0401_M1", max_versions=2).collect()
+    assert len(capped) == 2
+    # the resolved view hides the tombstoned cell entirely
+    assert table.get("0401_M1", "info", "yhbh").count() == 0
+
+
 def test_compact_prefixes_escaped_partition_values(spark, table):
     """A prefix containing characters Spark escapes in partition dir names
     (':' -> %3A) must still be found and compacted — the dir-name math has
