@@ -5920,3 +5920,409 @@ def minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_incremental_pairs(
         history, new, "text", "doc_id", num_hashes=8, bands=4
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H completion set (Q2/Q9/Q11/Q16/Q20): the five classic shapes whose
+# original text needs PARTSUPP, which the testdata does not ship. Parity via
+# a DERIVED supply relation — the distinct (l_partkey, l_suppkey) pairs with
+# min unit price as the supply-cost analogue and summed shipped quantity as
+# the availability analogue. Both engines derive it from the same lineitem
+# rows, so the correctness compare is exact; the *shapes* (correlated min,
+# multi-way profit join, HAVING vs scalar subquery, NOT-IN + count-distinct,
+# nested semi-join chain) are the real TPC-H ones. Reference parity anchor:
+# the reference's join/agg surface is RdlETL.java:94-104 (joins) and
+# RdlETL2.java:44-51 (agg); these queries extend the same engine surface.
+
+
+def _derived_supply(li: DataFrame) -> DataFrame:
+    """partsupp analogue from lineitem: one shuffle on the composite
+    (partkey, suppkey) grouping key. At 100 TB this is a map-side-combined
+    hash aggregate over ~distinct-pairs rows — no row explosion, and every
+    consumer below joins it on the same key it was grouped by, so AQE can
+    reuse the exchange."""
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        # min of an IEEE division is engine-identical (MIN is
+        # accumulation-order-free), but the full-mantissa quotient would
+        # make downstream DECIMAL casts land on rounding boundaries
+        # (q9's profit sum mismatched by 1 ulp at the 4th decimal before
+        # this). ROUND is NOT the fix — Spark rounds the shortest decimal
+        # repr (BigDecimal.valueOf) while DuckDB rounds the exact binary
+        # value, so ...x.xx5-looking doubles diverge. FLOOR-quantization to
+        # cents is: *100, floor, /100 are each exact/correctly-rounded IEEE
+        # ops on the SAME double in both engines.
+        (
+            F.floor(
+                F.min(F.col("l_extendedprice") / F.col("l_quantity"))
+                * F.lit(100)
+            ).cast("double")
+            / F.lit(100.0)
+        ).alias("ps_supplycost"),
+        F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("ps_availqty"),
+    )
+
+
+_DERIVED_SUPPLY_SQL = """
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             CAST(FLOOR(MIN(l_extendedprice / l_quantity) * 100) AS DOUBLE)
+               / 100.0 AS ps_supplycost,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+               AS ps_availqty
+      FROM lineitem GROUP BY 1, 2
+"""
+
+
+@_register(
+    "q2_min_cost_supplier",
+    f"""
+    WITH ps AS ({_DERIVED_SUPPLY_SQL}),
+    cost AS (
+      SELECT ps_partkey, ps_supplycost, s_suppkey, s_acctbal, s_name, n_name
+      FROM ps
+      JOIN supplier ON s_suppkey = ps_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      JOIN region ON r_regionkey = n_regionkey
+      WHERE r_name = 'EUROPE'
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, ps_supplycost
+    FROM part p
+    JOIN cost c ON c.ps_partkey = p.p_partkey
+    WHERE p_size = 25 AND p_type = 'STANDARD'
+      AND ps_supplycost = (SELECT MIN(c2.ps_supplycost) FROM cost c2
+                           WHERE c2.ps_partkey = p.p_partkey)
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, s_suppkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: cheapest EUROPE supplier per qualifying part — the
+    canonical correlated MIN subquery. Decorrelated by hand the way
+    Catalyst would: the region-filtered supply relation is aggregated once
+    per part (min cost), joined back on (partkey, cost-equality). Scale
+    posture: region/nation/supplier dims broadcast; the only shuffles are
+    the derived-supply groupBy and the per-part min, both on ps_partkey so
+    AQE reuses the exchange. part filter (size+type) is pushed to the
+    parquet scan and the filtered part side is broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 25) & (F.col("p_type") == "STANDARD")
+    )
+    cost = (
+        _derived_supply(li)
+        .join(
+            F.broadcast(
+                s.join(
+                    F.broadcast(n.join(F.broadcast(r),
+                                       n.n_regionkey == r.r_regionkey)),
+                    s.s_nationkey == F.col("n_nationkey"),
+                ).select("s_suppkey", "s_acctbal", "s_name", "n_name")
+            ),
+            F.col("ps_suppkey") == F.col("s_suppkey"),
+        )
+        .select("ps_partkey", "ps_supplycost", "s_suppkey", "s_acctbal",
+                "s_name", "n_name")
+    )
+    min_cost = cost.groupBy("ps_partkey").agg(
+        F.min("ps_supplycost").alias("_min_cost")
+    )
+    return (
+        cost.join(min_cost, on="ps_partkey")
+        .filter(F.col("ps_supplycost") == F.col("_min_cost"))
+        .join(F.broadcast(p), F.col("ps_partkey") == F.col("p_partkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
+                "ps_supplycost")
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey",
+        )
+        .limit(100)
+    )
+
+
+@_register(
+    "q9_product_profit",
+    f"""
+    WITH ps AS ({_DERIVED_SUPPLY_SQL})
+    SELECT n_name AS nation, year(o_orderdate) AS o_year,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         - ps_supplycost * l_quantity
+                         AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN part ON p_partkey = l_partkey
+    JOIN ps ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY 1, 2
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-line profit by nation and year): the widest
+    join in the suite — fact × orders × supplier × nation × part × supply.
+    Scale posture: part ('%red%' filter) / supplier / nation broadcast; the
+    orders join and the derived-supply join are the two shuffle joins, and
+    the supply join key (partkey, suppkey) matches the supply groupBy key
+    so that exchange is reused. Profit arithmetic is row-level IEEE (same
+    in both engines); only the final SUM goes through exact decimal."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey")
+    )
+    ps = _derived_supply(li).select(
+        "ps_partkey", "ps_suppkey", "ps_supplycost"
+    )
+    profit = (
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+        - F.col("ps_supplycost") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            ps,
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            F.sum(profit.cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_profit")
+        )
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@_register(
+    "q11_important_stock",
+    f"""
+    WITH ps AS ({_DERIVED_SUPPLY_SQL}),
+    natps AS (
+      SELECT ps_partkey, ps_supplycost * ps_availqty AS value
+      FROM ps
+      JOIN supplier ON s_suppkey = ps_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      WHERE n_name = 'NATION_3'
+    )
+    SELECT ps_partkey AS partkey,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS part_value
+    FROM natps
+    GROUP BY ps_partkey
+    HAVING CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+           > (SELECT CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                     * 0.001 FROM natps)
+    ORDER BY part_value DESC, partkey
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): per-part inventory value for one
+    nation's suppliers, kept only where it exceeds a fraction of the
+    nation-wide total — the classic HAVING-vs-scalar-subquery pattern.
+    Spark evaluates the global total as a one-row broadcast against the
+    per-part aggregate; the nation filter reduces the supply relation
+    via a broadcast semi-ish dim join BEFORE either aggregate, so both
+    shuffles carry one nation's rows only. Exact decimal sums on both
+    sides of the threshold make the > comparison engine-stable."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    natps = (
+        _derived_supply(li)
+        .join(
+            F.broadcast(
+                s.join(F.broadcast(n),
+                       F.col("s_nationkey") == F.col("n_nationkey"))
+                .select("s_suppkey")
+            ),
+            F.col("ps_suppkey") == F.col("s_suppkey"),
+        )
+        .select(
+            "ps_partkey",
+            (F.col("ps_supplycost") * F.col("ps_availqty")).alias("value"),
+        )
+    )
+    per_part = natps.groupBy(F.col("ps_partkey").alias("partkey")).agg(
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("part_value")
+    )
+    threshold = natps.agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
+            * F.lit(0.001)
+        ).alias("_thr")
+    )
+    return (
+        per_part.join(F.broadcast(threshold))
+        .filter(F.col("part_value") > F.col("_thr"))
+        .select("partkey", "part_value")
+        .orderBy(F.col("part_value").desc(), "partkey")
+    )
+
+
+@_register(
+    "q16_supplier_part_counts",
+    """
+    WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM pairs
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#9'
+      AND p_type <> 'PROMO'
+      AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (supplier diversity per part class): distinct
+    supplier count per (brand, type, size) with a NOT-IN supplier
+    exclusion (negative balance standing in for the original complaint
+    filter). The NOT IN is planned as a broadcast left-anti join —
+    s_suppkey is non-null so the null-poisoning branch is statically
+    dead. count(DISTINCT) shuffles (brand,type,size,suppkey) expanded
+    keys once; the pairs relation is already body-free."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#9")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
+    )
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        pairs.join(
+            F.broadcast(bad),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+@_register(
+    "q20_excess_inventory",
+    """
+    WITH early AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+               AS early_qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY 1, 2
+    ),
+    recent AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+               AS recent_qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY 1, 2
+    )
+    SELECT s_name, s_acctbal
+    FROM supplier
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE n_name = 'NATION_5'
+      AND s_suppkey IN (
+        SELECT e.l_suppkey
+        FROM early e
+        JOIN recent r ON r.l_partkey = e.l_partkey
+                     AND r.l_suppkey = e.l_suppkey
+        JOIN part ON p_partkey = e.l_partkey
+        WHERE p_name LIKE 'small%'
+          AND e.early_qty > 0.5 * r.recent_qty
+      )
+    ORDER BY s_name
+    """,
+)
+def q20_excess_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (parts available for promotion): suppliers of a
+    part-name class whose stocked quantity (1995-96 shipments, the
+    availability analogue) exceeds half of recent demand (1997) — the
+    original's nested IN-subquery chain, decorrelated to aggregates +
+    a left-semi join. Scale posture: both year-sliced aggregates shuffle
+    the same (partkey, suppkey) key (exchange reuse), part-name filter
+    broadcasts, and the supplier dim only sees a semi-join of qualifying
+    suppkeys — never the fact table."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+
+    def _qty(lo: str, hi: str, alias: str) -> DataFrame:
+        return (
+            li.filter(
+                (F.col("l_shipdate") >= F.lit(lo).cast("timestamp"))
+                & (F.col("l_shipdate") < F.lit(hi).cast("timestamp"))
+            )
+            .groupBy("l_partkey", "l_suppkey")
+            .agg(
+                F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+                .cast("double")
+                .alias(alias)
+            )
+        )
+
+    early = _qty("1995-01-01", "1997-01-01", "early_qty")
+    recent = _qty("1997-01-01", "1998-01-01", "recent_qty").select(
+        F.col("l_partkey").alias("r_partkey"),
+        F.col("l_suppkey").alias("r_suppkey"),
+        "recent_qty",
+    )
+    qualifying = (
+        early.join(
+            recent,
+            (F.col("l_partkey") == F.col("r_partkey"))
+            & (F.col("l_suppkey") == F.col("r_suppkey")),
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(F.col("early_qty") > F.lit(0.5) * F.col("recent_qty"))
+        .select("l_suppkey")
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == F.col("n_nationkey"))
+        .join(
+            qualifying,
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )

@@ -35,6 +35,10 @@ NESTED_LOOP_ALLOWED: dict[str, str] = {
     # so the "nested loop" is a broadcast compare per row — O(N), exactly
     # how Catalyst itself plans scalar subqueries.
     "q22_idle_customers": "one-row scalar-aggregate broadcast threshold",
+    # Same shape as q22: the HAVING threshold is the ONE-ROW nation-total
+    # aggregate crossed into the per-part frame — an O(parts) broadcast
+    # compare, exactly Catalyst's own plan for a scalar subquery.
+    "q11_important_stock": "one-row scalar-aggregate broadcast threshold",
     # The lift denominator is the ONE-ROW distinct-user total crossed into
     # the (|types| choose 2)-row pair frame — both sides bounded by the
     # type vocabulary, never by users or events.
