@@ -77,13 +77,33 @@ def _escape_partition_value(v: str | None) -> str:
     )
 
 
-class WideTable:
-    """A wide-column table persisted as prefix-partitioned Parquet."""
+# Table-descriptor file persisted inside the table directory. The leading
+# underscore makes parquet readers ignore it (Spark's FileIndex skips files
+# starting with '_' or '.'), so it can live next to the data — the HBase
+# analogue is the HTableDescriptor the master stores per table.
+_DESCRIPTOR_NAME = "_table_descriptor.json"
 
-    def __init__(self, spark: SparkSession, path: str, families: list[str]):
+
+class WideTable:
+    """A wide-column table persisted as prefix-partitioned Parquet.
+
+    ``ttl`` maps family → seconds (HBase ``HColumnDescriptor.setTimeToLive``):
+    cells whose write stamp (``version``, epoch ns) is older than the family's
+    TTL are invisible to every read and physically purged by ``compact()``.
+    Families absent from the map never expire (HBase default FOREVER).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        families: list[str],
+        ttl: dict[str, int] | None = None,
+    ):
         self.spark = spark
         self.path = path
         self.families = list(families)
+        self.ttl = dict(ttl) if ttl else {}
 
     # -- filesystem plumbing (portable across file:/hdfs:/s3a: schemes) -----
 
@@ -125,14 +145,57 @@ class WideTable:
             if len(fs.listStatus(prefix_aside)) == 0:
                 fs.delete(prefix_aside, True)
 
+    # -- table descriptor (HTableDescriptor analogue) -----------------------
+
+    def _write_descriptor(self, fs=None) -> None:
+        import json
+
+        fs = fs or self._fs()
+        out = fs.create(self._hpath(self.path + "/" + _DESCRIPTOR_NAME), True)
+        try:
+            payload = json.dumps(
+                {"families": self.families, "ttl": self.ttl}, sort_keys=True
+            )
+            out.write(bytearray(payload.encode("utf-8")))
+        finally:
+            out.close()
+
+    @classmethod
+    def _read_descriptor(cls, spark: SparkSession, path: str) -> dict:
+        import json
+
+        probe = cls(spark, path, [])
+        fs = probe._fs()
+        dpath = probe._hpath(path + "/" + _DESCRIPTOR_NAME)
+        if not fs.exists(dpath):
+            raise FileNotFoundError(
+                f"no table descriptor at {path}/{_DESCRIPTOR_NAME}; pass "
+                "families to the constructor for pre-descriptor tables"
+            )
+        stream = fs.open(dpath)
+        try:
+            text = spark._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+        return json.loads(text)
+
     # -- DDL (S8/S9: HBaseClient.createTable/tableExists) -------------------
 
     @classmethod
     def create(
-        cls, spark: SparkSession, path: str, families: list[str]
+        cls,
+        spark: SparkSession,
+        path: str,
+        families: list[str],
+        ttl: dict[str, int] | None = None,
     ) -> "WideTable":
-        """Create-if-not-exists (HBaseClient.java:80-93 semantics)."""
-        table = cls(spark, path, families)
+        """Create-if-not-exists (HBaseClient.java:80-93 semantics). The
+        family list and per-family TTL persist in the table descriptor, so
+        ``open()`` recovers them without the caller re-stating schema —
+        HBase's create(HTableDescriptor) + admin.getDescriptor parity."""
+        table = cls(spark, path, families, ttl=ttl)
         if not table.exists():
             empty = spark.createDataFrame([], CELL_SCHEMA)
             (
@@ -141,7 +204,14 @@ class WideTable:
                 .mode("overwrite")
                 .parquet(path)
             )
+            table._write_descriptor()
         return table
+
+    @classmethod
+    def open(cls, spark: SparkSession, path: str) -> "WideTable":
+        """Open an existing table from its persisted descriptor."""
+        desc = cls._read_descriptor(spark, path)
+        return cls(spark, path, desc["families"], ttl=desc.get("ttl") or None)
 
     def exists(self) -> bool:
         fs = self._fs()
@@ -231,22 +301,47 @@ class WideTable:
         # inference would fail), and at scale it skips footer-sampling I/O
         return self.spark.read.schema(STORED_SCHEMA).parquet(self.path)
 
-    def _latest(self, cells: DataFrame) -> DataFrame:
+    def _latest(
+        self, cells: DataFrame, keep_version: bool = False
+    ) -> DataFrame:
         """Latest-wins per (rowkey, family, qualifier) — HBase cell upsert.
         Version ties (same-batch duplicates share one stamp) break on
         ``value`` so resolution is deterministic, not partition-order luck.
         A winning NULL value is a tombstone (``delete``): the cell is
         dropped from the resolved view — HBase's Delete-marker semantics
-        (absent cell, not null cell)."""
+        (absent cell, not null cell). ``keep_version`` retains the winning
+        cell's stamp (TTL-aware compaction needs real timestamps)."""
         w = Window.partitionBy("rowkey", "family", "qualifier").orderBy(
             F.col("version").desc(), F.col("value").desc_nulls_last()
         )
-        return (
+        resolved = (
             cells.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .filter(F.col("value").isNotNull())
-            .drop("_rn", "version")
         )
+        return resolved.drop(
+            *(["_rn"] if keep_version else ["_rn", "version"])
+        )
+
+    def _ttl_live(self, cells: DataFrame, now_ns: int | None) -> DataFrame:
+        """Drop cells past their family's TTL (HBase
+        ``HColumnDescriptor.setTimeToLive``). Applied BEFORE latest-wins:
+        an expired cell cannot resurrect an older sibling, because any
+        older version of the same cell is strictly older and therefore
+        also expired — matching HBase, where TTL removal happens at the
+        cell level. Expired delete tombstones age out the same way. Pure
+        column predicate → survives pushdown and codegen; cost is O(rows),
+        no shuffle."""
+        if not self.ttl:
+            return cells
+        now = time.time_ns() if now_ns is None else now_ns
+        expired = F.lit(False)
+        for fam in sorted(self.ttl):
+            cutoff = now - self.ttl[fam] * 1_000_000_000
+            expired = expired | (
+                (F.col("family") == fam) & (F.col("version") < F.lit(cutoff))
+            )
+        return cells.filter(~expired)
 
     def scan(
         self,
@@ -256,6 +351,7 @@ class WideTable:
         qualifiers: list[str] | None = None,
         predicate: Column | None = None,
         as_of: int | None = None,
+        now_ns: int | None = None,
     ) -> DataFrame:
         """Range scan with projection + filter pushdown.
 
@@ -268,8 +364,11 @@ class WideTable:
         ``<= as_of`` (epoch ns) — HBase's timestamp-bounded Scan
         (``setTimeRange``), free here because every version survives until
         compaction. A delete after ``as_of`` is invisible to the read.
+
+        ``now_ns`` pins the TTL clock for deterministic replay/tests; the
+        default is the wall clock (no-op on tables without TTL).
         """
-        df = self._cells()
+        df = self._ttl_live(self._cells(), now_ns)
         if as_of is not None:
             df = df.filter(F.col("version") <= as_of)
         if start is not None:
@@ -290,11 +389,17 @@ class WideTable:
         return df.select("rowkey", "family", "qualifier", "value")
 
     def get(
-        self, rowkey: str, family: str | None = None, qualifier: str | None = None
+        self,
+        rowkey: str,
+        family: str | None = None,
+        qualifier: str | None = None,
+        now_ns: int | None = None,
     ) -> DataFrame:
         """Point get (HBaseClient.getData, HBaseClient.java:149-158)."""
-        df = self._cells().filter(F.col("prefix") == rowkey[:PREFIX_LEN]).filter(
-            F.col("rowkey") == rowkey
+        df = (
+            self._ttl_live(self._cells(), now_ns)
+            .filter(F.col("prefix") == rowkey[:PREFIX_LEN])
+            .filter(F.col("rowkey") == rowkey)
         )
         if family:
             df = df.filter(F.col("family") == family)
@@ -308,6 +413,7 @@ class WideTable:
         family: str | None = None,
         qualifier: str | None = None,
         max_versions: int | None = None,
+        now_ns: int | None = None,
     ) -> DataFrame:
         """Per-cell version history, newest first — HBase's multi-version
         read (``Get.readVersions(n)`` / ``Scan.readAllVersions``). The
@@ -320,9 +426,11 @@ class WideTable:
         with rank 1 = newest; rows with NULL ``value`` are delete
         tombstones — surfaced as data (the caller is reading raw history,
         not the resolved view). ``max_versions`` caps history per cell;
-        a ``rowkey`` argument prunes to its prefix partition.
+        a ``rowkey`` argument prunes to its prefix partition. TTL-expired
+        versions are hidden (HBase returns no expired cells even on raw
+        multi-version reads); ``now_ns`` pins the expiry clock.
         """
-        df = self._cells()
+        df = self._ttl_live(self._cells(), now_ns)
         if rowkey is not None:
             df = df.filter(F.col("prefix") == rowkey[:PREFIX_LEN]).filter(
                 F.col("rowkey") == rowkey
@@ -341,6 +449,33 @@ class WideTable:
             "rowkey", "family", "qualifier", "value", "version", "version_rank"
         )
 
+    def changes(self, since_version: int = 0) -> DataFrame:
+        """Change feed: every cell write with ``version > since_version``,
+        as ``(rowkey, family, qualifier, value, version, op)`` with op
+        'put' | 'delete' — the HBase WAL / replication-stream analogue,
+        free here because the LSM layout already persists each write batch
+        under its stamp. Consumers checkpoint ``max(version)`` and poll
+        with it, getting exactly the delta (the incremental-ingest shape:
+        O(new writes), no table rescan — the version predicate prunes
+        whole parquet files via row-group min/max stats).
+
+        Retention = compaction cadence: ``compact()`` collapses history,
+        so like a WAL the feed is readable until the next compaction —
+        consumers must drain at least that often. Deletes surface as
+        'delete' ops (tombstones), matching HBase replication semantics.
+        """
+        cells = self._cells().filter(F.col("version") > since_version)
+        return cells.select(
+            "rowkey",
+            "family",
+            "qualifier",
+            "value",
+            "version",
+            F.when(F.col("value").isNull(), F.lit("delete"))
+            .otherwise(F.lit("put"))
+            .alias("op"),
+        )
+
     def to_wide(self, family: str, qualifiers: list[str]) -> DataFrame:
         """Pivot one family long→wide with an explicit qualifier list
         (one-pass pivot, SURVEY §2.5 W3)."""
@@ -352,6 +487,23 @@ class WideTable:
         )
 
     # -- maintenance ---------------------------------------------------------
+
+    def _compaction_resolve(self, cells: DataFrame) -> DataFrame:
+        """What survives a compaction rewrite. Non-TTL tables collapse to a
+        single synthetic version stamp (1) — ``partition_stats``'s
+        n_versions then reads as append-batches-since-compaction, the
+        compaction-debt signal. TTL tables must keep the winning cell's
+        REAL stamp (HBase compaction preserves cell timestamps): resetting
+        to 1 would make every cell instantly expired, and age must keep
+        accruing across compactions. Expired cells are physically purged
+        here — compaction is where TTL reclaims bytes."""
+        if self.ttl:
+            return self._latest(
+                self._ttl_live(cells, None), keep_version=True
+            )
+        return self._latest(cells).withColumn(
+            "version", F.lit(1).cast("long")
+        )
 
     def partition_stats(self) -> DataFrame:
         """Per-prefix health report: row count, distinct write versions
@@ -406,11 +558,9 @@ class WideTable:
         tmp_root = self.path + "__compact"
         aside_root = self._hpath(self.path + "__aside")
         fs.delete(self._hpath(tmp_root), True)
-        resolved = (
-            self._latest(self._cells().filter(F.col("prefix").isin(prefixes)))
-            .withColumn("version", F.lit(1).cast("long"))
-            .withColumn("prefix", F.substring("rowkey", 1, PREFIX_LEN))
-        )
+        resolved = self._compaction_resolve(
+            self._cells().filter(F.col("prefix").isin(prefixes))
+        ).withColumn("prefix", F.substring("rowkey", 1, PREFIX_LEN))
         resolved.write.partitionBy("prefix").mode("overwrite").parquet(tmp_root)
         fs.mkdirs(aside_root)
         for p in prefixes:
@@ -464,9 +614,7 @@ class WideTable:
         tmp_path = self.path + "__compact"
         tmp = self._hpath(tmp_path)
 
-        resolved = self._latest(self._cells()).withColumn(
-            "version", F.lit(1).cast("long")
-        )
+        resolved = self._compaction_resolve(self._cells())
         (
             resolved.withColumn("prefix", F.substring("rowkey", 1, PREFIX_LEN))
             .write.partitionBy("prefix")
@@ -496,3 +644,5 @@ class WideTable:
                 f"{tmp_path}, manual rename required"
             )
         fs.delete(aside, True)
+        # the swap replaced the whole table dir; restore the descriptor
+        self._write_descriptor(fs)

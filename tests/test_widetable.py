@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as _F
 
 from learn_hbase_spark.widetable import WideTable
 
@@ -369,3 +370,105 @@ def test_null_family_raises_typed_error(spark, table):
     )
     with _pytest.raises(ValueError, match="unknown column family"):
         table.put(cells)
+
+
+def test_descriptor_roundtrip_open(spark, tmp_path):
+    """create() persists families+TTL in the table descriptor; open()
+    recovers them without the caller re-stating schema (HBase
+    HTableDescriptor parity). The underscore-prefixed descriptor file is
+    invisible to the parquet reader."""
+    path = str(tmp_path / "t")
+    WideTable.create(spark, path, ["info", "bmz"], ttl={"info": 3600})
+    t = WideTable.open(spark, path)
+    assert t.families == ["info", "bmz"]
+    assert t.ttl == {"info": 3600}
+    # descriptor file does not confuse the data read
+    assert t.scan().count() == 0
+
+
+def test_open_without_descriptor_raises(spark, tmp_path):
+    path = str(tmp_path / "bare")
+    spark.createDataFrame(
+        [("0401_A", "info", "q", "v", 1)],
+        "rowkey string, family string, qualifier string, value string, "
+        "version long",
+    ).withColumn("prefix", _F.substring("rowkey", 1, 4)).write.partitionBy(
+        "prefix"
+    ).parquet(path)
+    with pytest.raises(FileNotFoundError):
+        WideTable.open(spark, path)
+
+
+def test_ttl_hides_expired_cells(spark, tmp_path):
+    """Family TTL (HColumnDescriptor.setTimeToLive): cells older than the
+    family's TTL vanish from scan/get/versions; non-TTL families never
+    expire. The clock is pinned via now_ns for determinism."""
+    t = WideTable.create(
+        spark, str(tmp_path / "t"), ["hot", "cold"], ttl={"hot": 60}
+    )
+    t.put(_cells(spark, [("0401_A", "hot", "q", "h1"),
+                         ("0401_A", "cold", "q", "c1")]))
+    import time as _time
+
+    wrote = _time.time_ns()
+    fresh = wrote + 1_000_000_000          # 1s later: nothing expired
+    stale = wrote + 120 * 1_000_000_000    # 2min later: hot TTL (60s) passed
+    assert t.scan(now_ns=fresh).count() == 2
+    live = t.scan(now_ns=stale).collect()
+    assert [(r["family"], r["value"]) for r in live] == [("cold", "c1")]
+    assert t.get("0401_A", "hot", "q", now_ns=stale).count() == 0
+    assert t.versions(rowkey="0401_A", now_ns=stale).count() == 1
+
+
+def test_ttl_expired_cell_cannot_resurrect_older_version(spark, tmp_path):
+    """Both versions of an expired cell are older than the cutoff, so
+    expiry can never surface a stale predecessor (filter-before-resolve)."""
+    t = WideTable.create(spark, str(tmp_path / "t"), ["hot"], ttl={"hot": 60})
+    t.put(_cells(spark, [("0401_A", "hot", "q", "old")]))
+    t.put(_cells(spark, [("0401_A", "hot", "q", "new")]))
+    import time as _time
+
+    stale = _time.time_ns() + 120 * 1_000_000_000
+    assert t.scan(now_ns=stale).count() == 0
+
+
+def test_ttl_compaction_purges_and_preserves_stamps(spark, tmp_path):
+    """compact() on a TTL table physically drops expired cells and keeps
+    the surviving cells' REAL version stamps (HBase compaction preserves
+    cell timestamps) — a version=1 reset would expire everything at the
+    next read and reset cell age."""
+    t = WideTable.create(
+        spark, str(tmp_path / "t"), ["hot", "cold"], ttl={"hot": 10**9}
+    )
+    t.put(_cells(spark, [("0401_A", "hot", "q", "h"),
+                         ("0401_A", "cold", "q", "c")]))
+    before = {
+        (r["family"]): r["version"]
+        for r in t.versions(rowkey="0401_A").collect()
+    }
+    t.compact()
+    after = {
+        (r["family"]): r["version"]
+        for r in t.versions(rowkey="0401_A").collect()
+    }
+    assert after["hot"] == before["hot"]  # real stamp survives compaction
+    assert t.scan().count() == 2          # nothing expired with a huge TTL
+    # descriptor survives the whole-table swap
+    reopened = WideTable.open(spark, str(tmp_path / "t"))
+    assert reopened.ttl == {"hot": 10**9}
+
+
+def test_changes_feed_is_incremental_and_typed(spark, table):
+    """changes(since) returns exactly the post-checkpoint delta with
+    put/delete ops — the WAL/replication analogue for downstream sync."""
+    table.put(_cells(spark, [("0401_A", "info", "q", "v1")]))
+    ckpt = max(
+        r["version"] for r in table.changes().select("version").collect()
+    )
+    table.put(_cells(spark, [("0402_B", "info", "q", "v2")]))
+    table.delete("0401_A", "info", "q")
+    delta = table.changes(since_version=ckpt).collect()
+    ops = {(r["rowkey"], r["op"]) for r in delta}
+    assert ops == {("0402_B", "put"), ("0401_A", "delete")}
+    # full feed from 0 replays everything
+    assert len(table.changes().collect()) == 3
