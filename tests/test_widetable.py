@@ -472,3 +472,52 @@ def test_changes_feed_is_incremental_and_typed(spark, table):
     assert ops == {("0402_B", "put"), ("0401_A", "delete")}
     # full feed from 0 replays everything
     assert len(table.changes().collect()) == 3
+
+
+def test_merge_update_insert_and_skip_unchanged(spark, table):
+    """MERGE: matched rows update, unmatched insert, and unchanged rows
+    write NOTHING (no-op elision — write amplification tracks the true
+    delta, not the snapshot size)."""
+    table.put(_cells(spark, [("0401_A", "info", "q", "same"),
+                             ("0401_B", "info", "q", "old")]))
+    stats0 = {r["prefix"]: r["n_cells"]
+              for r in table.partition_stats().collect()}
+    src = _cells(spark, [("0401_A", "info", "q", "same"),   # unchanged
+                         ("0401_B", "info", "q", "new"),    # update
+                         ("0401_C", "info", "q", "fresh")]) # insert
+    table.merge(src)
+    got = {r["rowkey"]: r["value"] for r in table.scan().collect()}
+    assert got == {"0401_A": "same", "0401_B": "new", "0401_C": "fresh"}
+    stats1 = {r["prefix"]: r["n_cells"]
+              for r in table.partition_stats().collect()}
+    # exactly 2 new cell versions (update + insert); the unchanged row
+    # appended nothing
+    assert stats1["0401"] - stats0["0401"] == 2
+
+
+def test_merge_insert_only_never_clobbers(spark, table):
+    """when_matched='skip': insert-if-absent ingest — existing cells are
+    untouched even when the source disagrees."""
+    table.put(_cells(spark, [("0401_A", "info", "q", "keep")]))
+    src = _cells(spark, [("0401_A", "info", "q", "CLOBBER"),
+                         ("0401_B", "info", "q", "new")])
+    table.merge(src, when_matched="skip")
+    got = {r["rowkey"]: r["value"] for r in table.scan().collect()}
+    assert got == {"0401_A": "keep", "0401_B": "new"}
+
+
+def test_merge_delete_matched(spark, table):
+    """when_matched='delete': sync-with-deletes — matched cells get
+    tombstones, unmatched source rows insert."""
+    table.put(_cells(spark, [("0401_A", "info", "q", "gone"),
+                             ("0401_B", "info", "q", "stays")]))
+    src = _cells(spark, [("0401_A", "info", "q", None),
+                         ("0401_C", "info", "q", "added")])
+    table.merge(src, when_matched="delete")
+    got = {r["rowkey"]: r["value"] for r in table.scan().collect()}
+    assert got == {"0401_B": "stays", "0401_C": "added"}
+
+
+def test_merge_rejects_unknown_clause(spark, table):
+    with pytest.raises(ValueError):
+        table.merge(_cells(spark, []), when_matched="upsert")
