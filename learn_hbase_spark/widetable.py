@@ -99,11 +99,16 @@ class WideTable:
         path: str,
         families: list[str],
         ttl: dict[str, int] | None = None,
+        counters: list[str] | None = None,
     ):
         self.spark = spark
         self.path = path
         self.families = list(families)
         self.ttl = dict(ttl) if ttl else {}
+        self.counters = list(counters) if counters else []
+        unknown = set(self.counters) - set(self.families)
+        if unknown:
+            raise ValueError(f"counter families not in families: {unknown}")
 
     # -- filesystem plumbing (portable across file:/hdfs:/s3a: schemes) -----
 
@@ -154,7 +159,12 @@ class WideTable:
         out = fs.create(self._hpath(self.path + "/" + _DESCRIPTOR_NAME), True)
         try:
             payload = json.dumps(
-                {"families": self.families, "ttl": self.ttl}, sort_keys=True
+                {
+                    "families": self.families,
+                    "ttl": self.ttl,
+                    "counters": self.counters,
+                },
+                sort_keys=True,
             )
             out.write(bytearray(payload.encode("utf-8")))
         finally:
@@ -190,12 +200,14 @@ class WideTable:
         path: str,
         families: list[str],
         ttl: dict[str, int] | None = None,
+        counters: list[str] | None = None,
     ) -> "WideTable":
         """Create-if-not-exists (HBaseClient.java:80-93 semantics). The
-        family list and per-family TTL persist in the table descriptor, so
-        ``open()`` recovers them without the caller re-stating schema —
-        HBase's create(HTableDescriptor) + admin.getDescriptor parity."""
-        table = cls(spark, path, families, ttl=ttl)
+        family list, per-family TTL, and counter-family set persist in the
+        table descriptor, so ``open()`` recovers them without the caller
+        re-stating schema — HBase's create(HTableDescriptor) +
+        admin.getDescriptor parity."""
+        table = cls(spark, path, families, ttl=ttl, counters=counters)
         if not table.exists():
             empty = spark.createDataFrame([], CELL_SCHEMA)
             (
@@ -211,7 +223,13 @@ class WideTable:
     def open(cls, spark: SparkSession, path: str) -> "WideTable":
         """Open an existing table from its persisted descriptor."""
         desc = cls._read_descriptor(spark, path)
-        return cls(spark, path, desc["families"], ttl=desc.get("ttl") or None)
+        return cls(
+            spark,
+            path,
+            desc["families"],
+            ttl=desc.get("ttl") or None,
+            counters=desc.get("counters") or None,
+        )
 
     def exists(self) -> bool:
         fs = self._fs()
@@ -270,6 +288,25 @@ class WideTable:
         )
         self.put(df)
 
+    def increment(
+        self, rowkey: str, family: str, qualifier: str, delta: int = 1
+    ) -> None:
+        """HBase ``Increment`` / ``incrementColumnValue``: append a delta
+        cell to a counter family; the live value is resolved as the
+        tombstone-bounded sum at read (``_counter_totals``). Blind append —
+        no read-modify-write, so concurrent incrementors compose exactly
+        like HBase region-side counters."""
+        if family not in self.counters:
+            raise ValueError(
+                f"{family!r} is not a counter family (counters: "
+                f"{self.counters})"
+            )
+        df = self.spark.createDataFrame(
+            [(rowkey, family, qualifier, str(int(delta)))],
+            CELL_SCHEMA_NO_VERSION,
+        )
+        self.put(df)
+
     def delete(self, rowkey: str, family: str, qualifier: str) -> None:
         """Delete a cell — LSM-style: append a TOMBSTONE (null value) that
         wins the latest-wins window, exactly HBase's Delete marker model.
@@ -321,7 +358,7 @@ class WideTable:
         if when_not_matched not in ("insert", "skip"):
             raise ValueError(f"when_not_matched: {when_not_matched!r}")
         key = ["rowkey", "family", "qualifier"]
-        current = self._latest(self._ttl_live(self._cells(), now_ns)).select(
+        current = self._resolve(self._ttl_live(self._cells(), now_ns)).select(
             *key, F.col("value").alias("_live_value")
         )
         joined = source.select(
@@ -413,6 +450,46 @@ class WideTable:
             )
         return cells.filter(~expired)
 
+    def _counter_totals(
+        self, counter_cells: DataFrame, keep_version: bool = False
+    ) -> DataFrame:
+        """Resolve counter cells (HBase Increment model): the live value of
+        a counter is the SUM of its delta cells since the newest tombstone
+        (delete = reset, matching HBase where a Delete removes the counter
+        and the next increment starts from zero). Deltas must be 64-bit
+        integer strings — a non-numeric value fails the cast loudly, the
+        analogue of HBase's "not 64 bits wide" DoNotRetryIOException.
+        One window (tombstone horizon) + one aggregate, both on the cell
+        key, so the shuffle partitioning is reused between them."""
+        w = Window.partitionBy("rowkey", "family", "qualifier")
+        tomb = F.max(
+            F.when(F.col("value").isNull(), F.col("version"))
+        ).over(w)
+        agg = [F.sum(F.col("value").cast("long")).cast("string").alias("value")]
+        if keep_version:
+            agg.append(F.max("version").alias("version"))
+        return (
+            counter_cells.withColumn("_tomb", tomb)
+            .filter(F.col("value").isNotNull())
+            .filter(
+                F.col("_tomb").isNull() | (F.col("version") > F.col("_tomb"))
+            )
+            .groupBy("prefix", "rowkey", "family", "qualifier")
+            .agg(*agg)
+        )
+
+    def _resolve(self, cells: DataFrame) -> DataFrame:
+        """Live view of a cell batch: latest-wins for normal families,
+        tombstone-bounded delta sums for counter families."""
+        if not self.counters:
+            return self._latest(cells)
+        is_counter = F.col("family").isin(self.counters)
+        normal = self._latest(cells.filter(~is_counter))
+        summed = self._counter_totals(cells.filter(is_counter))
+        return normal.select(
+            "prefix", "rowkey", "family", "qualifier", "value"
+        ).unionByName(summed)
+
     def scan(
         self,
         start: str | None = None,
@@ -453,7 +530,7 @@ class WideTable:
             df = df.filter(F.col("family").isin(families))
         if qualifiers:
             df = df.filter(F.col("qualifier").isin(qualifiers))
-        df = self._latest(df)
+        df = self._resolve(df)
         if predicate is not None:
             df = df.filter(predicate)
         return df.select("rowkey", "family", "qualifier", "value")
@@ -475,7 +552,9 @@ class WideTable:
             df = df.filter(F.col("family") == family)
         if qualifier:
             df = df.filter(F.col("qualifier") == qualifier)
-        return self._latest(df).select("rowkey", "family", "qualifier", "value")
+        return self._resolve(df).select(
+            "rowkey", "family", "qualifier", "value"
+        )
 
     def versions(
         self,
@@ -567,13 +646,31 @@ class WideTable:
         to 1 would make every cell instantly expired, and age must keep
         accruing across compactions. Expired cells are physically purged
         here — compaction is where TTL reclaims bytes."""
-        if self.ttl:
-            return self._latest(
-                self._ttl_live(cells, None), keep_version=True
-            )
-        return self._latest(cells).withColumn(
-            "version", F.lit(1).cast("long")
+        cells = self._ttl_live(cells, None)
+        is_counter = (
+            F.col("family").isin(self.counters)
+            if self.counters
+            else F.lit(False)
         )
+        normal_cells = cells.filter(~is_counter)
+        if self.ttl:
+            normal = self._latest(normal_cells, keep_version=True)
+        else:
+            normal = self._latest(normal_cells).withColumn(
+                "version", F.lit(1).cast("long")
+            )
+        if not self.counters:
+            return normal
+        # counter families fold to ONE cell: value = tombstone-bounded
+        # delta total, version = newest delta's stamp. The folded cell is
+        # itself a valid delta base, so increments after compaction keep
+        # summing correctly, and a later tombstone (newer stamp) still
+        # resets it.
+        summed = self._counter_totals(
+            cells.filter(is_counter), keep_version=True
+        )
+        cols = ["prefix", "rowkey", "family", "qualifier", "value", "version"]
+        return normal.select(*cols).unionByName(summed.select(*cols))
 
     def partition_stats(self) -> DataFrame:
         """Per-prefix health report: row count, distinct write versions
@@ -594,7 +691,7 @@ class WideTable:
             F.count_distinct("version").alias("n_versions"),
         )
         live = (
-            self._latest(cells)
+            self._resolve(cells)
             .groupBy("prefix")
             .agg(F.count("*").alias("n_live"))
         )

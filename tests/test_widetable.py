@@ -521,3 +521,54 @@ def test_merge_delete_matched(spark, table):
 def test_merge_rejects_unknown_clause(spark, table):
     with pytest.raises(ValueError):
         table.merge(_cells(spark, []), when_matched="upsert")
+
+
+def test_counter_family_sums_deltas(spark, tmp_path):
+    """Counter families (HBase Increment): the live value is the sum of
+    delta cells — blind appends, no read-modify-write — and a delete
+    resets the counter (sum restarts after the tombstone)."""
+    t = WideTable.create(
+        spark, str(tmp_path / "t"), ["info", "cnt"], counters=["cnt"]
+    )
+    t.increment("0401_A", "cnt", "hits", 5)
+    t.increment("0401_A", "cnt", "hits", 3)
+    t.increment("0401_A", "cnt", "hits", -1)
+    t.put(_cells(spark, [("0401_A", "info", "q", "x")]))  # normal family
+    got = {(r["family"], r["qualifier"]): r["value"]
+           for r in t.scan().collect()}
+    assert got[("cnt", "hits")] == "7"
+    assert got[("info", "q")] == "x"
+    assert t.get("0401_A", "cnt", "hits").collect()[0]["value"] == "7"
+    # delete resets: only post-tombstone deltas count
+    t.delete("0401_A", "cnt", "hits")
+    assert t.get("0401_A", "cnt", "hits").count() == 0
+    t.increment("0401_A", "cnt", "hits", 2)
+    assert t.get("0401_A", "cnt", "hits").collect()[0]["value"] == "2"
+
+
+def test_counter_survives_compaction_and_reopen(spark, tmp_path):
+    """Compaction folds a counter's deltas into one base cell whose value
+    keeps summing with later increments; the counter-family set persists
+    in the descriptor."""
+    path = str(tmp_path / "t")
+    t = WideTable.create(spark, path, ["cnt"], counters=["cnt"])
+    t.increment("0401_A", "cnt", "hits", 10)
+    t.increment("0401_A", "cnt", "hits", 4)
+    t.compact()
+    stats = {r["prefix"]: r["n_cells"] for r in t.partition_stats().collect()}
+    assert stats["0401"] == 1  # two deltas folded to one base cell
+    t2 = WideTable.open(spark, path)
+    assert t2.counters == ["cnt"]
+    t2.increment("0401_A", "cnt", "hits", 1)
+    assert t2.get("0401_A", "cnt", "hits").collect()[0]["value"] == "15"
+
+
+def test_increment_rejects_non_counter_family(spark, tmp_path):
+    t = WideTable.create(spark, str(tmp_path / "t"), ["info"])
+    with pytest.raises(ValueError, match="not a counter family"):
+        t.increment("0401_A", "info", "q")
+
+
+def test_counter_family_must_be_declared_family(spark, tmp_path):
+    with pytest.raises(ValueError, match="counter families"):
+        WideTable.create(spark, str(tmp_path / "t"), ["a"], counters=["b"])
