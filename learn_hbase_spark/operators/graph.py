@@ -46,11 +46,15 @@ def connected_components(
     # Edges are static across rounds: checkpoint once so each iteration's
     # join re-reads materialized blocks instead of re-deriving the pair
     # generation lineage (at scale: persist / write to a bucketed table).
-    sym = sym.localCheckpoint()
+    # eager=False everywhere in this function: materialization rides the
+    # iteration's convergence count instead of paying a separate job per
+    # checkpoint — HALF the Spark jobs per round, which is what dominates
+    # wall clock when the pair graph is far smaller than the corpus.
+    sym = sym.localCheckpoint(eager=False)
 
     labels = nodes.select(
         F.col(node_col).alias("u"), F.col(node_col).alias("comp")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
 
     for _ in range(max_iter):
         nbr = (
@@ -80,8 +84,10 @@ def connected_components(
                 F.col("_new").alias("comp"),
                 (F.col("_new") != F.col("_old")).alias("_chg"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
+        # the count materializes the lazy checkpoint; later rounds reuse
+        # the persisted blocks
         changed = new.filter(F.col("_chg")).count()
         labels = new.drop("_chg")
         if changed == 0:
