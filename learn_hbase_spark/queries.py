@@ -6326,3 +6326,59 @@ def q20_excess_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", "s_acctbal")
         .orderBy("s_name")
     )
+
+
+@_register(
+    "semantic_decontaminate",
+    """
+    WITH bench AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id % 40 = 0
+    ),
+    corpus AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id % 40 <> 0
+    ),
+    scored AS (
+      SELECT c.vec_id,
+             list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                              CAST(b.embedding AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])))) AS s
+      FROM corpus c, bench b
+    )
+    SELECT vec_id, round(max(s), 6) AS max_benchmark_sim,
+           max(s) >= 0.35 AS contaminated
+    FROM scored GROUP BY vec_id
+    """,
+)
+def semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level decontamination — the semantic sibling of the
+    n-gram ``decontaminate``: flag training vectors whose cosine to ANY
+    benchmark vector crosses a threshold (paraphrased eval leakage that
+    token overlap misses; cf. the contamination audits in Brown et al.
+    2020 App. C). The vec_id%40 slice plays the benchmark set.
+
+    Scale posture: the benchmark side is broadcast (eval sets are tiny —
+    thousands of rows against a corpus of billions), so the corpus never
+    shuffles; the compare is a bounded broadcast NLJ, the same allowlisted
+    shape as the exact-ANN baseline, and the aggregate is a map-side max
+    per corpus row. For benchmark sets too large to broadcast, bucket both
+    sides with the hyperplane-LSH path (``similarity.lsh_topk``) and
+    equi-join on bucket — same recall trade as ``embedding_neardup_lsh``."""
+    emb = _t(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") % 40 == 0).select(
+        F.col("vec_id").alias("_bid"), F.col("embedding").alias("_bvec")
+    )
+    corpus = emb.filter(F.col("vec_id") % 40 != 0)
+    s = similarity.cosine(F.col("embedding"), F.col("_bvec"))
+    return (
+        corpus.join(F.broadcast(bench))
+        .groupBy("vec_id")
+        .agg(F.max(s).alias("_m"))
+        .select(
+            "vec_id",
+            F.round(F.col("_m"), 6).alias("max_benchmark_sim"),
+            (F.col("_m") >= 0.35).alias("contaminated"),
+        )
+    )

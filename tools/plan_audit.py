@@ -28,6 +28,11 @@ NESTED_LOOP_ALLOWED: dict[str, str] = {
     # approximate variants (ann_lsh_topk, ann_ivf_topk) are measured against;
     # the broadcast side is the bounded query set, not the corpus.
     "ann_cosine_topk": "intentional bounded cross join (query set broadcast)",
+    # Same bounded shape: the benchmark set (tiny by construction — eval
+    # suites vs a billion-doc corpus) is the broadcast side; corpus never
+    # shuffles. The LSH-bucketed equi-join is the documented alternative
+    # for oversized benchmark sets.
+    "semantic_decontaminate": "bounded benchmark set broadcast vs corpus",
     # Theta self-join (<) over the 25-row nation dimension: dim x dim by
     # construction; corpus-scale fuzzy matching goes through blocking first.
     "fuzzy_nation_pairs": "bounded dim x dim theta join (25-row nation)",
