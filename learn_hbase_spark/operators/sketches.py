@@ -79,3 +79,36 @@ def heavy_hitters(
         .orderBy(F.col("n").desc(), F.col("value").asc())
         .limit(k)
     )
+
+
+def hll_rollup(
+    df: DataFrame, key_col: str, value_col: str, lg_k: int = 12
+) -> DataFrame:
+    """Persistable re-aggregatable distinct-count rollup via Apache
+    DataSketches HLL (Spark 4 ``hll_sketch_agg``/``hll_union_agg``).
+
+    The 100 TB profiling pattern ``approx_count_distinct`` cannot give
+    you: the per-key state here is a STORABLE binary sketch — write the
+    per-key sketch table once, then answer any coarser rollup (here the
+    ALL row) by merging sketches, never rescanning the raw data. Daily
+    sketch partitions → monthly/yearly distincts at merge cost, exactly
+    how warehouse distinct-count marts are maintained.
+
+    Returns one row per key plus an ``ALL`` row, both estimated from the
+    same sketch state (the ALL row via ``hll_union_agg``), so the rollup
+    is consistent with its parts up to sketch representation error
+    (union promotes coupon-list state to dense).
+    """
+    sketches = df.groupBy(F.col(key_col).cast("string").alias(key_col)).agg(
+        F.hll_sketch_agg(value_col, F.lit(lg_k)).alias("_sk")
+    )
+    per_key = sketches.select(
+        key_col,
+        F.hll_sketch_estimate("_sk").alias("distinct_est"),
+    )
+    total = sketches.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("_sk", False)).alias(
+            "distinct_est"
+        )
+    ).select(F.lit("ALL").alias(key_col), "distinct_est")
+    return per_key.unionByName(total)

@@ -6382,3 +6382,15 @@ def semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("_m") >= 0.35).alias("contaminated"),
         )
     )
+
+
+@_register("hll_sketch_rollup")  # engine-specific sketch values → rows-only
+def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable distinct users per event type via DataSketches HLL
+    (sketches.hll_rollup): per-type sketches are mergeable binary state,
+    so the ALL row comes from unioning sketches — the store-sketches-not-
+    raws pattern that answers coarser rollups without rescanning 100 TB.
+    Sketch estimates are engine-specific ⇒ rows-only; tolerance vs exact
+    counts and merge-consistency are pytest-asserted (test_sketches)."""
+    ev = _t(spark, sf_dir, "events")
+    return sketches.hll_rollup(ev, "event_type", "user_id")

@@ -32,3 +32,30 @@ def test_approx_quantiles_near_exact(spark):
         assert abs(rows[g]["p50"] - 500) <= 10
         assert abs(rows[g]["p90"] - 900) <= 10
         assert abs(rows[g]["p10"] - 100) <= 10
+
+
+def test_hll_rollup_tolerance_and_merge_consistency(spark):
+    """Per-key estimates within HLL error of exact; the ALL row (sketch
+    union) agrees with sketching the raw data directly within sketch
+    error — re-aggregation must not lose real information."""
+    from pyspark.sql import functions as F
+
+    from learn_hbase_spark.operators.sketches import hll_rollup
+
+    df = spark.range(5000).select(
+        (F.col("id") % 3).alias("g"), (F.col("id") % 1700).alias("v")
+    )
+    got = {r["g"]: r["distinct_est"] for r in hll_rollup(df, "g", "v").collect()}
+    exact = {
+        str(r["g"]): r["n"]
+        for r in df.groupBy("g").agg(F.count_distinct("v").alias("n")).collect()
+    }
+    exact["ALL"] = df.select("v").distinct().count()
+    for k, est in got.items():
+        assert abs(est - exact[k]) / exact[k] < 0.05, (k, est, exact[k])
+    direct = df.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("v", F.lit(12))).alias("e")
+    ).collect()[0]["e"]
+    # union-of-sketches vs direct sketching can differ by representation
+    # promotion (coupon-list vs dense) — equal within sketch error
+    assert abs(got["ALL"] - direct) / direct < 0.01
