@@ -35,6 +35,7 @@ from .operators import (
     sampling,
     similarity,
     sketches,
+    tokenizer,
 )
 from .operators import corpus as corpus_ops
 from .operators import window as window_ops
@@ -6394,3 +6395,37 @@ def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts and merge-consistency are pytest-asserted (test_sketches)."""
     ev = _t(spark, sf_dir, "events")
     return sketches.hll_rollup(ev, "event_type", "user_id")
+
+
+@_register("bpe_train_merges")  # iterative greedy argmax → rows-only
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (operators.tokenizer): learn the
+    merge table from the documents corpus — the tokenizer-fitting step of
+    a pretraining pipeline run as Spark aggregations. The corpus is read
+    once into a word-frequency table; each merge round is one
+    (pair, count) shuffle plus a one-row driver fetch. Iterative greedy
+    argmax ⇒ rows-only; the merge sequence is pytest-verified against a
+    single-node reference implementation (test_tokenizer)."""
+    docs = _t(spark, sf_dir, "documents")
+    return tokenizer.bpe_train_df(docs, n_merges=8)
+
+
+@_register("bpe_tokenize")  # depends on learned merges → rows-only
+def bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-apply BPE: tokenize the corpus with merges learned from
+    it and report per-doc token counts plus the subword fertility ratio
+    (tokens per whitespace word — the tokenizer-quality metric). Encode is
+    an Arrow-batched mapInPandas (rank-priority merge loop has no
+    vectorized form); the merge table ships with the task closure."""
+    docs = _t(spark, sf_dir, "documents")
+    merges = tokenizer.bpe_train(docs, n_merges=8)
+    enc = tokenizer.bpe_encode(docs, merges)
+    words = F.size(F.split(dedup.normalize_text(F.col("text")), " "))
+    return (
+        enc.join(docs.select("doc_id", "text"), "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.col("n_tokens") / words, 4).alias("fertility"),
+        )
+    )
