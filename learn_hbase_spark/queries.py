@@ -6429,3 +6429,109 @@ def bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_tokens") / words, 4).alias("fertility"),
         )
     )
+
+
+@_register(
+    "epoch_shuffle",
+    """
+    SELECT doc_id,
+           md5(concat(CAST(doc_id AS VARCHAR), ':', CAST(7 AS VARCHAR)))
+             AS epoch_key
+    FROM documents
+    """,
+)
+def epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible training-order shuffle: epoch ``e``'s order is the
+    total order of ``md5(doc_id:e)`` — deterministic given (corpus, epoch),
+    uncorrelated across epochs, resumable mid-epoch from any key. The
+    plan is a RANGE repartition + per-partition sort (a distributed sort:
+    no global row_number window funneling into one task), which is exactly
+    how you lay a 100 TB epoch out as sorted shards for sequential reads.
+    The oracle checks the key assignment; order is implied by the key."""
+    docs = _t(spark, sf_dir, "documents")
+    key = F.md5(
+        F.concat(
+            F.col("doc_id").cast("string"), F.lit(":"),
+            F.lit(7).cast("string"),
+        )
+    )
+    return (
+        docs.select("doc_id", key.alias("epoch_key"))
+        .repartitionByRange(32, "epoch_key")
+        .sortWithinPartitions("epoch_key")
+    )
+
+
+@_register(
+    "entity_resolution",
+    """
+    WITH RECURSIVE pairs AS (
+      SELECT a.c_custkey AS u, b.c_custkey AS v
+      FROM customer a
+      JOIN customer b
+        ON a.c_nationkey = b.c_nationkey
+       AND a.c_mktsegment = b.c_mktsegment
+       AND a.c_custkey < b.c_custkey
+      WHERE levenshtein(a.c_name, b.c_name) <= 1
+    ),
+    edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+    cc AS (
+      SELECT c_custkey AS u, c_custkey AS comp FROM customer
+      UNION
+      SELECT e.v, c.comp FROM cc c JOIN edges e ON e.u = c.u
+    ),
+    members AS (SELECT u, min(comp) AS entity_id FROM cc GROUP BY u)
+    SELECT entity_id, count(*) AS n_members,
+           min(u) AS min_member, max(u) AS max_member
+    FROM members
+    GROUP BY entity_id
+    HAVING count(*) > 1
+    ORDER BY entity_id
+    """,
+)
+def entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution composed from the engine's own operators:
+    BLOCK (equi-key on nation+segment — candidate pairs only within
+    blocks, never all-pairs), SCORE (levenshtein <= 1 on the name inside
+    the block join — a join residual, JVM-side), CLUSTER (transitive
+    closure via graph.connected_components), REPORT multi-member entities.
+    The same blocking→scoring→closure shape as the MinHash dedup path but
+    over structured records — the master-data-management workload. Oracle
+    replays the closure as a recursive CTE (DuckDB levenshtein matches
+    Spark's)."""
+    c = _t(spark, sf_dir, "customer")
+    a = c.select(
+        F.col("c_custkey").alias("u"),
+        F.col("c_name").alias("_na"),
+        "c_nationkey", "c_mktsegment",
+    )
+    b = c.select(
+        F.col("c_custkey").alias("v"),
+        F.col("c_name").alias("_nb"),
+        F.col("c_nationkey").alias("_nk"),
+        F.col("c_mktsegment").alias("_ms"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("c_nationkey") == F.col("_nk"))
+            & (F.col("c_mktsegment") == F.col("_ms"))
+            & (F.col("u") < F.col("v")),
+        )
+        .filter(F.levenshtein(F.col("_na"), F.col("_nb")) <= 1)
+        .select("u", "v")
+    )
+    clusters = graph.connected_components(
+        c.select(F.col("c_custkey").alias("node")),
+        pairs, node_col="node", src_col="u", dst_col="v",
+    )
+    return (
+        clusters.groupBy(F.col("cluster_id").alias("entity_id"))
+        .agg(
+            F.count("*").alias("n_members"),
+            F.min("node").alias("min_member"),
+            F.max("node").alias("max_member"),
+        )
+        .filter(F.col("n_members") > 1)
+        .orderBy("entity_id")
+    )
