@@ -5,13 +5,15 @@ pairs into keep/drop decisions needs the transitive closure: if A~B and B~C,
 all three are one duplicate cluster even when A~C was never a candidate.
 That closure is connected components over the pair graph.
 
-Scale posture: min-label propagation, the standard MapReduce formulation —
-each round is one shuffle (edge ⋈ label, then groupBy-min, both partial-
-aggregable) and rounds converge in O(graph diameter). Near-dup graphs are
-dense blobs with tiny diameter (2–4 rounds in practice), so this beats the
-asymptotically-better large-star/small-star (Kiveris et al., "Connected
-Components in MapReduce and Beyond", SoCC'14) on constant factors; switch to
-alternating stars if a workload ever exhibits long-chain components.
+Scale posture: min-label propagation with pointer jumping (path halving) —
+each round is one edge ⋈ label shuffle + groupBy-min (both partial-
+aggregable) plus one label-frame self-join that follows each label's own
+label, so chains collapse in O(log diameter) rounds instead of O(diameter)
+(the same halving idea as large-star/small-star, Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14, at simpler constant factors).
+Near-dup graphs are dense blobs (2-3 rounds); record-linkage graphs can be
+long chains (e.g. edit-distance-1 name chains), where halving is the
+difference between 3 rounds and dozens.
 Lineage is truncated with ``localCheckpoint`` every round so the plan does
 not grow with iterations; only a scalar convergence count ever reaches the
 driver.
@@ -19,7 +21,7 @@ driver.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -30,6 +32,7 @@ def connected_components(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iter: int = 30,
+    scratch_dir: str | None = None,
 ) -> DataFrame:
     """Label every node with the minimum node id reachable from it.
 
@@ -38,25 +41,53 @@ def connected_components(
     nodes: one row per node (singletons allowed — they become their own
         cluster); ``node_col`` must be orderable (the min is the label).
     edges: undirected pair list; only ``src_col``/``dst_col`` are read.
+    scratch_dir: where per-round label frames are parked. Defaults to a
+        driver-local temp dir (correct for local[*]); ON A CLUSTER PASS A
+        SHARED PATH (HDFS/object store) — executors must see it.
 
     Returns ``(node_col, cluster_id)``.
+
+    Iteration-state note: per-round lineage is truncated by writing the
+    (tiny) label frame to parquet and reading it back — the alternating
+    two-slot scratch layout keeps disk use at two label frames. This is
+    deliberate: chained ``localCheckpoint`` frames looked truncated
+    (LogicalRDD plans, flat RDD debug DAG) but executed with per-round
+    wall time DOUBLING from ~15 chained checkpoints, with or without AQE
+    (measured: 0.15s/round -> 45s/round by round 19 on a 2000-node
+    graph); the parquet round-trip measured flat at ~0.3s/round over the
+    same loop. Parquet is also the only state form that survives a
+    driver restart and works identically on a real cluster.
     """
+    import shutil
+    import tempfile
+
     sym = edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
     sym = sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    # Edges are static across rounds: checkpoint once so each iteration's
-    # join re-reads materialized blocks instead of re-deriving the pair
-    # generation lineage (at scale: persist / write to a bucketed table).
-    # eager=False everywhere in this function: materialization rides the
-    # iteration's convergence count instead of paying a separate job per
-    # checkpoint — HALF the Spark jobs per round, which is what dominates
-    # wall clock when the pair graph is far smaller than the corpus.
-    sym = sym.localCheckpoint(eager=False)
+    # Edges are static across rounds: one materialization so each
+    # iteration's join re-reads blocks instead of re-deriving the pair
+    # generation lineage. A single (unchained) localCheckpoint is safe —
+    # the pathology above needs a chain.
+    sym = sym.localCheckpoint()
 
-    labels = nodes.select(
-        F.col(node_col).alias("u"), F.col(node_col).alias("comp")
-    ).localCheckpoint(eager=False)
+    spark = nodes.sparkSession
+    owns_scratch = scratch_dir is None
+    scratch = scratch_dir or tempfile.mkdtemp(prefix="cc_labels_")
 
-    for _ in range(max_iter):
+    def _truncate(df: DataFrame, rnd: int, obs=None) -> DataFrame:
+        # Observation metrics ride the write job, so the convergence count
+        # costs no second action per round
+        path = f"{scratch}/r{rnd % 2}"
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    labels = _truncate(
+        nodes.select(
+            F.col(node_col).alias("u"), F.col(node_col).alias("comp")
+        ),
+        -1,
+    )
+
+    for _round in range(max_iter):
         nbr = (
             sym.join(
                 labels.select(
@@ -67,32 +98,60 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("_nc").alias("_nbr"))
         )
-        # carry a changed-flag through the same projection so convergence
-        # detection is a filter over the checkpointed result, not a second
-        # join against the previous labels
+        stepped = labels.join(nbr, "u", "left").select(
+            "u",
+            F.least(
+                F.col("comp"), F.coalesce(F.col("_nbr"), F.col("comp"))
+            ).alias("_mid"),
+            F.col("comp").alias("_old"),
+        )
+        # pointer jumping (path halving): follow THIS round's label of the
+        # label. _mid always names a real node, so the lookup is a
+        # self-join of the stepped frame (explicit DataFrame aliases — a
+        # bare re-select shares attribute ids with the left side and the
+        # join silently degenerates), and the fetched label is <= _mid by
+        # the min invariant. Plain min-propagation needs DIAMETER rounds —
+        # a chain of k edit-distance-1 records takes k rounds — while
+        # halving reaches O(log diameter). stepped is deliberately NOT
+        # checkpointed: computing it twice inside one round is one extra
+        # join-agg over label-frame-sized data, cheaper than a third
+        # materialization job.
+        st = stepped.alias("st")
+        hp = stepped.alias("hp")
         new = (
-            labels.join(nbr, "u", "left")
+            st.join(hp, F.col("st._mid") == F.col("hp.u"), "left")
             .select(
-                "u",
+                F.col("st.u").alias("u"),
                 F.least(
-                    F.col("comp"), F.coalesce(F.col("_nbr"), F.col("comp"))
+                    F.col("st._mid"),
+                    F.coalesce(F.col("hp._mid"), F.col("st._mid")),
                 ).alias("_new"),
-                F.col("comp").alias("_old"),
+                F.col("st._old").alias("_old"),
             )
             .select(
                 "u",
                 F.col("_new").alias("comp"),
                 (F.col("_new") != F.col("_old")).alias("_chg"),
             )
-            .localCheckpoint(eager=False)
         )
-        # the count materializes the lazy checkpoint; later rounds reuse
-        # the persisted blocks
-        changed = new.filter(F.col("_chg")).count()
+        obs = Observation()
+        new = new.observe(
+            obs, F.sum(F.col("_chg").cast("long")).alias("changed")
+        )
+        new = _truncate(new, _round)
+        changed = obs.get["changed"] or 0
         labels = new.drop("_chg")
         if changed == 0:
             break
-    return labels.select(F.col("u").alias(node_col), F.col("comp").alias("cluster_id"))
+    out = labels.select(
+        F.col("u").alias(node_col), F.col("comp").alias("cluster_id")
+    )
+    # the result still reads from the scratch slot: hand the rows back as
+    # a self-contained frame before dropping the temp dir
+    if owns_scratch:
+        out = out.localCheckpoint()
+        shutil.rmtree(scratch, ignore_errors=True)
+    return out
 
 
 def dedup_decisions(

@@ -140,3 +140,22 @@ def test_pagerank_deterministic_across_partitioning(spark):
     a = sorted(map(tuple, pagerank(nodes, edges).collect()))
     b = sorted(map(tuple, pagerank(nodes.repartition(7), edges.repartition(5)).collect()))
     assert a == b
+
+
+def test_connected_components_long_chain_converges_fast(spark):
+    """A 64-node path graph has diameter 63; with path halving the label
+    frontier collapses in O(log n) rounds — assert both the answer and
+    that convergence stayed inside a log-ish round budget (the run would
+    blow max_iter=10 without halving)."""
+    from pyspark.sql import functions as F
+
+    from learn_hbase_spark.operators.graph import connected_components
+
+    n = 64
+    nodes = spark.range(n).select(F.col("id").alias("node"))
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    got = connected_components(nodes, edges, max_iter=10).collect()
+    assert len(got) == n
+    assert {r["cluster_id"] for r in got} == {0}
