@@ -451,3 +451,62 @@ def test_stream_resume_processes_only_new_files(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == ev.count()  # nothing reprocessed, nothing missed
     assert got.select("event_id").distinct().count() == ev.count()
+
+
+def test_widetable_lsm_is_a_change_stream(spark, tmp_path):
+    """The LSM layout makes the WideTable directory ITSELF a streaming
+    source: every put() lands as new parquet files, so readStream over
+    the table path + a checkpoint delivers each write batch exactly once
+    — the changes() batch feed, as a live stream, with no extra
+    infrastructure. The descriptor file (underscore-prefixed) is
+    invisible to the stream reader like any other parquet scan."""
+    from pyspark.sql import functions as F
+
+    from learn_hbase_spark.widetable import STORED_SCHEMA, WideTable
+
+    t = WideTable.create(spark, str(tmp_path / "t"), ["info"])
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def drain():
+        s = (
+            spark.readStream.schema(STORED_SCHEMA)
+            .parquet(t.path)
+            .withColumn(
+                "op",
+                F.when(F.col("value").isNull(), F.lit("delete")).otherwise(
+                    F.lit("put")
+                ),
+            )
+        )
+        q = (
+            s.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    t.put(
+        spark.createDataFrame(
+            [("0401_A", "info", "q", "v1")],
+            "rowkey string, family string, qualifier string, value string",
+        )
+    )
+    drain()
+    assert spark.read.parquet(out).count() == 1
+
+    t.put(
+        spark.createDataFrame(
+            [("0402_B", "info", "q", "v2")],
+            "rowkey string, family string, qualifier string, value string",
+        )
+    )
+    t.delete("0401_A", "info", "q")
+    drain()
+    got = spark.read.parquet(out)
+    # each write batch delivered exactly once, tombstone typed as delete
+    assert got.count() == 3
+    ops = {(r["rowkey"], r["op"]) for r in got.collect()}
+    assert ("0401_A", "delete") in ops and ("0402_B", "put") in ops
