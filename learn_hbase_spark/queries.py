@@ -6535,3 +6535,50 @@ def entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_members") > 1)
         .orderBy("entity_id")
     )
+
+
+@_register(
+    "skew_salted_join",
+    """
+    WITH dim AS (
+      SELECT event_type,
+             CAST(avg(value) AS DOUBLE) AS type_avg
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, count(*) AS n_events,
+           CAST(SUM(CAST(e.value - d.type_avg AS DECIMAL(18,4)))
+                AS DOUBLE) AS sum_dev
+    FROM events e JOIN dim d ON e.event_type = d.event_type
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """,
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated hot-key join (operators.joins.salted_join), the
+    manual twin of AQE's skew-join: event_type has ~5 values, so a plain
+    shuffle join pins each type's millions of rows on one task — salting
+    spreads every hot key over salt_buckets sub-keys and replicates the
+    (tiny) dim side per bucket. Salting changes the PLAN, never the
+    result, which is exactly what the oracle (plain join SQL) checks.
+    The deviation-from-type-average aggregate keeps the output bounded
+    and proves the joined values line up row-by-row."""
+    ev = _t(spark, sf_dir, "events")
+    dim = ev.groupBy("event_type").agg(
+        F.avg("value").cast("double").alias("type_avg")
+    )
+    joined = joins.salted_join(
+        ev.select("event_type", "value"), dim,
+        on=["event_type"], salt_buckets=8,
+    )
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(
+                (F.col("value") - F.col("type_avg")).cast("decimal(18,4)")
+            )
+            .cast("double")
+            .alias("sum_dev"),
+        )
+        .orderBy("event_type")
+    )
