@@ -611,3 +611,169 @@ def line_dedup(
         F.count(F.when(~F.col("_drop"), 1)).alias("n_kept"),
         F.count(F.when(F.col("_drop"), 1)).alias("n_dropped"),
     )
+
+
+def positional_gram_rows(
+    df: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """Exploded ``(_id, pos, gram)`` rows: EVERY k-word window with its
+    0-based start position (no distinct — positions matter here, unlike
+    :func:`shingle_rows`). Word array materialized in its own projection
+    first so the per-position slice is O(words), not O(words²).
+    Docs shorter than ``k`` words yield no rows.
+    """
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(F.col("_w")) - k),
+        lambda i: F.array_join(F.slice(F.col("_w"), i + 1, k), " "),
+    )
+    # the gram array gets its OWN projection before the generator: a
+    # transform/slice tree inside the explode operator costs ~15 s of
+    # whole-stage-codegen compilation (measured; 1.4 s with the split),
+    # and posexplode supplies the position for free. The id-hash
+    # repartition decouples the CPU-heavy explode from the input split
+    # count (a small corpus arrives as one split = one task) and
+    # pre-satisfies the per-doc window partitioning downstream consumers
+    # need; at cluster scale the input already has enough splits and the
+    # exchange is one narrow pass over (id, words).
+    sc = df.sparkSession.sparkContext
+    return (
+        df.select(F.col(id_col).alias("_id"), words.alias("_w"))
+        .filter(F.size("_w") >= k)
+        .repartition(sc.defaultParallelism, F.col("_id"))
+        .select("_id", F.size("_w").alias("_nw"), grams.alias("_ga"))
+        .select("_id", "_nw", F.posexplode("_ga").alias("pos", "gram"))
+    )
+
+
+def duplicate_spans(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 8
+) -> DataFrame:
+    """Exact substring-duplication report per document (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better" — the
+    suffix-array ExactSubstr dedup, re-expressed for Spark at k-word
+    granularity; reference repo has no analog, this is LLM-pipeline layer).
+
+    A k-gram is *duplicated* when it occurs >= 2 times corpus-wide
+    (across docs or repeated within one). Per doc, overlapping/adjacent
+    duplicated gram starts merge into maximal spans (gaps-and-islands on
+    start positions: a gap > 1 starts a new island; consecutive starts
+    overlap by construction). Reports, per doc with any duplication:
+    span count, duplicated word mass (span word-lengths, overlaps
+    merged), and the duplicated fraction — the quantity you threshold to
+    drop or trim boilerplate-heavy documents before training.
+
+    Scale posture: the corpus-wide frequency pass shuffles 8-byte
+    xxhash64 gram keys (never gram strings) ONCE — duplicate tagging is
+    a count window over the gram-hash partition, not a groupBy + join
+    back (which would scan and explode the corpus twice; measured 2x on
+    the bench). The island merge is one window per doc over only the
+    DUPLICATED positions (a small fraction of the corpus). No all-pairs
+    stage exists at any point — cost is O(total words) + O(duplicated
+    positions · log per-doc run length). Candidate equality is on the
+    64-bit hash; a collision needs ~2^32 grams (birthday) and then only
+    inflates a span by k words. A pathological gram (corpus-wide
+    boilerplate) makes one window group huge — WindowExec spills it,
+    and the group carries 20 bytes/row, not document bodies.
+    """
+    grams = positional_gram_rows(df, text_col, id_col, k).select(
+        "_id", "_nw", "pos", F.xxhash64("gram").alias("_gh")
+    )
+    pos = (
+        grams.withColumn(
+            "_c", F.count("*").over(Window.partitionBy("_gh"))
+        )
+        .filter(F.col("_c") >= 2)
+        .select("_id", "_nw", "pos")
+    )
+    w = Window.partitionBy("_id").orderBy("pos")
+    isl = pos.withColumn(
+        "_grp",
+        F.sum(
+            F.when(
+                F.col("pos") - F.lag("pos").over(w) > 1, F.lit(1)
+            ).otherwise(F.lit(0))
+        ).over(w),
+    )
+    spans = isl.groupBy("_id", "_grp").agg(
+        F.min("pos").alias("_s"),
+        (F.max("pos") + F.lit(k - 1)).alias("_e"),
+        F.first("_nw").alias("_nw"),
+    )
+    return (
+        spans.groupBy(F.col("_id").alias(id_col))
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.col("_e") - F.col("_s") + 1).alias("dup_words"),
+            F.first("_nw").alias("total_words"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.round(F.col("dup_words") / F.col("total_words"), 6),
+        )
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    w: int = 5,
+    rows: bool = False,
+) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003 — the MOSS local document fingerprinting algorithm).
+
+    Every window of ``w`` consecutive k-gram hashes contributes its
+    minimum hash (rightmost occurrence on ties); the distinct selected
+    (hash, position) pairs are the document's fingerprint set. Guarantees
+    any shared run of w+k-1 words between two documents shares >= 1
+    fingerprint, while storing ~2/(w+1) of the grams.
+
+    Hash = md5 hex of the gram so an external oracle (DuckDB) replays the
+    selection bit-for-bit; rightmost-min tiebreak is encoded in ONE
+    sortable string key ``md5 || (10^7 - pos)`` — min over a
+    rows-following window frame, no struct ordering needed. Per-doc
+    output: gram count, fingerprint count, selected density (≈ 2/(w+1)).
+
+    Scale posture: one window function per doc partition (no shuffle
+    beyond the doc-id hash partitioning), selection is a frame min —
+    O(words · w) comparisons JVM-side; the fingerprint set is the ~2/(w+1)
+    sample you'd then feed to a bucket join for cross-doc matching.
+    """
+    grams = positional_gram_rows(df, text_col, id_col, k)
+    key = F.concat(
+        F.md5("gram"),
+        F.lpad((F.lit(10_000_000) - F.col("pos")).cast("string"), 8, "0"),
+    )
+    win = (
+        Window.partitionBy("_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    sel = (
+        grams.withColumn("_key", key)
+        .withColumn("_sel", F.min("_key").over(win))
+        # only full windows: starts 0 .. n_grams - w  (n_grams = _nw - k + 1)
+        .filter(F.col("pos") <= F.col("_nw") - k + 1 - w)
+        .select("_id", "_nw", "_sel")
+        .distinct()
+    )
+    if rows:
+        # the raw fingerprint set: (id, selected key) — the input you feed
+        # a bucket join for cross-doc match candidates (MOSS's index)
+        return sel.select(
+            F.col("_id").alias(id_col),
+            F.substring("_sel", 1, 32).alias("fp"),
+        ).distinct()
+    return (
+        sel.groupBy(F.col("_id").alias(id_col))
+        .agg(
+            (F.first("_nw") - F.lit(k - 1)).alias("n_grams"),
+            F.count("*").alias("n_fps"),
+        )
+        .withColumn(
+            "density", F.round(F.col("n_fps") / F.col("n_grams"), 6)
+        )
+    )

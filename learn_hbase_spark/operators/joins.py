@@ -202,3 +202,45 @@ def salted_join(
     )
     out = l_salted.join(r_salted, on=[*on, "_salt"], how=how)
     return out.drop("_salt")
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """CDC-style snapshot diff: classify every key across two snapshots of
+    a table as ``added`` / ``deleted`` / ``modified`` / ``unchanged``.
+
+    The reference's pipeline re-runs whole date ranges and relies on
+    latest-wins puts to converge (SURVEY §2.8); a diff of two snapshots is
+    the audit primitive that tells you WHAT a re-run changed — and the
+    input you'd feed a MERGE INTO instead of rewriting the partition.
+
+    One full outer join on the key columns; change detection compares a
+    single xxhash64 over the tracked columns (null-tagged per column, so
+    NULL vs 'null' can't alias) instead of N per-column null-safe
+    comparisons — the comparison payload per row is 8 bytes regardless of
+    how wide the tracked column set is. At 100 TB both sides shuffle on
+    the same key, and if snapshots are stored bucketed by key the join is
+    shuffle-free.
+    """
+    def _sig(df: DataFrame) -> Column:
+        parts = []
+        for c in compare_cols:
+            parts.append(F.coalesce(F.col(c).cast("string"), F.lit("\x00")))
+            parts.append(F.col(c).isNull().cast("string"))
+        return F.xxhash64(*parts)
+
+    o = old.select(*keys, _sig(old).alias("_sig_old"), F.lit(1).alias("_o"))
+    n = new.select(*keys, _sig(new).alias("_sig_new"), F.lit(1).alias("_n"))
+    joined = o.join(n, on=keys, how="full_outer")
+    return joined.select(
+        *keys,
+        F.when(F.col("_o").isNull(), F.lit("added"))
+        .when(F.col("_n").isNull(), F.lit("deleted"))
+        .when(F.col("_sig_old") != F.col("_sig_new"), F.lit("modified"))
+        .otherwise(F.lit("unchanged"))
+        .alias("change_type"),
+    )

@@ -367,3 +367,98 @@ def test_ivf_recall_vs_bruteforce(spark, vectors):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"IVF recall {recall} too low"
+
+
+# ---------------------------------------------------------------------------
+# exact substring-span dedup (Lee et al. 2021) + winnowing (SIGMOD 2003)
+# ---------------------------------------------------------------------------
+
+from learn_hbase_spark.operators.dedup import (  # noqa: E402
+    duplicate_spans,
+    winnow_fingerprints,
+)
+
+SPAN_DOCS = [
+    (1, "a b c d e f g h"),          # shares "a b c d e" with doc 2
+    (2, "x y a b c d e q"),
+    (3, "p q r s t u v w"),          # fully unique -> absent from report
+    (4, "m n o z z m n o"),          # within-doc repeat of "m n o"
+]
+
+
+def test_duplicate_spans_merges_overlaps(spark):
+    df = spark.createDataFrame(SPAN_DOCS, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in duplicate_spans(df, k=3).collect()
+    }
+    assert set(out) == {1, 2, 4}
+    # doc 1: dup 3-gram starts {0,1,2} merge into one span covering
+    # words [0, 4] -> 5 duplicated words of 8
+    assert out[1]["n_spans"] == 1
+    assert out[1]["dup_words"] == 5
+    assert out[1]["total_words"] == 8
+    assert abs(out[1]["dup_frac"] - 0.625) < 1e-9
+    assert out[2]["n_spans"] == 1 and out[2]["dup_words"] == 5
+    # doc 4: "m n o" occurs at starts 0 and 5 -> gap > 1 -> two spans,
+    # each 3 words
+    assert out[4]["n_spans"] == 2
+    assert out[4]["dup_words"] == 6
+
+
+def test_duplicate_spans_counts_within_doc_repeats(spark):
+    # a single doc repeating its own content is still duplication
+    df = spark.createDataFrame(
+        [(1, "u v w k k k u v w")], "doc_id long, text string"
+    )
+    out = duplicate_spans(df, k=3).collect()
+    assert len(out) == 1 and out[0]["n_spans"] == 2
+
+
+def _winnow_ref(words: list[str], k: int, w: int) -> set[tuple[str, int]]:
+    """Pure-python winnowing reference: min (md5, rightmost) per window."""
+    import hashlib
+
+    grams = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+    keys = [
+        hashlib.md5(g.encode()).hexdigest()
+        + str(10_000_000 - i).rjust(8, "0")
+        for i, g in enumerate(grams)
+    ]
+    sel = set()
+    for p in range(0, len(grams) - w + 1):
+        m = min(keys[p : p + w])
+        sel.add((m[:32], 10_000_000 - int(m[32:])))
+    return sel
+
+
+def test_winnow_matches_python_reference(spark):
+    rnd = random.Random(7)
+    docs = [
+        (i, " ".join(rnd.choice("abcdefgh") for _ in range(30)))
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["n_fps"]
+        for r in winnow_fingerprints(df, k=4, w=5).collect()
+    }
+    for doc_id, text in docs:
+        assert got[doc_id] == len(_winnow_ref(text.split(" "), 4, 5))
+
+
+def test_winnow_shared_run_guarantees_shared_fingerprint(spark):
+    # winnowing guarantee: a shared run of w + k - 1 words => the two
+    # docs share at least one selected fingerprint hash
+    k, w = 4, 5
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 = w+k-1
+    docs = [
+        (1, "one two three " + shared + " four five six seven eight"),
+        (2, "red green blue cyan " + shared + " pink teal navy"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    fps = winnow_fingerprints(df, k=k, w=w, rows=True).collect()
+    by_doc = {1: set(), 2: set()}
+    for r in fps:
+        by_doc[r["doc_id"]].add(r["fp"])
+    assert by_doc[1] & by_doc[2], "no shared fingerprint for shared run"

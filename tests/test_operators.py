@@ -385,3 +385,43 @@ def test_expectations_validation(spark):
         X.Expectation("broken", min_fraction=-1.0)
     with pytest.raises(ValueError, match="unknown kind"):
         X.Expectation("broken", F.lit(True), kind="exotic")
+
+
+# ---------------------------------------------------------------------------
+# snapshot diff (operators.joins.snapshot_diff)
+# ---------------------------------------------------------------------------
+
+
+def test_snapshot_diff_classifies_all_change_types(spark):
+    from learn_hbase_spark.operators.joins import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None), (4, "d", 40.0)],
+        "k long, name string, val double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "B", 20.0), (3, "c", 30.0), (5, "e", 50.0)],
+        "k long, name string, val double",
+    )
+    got = {
+        r["k"]: r["change_type"]
+        for r in snapshot_diff(old, new, ["k"], ["name", "val"]).collect()
+    }
+    assert got == {
+        1: "unchanged",
+        2: "modified",      # name case change
+        3: "modified",      # NULL -> 30.0
+        4: "deleted",
+        5: "added",
+    }
+
+
+def test_snapshot_diff_null_vs_sentinel_string(spark):
+    # the hash null-tags each column: a literal "\x00" value must NOT be
+    # conflated with NULL (the naive coalesce-only hash would)
+    from learn_hbase_spark.operators.joins import snapshot_diff
+
+    old = spark.createDataFrame([(1, "\x00")], "k long, v string")
+    new = spark.createDataFrame([(1, None)], "k long, v string")
+    got = snapshot_diff(old, new, ["k"], ["v"]).collect()
+    assert got[0]["change_type"] == "modified"
