@@ -777,3 +777,58 @@ def winnow_fingerprints(
             "density", F.round(F.col("n_fps") / F.col("n_grams"), 6)
         )
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """N-gram CONTAINMENT near-duplicate pairs (Broder 1997's containment
+    coefficient): ``C = |A∩B| / min(|A|,|B|)`` — the asymmetric companion
+    to :func:`ngram_jaccard_pairs`. A short document quoted inside a long
+    one scores near 1.0 here while its Jaccard stays near |A|/|B| ≈ 0 —
+    the subset/quote relation every containment-blind dedup misses.
+
+    Same scale shape as the Jaccard path: 8-byte hashed-shingle shuffle
+    for the intersection, per-doc set sizes from array length in a plain
+    projection (no second corpus pass), candidate pairs only through the
+    shingle-equality join — never all-pairs.
+
+    Returns (id_a, id_b, containment) with id_a < id_b and
+    containment >= threshold.
+    """
+    sh = shingle_rows(df, text_col, id_col, n).select(
+        "_id", F.xxhash64("_sh").alias("_sh")
+    )
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    sizes = df.select(
+        F.col(id_col).alias("_id"), words.alias("_w")
+    ).select("_id", F.size(_grams_from_words(F.col("_w"), n)).alias("_sz"))
+    inter = (
+        sh.groupBy("_sh")
+        .agg(F.sort_array(F.collect_list("_id")).alias("_ids"))
+        .select(F.explode(_ordered_pairs(F.col("_ids"))).alias("_p"))
+        .groupBy(F.col("_p.id_a").alias("id_a"), F.col("_p.id_b").alias("id_b"))
+        .agg(F.count("*").alias("_inter"))
+    )
+    return (
+        inter.join(
+            sizes.withColumnRenamed("_id", "id_a")
+            .withColumnRenamed("_sz", "_sza"),
+            "id_a",
+        )
+        .join(
+            sizes.withColumnRenamed("_id", "id_b")
+            .withColumnRenamed("_sz", "_szb"),
+            "id_b",
+        )
+        .withColumn(
+            "containment",
+            F.col("_inter") / F.least(F.col("_sza"), F.col("_szb")),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )

@@ -6784,3 +6784,130 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["c_custkey"],
         compare_cols=["c_name", "c_acctbal", "c_nationkey", "c_mktsegment"],
     )
+
+
+@_register(
+    "ngram_containment_pairs",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_SHINGLES}) AS s FROM documents
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(i AS DOUBLE) / least(sa.sz, sb.sz) AS containment
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(i AS DOUBLE) / least(sa.sz, sb.sz) >= 0.2
+    """,
+)
+def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup pairs (Broder 1997): intersection
+    over the SMALLER shingle set — catches a short doc quoted inside a
+    long one, which Jaccard scores near zero. Same hashed-shingle
+    single-shuffle shape as ngram_jaccard_pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.ngram_containment_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.2
+    )
+
+
+@_register(
+    "embedding_vector_ops",
+    """
+    WITH d AS (
+      SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    ),
+    m AS (
+      SELECT pos,
+             CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*)
+               AS mval
+      FROM d GROUP BY pos
+    ),
+    mv AS (SELECT list(mval ORDER BY pos) AS mean_vec FROM m),
+    v AS (
+      SELECT vec_id,
+             list_transform(embedding, y -> CAST(y AS DOUBLE)) AS e
+      FROM embeddings
+    )
+    SELECT vec_id, CAST(len(e) AS INT) AS dim,
+           round(sqrt(list_reduce(list_transform(e, y -> y * y),
+                                  (a, b) -> a + b)), 6) AS l2_norm,
+           round(
+             list_reduce(
+               list_transform(list_zip(e, mean_vec),
+                              s -> s[1] * s[2]),
+               (a, b) -> a + b)
+             / (sqrt(list_reduce(list_transform(e, y -> y * y),
+                                 (a, b) -> a + b))
+                * sqrt(list_reduce(list_transform(mean_vec, y -> y * y),
+                                   (a, b) -> a + b))),
+             6) AS cos_to_mean
+    FROM v, mv
+    """,
+)
+def embedding_vector_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-JVM vector arithmetic over the embedding column — the
+    whole-stage-codegen path for dense math that does NOT need Python:
+    L2 norm via an F.aggregate fold, cosine-to-corpus-mean via F.zip_with
+    dot product. The corpus mean vector is computed ONCE (posexplode →
+    per-dimension DECIMAL-exact sums, so the mean is shuffle-order
+    independent) and broadcast as a one-row array to every executor — a
+    bounded one-row crossJoin, never N×N. Both engines left-fold the
+    same double sequence (0.0+x1 == x1 in IEEE), so the oracle matches
+    bit-for-bit before the 1e-6 rounding.
+
+    This is the centroid-scoring primitive: at 100 TB you'd broadcast K
+    centroids instead of one mean and take an argmin over K dots — same
+    plan shape, still zero Python in the hot path (contrast ann_* which
+    use Arrow-batched pandas for top-k heaps)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "x")
+    )
+    mean = (
+        dims.groupBy("pos")
+        .agg(
+            (
+                F.sum(F.col("x").cast("decimal(28,12)"))
+                .cast("double")
+                / F.count("*")
+            ).alias("mval")
+        )
+        .groupBy()
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "mval"))
+            ).alias("_pm")
+        )
+        .select(
+            F.transform(F.col("_pm"), lambda s: s["mval"]).alias("mean_vec")
+        )
+    )
+    v = emb.crossJoin(F.broadcast(mean))
+    e = F.transform(F.col("embedding"), lambda y: y.cast("double"))
+    sumsq = lambda arr: F.aggregate(  # noqa: E731
+        F.transform(arr, lambda y: y * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dot = F.aggregate(
+        F.zip_with(e, F.col("mean_vec"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return v.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.sqrt(sumsq(e)), 6).alias("l2_norm"),
+        F.round(
+            dot / (F.sqrt(sumsq(e)) * F.sqrt(sumsq(F.col("mean_vec")))), 6
+        ).alias("cos_to_mean"),
+    )

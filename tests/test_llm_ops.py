@@ -462,3 +462,26 @@ def test_winnow_shared_run_guarantees_shared_fingerprint(spark):
     for r in fps:
         by_doc[r["doc_id"]].add(r["fp"])
     assert by_doc[1] & by_doc[2], "no shared fingerprint for shared run"
+
+
+def test_containment_catches_quote_jaccard_misses(spark):
+    from learn_hbase_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = "the five boxing wizards jump quickly tonight"
+    long_doc = (
+        "lorem ipsum dolor sit amet consectetur adipiscing elit sed do "
+        + quote
+        + " eiusmod tempor incididunt ut labore et dolore magna aliqua "
+        "ut enim ad minim veniam quis nostrud exercitation ullamco"
+    )
+    df = spark.createDataFrame(
+        [(1, quote), (2, long_doc)], "doc_id long, text string"
+    )
+    cont = ngram_containment_pairs(df, n=3, threshold=0.8).collect()
+    assert len(cont) == 1 and cont[0]["containment"] == 1.0
+    # the same pair is invisible to Jaccard at any useful threshold
+    jac = ngram_jaccard_pairs(df, n=3, threshold=0.5).collect()
+    assert jac == []

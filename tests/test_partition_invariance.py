@@ -30,6 +30,13 @@ CASES = [
     "simhash_hamming_pairs",
     "quality_band_sample",
     "embedding_kmeans",
+    # round 4 late: span merge (window-order risk), winnowing selection
+    # (tie/order risk), partial-agg merge (float/merge-order risk),
+    # full-outer hash classification (join-order risk)
+    "substring_dup_spans",
+    "winnow_fingerprints",
+    "rollup_incremental",
+    "snapshot_diff",
 ]
 
 
