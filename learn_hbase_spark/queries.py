@@ -6500,7 +6500,15 @@ def entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays the closure as a recursive CTE (DuckDB levenshtein matches
     Spark's)."""
     c = _t(spark, sf_dir, "customer")
-    a = c.select(
+    # spread the blocked comparison across cores: under a broadcast join
+    # the probe side keeps the SCAN's partitioning (one task for a
+    # single-file table), serializing every levenshtein eval — the
+    # block-key repartition is what a cluster run would want anyway
+    # (co-locate each block's candidate pairs on one task)
+    a = c.repartition(
+        spark.sparkContext.defaultParallelism,
+        "c_nationkey", "c_mktsegment",
+    ).select(
         F.col("c_custkey").alias("u"),
         F.col("c_name").alias("_na"),
         "c_nationkey", "c_mktsegment",

@@ -44,6 +44,11 @@ NESTED_LOOP_ALLOWED: dict[str, str] = {
     # aggregate crossed into the per-part frame — an O(parts) broadcast
     # compare, exactly Catalyst's own plan for a scalar subquery.
     "q11_important_stock": "one-row scalar-aggregate broadcast threshold",
+    # The corpus-mean embedding is a ONE-ROW array frame broadcast to every
+    # vector — an O(N) per-row dot product, the same bounded shape as the
+    # scalar-aggregate thresholds above (at scale: K centroid rows, still
+    # a broadcast, never N x N).
+    "embedding_vector_ops": "one-row mean-vector broadcast",
     # The lift denominator is the ONE-ROW distinct-user total crossed into
     # the (|types| choose 2)-row pair frame — both sides bounded by the
     # type vocabulary, never by users or events.
