@@ -143,10 +143,10 @@ def test_pagerank_deterministic_across_partitioning(spark):
 
 
 def test_connected_components_long_chain_converges_fast(spark):
-    """A 64-node path graph has diameter 63; with path halving the label
-    frontier collapses in O(log n) rounds — assert both the answer and
-    that convergence stayed inside a log-ish round budget (the run would
-    blow max_iter=10 without halving)."""
+    """A 64-node path graph has diameter 63; large-star/small-star
+    converges in O(log² n) rounds independent of diameter — assert both
+    the answer and that convergence stayed inside a log-ish round budget
+    (min-label propagation would need 63 rounds and blow max_iter=10)."""
     from pyspark.sql import functions as F
 
     from learn_hbase_spark.operators.graph import connected_components
@@ -159,3 +159,47 @@ def test_connected_components_long_chain_converges_fast(spark):
     got = connected_components(nodes, edges, max_iter=10).collect()
     assert len(got) == n
     assert {r["cluster_id"] for r in got} == {0}
+
+
+def test_connected_components_shuffled_chain_diameter_free(spark):
+    """500-node chain with ids SHUFFLED along the path (the worst case
+    for label propagation — the min sits at an arbitrary position and
+    label chains never align with edges). max_iter=12 only clears if the
+    round count is genuinely diameter-free; verify against a python
+    union-find ground truth."""
+    import random
+
+    from learn_hbase_spark.operators.graph import connected_components
+
+    rnd = random.Random(11)
+    ids = list(range(1000, 1500))
+    rnd.shuffle(ids)
+    # two disjoint chains of 250
+    edges = [(ids[i], ids[i + 1]) for i in range(249)] + [
+        (ids[250 + i], ids[250 + i + 1]) for i in range(249)
+    ]
+    ndf = spark.createDataFrame([(i,) for i in ids], "node long")
+    edf = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(ndf, edf, max_iter=12).collect()
+    }
+    m1, m2 = min(ids[:250]), min(ids[250:])
+    assert len(got) == 500
+    for i, node in enumerate(ids):
+        assert got[node] == (m1 if i < 250 else m2)
+
+
+def test_connected_components_max_iter_cap_keeps_one_row_per_node(spark):
+    """Capping max_iter below convergence must still emit exactly one
+    row per node (the output min-agg guards the unconverged edge set) —
+    labels may be refinable, but never duplicated or dropped."""
+    from learn_hbase_spark.operators.graph import connected_components
+
+    ids = list(range(40))
+    edges = [(i, i + 1) for i in range(39)]
+    ndf = spark.createDataFrame([(i,) for i in ids], "node long")
+    edf = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = connected_components(ndf, edf, max_iter=1).collect()
+    assert len(got) == 40
+    assert len({r["node"] for r in got}) == 40
