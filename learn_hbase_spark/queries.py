@@ -6919,3 +6919,105 @@ def embedding_vector_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             dot / (F.sqrt(sumsq(e)) * F.sqrt(sumsq(F.col("mean_vec")))), 6
         ).alias("cos_to_mean"),
     )
+
+
+@_register(
+    "length_bucket_batching",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             len(string_split({_NORM}, ' ')) AS n_tokens
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, n_tokens,
+             CAST(ceil(log2(greatest(n_tokens, 1))) AS BIGINT) AS bucket
+      FROM t
+    )
+    SELECT bucket,
+           CAST(power(2, bucket) AS BIGINT) AS bucket_cap,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS real_tokens,
+           CAST(count(*) * power(2, bucket) AS BIGINT) AS padded_tokens,
+           round(1.0 - CAST(sum(n_tokens) AS DOUBLE)
+                       / (count(*) * power(2, bucket)), 6) AS padding_waste
+    FROM b GROUP BY bucket
+    """,
+)
+def length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length bucketing for variable-length training batches:
+    docs binned to power-of-two token-length buckets (the dynamic-batching
+    scheme that replaces pad-to-max). Per bucket: doc count, real vs
+    padded token mass and the padding-waste fraction — the number that
+    tells you whether bucketed batching is worth it for this corpus
+    (contrast operators.packing, which ELIMINATES padding by concatenation;
+    bucketing keeps one-doc-per-sequence semantics). Pure expression tree
+    + one partial-aggregable groupBy over ~log2(max_len) keys."""
+    docs = _t(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(dedup.normalize_text(F.col("text")), " "))
+    b = docs.select(
+        F.col("doc_id"),
+        n_tokens.alias("n_tokens"),
+    ).withColumn(
+        "bucket",
+        F.ceil(F.log2(F.greatest(F.col("n_tokens"), F.lit(1)))).cast("long"),
+    )
+    return b.groupBy("bucket").agg(
+        F.pow(F.lit(2.0), F.col("bucket")).cast("long").alias("bucket_cap"),
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("real_tokens"),
+        (F.count("*") * F.pow(F.lit(2.0), F.col("bucket")))
+        .cast("long")
+        .alias("padded_tokens"),
+        F.round(
+            F.lit(1.0)
+            - F.sum("n_tokens").cast("double")
+            / (F.count("*") * F.pow(F.lit(2.0), F.col("bucket"))),
+            6,
+        ).alias("padding_waste"),
+    )
+
+
+@_register(
+    "histogram_equiwidth",
+    """
+    WITH bounds AS (
+      SELECT min(value) AS lo, max(value) AS hi FROM events
+    )
+    SELECT least(CAST(floor((value - lo) / ((hi - lo) / 20.0)) AS BIGINT),
+                 19) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(value), 6) AS bin_min,
+           round(max(value), 6) AS bin_max
+    FROM events, bounds
+    GROUP BY least(CAST(floor((value - lo) / ((hi - lo) / 20.0)) AS BIGINT),
+                   19)
+    """,
+)
+def histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (20 bins) of the events value column — the
+    profiling primitive next to the equi-DEPTH percentile_bands query.
+    Bin bounds come from a one-row min/max aggregate broadcast back over
+    the table (two passes total, no sort); the bin arithmetic is the
+    same IEEE double expression in both engines, so edges land
+    identically. The top edge folds into the last bin (least(_, 19)),
+    matching width_bucket's overflow convention."""
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.groupBy().agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    binned = ev.crossJoin(F.broadcast(bounds)).withColumn(
+        "bin",
+        F.least(
+            F.floor(
+                (F.col("value") - F.col("lo"))
+                / ((F.col("hi") - F.col("lo")) / F.lit(20.0))
+            ).cast("long"),
+            F.lit(19).cast("long"),
+        ),
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.round(F.min("value"), 6).alias("bin_min"),
+        F.round(F.max("value"), 6).alias("bin_max"),
+    )

@@ -49,6 +49,9 @@ NESTED_LOOP_ALLOWED: dict[str, str] = {
     # scalar-aggregate thresholds above (at scale: K centroid rows, still
     # a broadcast, never N x N).
     "embedding_vector_ops": "one-row mean-vector broadcast",
+    # One-row min/max bounds frame crossed into the table for bin
+    # assignment — O(N) broadcast compare, same scalar-aggregate shape.
+    "histogram_equiwidth": "one-row min/max bounds broadcast",
     # The lift denominator is the ONE-ROW distinct-user total crossed into
     # the (|types| choose 2)-row pair frame — both sides bounded by the
     # type vocabulary, never by users or events.
