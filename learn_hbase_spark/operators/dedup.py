@@ -102,8 +102,15 @@ def shingle_rows(
     a non-cheap expression). Turns the per-doc cost from O(words²) string
     splitting into O(words)."""
     words = F.split(normalize_text(F.col(text_col)), " ")
+    # id-hash repartition before the explode: gram building is CPU-heavy
+    # and must not inherit the scan's split count (a small corpus arrives
+    # as one split = one task; measured 1.5x on ngram_jaccard at sf0.1).
+    # The exchange carries (id, words) — no larger than the doc side, and
+    # dwarfed by the gram shuffle every consumer does next.
+    sc = df.sparkSession.sparkContext
     return (
         df.select(F.col(id_col).alias("_id"), words.alias("_w"))
+        .repartition(sc.defaultParallelism, F.col("_id"))
         .select("_id", F.explode(_grams_from_words(F.col("_w"), n)).alias("_sh"))
     )
 
