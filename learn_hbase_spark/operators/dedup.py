@@ -630,10 +630,19 @@ def positional_gram_rows(
     Docs shorter than ``k`` words yield no rows.
     """
     words = F.split(normalize_text(F.col(text_col)), " ")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(F.col("_w")) - k),
-        lambda i: F.array_join(F.slice(F.col("_w"), i + 1, k), " "),
-    )
+    # the when-guard (not just the filter below) makes the expression
+    # itself short-doc-safe: Catalyst may reorder the filter conjuncts it
+    # infers from the generator ahead of the size filter, and an
+    # unguarded sequence(0, size-k) DESCENDS for size < k, driving
+    # slice(start=0) into a runtime error (caught by the randomized
+    # reference test with 1-word docs)
+    grams = F.when(
+        F.size(F.col("_w")) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(F.col("_w")) - k),
+            lambda i: F.array_join(F.slice(F.col("_w"), i + 1, k), " "),
+        ),
+    ).otherwise(F.array())
     # the gram array gets its OWN projection before the generator: a
     # transform/slice tree inside the explode operator costs ~15 s of
     # whole-stage-codegen compilation (measured; 1.4 s with the split),

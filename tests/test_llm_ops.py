@@ -485,3 +485,51 @@ def test_containment_catches_quote_jaccard_misses(spark):
     # the same pair is invisible to Jaccard at any useful threshold
     jac = ngram_jaccard_pairs(df, n=3, threshold=0.5).collect()
     assert jac == []
+
+
+def test_duplicate_spans_matches_python_reference(spark):
+    """Randomized corpus (fixed seed) vs a pure-python reimplementation:
+    gram counting, >=2 threshold, island merge, and the per-doc report
+    must agree exactly."""
+    import collections
+
+    rnd = random.Random(23)
+    k = 3
+    docs = [
+        (i, " ".join(rnd.choice("abcde") for _ in range(rnd.randint(1, 40))))
+        for i in range(40)
+    ]
+
+    gram_count = collections.Counter()
+    doc_grams = {}
+    for doc_id, text in docs:
+        ws = text.split(" ")
+        grams = [
+            (" ".join(ws[p : p + k]), p) for p in range(len(ws) - k + 1)
+        ]
+        doc_grams[doc_id] = (grams, len(ws))
+        for g, _ in grams:
+            gram_count[g] += 1
+
+    expect = {}
+    for doc_id, (grams, nw) in doc_grams.items():
+        pos = sorted(p for g, p in grams if gram_count[g] >= 2)
+        if not pos:
+            continue
+        spans = []
+        s = e = pos[0]
+        for p in pos[1:]:
+            if p - e > 1:
+                spans.append((s, e + k - 1))
+                s = p
+            e = p
+        spans.append((s, e + k - 1))
+        dup_words = sum(b - a + 1 for a, b in spans)
+        expect[doc_id] = (len(spans), dup_words, nw)
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_spans"], r["dup_words"], r["total_words"])
+        for r in duplicate_spans(df, k=k).collect()
+    }
+    assert got == expect
