@@ -60,18 +60,25 @@ def _word_table(corpus: DataFrame, text_col: str) -> DataFrame:
 
 def _pair_counts(word_table: DataFrame) -> DataFrame:
     """Frequency-weighted adjacent-pair counts — all JVM expressions."""
+    # when-guard, not just the trailing filter: Catalyst may evaluate
+    # reordered predicate conjuncts (e.g. the generator's inferred
+    # not-null/size filter) before the size filter, and an unguarded
+    # sequence(0, size-2) DESCENDS for fully-merged 1-symbol words,
+    # driving element_at(syms, 0) into a runtime error (same hazard
+    # class as dedup.positional_gram_rows)
+    pair_arr = F.when(
+        F.size("syms") >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size("syms") - F.lit(2)),
+            lambda i: F.struct(
+                F.element_at("syms", i + 1).alias("a"),
+                F.element_at("syms", i + 2).alias("b"),
+            ),
+        ),
+    ).otherwise(F.array())
     pairs = word_table.select(
-        "freq",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("syms") - F.lit(2)),
-                lambda i: F.struct(
-                    F.element_at("syms", i + 1).alias("a"),
-                    F.element_at("syms", i + 2).alias("b"),
-                ),
-            )
-        ).alias("p"),
-    ).filter(F.size("syms") >= 2)
+        "freq", F.explode(pair_arr).alias("p")
+    )
     return pairs.groupBy(
         F.col("p.a").alias("a"), F.col("p.b").alias("b")
     ).agg(F.sum("freq").alias("n"))
