@@ -2385,9 +2385,10 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dup clustering: MinHash-LSH candidate pairs closed
     under connectivity (if A~B and B~C, all three share a cluster even when
-    A~C never collided). Distributed min-label propagation, O(diameter)
-    shuffle rounds (operators.graph); the oracle replays it as a recursive
-    CTE over the identical md5-derived edge set."""
+    A~C never collided). Distributed large-star/small-star edge rewriting,
+    O(log²n) rounds independent of component diameter (operators.graph);
+    the oracle replays it as a recursive CTE over the identical
+    md5-derived edge set."""
     docs = _t(spark, sf_dir, "documents")
     pairs = dedup.minhash_bucket_pairs(
         docs, "text", "doc_id", num_hashes=8, bands=4

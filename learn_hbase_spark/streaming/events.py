@@ -415,3 +415,86 @@ def stateful_sessions_with_timeout(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def neardup_ingest_stream(
+    spark: SparkSession,
+    input_dir: str,
+    index_dir: str,
+    accepted_dir: str,
+    checkpoint_dir: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> None:
+    """Streaming near-duplicate-gated corpus ingest: every arriving
+    micro-batch of documents is checked (MinHash-LSH) against the
+    PERSISTED band index of everything accepted so far, plus itself;
+    only non-duplicates are appended, and their bands extend the index.
+
+    This is the 100 TB ingest shape end-to-end: per batch the work is
+    O(batch) — the batch is shingled/banded fresh, the history side is
+    an index lookup (band-key equi-join against the bucketed band
+    store), and the corpus is NEVER re-scanned. Batch-mode twin:
+    ``dedup.minhash_incremental_pairs`` (the ``minhash_incremental``
+    oracle query); exact-dedup streaming twin: ``dedup_stream``.
+
+    foreachBatch is the right tool (not a stateful operator): the state
+    here is a TABLE (the band index) that must outlive the stream, serve
+    batch queries, and be compactable — `applyInPandasWithState` state
+    is opaque to everything but the stream that owns it.
+
+    Replay note: foreachBatch is at-least-once — a replayed batch
+    re-checks against an index that may already contain its own bands,
+    which rejects the whole batch as self-duplicate. The index append
+    therefore tags rows with the batch id and the collision join
+    excludes same-batch index rows: replay becomes idempotent (the
+    accepted-dir write is then the same rows, overwritten by path).
+    """
+    from ..operators import dedup as D
+
+    docs_schema = "doc_id long, text string"
+    stream = (
+        spark.readStream.format("json")
+        .schema(docs_schema)
+        .load(input_dir)
+    )
+
+    def _ingest(batch: DataFrame, batch_id: int) -> None:
+        s = batch.sparkSession
+        bands_new = D.minhash_bands(
+            batch, "text", "doc_id", num_hashes, bands
+        ).withColumn("_batch", F.lit(batch_id))
+        try:
+            idx = s.read.parquet(index_dir).filter(
+                F.col("_batch") != batch_id
+            )
+        except Exception:
+            idx = None
+        # against-history collisions (index-lookup join on band key)
+        if idx is not None:
+            hist_hits = (
+                bands_new.select(F.col("_id").alias("doc_id"), "_bk")
+                .join(idx.select("_bk"), "_bk")
+                .select("doc_id")
+                .distinct()
+            )
+        else:
+            hist_hits = batch.select("doc_id").limit(0)
+        # intra-batch collisions: min id per colliding bucket wins
+        intra = D.minhash_bucket_pairs(
+            batch, "text", "doc_id", num_hashes, bands
+        ).select(F.col("id_b").alias("doc_id")).distinct()
+        rejected = hist_hits.union(intra).distinct()
+        accepted = batch.join(rejected, "doc_id", "left_anti")
+        accepted.write.mode("append").parquet(accepted_dir)
+        bands_new.join(
+            rejected.withColumnRenamed("doc_id", "_id"), "_id", "left_anti"
+        ).write.mode("append").parquet(index_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

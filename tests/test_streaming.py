@@ -510,3 +510,46 @@ def test_widetable_lsm_is_a_change_stream(spark, tmp_path):
     assert got.count() == 3
     ops = {(r["rowkey"], r["op"]) for r in got.collect()}
     assert ("0401_A", "delete") in ops and ("0402_B", "put") in ops
+
+
+def test_streaming_neardup_ingest_gates_duplicates(spark, tmp_path):
+    """Streaming LSH-gated ingest: batch 2's duplicate-of-history doc is
+    rejected via the persisted band index, its intra-batch duplicate is
+    rejected by min-id, and genuinely new docs append. Re-draining with
+    the same checkpoint processes nothing new (idempotent)."""
+    import json
+
+    from learn_hbase_spark.streaming.events import neardup_ingest_stream
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    idx = str(tmp_path / "index")
+    acc = str(tmp_path / "accepted")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_batch(name, rows):
+        with open(inp / name, "w") as fh:
+            for doc_id, text in rows:
+                fh.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+
+    write_batch("b1.json", [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "totally different words in this second document here"),
+    ])
+    neardup_ingest_stream(spark, str(inp), idx, acc, ckpt)
+    got1 = {r["doc_id"] for r in spark.read.parquet(acc).collect()}
+    assert got1 == {1, 2}
+
+    write_batch("b2.json", [
+        (3, "alpha beta gamma delta epsilon zeta eta theta"),  # hist dup of 1
+        (4, "brand new unique content appearing only in batch two"),
+        (5, "brand new unique content appearing only in batch two"),  # intra dup of 4
+    ])
+    neardup_ingest_stream(spark, str(inp), idx, acc, ckpt)
+    got2 = {r["doc_id"] for r in spark.read.parquet(acc).collect()}
+    assert got2 == {1, 2, 4}
+
+    # draining again with nothing new must be a no-op
+    neardup_ingest_stream(spark, str(inp), idx, acc, ckpt)
+    got3 = [r["doc_id"] for r in spark.read.parquet(acc).collect()]
+    assert sorted(got3) == [1, 2, 4]
