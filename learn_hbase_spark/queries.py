@@ -7022,3 +7022,43 @@ def histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("value"), 6).alias("bin_min"),
         F.round(F.max("value"), 6).alias("bin_max"),
     )
+
+
+@_register(
+    "reservoir_per_group",
+    """
+    WITH ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(concat('rsv:', CAST(doc_id AS VARCHAR))),
+                        doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT source, doc_id, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= 5
+    """,
+)
+def reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exact-k-per-group sampling (the distributed stand-in
+    for per-group reservoir sampling): rank group members by a salted
+    identity hash and keep the first k — uniform over the group, stable
+    across reruns/partitionings, and resumable (the hash order IS the
+    reservoir order, so growing k later extends the same sample). One
+    window shuffle on the group key; Spark plans rank<=k as
+    WindowGroupLimit, so each task retains a k-row heap instead of
+    sorting whole groups — the property that matters when a group has a
+    billion rows. Companion to stratified_sample (fractions) and
+    deterministic_sample (global rate): this one guarantees exact counts
+    per group, the eval-set construction contract."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit("rsv:"), F.col("doc_id").cast("string"))),
+        F.col("doc_id"),
+    )
+    return (
+        docs.select("source", "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+    )
