@@ -813,3 +813,127 @@ class WideTable:
         fs.delete(aside, True)
         # the swap replaced the whole table dir; restore the descriptor
         self._write_descriptor(fs)
+
+    # -- secondary index (Phoenix-style global index, value -> rowkey) ------
+
+    class IndexStale(RuntimeError):
+        """The table received writes after the index was built."""
+
+    def _index_path(self, family: str, qualifier: str) -> str:
+        return f"{self.path}__idx/{family}.{qualifier}"
+
+    def build_index(self, family: str, qualifier: str) -> None:
+        """Materialize a global secondary index over one ``(family,
+        qualifier)``: the resolved latest-wins ``(value, rowkey)`` map,
+        written VALUE-SORTED (range partition + in-partition sort) so an
+        equality or range probe prunes row groups on parquet min/max
+        stats — the read path HBase users bolt on via Phoenix global
+        indexes or a manually-maintained index table.
+
+        The index is a SNAPSHOT: it is stamped with the build wall-clock
+        (same epoch-ns domain as cell versions) and ``lookup_by_value``
+        refuses service — or serves read-repaired results under
+        ``allow_stale=True`` — once the table has newer data files.
+        Rebuild cadence pairs naturally with ``compact()``, exactly like
+        the HBase world where index maintenance rides major compactions.
+        """
+        if family not in self.families:
+            raise ValueError(f"unknown family {family!r}")
+        built_ns = time.time_ns()  # BEFORE the read: conservative stamp
+        rows = (
+            self._latest(
+                self._cells()
+                .filter(F.col("family") == family)
+                .filter(F.col("qualifier") == qualifier)
+            )
+            .select("value", "rowkey")
+            .repartitionByRange(
+                self.spark.sparkContext.defaultParallelism, "value"
+            )
+            .sortWithinPartitions("value")
+        )
+        path = self._index_path(family, qualifier)
+        rows.write.mode("overwrite").parquet(path)
+        # sidecar stamp (not a data column): survives an EMPTY index, and
+        # the freshness probe reads one tiny file instead of parquet rows
+        fs = self._fs()
+        out = fs.create(self._hpath(path + "/_built"), True)
+        try:
+            out.write(bytearray(str(built_ns).encode("utf-8")))
+        finally:
+            out.close()
+
+    def _newest_data_mtime_ms(self) -> int:
+        """Metadata-only freshness probe: newest data-file modification
+        time under the table dir (LSM appends always create new files, so
+        'any file newer than the index build' == 'the index is stale').
+        O(file count) listing, no data read."""
+        fs = self._fs()
+        newest = 0
+        stack = [self._hpath(self.path)]
+        while stack:
+            for st in fs.listStatus(stack.pop()):
+                if st.isDirectory():
+                    stack.append(st.getPath())
+                elif st.getPath().getName().endswith(".parquet"):
+                    newest = max(newest, st.getModificationTime())
+        return newest
+
+    def lookup_by_value(
+        self,
+        family: str,
+        qualifier: str,
+        value: str,
+        allow_stale: bool = False,
+    ) -> DataFrame:
+        """Index-accelerated equality lookup: probe the secondary index
+        for matching rowkeys (row-group-pruned on the sorted value
+        column), then fetch ONLY those rows from the main table via a
+        broadcast semi-join — never a full resolved scan.
+
+        Correctness under staleness is one-sided by construction: fetched
+        rows are RE-VERIFIED against the live resolved cell (read-repair),
+        so a stale index can never return a wrong row — it can only MISS
+        rows written after the build. That miss is what the freshness
+        check guards: by default a stale index raises ``IndexStale``;
+        ``allow_stale=True`` opts into the Phoenix-like eventually-
+        consistent read.
+        """
+        path = self._index_path(family, qualifier)
+        try:
+            idx = self.spark.read.parquet(path)
+        except Exception as exc:
+            raise ValueError(
+                f"no index for {family}:{qualifier} — build_index first"
+            ) from exc
+        if not allow_stale:
+            fs = self._fs()
+            stream = fs.open(self._hpath(path + "/_built"))
+            try:
+                built_ns = int(
+                    self.spark._jvm.org.apache.commons.io.IOUtils.toString(
+                        stream, "UTF-8"
+                    )
+                )
+            finally:
+                stream.close()
+            built_ms = built_ns // 1_000_000
+            if self._newest_data_mtime_ms() > built_ms:
+                raise WideTable.IndexStale(
+                    f"index {family}:{qualifier} predates newer table "
+                    "writes; run build_index again or pass allow_stale=True"
+                )
+        keys = idx.filter(F.col("value") == value).select("rowkey")
+        fetched = (
+            self._cells()
+            .filter(F.col("family") == family)
+            .filter(F.col("qualifier") == qualifier)
+            .join(F.broadcast(keys), "rowkey")
+        )
+        # read-repair: the index narrowed the candidate set; the LIVE
+        # resolved value decides membership
+        return (
+            self._latest(fetched)
+            .filter(F.col("value") == value)
+            .select("rowkey", "family", "qualifier", "value")
+        )

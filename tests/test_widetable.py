@@ -572,3 +572,69 @@ def test_increment_rejects_non_counter_family(spark, tmp_path):
 def test_counter_family_must_be_declared_family(spark, tmp_path):
     with pytest.raises(ValueError, match="counter families"):
         WideTable.create(spark, str(tmp_path / "t"), ["a"], counters=["b"])
+
+
+# ---------------------------------------------------------------------------
+# secondary index (value -> rowkey)
+# ---------------------------------------------------------------------------
+
+
+def test_index_lookup_matches_scan(spark, table):
+    table.put(_cells(spark, [
+        ("0401_M1", "info", "yhbh", "U1"),
+        ("0402_M2", "info", "yhbh", "U2"),
+        ("0403_M3", "info", "yhbh", "U1"),
+        ("0401_M4", "info", "zhbl", "U1"),   # other qualifier — not indexed
+    ]))
+    table.build_index("info", "yhbh")
+    got = sorted(
+        r["rowkey"]
+        for r in table.lookup_by_value("info", "yhbh", "U1").collect()
+    )
+    assert got == ["0401_M1", "0403_M3"]
+
+
+def test_index_read_repair_never_returns_wrong_rows(spark, table):
+    table.put(_cells(spark, [("0401_M1", "info", "yhbh", "U1")]))
+    table.build_index("info", "yhbh")
+    # overwrite AFTER the build: the index still maps U1 -> 0401_M1, but
+    # the live resolved value is U9 — read-repair must drop the row
+    table.put(_cells(spark, [("0401_M1", "info", "yhbh", "U9")]))
+    got = table.lookup_by_value(
+        "info", "yhbh", "U1", allow_stale=True
+    ).collect()
+    assert got == []
+
+
+def test_index_staleness_contract(spark, table):
+    table.put(_cells(spark, [("0401_M1", "info", "yhbh", "U1")]))
+    table.build_index("info", "yhbh")
+    # fresh: serves
+    assert len(table.lookup_by_value("info", "yhbh", "U1").collect()) == 1
+    import time as _time
+    _time.sleep(0.01)
+    table.put(_cells(spark, [("0402_M2", "info", "yhbh", "U1")]))
+    with pytest.raises(WideTable.IndexStale):
+        table.lookup_by_value("info", "yhbh", "U1")
+    # stale reads are opt-in and one-sided: only MISS the new row
+    got = sorted(
+        r["rowkey"]
+        for r in table.lookup_by_value(
+            "info", "yhbh", "U1", allow_stale=True
+        ).collect()
+    )
+    assert got == ["0401_M1"]
+    # rebuild heals
+    table.build_index("info", "yhbh")
+    got = sorted(
+        r["rowkey"]
+        for r in table.lookup_by_value("info", "yhbh", "U1").collect()
+    )
+    assert got == ["0401_M1", "0402_M2"]
+
+
+def test_index_unknown_family_and_missing_index(spark, table):
+    with pytest.raises(ValueError, match="unknown family"):
+        table.build_index("nope", "q")
+    with pytest.raises(ValueError, match="build_index first"):
+        table.lookup_by_value("info", "yhbh", "U1")
