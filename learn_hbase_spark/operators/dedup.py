@@ -630,19 +630,21 @@ def positional_gram_rows(
     Docs shorter than ``k`` words yield no rows.
     """
     words = F.split(normalize_text(F.col(text_col)), " ")
-    # the when-guard (not just the filter below) makes the expression
+    # the greatest-clamp (not just the filter below) makes the expression
     # itself short-doc-safe: Catalyst may reorder the filter conjuncts it
     # infers from the generator ahead of the size filter, and an
-    # unguarded sequence(0, size-k) DESCENDS for size < k, driving
+    # unclamped sequence(0, size-k) DESCENDS for size < k, driving
     # slice(start=0) into a runtime error (caught by the randomized
-    # reference test with 1-word docs)
-    grams = F.when(
-        F.size(F.col("_w")) >= k,
-        F.transform(
-            F.sequence(F.lit(0), F.size(F.col("_w")) - k),
-            lambda i: F.array_join(F.slice(F.col("_w"), i + 1, k), " "),
+    # reference test with 1-word docs). For a sub-k doc the clamp emits
+    # one harmless short gram at pos 0 — and the size filter drops the
+    # row anyway. A when()-guard would be equally safe but measured 2.2x
+    # slower (the CASE wrapper around the transform defeats codegen).
+    grams = F.transform(
+        F.sequence(
+            F.lit(0), F.greatest(F.size(F.col("_w")) - k, F.lit(0))
         ),
-    ).otherwise(F.array())
+        lambda i: F.array_join(F.slice(F.col("_w"), i + 1, k), " "),
+    )
     # the gram array gets its OWN projection before the generator: a
     # transform/slice tree inside the explode operator costs ~15 s of
     # whole-stage-codegen compilation (measured; 1.4 s with the split),

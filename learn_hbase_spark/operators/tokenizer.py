@@ -60,25 +60,27 @@ def _word_table(corpus: DataFrame, text_col: str) -> DataFrame:
 
 def _pair_counts(word_table: DataFrame) -> DataFrame:
     """Frequency-weighted adjacent-pair counts — all JVM expressions."""
-    # when-guard, not just the trailing filter: Catalyst may evaluate
-    # reordered predicate conjuncts (e.g. the generator's inferred
-    # not-null/size filter) before the size filter, and an unguarded
-    # sequence(0, size-2) DESCENDS for fully-merged 1-symbol words,
-    # driving element_at(syms, 0) into a runtime error (same hazard
-    # class as dedup.positional_gram_rows)
-    pair_arr = F.when(
-        F.size("syms") >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size("syms") - F.lit(2)),
-            lambda i: F.struct(
-                F.element_at("syms", i + 1).alias("a"),
-                F.element_at("syms", i + 2).alias("b"),
-            ),
+    # clamp + try_element_at, not just the trailing filter: Catalyst may
+    # evaluate reordered predicate conjuncts (e.g. the generator's
+    # inferred not-null/size filter) before the size filter, and an
+    # unclamped sequence(0, size-2) DESCENDS for fully-merged 1-symbol
+    # words, driving element_at(syms, 0) into a runtime error (same
+    # hazard class as dedup.positional_gram_rows; a when()-guard is
+    # equally safe but a CASE around the transform defeats codegen).
+    # A 1-symbol word emits one (sym, NULL) pair that the b-not-null
+    # filter drops with the row.
+    pair_arr = F.transform(
+        F.sequence(
+            F.lit(0), F.greatest(F.size("syms") - F.lit(2), F.lit(0))
         ),
-    ).otherwise(F.array())
+        lambda i: F.struct(
+            F.try_element_at("syms", i + 1).alias("a"),
+            F.try_element_at("syms", i + 2).alias("b"),
+        ),
+    )
     pairs = word_table.select(
         "freq", F.explode(pair_arr).alias("p")
-    )
+    ).filter(F.col("p.b").isNotNull())
     return pairs.groupBy(
         F.col("p.a").alias("a"), F.col("p.b").alias("b")
     ).agg(F.sum("freq").alias("n"))
