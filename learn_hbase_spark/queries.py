@@ -7062,3 +7062,51 @@ def reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
     )
+
+
+@_register(
+    "widetable_index_lookup",
+    """
+    SELECT concat('04', lpad(CAST((c_nationkey % 15) + 1 AS VARCHAR),
+                             2, '0'),
+                  '_C', CAST(c_custkey AS VARCHAR)) AS rowkey,
+           'info' AS family, 'mktsegment' AS qualifier,
+           c_mktsegment AS value
+    FROM customer
+    WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def widetable_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end secondary-index demonstration (WideTable.build_index /
+    lookup_by_value — the Phoenix-global-index pattern over the
+    HBase-shaped table): load customers as cells under the reference's
+    grid-prefix rowkey scheme, index info:mktsegment, probe one value.
+    The probe reads the value-sorted index (row-group pruned), fetches
+    ONLY matched rowkeys via broadcast semi-join, and read-repairs
+    against the live resolved cells. The oracle recomputes membership
+    from the base table — exactly the equivalence a secondary index must
+    preserve. Rebuilt per run (blind-append tables grow; the demo table
+    is recreated so the query is idempotent), like zorder_scan_demo's
+    once-per-run layout job."""
+    from .widetable import WideTable
+
+    c = _t(spark, sf_dir, "customer")
+    cells = c.select(
+        F.concat(
+            F.lit("04"),
+            F.lpad(((F.col("c_nationkey") % 15) + 1).cast("string"), 2, "0"),
+            F.lit("_C"),
+            F.col("c_custkey").cast("string"),
+        ).alias("rowkey"),
+        F.lit("info").alias("family"),
+        F.lit("mktsegment").alias("qualifier"),
+        F.col("c_mktsegment").alias("value"),
+    )
+    path = os.path.join(
+        "spark-warehouse",
+        f"wt_index_demo_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    wt = WideTable.create(spark, path, ["info"], overwrite=True)
+    wt.put(cells)
+    wt.build_index("info", "mktsegment")
+    return wt.lookup_by_value("info", "mktsegment", "BUILDING")

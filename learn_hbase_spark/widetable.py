@@ -201,13 +201,20 @@ class WideTable:
         families: list[str],
         ttl: dict[str, int] | None = None,
         counters: list[str] | None = None,
+        overwrite: bool = False,
     ) -> "WideTable":
         """Create-if-not-exists (HBaseClient.java:80-93 semantics). The
         family list, per-family TTL, and counter-family set persist in the
         table descriptor, so ``open()`` recovers them without the caller
         re-stating schema — HBase's create(HTableDescriptor) +
-        admin.getDescriptor parity."""
+        admin.getDescriptor parity. ``overwrite=True`` is the
+        disable-and-drop-then-create admin flow: the table dir AND its
+        secondary indexes are removed first."""
         table = cls(spark, path, families, ttl=ttl, counters=counters)
+        if overwrite:
+            fs = table._fs()
+            fs.delete(table._hpath(path), True)
+            fs.delete(table._hpath(path + "__idx"), True)
         if not table.exists():
             empty = spark.createDataFrame([], CELL_SCHEMA)
             (
