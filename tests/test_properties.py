@@ -122,3 +122,45 @@ def test_salted_join_is_plain_join(spark, left_keys, right_keys):
         for r in salted_join(left, right, on=["k"], salt_buckets=4).collect()
     )
     assert salted == plain
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=25),
+            st.integers(min_value=0, max_value=25),
+        ),
+        min_size=0,
+        max_size=30,
+    ),
+)
+@settings(**_SETTINGS)
+def test_connected_components_match_union_find(spark, edges):
+    """Large-star/small-star result == classic union-find, for arbitrary
+    edge multisets (self-loops, duplicates, singletons, disjoint blobs)."""
+    from learn_hbase_spark.operators.graph import connected_components
+
+    nodes = list(range(26))
+    parent = list(nodes)
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {n: find(n) for n in nodes}
+
+    ndf = spark.createDataFrame([(n,) for n in nodes], "node long")
+    edf = spark.createDataFrame(
+        edges or [(0, 0)], "id_a long, id_b long"
+    )
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(ndf, edf).collect()
+    }
+    assert got == expect
