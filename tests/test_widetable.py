@@ -638,3 +638,39 @@ def test_index_unknown_family_and_missing_index(spark, table):
         table.build_index("nope", "q")
     with pytest.raises(ValueError, match="build_index first"):
         table.lookup_by_value("info", "yhbh", "U1")
+
+
+def test_index_files_prune_on_value_stats(spark, table):
+    # the index is written value-range-partitioned + sorted, so a point
+    # probe is decidable from file-level min/max stats: most index files
+    # must be prunable without reading rows
+    import glob
+
+    import pyarrow.parquet as pq
+
+    rows = [
+        (f"04{i % 15 + 1:02d}_M{i}", "info", "yhbh", f"U{i:04d}")
+        for i in range(400)
+    ]
+    table.put(_cells(spark, rows))
+    table.build_index("info", "yhbh")
+    idx_dir = table._index_path("info", "yhbh")
+    files = sorted(glob.glob(idx_dir + "/*.parquet"))
+    assert len(files) >= 2, "need multiple index files to show pruning"
+    probe = "U0042"
+    total = candidate = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        if md.num_rows == 0:
+            continue
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        st = md.row_group(0).column(names.index("value")).statistics
+        total += 1
+        if st is None or (st.min <= probe <= st.max):
+            candidate += 1
+    assert candidate < total, (
+        f"no file-level pruning: {candidate}/{total} files candidate"
+    )
+    # and the probe still answers correctly through the index
+    got = table.lookup_by_value("info", "yhbh", probe).collect()
+    assert [r["rowkey"] for r in got] == ["0413_M42"]
