@@ -7110,3 +7110,65 @@ def widetable_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     wt.put(cells)
     wt.build_index("info", "mktsegment")
     return wt.lookup_by_value("info", "mktsegment", "BUILDING")
+
+
+@_register(
+    "linear_fit_by_type",
+    """
+    WITH s AS (
+      SELECT event_type,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(day(ts) AS BIGINT)) AS DOUBLE) AS sx,
+             CAST(sum(CAST(day(ts) AS BIGINT) * CAST(day(ts) AS BIGINT))
+                  AS DOUBLE) AS sxx,
+             CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(value AS DECIMAL(18,4))
+                      * CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS syy,
+             CAST(sum(CAST(day(ts) AS BIGINT)
+                      * CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sxy
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+                 6) AS intercept,
+           round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM s
+    """,
+)
+def linear_fit_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group least-squares fit (value vs day-of-month) WITHOUT the
+    order-dependent regr_* aggregates: the five power sums accumulate in
+    exact DECIMAL/BIGINT (associative — any partial-aggregation order
+    gives the same bits), and slope/intercept/r² derive from the sums in
+    closed form with the same IEEE double ops in both engines. This is
+    how you get reproducible regression diagnostics on a cluster — the
+    built-in regr_slope folds doubles in shuffle order and differs
+    run-to-run at the last ulp. Same pattern as stats_agg's stddev/corr."""
+    ev = _t(spark, sf_dir, "events")
+    x = F.dayofmonth("ts").cast("long")
+    y = F.col("value").cast("decimal(18,4)")
+    s = ev.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num / den
+    return s.select(
+        "event_type",
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+        F.round(
+            (num * num)
+            / (den * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))),
+            6,
+        ).alias("r2"),
+    )
