@@ -57,6 +57,18 @@ def stratified_sample(
     not listed). The hash is salted with the stratum value so the kept sets
     of different strata are statistically independent even where ids
     overlap. Pure projection+filter: no shuffle, pushable into the scan."""
+    return df.filter(stratified_keep_expr(id_col, strata_col, rates, default))
+
+
+def stratified_keep_expr(
+    id_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default: float = 0.0,
+) -> Column:
+    """The boolean keep decision of :func:`stratified_sample` as a reusable
+    expression — audits (curation.audit) need the DECISION without the
+    filter, so the sample and its explanation can never disagree."""
     h = hash_hex(
         F.concat(F.col(id_col).cast("string"), F.lit(":"), F.col(strata_col))
     )
@@ -68,7 +80,7 @@ def stratified_sample(
     thr_col = thr.otherwise(F.lit(threshold(default))) if thr is not None else F.lit(
         threshold(default)
     )
-    return df.filter(h < thr_col)
+    return h < thr_col
 
 
 def hash_split(

@@ -52,3 +52,50 @@ def curate(
         clean, "doc_id", "source", rates or {}, default=default_rate
     )
     return packing.pack_sequences(mixed, "doc_id", tokens, budget=budget)
+
+
+def audit(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    min_tokens: int = 5,
+    rates: dict[str, float] | None = None,
+    default_rate: float = 0.1,
+    token_count: Column | None = None,
+) -> DataFrame:
+    """Per-document curation verdict — the debuggability complement to
+    :func:`curate`: every doc gets the FIRST stage that dropped it
+    (``short`` → ``duplicate`` → ``contaminated`` → ``sampled_out``) or
+    ``kept``. Stage decisions are the same operator expressions the
+    pipeline runs (dedup winners, decontamination flags,
+    ``sampling.stratified_keep_expr``), so the audit can never disagree
+    with the pipeline. Two narrow left joins on doc_id (winner set,
+    contaminated set — both key-only frames); everything else is
+    projection."""
+    tokens = token_count if token_count is not None else T.token_count(F.col("text"))
+    base = docs.select("doc_id", "text", "source", tokens.alias("_n"))
+    gated = base.filter(F.col("_n") >= min_tokens)
+    winners = dedup.exact_fingerprints(gated, "text", "doc_id").select(
+        "doc_id", F.lit(True).alias("_win")
+    )
+    survivors = gated.join(winners.select("doc_id"), "doc_id", "left_semi")
+    cont = (
+        dedup.decontaminate(survivors, benchmark, "text", "doc_id", n=3)
+        .filter(F.col("contaminated"))
+        .select("doc_id", F.lit(True).alias("_cont"))
+    )
+    keep = sampling.stratified_keep_expr(
+        "doc_id", "source", rates or {}, default_rate
+    )
+    return (
+        base.join(winners, "doc_id", "left")
+        .join(cont, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("_n") < min_tokens, "short")
+            .when(F.col("_win").isNull(), "duplicate")
+            .when(F.col("_cont").isNotNull(), "contaminated")
+            .when(~keep, "sampled_out")
+            .otherwise("kept")
+            .alias("verdict"),
+        )
+    )

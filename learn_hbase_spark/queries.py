@@ -7172,3 +7172,62 @@ def linear_fit_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     )
+
+
+@_register(
+    "curation_audit",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, text, source,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len({_DUCK_TOKENS}) END AS n
+      FROM documents
+    ),
+    gated AS (SELECT * FROM tok WHERE n >= 5),
+    winners AS (
+      SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5({_NORM})
+    ),
+    surv AS (SELECT g.* FROM gated g JOIN winners w ON g.doc_id = w.doc_id),
+    bench AS (
+      SELECT DISTINCT unnest({_SHINGLES}) AS s
+      FROM documents WHERE doc_id % 97 = 0
+    ),
+    contaminated AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_id, unnest({_SHINGLES}) AS s FROM surv
+      ) WHERE s IN (SELECT s FROM bench)
+    )
+    SELECT t.doc_id,
+           CASE WHEN t.n < 5 THEN 'short'
+                WHEN w.doc_id IS NULL THEN 'duplicate'
+                WHEN c.doc_id IS NOT NULL THEN 'contaminated'
+                WHEN NOT (substr(md5(CAST(t.doc_id AS VARCHAR) || ':'
+                                  || t.source), 1, 4) <
+                  CASE t.source
+                    WHEN 'src0' THEN '{sampling.threshold(1.0)}'
+                    WHEN 'src1' THEN '{sampling.threshold(0.5)}'
+                    WHEN 'src2' THEN '{sampling.threshold(0.25)}'
+                    ELSE '{sampling.threshold(0.1)}' END)
+                THEN 'sampled_out'
+                ELSE 'kept' END AS verdict
+    FROM tok t
+    LEFT JOIN winners w ON t.doc_id = w.doc_id
+    LEFT JOIN contaminated c ON t.doc_id = c.doc_id
+    """,
+)
+def curation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document curation verdict (pipeline/curation.py audit): the
+    FIRST stage that dropped each doc, or 'kept' — the lineage report a
+    data team reads when a document unexpectedly vanishes from training.
+    Same parameters as curation_pipeline; verdicts derive from the SAME
+    operator expressions the pipeline runs, so audit and pipeline cannot
+    disagree (the kept set here == curation_pipeline's input to packing)."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return curation.audit(
+        docs,
+        bench,
+        min_tokens=5,
+        rates={"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        default_rate=0.1,
+    )

@@ -46,3 +46,26 @@ def test_curate_packs_across_budget(spark):
     assert len(rows) == 8
     for r in rows:
         assert r["seq_id"] >= 0 and len(r["pack_group"]) == 2
+
+
+def test_audit_kept_set_equals_pipeline_survivors(spark):
+    from pyspark.sql import functions as F
+
+    from learn_hbase_spark import tables
+    from learn_hbase_spark.pipeline import curation
+
+    docs = tables.load_table(spark, "/root/testdata/sf0.001", "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    kw = dict(
+        min_tokens=5,
+        rates={"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        default_rate=0.1,
+    )
+    packed_ids = {
+        r["doc_id"] for r in curation.curate(docs, bench, **kw).collect()
+    }
+    verdicts = curation.audit(docs, bench, **kw).collect()
+    kept_ids = {r["doc_id"] for r in verdicts if r["verdict"] == "kept"}
+    assert kept_ids == packed_ids
+    # every doc gets exactly one verdict
+    assert len(verdicts) == docs.count()
