@@ -850,3 +850,39 @@ def ngram_containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("id_a", "id_b", "containment")
     )
+
+
+def winnow_match_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    w: int = 5,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Cross-document match candidates from shared winnowing fingerprints
+    (the MOSS matcher, Schleimer et al. SIGMOD 2003 §4): two documents
+    sharing >= ``min_shared`` selected fingerprints are reported with the
+    shared count. Winnowing's guarantee makes this a RECALL statement:
+    any shared run of w+k-1 words yields >= 1 shared fingerprint, so
+    sufficiently long overlaps cannot hide.
+
+    Scale shape: identical to the MinHash-LSH bucket join — fingerprints
+    are the bucket keys, pairs expand inside each bucket's sorted id
+    array (:func:`_ordered_pairs`), and the shuffle carries (32-char fp,
+    id) rows from the ~2/(w+1) winnowed sample, not the corpus. A
+    boilerplate fingerprint shared by B docs expands B(B-1)/2 pairs —
+    cap upstream with a bucket-size filter if the corpus has pathological
+    boilerplate (same posture as minhash_lsh_capped).
+    """
+    fps = winnow_fingerprints(df, text_col, id_col, k=k, w=w, rows=True)
+    return (
+        fps.groupBy("fp")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("_ids"))
+        .select(F.explode(_ordered_pairs(F.col("_ids"))).alias("_p"))
+        .groupBy(
+            F.col("_p.id_a").alias("id_a"), F.col("_p.id_b").alias("id_b")
+        )
+        .agg(F.count("*").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )

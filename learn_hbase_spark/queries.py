@@ -7231,3 +7231,44 @@ def curation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         rates={"src0": 1.0, "src1": 0.5, "src2": 0.25},
         default_rate=0.1,
     )
+
+
+@_register(
+    "winnow_match_pairs",
+    f"""
+    WITH words AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, len(w) - 3 AS ng, i - 1 AS pos,
+             md5(array_to_string(w[i:i+3], ' ')) ||
+               lpad(CAST(10000000 - (i - 1) AS VARCHAR), 8, '0') AS key
+      FROM words, unnest(generate_series(1, len(w) - 3)) AS t(i)
+      WHERE len(w) >= 4
+    ),
+    sel AS (
+      SELECT DISTINCT doc_id,
+             substr(min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING),
+                    1, 32) AS fp
+      FROM grams
+      QUALIFY pos <= ng - 5
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(*) AS BIGINT) AS shared_fps
+    FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= 2
+    """,
+)
+def winnow_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document match candidates by shared winnowing fingerprints
+    (the MOSS matcher, SIGMOD 2003 §4) — the consumer of
+    winnow_fingerprints' ~2/(w+1) sample. Recall guarantee: any shared
+    run of w+k-1 = 8 words forces >= 1 shared fingerprint. Same bucket
+    shape as MinHash-LSH banding (fingerprint = bucket key, in-bucket
+    pair expansion); the oracle replays the SELECTION and the pair join."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.winnow_match_pairs(
+        docs, "text", "doc_id", k=4, w=5, min_shared=2
+    )
