@@ -59,21 +59,27 @@ def main() -> None:
     for p in sorted(_glob.glob(os.path.join(sf_dir, "*.parquet"))):
         spark.read.parquet(p).write.mode("overwrite").format("noop").save()
 
-    # Two timed passes at the MEASURED sf; report the per-query MIN.
-    # Pass 1 also serves as the sf0.1 warmup: AQE picks different physical
-    # plans at sf0.1 than at the sf0.001 warmup (broadcast vs sort-merge),
-    # so first-compile costs land in pass 1 and the min discards them
+    # Timed pass at the MEASURED sf, then a second pass over only the
+    # slow-looking queries, reporting the per-query MIN. Pass 1 doubles
+    # as the sf-level warmup: AQE picks different physical plans at sf0.1
+    # than at the sf0.001 warmup (broadcast vs sort-merge), so
+    # first-compile costs land in pass 1 and the min discards them
     # (measured: 3-4x outliers on the first few queries otherwise). The
     # min is also robust to transient host stalls (same-query times
-    # measured 2-4x apart purely by contention window on this VM). The
+    # measured 2-4x apart purely by contention window on this VM). Only
+    # queries over 1 s re-run — sub-second times don't move the total,
+    # and the trimmed second pass keeps bench wall-clock bounded. The
     # reported number is steady-state per-plan throughput — the quantity
     # that extrapolates to a long-running cluster.
-    for _pass in range(2):
-        for name in BENCH_QUERIES:
-            t0 = time.time()
-            qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-            dt = round(time.time() - t0, 3)
-            timings[name] = min(timings.get(name, dt), dt)
+    def _timed(name: str) -> float:
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        return round(time.time() - t0, 3)
+
+    for name in BENCH_QUERIES:
+        timings[name] = _timed(name)
+    for name in [n for n in BENCH_QUERIES if timings[n] > 1.0]:
+        timings[name] = min(timings[name], _timed(name))
 
     total = round(sum(timings.values()), 3)
     # The driver captures only ~2 KB of stdout (BENCH_r03 was parsed:null
