@@ -58,6 +58,16 @@ def _register(name: str, oracle: str | None = None):
     return deco
 
 
+# Scratch root for queries that materialize a storage artifact (z-order
+# layout, rollup state, index demo): anchored to the REPO, not the cwd —
+# the external driver's working directory is not guaranteed writable or
+# stable across invocations.
+_SCRATCH_ROOT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "spark-warehouse",
+)
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # single loader: events' TIMESTAMP(NANOS) handling (scoped legacy-flag
     # read + µs truncation) lives in tables.load_table
@@ -5574,7 +5584,7 @@ def zorder_scan_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey", "l_suppkey", "l_returnflag", "l_quantity"
     )
     dest = os.path.join(
-        "spark-warehouse",
+        _SCRATCH_ROOT,
         f"zorder_demo_{os.path.basename(sf_dir.rstrip('/'))}",
     )
     layout.write_zordered(li, dest, "l_partkey", "l_suppkey", n_files=16)
@@ -6714,7 +6724,7 @@ def rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("value").alias("_max"),
     )
     state_path = os.path.join(
-        "spark-warehouse",
+        _SCRATCH_ROOT,
         f"rollup_state_{os.path.basename(sf_dir.rstrip('/'))}",
     )
     # materialize the pre-cutoff state once per sf_dir (the nightly job);
@@ -7103,7 +7113,7 @@ def widetable_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment").alias("value"),
     )
     path = os.path.join(
-        "spark-warehouse",
+        _SCRATCH_ROOT,
         f"wt_index_demo_{os.path.basename(sf_dir.rstrip('/'))}",
     )
     wt = WideTable.create(spark, path, ["info"], overwrite=True)
