@@ -37,6 +37,15 @@ CASES = [
     "winnow_fingerprints",
     "rollup_incremental",
     "snapshot_diff",
+    # round 4 late II: in-bucket pair expansion (collect_list order risk),
+    # hash-rank selection, float bin edges, power-sum float derivation,
+    # verdict case over joined flags
+    "winnow_match_pairs",
+    "ngram_containment_pairs",
+    "reservoir_per_group",
+    "histogram_equiwidth",
+    "linear_fit_by_type",
+    "curation_audit",
 ]
 
 
