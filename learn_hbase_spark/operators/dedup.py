@@ -675,11 +675,15 @@ def duplicate_spans(
     A k-gram is *duplicated* when it occurs >= 2 times corpus-wide
     (across docs or repeated within one). Per doc, overlapping/adjacent
     duplicated gram starts merge into maximal spans (gaps-and-islands on
-    start positions: a gap > 1 starts a new island; consecutive starts
-    overlap by construction). Reports, per doc with any duplication:
-    span count, duplicated word mass (span word-lengths, overlaps
-    merged), and the duplicated fraction — the quantity you threshold to
-    drop or trim boilerplate-heavy documents before training.
+    start positions: two starts p1 < p2 produce overlapping-or-adjacent
+    k-word spans iff p2 - p1 <= k, so a gap > k starts a new island —
+    NOT gap > 1, which would double-count the overlap of starts spaced
+    2..k-1 apart and let dup_frac exceed 1.0). Reports, per doc with any
+    duplication: span count, duplicated word mass (span word-lengths,
+    overlaps merged — islands are disjoint by the gap rule, so
+    dup_words <= total_words always), and the duplicated fraction — the
+    quantity you threshold to drop or trim boilerplate-heavy documents
+    before training.
 
     Scale posture: the corpus-wide frequency pass shuffles 8-byte
     xxhash64 gram keys (never gram strings) ONCE — duplicate tagging is
@@ -709,7 +713,7 @@ def duplicate_spans(
         "_grp",
         F.sum(
             F.when(
-                F.col("pos") - F.lag("pos").over(w) > 1, F.lit(1)
+                F.col("pos") - F.lag("pos").over(w) > k, F.lit(1)
             ).otherwise(F.lit(0))
         ).over(w),
     )
@@ -732,6 +736,11 @@ def duplicate_spans(
     )
 
 
+# Winnowing tiebreak counter base: 10^12 keeps (base - pos) positive and
+# 13-digit-padded for any document under a trillion grams.
+_WINNOW_POS_MAX = 1_000_000_000_000
+
+
 def winnow_fingerprints(
     df: DataFrame,
     text_col: str = "text",
@@ -751,8 +760,11 @@ def winnow_fingerprints(
 
     Hash = md5 hex of the gram so an external oracle (DuckDB) replays the
     selection bit-for-bit; rightmost-min tiebreak is encoded in ONE
-    sortable string key ``md5 || (10^7 - pos)`` — min over a
-    rows-following window frame, no struct ordering needed. Per-doc
+    sortable string key ``md5 || (10^12 - pos)`` — min over a
+    rows-following window frame, no struct ordering needed. The 10^12
+    counter stays positive (and its 13-digit zero-pad order-correct) up
+    to a trillion grams per document; a hard assert filter rejects
+    anything larger rather than silently corrupting the tiebreak. Per-doc
     output: gram count, fingerprint count, selected density (≈ 2/(w+1)).
 
     Scale posture: one window function per doc partition (no shuffle
@@ -761,9 +773,20 @@ def winnow_fingerprints(
     sample you'd then feed to a bucket join for cross-doc matching.
     """
     grams = positional_gram_rows(df, text_col, id_col, k)
+    # positions beyond the counter width would encode as '-'-prefixed
+    # strings that sort BELOW every valid key and corrupt the min —
+    # fail loudly instead (raise_error is unreachable for any document
+    # under a trillion words, so it costs nothing in the happy path)
+    pos_ok = F.when(
+        F.col("pos") < _WINNOW_POS_MAX, F.col("pos")
+    ).otherwise(
+        F.raise_error(
+            F.lit("winnow_fingerprints: document exceeds 10^12 grams")
+        ).cast("int")
+    )
     key = F.concat(
         F.md5("gram"),
-        F.lpad((F.lit(10_000_000) - F.col("pos")).cast("string"), 8, "0"),
+        F.lpad((F.lit(_WINNOW_POS_MAX) - pos_ok).cast("string"), 13, "0"),
     )
     win = (
         Window.partitionBy("_id")

@@ -131,7 +131,33 @@ _DRIVER_VERIFIED = [
     "zorder_layout_key", "expectation_report", "forecast_backtest",
     "mad_outlier_days", "interval_coverage", "null_safe_join",
     "minhash_incremental",
+    # round 4 (CORRECTNESS_r04.json: 45 green + 5 declared no_oracle;
+    # trailing 17 are round-1 names re-verified by the r04 sweep, moved
+    # here so rotation order stays oldest-verification-first)
+    "simhash_hamming_pairs", "embedding_kmeans", "quality_band_sample",
+    "q4_order_priority", "q12_priority_split", "q21_waiting_supplier",
+    "semantic_dedup", "zorder_scan_demo", "q2_min_cost_supplier",
+    "q9_product_profit", "q11_important_stock", "q16_supplier_part_counts",
+    "q20_excess_inventory", "semantic_decontaminate", "hll_sketch_rollup",
+    "bpe_train_merges", "bpe_tokenize", "epoch_shuffle", "entity_resolution",
+    "skew_salted_join", "substring_dup_spans", "winnow_fingerprints",
+    "rollup_incremental", "snapshot_diff", "ngram_containment_pairs",
+    "embedding_vector_ops", "length_bucket_batching", "histogram_equiwidth",
+    "reservoir_per_group", "widetable_index_lookup", "linear_fit_by_type",
+    "curation_audit", "winnow_match_pairs", "rdl_flagship", "filter_scan",
+    "prefix_scan", "rowkey_range_scan", "point_get", "lookup_join",
+    "semi_join", "anti_join", "asof_join", "dedup_first_wins", "sort_limit",
+    "date_spine", "pivot_events", "unpivot_roundtrip", "agg_pricing_summary",
+    "group_topk", "sessionize",
 ]
+
+# Names re-verified by a later round's sweep are listed twice above (their
+# original round block AND the later round's block); keep only the LATEST
+# occurrence so rotation order stays oldest-verification-first.
+_seen: set = set()
+_DRIVER_VERIFIED = [
+    n for n in reversed(_DRIVER_VERIFIED) if not (n in _seen or _seen.add(n))
+][::-1]
 
 
 def _rotated(mapping: dict) -> dict:
@@ -6619,8 +6645,10 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     p AS (SELECT g.doc_id, g.nw, g.pos FROM grams g JOIN dup USING (gram)),
     gaps AS (
       SELECT doc_id, nw, pos,
+        -- islands break when 6-word spans no longer overlap/touch:
+        -- start gap > k (= 6), not > 1 (which double-counts overlaps)
         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
-             > 1 THEN 1 ELSE 0 END AS brk
+             > 6 THEN 1 ELSE 0 END AS brk
       FROM p
     ),
     isl AS (
@@ -6661,7 +6689,7 @@ def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams AS (
       SELECT doc_id, len(w) - 3 AS ng, i - 1 AS pos,
              md5(array_to_string(w[i:i+3], ' ')) ||
-               lpad(CAST(10000000 - (i - 1) AS VARCHAR), 8, '0') AS key
+               lpad(CAST(1000000000000 - (i - 1) AS VARCHAR), 13, '0') AS key
       FROM words, unnest(generate_series(1, len(w) - 3)) AS t(i)
       WHERE len(w) >= 4
     ),
@@ -7252,7 +7280,7 @@ def curation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams AS (
       SELECT doc_id, len(w) - 3 AS ng, i - 1 AS pos,
              md5(array_to_string(w[i:i+3], ' ')) ||
-               lpad(CAST(10000000 - (i - 1) AS VARCHAR), 8, '0') AS key
+               lpad(CAST(1000000000000 - (i - 1) AS VARCHAR), 13, '0') AS key
       FROM words, unnest(generate_series(1, len(w) - 3)) AS t(i)
       WHERE len(w) >= 4
     ),

@@ -383,6 +383,12 @@ SPAN_DOCS = [
     (2, "x y a b c d e q"),
     (3, "p q r s t u v w"),          # fully unique -> absent from report
     (4, "m n o z z m n o"),          # within-doc repeat of "m n o"
+    # docs 5/6 share "aa bb cc" and "cc dd ee" but NOT "bb cc dd": dup
+    # starts in doc 5 are {0, 2} — spaced 2 < k=3, so the two 3-word
+    # spans overlap at word 2 and must merge (the gap>1 rule would
+    # double-count it and report dup_words=6 of 5 words, dup_frac 1.2)
+    (5, "aa bb cc dd ee"),
+    (6, "aa bb cc zz cc dd ee"),
 ]
 
 
@@ -392,7 +398,7 @@ def test_duplicate_spans_merges_overlaps(spark):
         r["doc_id"]: r
         for r in duplicate_spans(df, k=3).collect()
     }
-    assert set(out) == {1, 2, 4}
+    assert set(out) == {1, 2, 4, 5, 6}
     # doc 1: dup 3-gram starts {0,1,2} merge into one span covering
     # words [0, 4] -> 5 duplicated words of 8
     assert out[1]["n_spans"] == 1
@@ -400,10 +406,19 @@ def test_duplicate_spans_merges_overlaps(spark):
     assert out[1]["total_words"] == 8
     assert abs(out[1]["dup_frac"] - 0.625) < 1e-9
     assert out[2]["n_spans"] == 1 and out[2]["dup_words"] == 5
-    # doc 4: "m n o" occurs at starts 0 and 5 -> gap > 1 -> two spans,
-    # each 3 words
+    # doc 4: "m n o" occurs at starts 0 and 5 -> gap 5 > k=3 -> the two
+    # spans are disjoint -> two spans, each 3 words
     assert out[4]["n_spans"] == 2
     assert out[4]["dup_words"] == 6
+    # doc 5: dup starts {0, 2} overlap at word 2 -> ONE merged span of 5
+    # words; dup_frac capped at 1.0 by construction
+    assert out[5]["n_spans"] == 1
+    assert out[5]["dup_words"] == 5
+    assert out[5]["total_words"] == 5
+    assert abs(out[5]["dup_frac"] - 1.0) < 1e-9
+    # doc 6: dup starts {0, 4} -> gap 4 > k=3 -> two disjoint spans
+    assert out[6]["n_spans"] == 2
+    assert out[6]["dup_words"] == 6
 
 
 def test_duplicate_spans_counts_within_doc_repeats(spark):
@@ -422,13 +437,13 @@ def _winnow_ref(words: list[str], k: int, w: int) -> set[tuple[str, int]]:
     grams = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
     keys = [
         hashlib.md5(g.encode()).hexdigest()
-        + str(10_000_000 - i).rjust(8, "0")
+        + str(10**12 - i).rjust(13, "0")
         for i, g in enumerate(grams)
     ]
     sel = set()
     for p in range(0, len(grams) - w + 1):
         m = min(keys[p : p + w])
-        sel.add((m[:32], 10_000_000 - int(m[32:])))
+        sel.add((m[:32], 10**12 - int(m[32:])))
     return sel
 
 
@@ -519,7 +534,9 @@ def test_duplicate_spans_matches_python_reference(spark):
         spans = []
         s = e = pos[0]
         for p in pos[1:]:
-            if p - e > 1:
+            # k-word spans starting at e and p overlap/touch iff
+            # p - e <= k; only a wider gap starts a new island
+            if p - e > k:
                 spans.append((s, e + k - 1))
                 s = p
             e = p
