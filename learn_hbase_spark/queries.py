@@ -15,7 +15,13 @@ D=dedup/sort/limit, S=source/sink, X=scalar.
 
 from __future__ import annotations
 
+import functools
+import hashlib
+import inspect
+import json
 import os
+import sys
+import types as pytypes
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -151,19 +157,135 @@ _DRIVER_VERIFIED = [
     "group_topk", "sessionize",
 ]
 
-# Names re-verified by a later round's sweep are listed twice above (their
-# original round block AND the later round's block); keep only the LATEST
-# occurrence so rotation order stays oldest-verification-first.
-_seen: set = set()
-_DRIVER_VERIFIED = [
-    n for n in reversed(_DRIVER_VERIFIED) if not (n in _seen or _seen.add(n))
-][::-1]
+def _keep_latest(names: list[str]) -> list[str]:
+    """Names re-verified by a later round's sweep are listed twice above
+    (their original round block AND the later round's block); keep only the
+    LATEST occurrence so rotation order stays oldest-verification-first."""
+    seen: set[str] = set()
+    kept_reversed: list[str] = []
+    for n in reversed(names):
+        if n not in seen:
+            seen.add(n)
+            kept_reversed.append(n)
+    return kept_reversed[::-1]
+
+
+_DRIVER_VERIFIED = _keep_latest(_DRIVER_VERIFIED)
+
+
+# ---------------------------------------------------------------------------
+# Edit-reverification guard. A name in _DRIVER_VERIFIED only counts as
+# verified while the code that produced its verified answer is unchanged:
+# each query's fingerprint (its function source + oracle SQL + the source of
+# every learn_hbase_spark module / queries-local helper the function
+# references) is recorded in _verified_hashes.json by
+# tools/record_verified_hashes.py AT VERIFICATION TIME. Editing a query — or
+# an operator module it calls into — changes the fingerprint, the name drops
+# out of the verified tail at runtime, and it re-enters the FRONT of the
+# rotation, so the next driver sweep re-checks it before a stale green row
+# can shadow changed code (the round-5 process hole: edited queries kept
+# their old verified slot and skipped the next sweep).
+# ---------------------------------------------------------------------------
+
+_VERIFIED_HASHES_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "_verified_hashes.json"
+)
+
+
+@functools.lru_cache(maxsize=None)
+def _file_bytes(path: str) -> bytes:
+    with open(path, "rb") as fh:
+        return fh.read()
+
+
+def _fingerprint_parts(fn) -> dict[str, bytes]:
+    """Everything that defines a query's answer, keyed deterministically:
+    the function's own source, the FULL module source of every package
+    module it references (module granularity on purpose — an operator edit
+    must invalidate every query built on that operator), and the individual
+    source of queries-local helpers, followed recursively (NOT all of
+    queries.py, which would invalidate every query on any edit)."""
+    parts = {"__self__": inspect.getsource(fn).encode()}
+    seen_fns = {id(fn)}
+    worklist = [fn]
+    while worklist:
+        f = worklist.pop()
+        names: set[str] = set()
+        stack = [f.__code__]
+        while stack:
+            code = stack.pop()
+            names.update(code.co_names)
+            stack.extend(
+                c for c in code.co_consts if isinstance(c, pytypes.CodeType)
+            )
+        cells = dict(zip(f.__code__.co_freevars, f.__closure__ or ()))
+        for name in sorted(names):
+            obj = (
+                cells[name].cell_contents
+                if name in cells
+                else f.__globals__.get(name)
+            )
+            if obj is None:
+                continue
+            if isinstance(obj, pytypes.ModuleType):
+                mod_file = getattr(obj, "__file__", None)
+                if mod_file and f"{os.sep}learn_hbase_spark{os.sep}" in mod_file:
+                    parts[f"mod:{obj.__name__}"] = _file_bytes(mod_file)
+            elif callable(obj) and getattr(obj, "__module__", "").startswith(
+                "learn_hbase_spark"
+            ):
+                if obj.__module__ == __name__:
+                    try:
+                        parts[f"fn:{name}"] = inspect.getsource(obj).encode()
+                    except (OSError, TypeError):
+                        continue
+                    if (
+                        isinstance(obj, pytypes.FunctionType)
+                        and id(obj) not in seen_fns
+                    ):
+                        seen_fns.add(id(obj))
+                        worklist.append(obj)
+                else:
+                    mod_file = sys.modules[obj.__module__].__file__
+                    parts[f"mod:{obj.__module__}"] = _file_bytes(mod_file)
+    return parts
+
+
+def query_fingerprint(name: str) -> str:
+    """sha256 fingerprint of a registered query's answer-defining code."""
+    h = hashlib.sha256()
+    for key, blob in sorted(_fingerprint_parts(_QUERIES[name]).items()):
+        h.update(key.encode() + b"\0" + blob + b"\0")
+    h.update(_ORACLES.get(name, "").encode())
+    return h.hexdigest()
+
+
+def recorded_fingerprints() -> dict[str, str]:
+    try:
+        with open(_VERIFIED_HASHES_PATH) as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        return {}
+
+
+def _verified_against(recorded: dict[str, str]) -> list[str]:
+    return [
+        n
+        for n in _DRIVER_VERIFIED
+        if n in _QUERIES and recorded.get(n) == query_fingerprint(n)
+    ]
+
+
+@functools.lru_cache(maxsize=1)
+def _still_verified() -> tuple[str, ...]:
+    return tuple(_verified_against(recorded_fingerprints()))
 
 
 def _rotated(mapping: dict) -> dict:
-    seen = set(_DRIVER_VERIFIED)
+    verified = [n for n in _still_verified() if n in mapping]
+    seen = set(verified)
     out = {n: v for n, v in mapping.items() if n not in seen}
-    out.update({n: mapping[n] for n in _DRIVER_VERIFIED if n in mapping})
+    out.update({n: mapping[n] for n in verified})
     return out
 
 

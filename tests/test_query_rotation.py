@@ -1,0 +1,55 @@
+"""The edit-reverification guard: a verified query whose code (or oracle, or
+a referenced operator module) changes must drop out of the verified tail and
+re-enter the FRONT of the driver's rotation — no Spark needed, pure registry
+mechanics."""
+
+from __future__ import annotations
+
+from learn_hbase_spark import queries as Q
+
+
+def test_keep_latest_dedup():
+    assert Q._keep_latest(["a", "b", "a", "c", "b"]) == ["a", "c", "b"]
+    assert Q._keep_latest([]) == []
+    assert Q._keep_latest(["x"]) == ["x"]
+
+
+def test_fingerprints_are_stable_and_per_query():
+    a = Q.query_fingerprint("agg_pricing_summary")
+    assert a == Q.query_fingerprint("agg_pricing_summary")
+    assert a != Q.query_fingerprint("group_topk")
+
+
+def test_fingerprint_covers_referenced_operator_module():
+    """An edit to operators/dedup.py must invalidate queries built on it:
+    the dedup module's source is part of their fingerprint parts."""
+    parts = Q._fingerprint_parts(Q._QUERIES["winnow_match_pairs"])
+    assert "mod:learn_hbase_spark.operators.dedup" in parts
+    # and queries-local helpers are followed (the _t loader)
+    assert "fn:_t" in parts
+
+
+def test_changed_fingerprint_moves_query_to_rotation_front():
+    recorded = {n: Q.query_fingerprint(n) for n in Q._DRIVER_VERIFIED}
+    verified = Q._verified_against(recorded)
+    assert verified == [n for n in Q._DRIVER_VERIFIED if n in Q._QUERIES]
+
+    # tamper one recorded hash = "this query's code changed since its
+    # verification": it must leave the verified tail
+    victim = Q._DRIVER_VERIFIED[-1]
+    recorded[victim] = "0" * 64
+    verified = Q._verified_against(recorded)
+    assert victim not in verified
+
+    # and in the resulting rotation it sits in the unverified FRONT section
+    order = list(Q._QUERIES)
+    front = [n for n in order if n not in set(verified)]
+    rotation = front + [n for n in verified]
+    assert rotation.index(victim) < len(front)
+    assert set(rotation) == set(order)
+
+
+def test_recorded_file_only_contains_registered_names():
+    recorded = Q.recorded_fingerprints()
+    assert recorded, "bootstrap _verified_hashes.json missing"
+    assert set(recorded) <= set(Q._QUERIES)
