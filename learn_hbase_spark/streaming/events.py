@@ -201,18 +201,30 @@ def upsert_stream_to_widetable(
     with a newer version: the read result is unchanged, so the pipeline is
     idempotent end-to-end."""
 
-    def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        cells = cell_fn(batch_df)
-        if cells.take(1):
-            table.put(cells)
-
     q = (
-        stream.writeStream.foreachBatch(_sink)
+        stream.writeStream.foreachBatch(
+            lambda batch_df, batch_id: upsert_batch(
+                table, batch_df, batch_id, cell_fn
+            )
+        )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
+
+
+def upsert_batch(table, batch_df: DataFrame, batch_id: int, cell_fn) -> None:
+    """One micro-batch of :func:`upsert_stream_to_widetable` — module-level
+    so replay semantics are directly testable: foreachBatch is
+    at-least-once, and this sink is replay-safe because ``WideTable.put``
+    is a latest-wins upsert — a replayed batch lands the SAME cells again
+    with a newer version, and the latest-wins read resolves to identical
+    values (asserted by the parametrized replay test in
+    tests/test_streaming.py)."""
+    cells = cell_fn(batch_df)
+    if cells.take(1):
+        table.put(cells)
 
 
 def stateful_user_totals(stream: DataFrame) -> DataFrame:
@@ -443,15 +455,18 @@ def neardup_ingest_stream(
     batch queries, and be compactable — `applyInPandasWithState` state
     is opaque to everything but the stream that owns it.
 
-    Replay note: foreachBatch is at-least-once — a replayed batch
-    re-checks against an index that may already contain its own bands,
-    which rejects the whole batch as self-duplicate. The index append
-    therefore tags rows with the batch id and the collision join
-    excludes same-batch index rows: replay becomes idempotent (the
-    accepted-dir write is then the same rows, overwritten by path).
+    Replay note: foreachBatch is at-least-once — both outputs must
+    therefore be OVERWRITE-by-batch, not append: every row is tagged
+    with the batch id, both directories are PARTITIONED by ``_batch``,
+    and each write is a dynamic partition overwrite that replaces only
+    its own batch's partition. A replayed batch recomputes the same
+    accept/reject decision (the collision join reads the index with
+    same-batch partitions pruned out, so its own earlier bands cannot
+    reject it) and overwrites its own partition with the same rows —
+    exactly-once output from an at-least-once sink. The batch body is
+    :func:`neardup_ingest_batch` (module-level so the replay path is
+    directly testable by re-invoking it with the same batch id).
     """
-    from ..operators import dedup as D
-
     docs_schema = "doc_id long, text string"
     stream = (
         spark.readStream.format("json")
@@ -459,42 +474,88 @@ def neardup_ingest_stream(
         .load(input_dir)
     )
 
-    def _ingest(batch: DataFrame, batch_id: int) -> None:
-        s = batch.sparkSession
-        bands_new = D.minhash_bands(
-            batch, "text", "doc_id", num_hashes, bands
-        ).withColumn("_batch", F.lit(batch_id))
-        try:
-            idx = s.read.parquet(index_dir).filter(
-                F.col("_batch") != batch_id
-            )
-        except Exception:
-            idx = None
-        # against-history collisions (index-lookup join on band key)
-        if idx is not None:
-            hist_hits = (
-                bands_new.select(F.col("_id").alias("doc_id"), "_bk")
-                .join(idx.select("_bk"), "_bk")
-                .select("doc_id")
-                .distinct()
-            )
-        else:
-            hist_hits = batch.select("doc_id").limit(0)
-        # intra-batch collisions: min id per colliding bucket wins
-        intra = D.minhash_bucket_pairs(
-            batch, "text", "doc_id", num_hashes, bands
-        ).select(F.col("id_b").alias("doc_id")).distinct()
-        rejected = hist_hits.union(intra).distinct()
-        accepted = batch.join(rejected, "doc_id", "left_anti")
-        accepted.write.mode("append").parquet(accepted_dir)
-        bands_new.join(
-            rejected.withColumnRenamed("doc_id", "_id"), "_id", "left_anti"
-        ).write.mode("append").parquet(index_dir)
-
     q = (
-        stream.writeStream.foreachBatch(_ingest)
+        stream.writeStream.foreachBatch(
+            lambda batch, batch_id: neardup_ingest_batch(
+                batch, batch_id, index_dir, accepted_dir, num_hashes, bands
+            )
+        )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
+
+
+# Band-index layout on disk: parquet partitioned by the writing batch id.
+# The data columns are minhash_bands' output; _batch is the partition key.
+_NEARDUP_INDEX_SCHEMA = "_id long, _bk string, _batch long"
+
+
+def _dir_exists(spark: SparkSession, path: str) -> bool:
+    """Hadoop-FileSystem existence probe (works for any supported scheme,
+    not just local paths). Used instead of try/except around the read:
+    a corrupted index (bad parquet footer, permission/filesystem error)
+    must FAIL the batch, not silently disable the against-history check."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
+def neardup_ingest_batch(
+    batch: DataFrame,
+    batch_id: int,
+    index_dir: str,
+    accepted_dir: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> None:
+    """One micro-batch of :func:`neardup_ingest_stream`: LSH-gate the batch
+    against the persisted band index and itself, then land BOTH outputs as
+    a dynamic partition overwrite of this batch's own ``_batch`` partition
+    — replay-idempotent under foreachBatch's at-least-once contract."""
+    from ..operators import dedup as D
+
+    s = batch.sparkSession
+    bands_new = D.minhash_bands(
+        batch, "text", "doc_id", num_hashes, bands
+    ).withColumn("_batch", F.lit(batch_id))
+    if _dir_exists(s, index_dir):
+        # explicit schema: skips footer-based inference (valid on an
+        # empty/partition-less dir) while still failing loudly on real
+        # corruption at scan time; the _batch filter is partition pruning.
+        idx = s.read.schema(_NEARDUP_INDEX_SCHEMA).parquet(index_dir).filter(
+            F.col("_batch") != batch_id
+        )
+        # against-history collisions (index-lookup join on band key)
+        hist_hits = (
+            bands_new.select(F.col("_id").alias("doc_id"), "_bk")
+            .join(idx.select("_bk"), "_bk")
+            .select("doc_id")
+            .distinct()
+        )
+    else:
+        hist_hits = batch.select("doc_id").limit(0)
+    # intra-batch collisions: min id per colliding bucket wins
+    intra = D.minhash_bucket_pairs(
+        batch, "text", "doc_id", num_hashes, bands
+    ).select(F.col("id_b").alias("doc_id")).distinct()
+    rejected = hist_hits.union(intra).distinct()
+    accepted = batch.join(rejected, "doc_id", "left_anti")
+    (
+        accepted.withColumn("_batch", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch")
+        .parquet(accepted_dir)
+    )
+    (
+        bands_new.join(
+            rejected.withColumnRenamed("doc_id", "_id"), "_id", "left_anti"
+        )
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch")
+        .parquet(index_dir)
+    )

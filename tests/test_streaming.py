@@ -553,3 +553,94 @@ def test_streaming_neardup_ingest_gates_duplicates(spark, tmp_path):
     neardup_ingest_stream(spark, str(inp), idx, acc, ckpt)
     got3 = [r["doc_id"] for r in spark.read.parquet(acc).collect()]
     assert sorted(got3) == [1, 2, 4]
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_neardup_ingest_batch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: a batch replayed after its writes
+    landed but before the checkpoint committed must NOT duplicate rows in
+    either output — the writes are dynamic partition overwrites of the
+    batch's own _batch partition (VERDICT r5 #1)."""
+    from learn_hbase_spark.streaming.events import neardup_ingest_batch
+
+    idx, acc = str(tmp_path / "index"), str(tmp_path / "accepted")
+    b1 = _docs(spark, [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "totally different words in this second document here"),
+    ])
+    b2 = _docs(spark, [
+        (3, "alpha beta gamma delta epsilon zeta eta theta"),  # hist dup of 1
+        (4, "brand new unique content appearing only in batch two"),
+    ])
+    neardup_ingest_batch(b1, 0, idx, acc)
+    neardup_ingest_batch(b2, 1, idx, acc)
+    before_acc = sorted(r["doc_id"] for r in spark.read.parquet(acc).collect())
+    before_idx = sorted(
+        (r["_id"], r["_bk"]) for r in spark.read.parquet(idx).collect()
+    )
+    assert before_acc == [1, 2, 4]
+
+    # simulated post-write / pre-checkpoint failure: the SAME batch replays
+    neardup_ingest_batch(b2, 1, idx, acc)
+    after_acc = sorted(r["doc_id"] for r in spark.read.parquet(acc).collect())
+    after_idx = sorted(
+        (r["_id"], r["_bk"]) for r in spark.read.parquet(idx).collect()
+    )
+    assert after_acc == before_acc  # no duplicate accepted documents
+    assert after_idx == before_idx  # no duplicate index bands
+    # and the other batches' partitions were untouched by the overwrite
+    assert 1 in after_acc and 2 in after_acc
+
+
+def test_widetable_upsert_batch_replay_is_idempotent(spark, tmp_path):
+    """The other foreachBatch sink: WideTable.put is latest-wins, so a
+    replayed batch lands identical cells with a newer version and the read
+    resolves to the same table state."""
+    from pyspark.sql import functions as F
+
+    from learn_hbase_spark.streaming.events import upsert_batch
+    from learn_hbase_spark.widetable import WideTable
+
+    t = WideTable.create(spark, str(tmp_path / "t"), ["bmz"])
+    ev = spark.createDataFrame(
+        [(7, "2019-05-01 10:00:00", 3.5), (7, "2019-05-01 11:00:00", 4.5)],
+        "user_id long, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    from learn_hbase_spark.streaming.events import event_day_cells
+
+    upsert_batch(t, ev, 0, event_day_cells)
+    before = sorted(
+        (r["rowkey"], r["qualifier"], r["value"])
+        for r in t.scan().collect()
+    )
+    upsert_batch(t, ev, 0, event_day_cells)  # replay, same batch
+    after = sorted(
+        (r["rowkey"], r["qualifier"], r["value"])
+        for r in t.scan().collect()
+    )
+    assert after == before == [("00000007", "20190501", "4.5")]
+
+
+def test_neardup_ingest_corrupted_index_fails_loudly(spark, tmp_path):
+    """A corrupted band index must fail the batch, not be treated as 'no
+    index yet' (which would silently admit near-duplicates) — VERDICT r5
+    #2: the existence probe replaced the bare except around the read."""
+    import pytest
+
+    from learn_hbase_spark.streaming.events import neardup_ingest_batch
+
+    idx, acc = str(tmp_path / "index"), str(tmp_path / "accepted")
+    b1 = _docs(spark, [(1, "alpha beta gamma delta epsilon zeta eta theta")])
+    neardup_ingest_batch(b1, 0, idx, acc)
+    # truncate every parquet file in the index: bad footers
+    import pathlib
+
+    for p in pathlib.Path(idx).rglob("*.parquet"):
+        p.write_bytes(p.read_bytes()[: max(1, p.stat().st_size // 3)])
+    b2 = _docs(spark, [(2, "some fresh words never before seen here now")])
+    with pytest.raises(Exception, match="(?i)parquet|footer|corrupt"):
+        neardup_ingest_batch(b2, 1, idx, acc)
