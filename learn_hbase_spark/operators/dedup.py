@@ -737,7 +737,11 @@ def duplicate_spans(
 
 
 # Winnowing tiebreak counter base: 10^12 keeps (base - pos) positive and
-# 13-digit-padded for any document under a trillion grams.
+# 13-digit-padded. In practice the effective per-doc ceiling is far lower:
+# `pos` comes from posexplode (32-bit IntegerType) and Spark arrays cap
+# near 2^31 elements, so a document can never reach even ~2.1e9 grams —
+# the base is belt-and-braces headroom over that structural limit, and
+# the raise_error guard below is defense-in-depth, not a live code path.
 _WINNOW_POS_MAX = 1_000_000_000_000
 
 
@@ -762,10 +766,12 @@ def winnow_fingerprints(
     selection bit-for-bit; rightmost-min tiebreak is encoded in ONE
     sortable string key ``md5 || (10^12 - pos)`` — min over a
     rows-following window frame, no struct ordering needed. The 10^12
-    counter stays positive (and its 13-digit zero-pad order-correct) up
-    to a trillion grams per document; a hard assert filter rejects
-    anything larger rather than silently corrupting the tiebreak. Per-doc
-    output: gram count, fingerprint count, selected density (≈ 2/(w+1)).
+    counter stays positive (and its 13-digit zero-pad order-correct) for
+    any reachable position — posexplode yields 32-bit positions and Spark
+    arrays cap near 2^31 elements, so the effective per-doc limit is
+    INT_MAX grams, far below the counter base; the hard raise_error
+    filter is defense-in-depth should that structural limit ever move.
+    Per-doc output: gram count, fingerprint count, density (≈ 2/(w+1)).
 
     Scale posture: one window function per doc partition (no shuffle
     beyond the doc-id hash partitioning), selection is a frame min —
@@ -775,8 +781,8 @@ def winnow_fingerprints(
     grams = positional_gram_rows(df, text_col, id_col, k)
     # positions beyond the counter width would encode as '-'-prefixed
     # strings that sort BELOW every valid key and corrupt the min —
-    # fail loudly instead (raise_error is unreachable for any document
-    # under a trillion words, so it costs nothing in the happy path)
+    # fail loudly instead (structurally unreachable: posexplode positions
+    # are 32-bit ints, so it costs nothing in the happy path)
     pos_ok = F.when(
         F.col("pos") < _WINNOW_POS_MAX, F.col("pos")
     ).otherwise(
@@ -882,6 +888,7 @@ def winnow_match_pairs(
     k: int = 4,
     w: int = 5,
     min_shared: int = 2,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Cross-document match candidates from shared winnowing fingerprints
     (the MOSS matcher, Schleimer et al. SIGMOD 2003 §4): two documents
@@ -894,15 +901,31 @@ def winnow_match_pairs(
     are the bucket keys, pairs expand inside each bucket's sorted id
     array (:func:`_ordered_pairs`), and the shuffle carries (32-char fp,
     id) rows from the ~2/(w+1) winnowed sample, not the corpus. A
-    boilerplate fingerprint shared by B docs expands B(B-1)/2 pairs —
-    cap upstream with a bucket-size filter if the corpus has pathological
-    boilerplate (same posture as minhash_lsh_capped).
+    boilerplate fingerprint shared by B docs expands B(B-1)/2 pairs in
+    one task — ``max_bucket`` caps that exactly like
+    :func:`minhash_bucket_pairs`: buckets above the cap are dropped
+    whole (boilerplate grams — license headers, navigation chrome — are
+    match NOISE for a plagiarism matcher, and true duplicates still
+    collide via their non-boilerplate fingerprints), with the drop
+    surfaced as ``observe`` metrics (``winnow_dropped_buckets`` /
+    ``winnow_dropped_rows``) so pipelines alert on silent candidate
+    loss. Deterministic pure size predicate, mirrored by the SQL oracle.
     """
     fps = winnow_fingerprints(df, text_col, id_col, k=k, w=w, rows=True)
+    buckets = fps.groupBy("fp").agg(
+        F.sort_array(F.collect_list(id_col)).alias("_ids")
+    )
+    if max_bucket is not None:
+        hot = F.size("_ids") > max_bucket
+        buckets = buckets.observe(
+            f"winnow_bucket_cap_{next(_OBSERVE_IDS)}",  # unique per plan
+            F.sum(F.when(hot, 1).otherwise(0)).alias("winnow_dropped_buckets"),
+            F.sum(F.when(hot, F.size("_ids")).otherwise(0)).alias(
+                "winnow_dropped_rows"
+            ),
+        ).filter(~hot)
     return (
-        fps.groupBy("fp")
-        .agg(F.sort_array(F.collect_list(id_col)).alias("_ids"))
-        .select(F.explode(_ordered_pairs(F.col("_ids"))).alias("_p"))
+        buckets.select(F.explode(_ordered_pairs(F.col("_ids"))).alias("_p"))
         .groupBy(
             F.col("_p.id_a").alias("id_a"), F.col("_p.id_b").alias("id_b")
         )

@@ -6751,26 +6751,34 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Gram width for the ExactSubstr span report — the query function passes the
+# same k to dedup.duplicate_spans; the oracle derives ALL its literals from it.
+_SPAN_K = 6
+
+
 @_register(
     "substring_dup_spans",
+    # every k-derived literal below comes from the ONE _SPAN_K constant
+    # (gram slice i:i+k-1, last start len(w)-(k-1), island break > k,
+    # span end +k-1) so the constants cannot drift if k changes
     f"""
     WITH words AS (
       SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
     ),
     grams AS (
       SELECT doc_id, len(w) AS nw, i - 1 AS pos,
-             array_to_string(w[i:i+5], ' ') AS gram
-      FROM words, unnest(generate_series(1, len(w) - 5)) AS t(i)
-      WHERE len(w) >= 6
+             array_to_string(w[i:i+{_SPAN_K - 1}], ' ') AS gram
+      FROM words, unnest(generate_series(1, len(w) - {_SPAN_K - 1})) AS t(i)
+      WHERE len(w) >= {_SPAN_K}
     ),
     dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
     p AS (SELECT g.doc_id, g.nw, g.pos FROM grams g JOIN dup USING (gram)),
     gaps AS (
       SELECT doc_id, nw, pos,
-        -- islands break when 6-word spans no longer overlap/touch:
-        -- start gap > k (= 6), not > 1 (which double-counts overlaps)
+        -- islands break when k-word spans no longer overlap/touch:
+        -- start gap > k, not > 1 (which double-counts overlaps)
         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
-             > 6 THEN 1 ELSE 0 END AS brk
+             > {_SPAN_K} THEN 1 ELSE 0 END AS brk
       FROM p
     ),
     isl AS (
@@ -6779,7 +6787,7 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM gaps
     ),
     spans AS (
-      SELECT doc_id, grp, min(pos) AS s, max(pos) + 5 AS e,
+      SELECT doc_id, grp, min(pos) AS s, max(pos) + {_SPAN_K - 1} AS e,
              any_value(nw) AS nw
       FROM isl GROUP BY doc_id, grp
     )
@@ -6799,7 +6807,7 @@ def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     See operators.dedup.duplicate_spans for the scale posture (8-byte
     gram-hash shuffle; islands window only over duplicated positions)."""
     docs = _t(spark, sf_dir, "documents")
-    return dedup.duplicate_spans(docs, "text", "doc_id", k=6)
+    return dedup.duplicate_spans(docs, "text", "doc_id", k=_SPAN_K)
 
 
 @_register(
@@ -7431,4 +7439,55 @@ def winnow_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return dedup.winnow_match_pairs(
         docs, "text", "doc_id", k=4, w=5, min_shared=2
+    )
+
+
+@_register(
+    "winnow_match_capped",
+    f"""
+    WITH words AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, len(w) - 3 AS ng, i - 1 AS pos,
+             md5(array_to_string(w[i:i+3], ' ')) ||
+               lpad(CAST(1000000000000 - (i - 1) AS VARCHAR), 13, '0') AS key
+      FROM words, unnest(generate_series(1, len(w) - 3)) AS t(i)
+      WHERE len(w) >= 4
+    ),
+    sel AS (
+      SELECT DISTINCT doc_id,
+             substr(min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING),
+                    1, 32) AS fp
+      FROM grams
+      QUALIFY pos <= ng - 5
+    ),
+    ok_buckets AS (
+      SELECT fp FROM sel GROUP BY fp HAVING count(*) <= 2
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(*) AS BIGINT) AS shared_fps
+    FROM sel a
+    JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    JOIN ok_buckets s ON s.fp = a.fp
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= 1
+    """,
+)
+def winnow_match_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MOSS matcher with the hot-bucket cap ENGAGED: fingerprint
+    buckets above the cap are dropped before the quadratic pair expansion
+    — the guard against one boilerplate fingerprint (license header,
+    navigation chrome) expanding B(B-1)/2 pairs in a single task at
+    100 TB. Cap is 2 here, artificially low so the sf0.01 corpus actually
+    drops buckets (its largest winnow bucket holds 3 docs) and the oracle
+    proves the drop semantics; production would use O(1000). min_shared=1
+    so the cap — not the share threshold — decides membership. Dropped
+    counts surface via the plan's observe metric
+    (``winnow_dropped_buckets`` / ``winnow_dropped_rows``); same posture
+    as ``minhash_lsh_capped``."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.winnow_match_pairs(
+        docs, "text", "doc_id", k=4, w=5, min_shared=1, max_bucket=2
     )

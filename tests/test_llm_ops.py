@@ -479,6 +479,45 @@ def test_winnow_shared_run_guarantees_shared_fingerprint(spark):
     assert by_doc[1] & by_doc[2], "no shared fingerprint for shared run"
 
 
+def test_winnow_match_bucket_cap_drops_boilerplate(spark):
+    """A boilerplate run shared by MANY docs would expand B(B-1)/2 pairs
+    from one fingerprint bucket; max_bucket drops those buckets whole,
+    while pairs backed by low-fanout (genuine) overlap survive."""
+    from learn_hbase_spark.operators.dedup import winnow_match_pairs
+
+    k, w = 4, 5
+    boiler = (
+        "standard license header text appears identically everywhere "
+        "in this synthetic corpus of documents"
+    )
+    pair_run = "unique overlapping passage found in exactly two documents"
+    # six verbatim-identical boilerplate docs: their fingerprint sets are
+    # identical, so every shared bucket holds all 6 ids (> cap)
+    docs = [(i, boiler) for i in range(1, 7)]
+    docs += [
+        (10, "start filler alpha " + pair_run + " tail ten"),
+        (11, "other filler bravo " + pair_run + " tail eleven"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in winnow_match_pairs(df, k=k, w=w, min_shared=1).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in winnow_match_pairs(
+            df, k=k, w=w, min_shared=1, max_bucket=3
+        ).collect()
+    }
+    # boilerplate pairs (6 docs -> 15 pairs) are present uncapped ...
+    assert (1, 2) in uncapped and (5, 6) in uncapped
+    # ... and gone once the shared fingerprints' buckets exceed the cap
+    assert not any(a <= 6 and b <= 6 for a, b in capped)
+    # the genuine two-doc overlap survives the cap
+    assert (10, 11) in capped and (10, 11) in uncapped
+
+
 def test_containment_catches_quote_jaccard_misses(spark):
     from learn_hbase_spark.operators.dedup import (
         ngram_containment_pairs,
