@@ -79,7 +79,15 @@ def main() -> None:
     for name in BENCH_QUERIES:
         timings[name] = _timed(name)
     for name in [n for n in BENCH_QUERIES if timings[n] > 1.0]:
-        timings[name] = min(timings[name], _timed(name))
+        t2 = _timed(name)
+        best = min(timings[name], t2)
+        # Two measurements that disagree by >30% mean at least one was
+        # hit by a host contention window (BENCH_r05: agg_pricing_summary
+        # recorded 2.05x its r4 time with BOTH passes landing in the same
+        # stall); one tie-breaking third run bounds that failure mode.
+        if best > 1.0 and abs(timings[name] - t2) / best > 0.30:
+            best = min(best, _timed(name))
+        timings[name] = best
 
     total = round(sum(timings.values()), 3)
     # The driver captures only ~2 KB of stdout (BENCH_r03 was parsed:null

@@ -3375,11 +3375,52 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus clustering: deterministic Lloyd's k-means over the embedding
     table (similarity.kmeans_clusters) — domain discovery / cluster-
     balanced sampling for curation. Iterative float fixpoint ⇒ no SQL
-    oracle (the same declared class as pagerank_neardup); determinism and
-    agreement with a single-node numpy reference are pytest-asserted
-    (tests/test_llm_ops.py)."""
+    oracle for the full run (the same declared class as pagerank_neardup);
+    determinism and agreement with a single-node numpy reference are
+    pytest-asserted (tests/test_llm_ops.py), and the ASSIGNMENT stage is
+    oracle-twinned via ``kmeans_assign_iter1`` below (same seeds, same
+    argmax rule, driver-compared cell by cell)."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.kmeans_clusters(emb, k=8, n_iter=5)
+
+
+@_register(
+    "kmeans_assign_iter1",
+    """
+    WITH seeds AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cell, c
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS c
+            FROM embeddings ORDER BY vec_id LIMIT 8)
+    ),
+    scored AS (
+      SELECT e.vec_id, s.cell,
+             list_dot_product(CAST(e.embedding AS DOUBLE[]), s.c)
+               / sqrt(list_dot_product(s.c, s.c))
+               / sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                       CAST(e.embedding AS DOUBLE[]))) AS sc
+      FROM embeddings e CROSS JOIN seeds s
+    )
+    SELECT vec_id, cell AS cluster_id FROM (
+      SELECT vec_id, cell,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY sc DESC, cell ASC) AS rn
+      FROM scored
+    ) WHERE rn = 1
+    """,
+)
+def kmeans_assign_iter1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first k-means assignment pass, oracle-twinned — the partial
+    oracle for ``embedding_kmeans``: seeds are the k lowest-id vectors
+    and each vector goes to its max-cosine seed (ties → lowest cell, the
+    numpy argmax rule). Output is integer-only (vec_id, cluster_id), so
+    the driver's value-hash compares exactly; only the later Lloyd
+    rounds' per-cell float means stay rows-only. Argmax is robust to the
+    engines' summation-order ulps: cells are separated by far more than
+    the ~1e-15 relative error of a 64-term dot product."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.kmeans_clusters(emb, k=8, n_iter=0).select(
+        "vec_id", F.col("cluster_id").cast("int").alias("cluster_id")
+    )
 
 
 @_register("ann_lsh_topk")  # approximate by design → rows-only check
