@@ -3423,20 +3423,61 @@ def kmeans_assign_iter1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_planes() -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (fixed seed, 4 planes →
+    16 buckets), shared by ``ann_lsh_topk`` and the ``lsh_bucket_assign``
+    oracle so both pin the exact same constants."""
+    import random
+
+    rng = random.Random(7)
+    return [[rng.uniform(-1, 1) for _ in range(64)] for _ in range(4)]
+
+
 @_register("ann_lsh_topk")  # approximate by design → rows-only check
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k (random-hyperplane signs). The scale
     path for ANN: only bucket-colliding vectors are compared. Approximate ⇒
-    no SQL oracle; correctness is recall-tested against brute force in
-    tests/test_similarity.py."""
+    no SQL oracle for the top-k itself; recall is tested against brute
+    force in tests/test_similarity.py, and the bucketing stage is
+    oracle-twinned via ``lsh_bucket_assign`` below."""
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
-    # deterministic pseudo-random hyperplanes (fixed seed, 4 planes → 16 buckets)
-    import random
+    return similarity.lsh_topk(q, emb, _lsh_planes(), k=10)
 
-    rng = random.Random(7)
-    planes = [[rng.uniform(-1, 1) for _ in range(64)] for _ in range(4)]
-    return similarity.lsh_topk(q, emb, planes, k=10)
+
+def _lsh_bucket_oracle() -> str:
+    """Build the lsh_bucket_assign oracle with the SAME plane constants as
+    the Spark path: repr() round-trips doubles exactly, and both engines
+    fold the 64-term dot product left-to-right over identical IEEE values,
+    so the sign (and hence the bucket bit) cannot disagree."""
+    terms = [
+        f"""CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]),
+             [{', '.join(repr(x) for x in plane)}]) >= 0
+            THEN {1 << i} ELSE 0 END"""
+        for i, plane in enumerate(_lsh_planes())
+    ]
+    return f"""
+    SELECT vec_id,
+           CAST({' + '.join(terms)} AS BIGINT) AS bucket
+    FROM embeddings
+    """
+
+
+@_register("lsh_bucket_assign", _lsh_bucket_oracle())
+def lsh_bucket_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hyperplane bucketing stage of ``ann_lsh_topk``, oracle-twinned —
+    sign-pattern bucket id per corpus vector under the fixed seed-7
+    planes. This is the partial oracle for the ANN-LSH path: bucket
+    assignment (the part that decides WHICH pairs are ever compared, and
+    the storage partition key at scale) is pinned exactly; only the
+    within-bucket cosine ranking stays rows-only. Integer output ⇒ exact
+    driver hash compare."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        similarity.hyperplane_bucket(F.col("embedding"), _lsh_planes())
+        .alias("bucket"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -6605,9 +6646,46 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     once into a word-frequency table; each merge round is one
     (pair, count) shuffle plus a one-row driver fetch. Iterative greedy
     argmax ⇒ rows-only; the merge sequence is pytest-verified against a
-    single-node reference implementation (test_tokenizer)."""
+    single-node reference implementation (test_tokenizer), and the
+    counting stage every round reuses is oracle-twinned via
+    ``bpe_pair_counts`` below."""
     docs = _t(spark, sf_dir, "documents")
     return tokenizer.bpe_train_df(docs, n_merges=8)
+
+
+@_register(
+    "bpe_pair_counts",
+    f"""
+    WITH words AS (
+      SELECT unnest(string_split({_NORM}, ' ')) AS word FROM documents
+    ),
+    wt AS (
+      SELECT word, count(*) AS freq FROM words WHERE word <> ''
+      GROUP BY word
+    ),
+    p AS (
+      SELECT substr(word, i, 1) AS a,
+             CASE WHEN i < length(word) THEN substr(word, i + 1, 1)
+                  ELSE '</w>' END AS b,
+             freq
+      FROM wt, unnest(generate_series(1, length(word))) AS t(i)
+    )
+    SELECT a, b, CAST(sum(freq) AS BIGINT) AS n FROM p GROUP BY a, b
+    """,
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE training's round-0 pair-count table, oracle-twinned — the
+    partial oracle for ``bpe_train_merges``: frequency-weighted adjacent
+    symbol pairs over the word table (initial symbols = characters +
+    the ``</w>`` end-of-word marker). This is the exact aggregation every
+    merge round re-runs; round 0 is SQL-expressible because no merges
+    have been applied yet (later rounds' symbol arrays exist only as the
+    fold's output). Integer counts ⇒ exact driver hash compare."""
+    docs = _t(spark, sf_dir, "documents")
+    wt = tokenizer._word_table(docs, "text")
+    return tokenizer._pair_counts(wt).select(
+        "a", "b", F.col("n").cast("long").alias("n")
+    )
 
 
 @_register("bpe_tokenize")  # depends on learned merges → rows-only
