@@ -155,6 +155,25 @@ _DRIVER_VERIFIED = [
     "semi_join", "anti_join", "asof_join", "dedup_first_wins", "sort_limit",
     "date_spine", "pivot_events", "unpivot_roundtrip", "agg_pricing_summary",
     "group_topk", "sessionize",
+    # round 6 (CORRECTNESS_r06.json: 44 green + 6 declared no_oracle; the
+    # sweep's 50 names in checked order — dedup-path queries re-verified
+    # after the r6 edits, plus round-1 names the rotation reached)
+    "dedup_first_wins", "dedup_exact", "minhash_signature",
+    "minhash_lsh_pairs", "minhash_lsh_capped", "ngram_jaccard_pairs",
+    "neardup_clusters", "simhash_fingerprints", "simhash_hamming_pairs",
+    "vocab_topk", "decontaminate", "embedding_kmeans",
+    "kmeans_assign_iter1", "ann_lsh_topk", "lsh_bucket_assign",
+    "array_ops_surface", "lm_score", "quality_band_sample",
+    "source_overlap", "pagerank_neardup", "line_dedup_boilerplate",
+    "neardup_canonical", "graph_triangle_stats", "minhash_incremental",
+    "bpe_train_merges", "bpe_pair_counts", "bpe_tokenize",
+    "substring_dup_spans", "winnow_fingerprints", "ngram_containment_pairs",
+    "length_bucket_batching", "winnow_match_pairs", "winnow_match_capped",
+    "q3_shipping", "event_funnel", "median_price", "moving_avg",
+    "range_window", "set_ops", "rollup_agg", "distinct_agg",
+    "scalar_subquery_q17", "exists_agg", "outer_join_histogram",
+    "full_outer_reconcile", "window_ranks", "gap_fill_ffill",
+    "incremental_agg", "ordered_export", "referential_integrity",
 ]
 
 def _keep_latest(names: list[str]) -> list[str]:
@@ -198,13 +217,47 @@ def _file_bytes(path: str) -> bytes:
         return fh.read()
 
 
+def _package_module_closure(mod) -> dict[str, bytes]:
+    """``mod`` plus every learn_hbase_spark module it (transitively) imports,
+    as ``{"mod:<name>": file bytes}``. Captured by scanning each module's
+    namespace for package modules AND for callables defined in OTHER package
+    modules (``from .dedup import normalize_text`` puts a dedup-defined
+    function in tokenizer's namespace without any module object) — closing
+    the round-6 hole where an edit to ``dedup.normalize_text`` changed
+    ``bpe_pair_counts``'s answer without changing its fingerprint."""
+    out: dict[str, bytes] = {}
+    worklist = [mod]
+    while worklist:
+        m = worklist.pop()
+        key = f"mod:{m.__name__}"
+        if key in out:
+            continue
+        mod_file = getattr(m, "__file__", None)
+        if not (mod_file and f"{os.sep}learn_hbase_spark{os.sep}" in mod_file):
+            continue
+        out[key] = _file_bytes(mod_file)
+        for obj in vars(m).values():
+            if isinstance(obj, pytypes.ModuleType):
+                worklist.append(obj)
+            elif callable(obj):
+                owner = getattr(obj, "__module__", "") or ""
+                if (
+                    owner.startswith("learn_hbase_spark")
+                    and owner != m.__name__
+                    and owner in sys.modules
+                ):
+                    worklist.append(sys.modules[owner])
+    return out
+
+
 def _fingerprint_parts(fn) -> dict[str, bytes]:
     """Everything that defines a query's answer, keyed deterministically:
     the function's own source, the FULL module source of every package
     module it references (module granularity on purpose — an operator edit
-    must invalidate every query built on that operator), and the individual
-    source of queries-local helpers, followed recursively (NOT all of
-    queries.py, which would invalidate every query on any edit)."""
+    must invalidate every query built on that operator) plus that module's
+    transitive intra-package imports, and the individual source of
+    queries-local helpers, followed recursively (NOT all of queries.py,
+    which would invalidate every query on any edit)."""
     parts = {"__self__": inspect.getsource(fn).encode()}
     seen_fns = {id(fn)}
     worklist = [fn]
@@ -228,9 +281,7 @@ def _fingerprint_parts(fn) -> dict[str, bytes]:
             if obj is None:
                 continue
             if isinstance(obj, pytypes.ModuleType):
-                mod_file = getattr(obj, "__file__", None)
-                if mod_file and f"{os.sep}learn_hbase_spark{os.sep}" in mod_file:
-                    parts[f"mod:{obj.__name__}"] = _file_bytes(mod_file)
+                parts.update(_package_module_closure(obj))
             elif callable(obj) and getattr(obj, "__module__", "").startswith(
                 "learn_hbase_spark"
             ):
@@ -246,8 +297,9 @@ def _fingerprint_parts(fn) -> dict[str, bytes]:
                         seen_fns.add(id(obj))
                         worklist.append(obj)
                 else:
-                    mod_file = sys.modules[obj.__module__].__file__
-                    parts[f"mod:{obj.__module__}"] = _file_bytes(mod_file)
+                    parts.update(
+                        _package_module_closure(sys.modules[obj.__module__])
+                    )
     return parts
 
 

@@ -29,6 +29,19 @@ def test_fingerprint_covers_referenced_operator_module():
     assert "fn:_t" in parts
 
 
+def test_fingerprint_covers_transitive_package_imports():
+    """tokenizer.py does ``from .dedup import normalize_text`` — an edit to
+    dedup.normalize_text changes bpe_pair_counts' ANSWER, so dedup.py must be
+    in its fingerprint even though the query never references dedup directly
+    (the round-6 ADVICE hole)."""
+    parts = Q._fingerprint_parts(Q._QUERIES["bpe_pair_counts"])
+    assert "mod:learn_hbase_spark.operators.tokenizer" in parts
+    assert "mod:learn_hbase_spark.operators.dedup" in parts
+    # corpus.py imports normalize_text the same way
+    parts = Q._fingerprint_parts(Q._QUERIES["lm_score"])
+    assert "mod:learn_hbase_spark.operators.dedup" in parts
+
+
 def test_changed_fingerprint_moves_query_to_rotation_front():
     recorded = {n: Q.query_fingerprint(n) for n in Q._DRIVER_VERIFIED}
     verified = Q._verified_against(recorded)

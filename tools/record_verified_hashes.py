@@ -10,8 +10,12 @@ only when one of these holds:
   (a) the current fingerprint already equals the recorded one — the code is
       unchanged since its last verification, refreshing is a no-op;
   (b) a CORRECTNESS_r{N}.json passed on the command line shows the name green
-      this round (rows+schema+hash match, or the driver's declared rows-only
-      ``no_oracle`` check) — a fresh verification of the current code.
+      this round (rows+schema+hash match) — a fresh verification of the
+      current code;
+  (c) the name is a declared rows-only (``no_oracle``) query that the round
+      ran AND its declared pytest reference check (``_ROWS_ONLY_CHECKS``)
+      passes against the current code — the driver's rows-only row alone is
+      too weak a bar to re-stamp changed code.
 
 A name whose code changed since its last verification and which the given
 round did NOT re-check keeps its OLD hash, i.e. stays unverified and at the
@@ -33,10 +37,69 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from learn_hbase_spark import queries as Q  # noqa: E402
 
+# Declared secondary checks for the rows-only (``no_oracle``) queries. The
+# driver's rows-only row only proves "ran and returned rows" — far weaker
+# than the rows+schema+hash oracle path — so a rows-only query whose
+# fingerprint CHANGED since its last verification is re-stamped only after
+# its declared pytest reference check passes against the current code. An
+# unchanged fingerprint needs no re-proof (refreshing is a no-op), so the
+# pytest cost is paid only when the query's answer-defining code moved.
+_ROWS_ONLY_CHECKS = {
+    "simhash_fingerprints": [
+        "tests/test_llm_ops.py::test_simhash_close_for_near_dups",
+        "tests/test_llm_ops.py::test_simhash_md5_deterministic_and_near",
+    ],
+    "approx_profile": [
+        "tests/test_sketches.py::test_approx_distinct_within_rsd",
+        "tests/test_sketches.py::test_approx_quantiles_near_exact",
+    ],
+    "multimodal_features": [
+        "tests/test_llm_ops.py::test_extract_features_batched",
+    ],
+    "ann_ivf_topk": [
+        "tests/test_llm_ops.py::test_ivf_recall_vs_bruteforce",
+    ],
+    "embedding_kmeans": [
+        "tests/test_llm_ops.py::test_kmeans_matches_numpy_reference",
+    ],
+    "ann_lsh_topk": [
+        "tests/test_llm_ops.py::test_lsh_recall_vs_bruteforce",
+    ],
+    "pagerank_neardup": [
+        "tests/test_graph_sampling.py::test_pagerank_properties",
+        "tests/test_graph_sampling.py::"
+        "test_pagerank_deterministic_across_partitioning",
+    ],
+    "semantic_dedup": [
+        "tests/test_llm_ops.py::test_within_cluster_pairs_semdedup_semantics",
+    ],
+    "hll_sketch_rollup": [
+        "tests/test_sketches.py::test_hll_rollup_tolerance_and_merge_consistency",
+    ],
+    "bpe_train_merges": [
+        "tests/test_tokenizer.py::test_bpe_train_matches_single_node_reference",
+    ],
+    "bpe_tokenize": [
+        "tests/test_tokenizer.py::test_bpe_encode_rank_priority_and_counts",
+    ],
+}
+
+
+def _rows_only_check_passes(name: str) -> bool:
+    nodes = _ROWS_ONLY_CHECKS.get(name)
+    if not nodes:
+        print(f"note: rows-only {name} has no declared pytest check; kept stale")
+        return False
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    res = subprocess.run(
+        [sys.executable, "-m", "pytest", "-x", "-q", *nodes], cwd=repo
+    )
+    return res.returncode == 0
+
 
 def _green(row: dict) -> bool:
-    if row.get("err") == "no_oracle":
-        return True  # declared rows-only check: ran and returned rows
     return bool(
         row.get("err") is None
         and row.get("rows_match")
@@ -45,8 +108,13 @@ def _green(row: dict) -> bool:
     )
 
 
+def _rows_only_ran(row: dict) -> bool:
+    return row.get("err") == "no_oracle" and (row.get("spark_rows") or 0) >= 0
+
+
 def main(argv: list[str]) -> None:
     recorded = Q.recorded_fingerprints()
+    rows_only_ran: set[str] = set()
     if argv and argv[0] == "--init":
         # Bootstrap: trust _DRIVER_VERIFIED as-is (only valid when HEAD is a
         # state every listed query was verified at — round-5 judge re-check).
@@ -57,6 +125,7 @@ def main(argv: list[str]) -> None:
         with open(argv[0]) as fh:
             rows = json.load(fh)
         fresh = {n for n, row in rows.items() if _green(row)}
+        rows_only_ran = {n for n, row in rows.items() if _rows_only_ran(row)}
         stale_green = sorted(
             n
             for n, row in rows.items()
@@ -73,7 +142,16 @@ def main(argv: list[str]) -> None:
         if name not in Q._QUERIES:
             continue
         cur = Q.query_fingerprint(name)
-        if name in fresh or recorded.get(name) == cur:
+        if name in rows_only_ran and recorded.get(name) != cur:
+            # Weaker tier: the driver only proved the query ran. Re-stamp a
+            # CHANGED rows-only fingerprint only after its declared pytest
+            # reference check passes against the current code.
+            if _rows_only_check_passes(name):
+                updated.append(name)
+                recorded[name] = cur
+            else:
+                kept_stale.append(name)
+        elif name in fresh or recorded.get(name) == cur:
             if recorded.get(name) != cur:
                 updated.append(name)
             recorded[name] = cur
