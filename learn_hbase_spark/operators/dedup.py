@@ -136,6 +136,73 @@ def _ordered_pairs(ids_arr: Column) -> Column:
     )
 
 
+def _capped_bucket_ids(
+    long_df: DataFrame,
+    key: str,
+    id_colname: str,
+    max_bucket: int | None,
+    metric_ns: str,
+) -> DataFrame:
+    """Per-bucket sorted id arrays with a COUNT-FIRST hot-bucket cap.
+
+    Bucket sizes are pre-computed with a plain ``groupBy(key).count()`` —
+    partial-aggregable, so a pathological bucket (a boilerplate band key
+    shared by 10^8 docs at 100 TB) reduces to per-map-task partial counts
+    and one final row, never a skewed array. Over-cap keys are dropped by a
+    semi join BEFORE any ``collect_list``, so the hot bucket's id array is
+    never materialized in an aggregation buffer (the prior shape filtered
+    AFTER ``collect_list``: the cap prevented the B²/2 pair explosion but
+    still built the full B-element array in one task — ~800 MB for a 10^8
+    bucket, brushing Spark's 2 GB collection limit). The drop metrics
+    (``{ns}_dropped_buckets`` / ``{ns}_dropped_rows``) ride the count
+    stage via ``observe``. Both join and final aggregation key on ``key``,
+    so the exchange introduced by the count pre-pass is reused for the
+    collect stage (one shuffle of the long rows, same as before).
+
+    ``max_bucket=None`` skips the pre-pass entirely (single aggregation).
+    Bucket-size semantics are identical to ``size(collect_list(...))`` —
+    the oracle SQL for the capped queries is unchanged.
+
+    Both branches hang off ONE explicit repartition on the bucket key, and
+    the count deliberately references ``id_colname`` (``count(id)``, ids
+    are non-null by contract) so column pruning leaves both subtrees
+    canonically identical — AQE's runtime exchange reuse then computes the
+    upstream pipeline (scan → shingles → signatures → banding) once, not
+    once per branch. The join and the final aggregation both key on
+    ``key``, already satisfied by that partitioning.
+    """
+    if max_bucket is None:
+        return long_df.groupBy(key).agg(
+            F.sort_array(F.collect_list(id_colname)).alias("_ids")
+        )
+    # Explicit null-key filter BEFORE the shared repartition: the inner join
+    # drops null keys anyway (no semantic change), but without it Catalyst
+    # infers isnotnull(key) only on the join branch, the two subtrees stop
+    # being canonically equal, and AQE cannot reuse the exchange (observed
+    # on the winnow path, whose window-min fp is nullable to the analyzer).
+    banded = long_df.filter(F.col(key).isNotNull()).repartition(F.col(key))
+    counts = banded.groupBy(key).agg(F.count(id_colname).alias("_n"))
+    hot = F.col("_n") > max_bucket
+    keep = (
+        counts.observe(
+            f"{metric_ns}_bucket_cap_{next(_OBSERVE_IDS)}",  # plan-unique
+            F.sum(F.when(hot, 1).otherwise(0)).alias(
+                f"{metric_ns}_dropped_buckets"
+            ),
+            F.sum(F.when(hot, F.col("_n")).otherwise(0)).alias(
+                f"{metric_ns}_dropped_rows"
+            ),
+        )
+        .filter(~hot)
+        .select(key)
+    )
+    return (
+        banded.join(keep, key)
+        .groupBy(key)
+        .agg(F.sort_array(F.collect_list(id_colname)).alias("_ids"))
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -347,26 +414,19 @@ def minhash_bucket_pairs(
     produce a single task materializing millions of pairs. Buckets larger
     than the cap are dropped entirely (their members are near-certain
     duplicates of each other caught by OTHER bands, or boilerplate best
-    handled by exact dedup); the drop is surfaced as an ``observe`` metric
-    (``lsh_dropped_buckets`` / ``lsh_dropped_rows``) on the returned plan
-    so pipelines can alert on silent candidate loss. Deterministic — the
-    cap is a pure size predicate, mirrored exactly by the SQL oracle.
+    handled by exact dedup). The cap is COUNT-FIRST
+    (:func:`_capped_bucket_ids`): bucket sizes come from a skew-immune
+    partial-aggregating count, over-cap keys are semi-joined away, and
+    only surviving buckets collect their id arrays — a hot bucket never
+    materializes its member list. The drop is surfaced as ``observe``
+    metrics (``lsh_dropped_buckets`` / ``lsh_dropped_rows``) so pipelines
+    can alert on silent candidate loss. Deterministic — the cap is a pure
+    size predicate, mirrored exactly by the SQL oracle.
     """
     long_bands = minhash_bands(
         df, text_col, id_col, num_hashes, bands, shingle_n
     )
-    buckets = long_bands.groupBy("_bk").agg(
-        F.sort_array(F.collect_list("_id")).alias("_ids")
-    )
-    if max_bucket is not None:
-        hot = F.size("_ids") > max_bucket
-        buckets = buckets.observe(
-            f"lsh_bucket_cap_{next(_OBSERVE_IDS)}",  # unique per plan
-            F.sum(F.when(hot, 1).otherwise(0)).alias("lsh_dropped_buckets"),
-            F.sum(F.when(hot, F.size("_ids")).otherwise(0)).alias(
-                "lsh_dropped_rows"
-            ),
-        ).filter(~hot)
+    buckets = _capped_bucket_ids(long_bands, "_bk", "_id", max_bucket, "lsh")
     return (
         buckets.select(F.explode(_ordered_pairs(F.col("_ids"))).alias("_p"))
         .select(F.col("_p.id_a").alias("id_a"), F.col("_p.id_b").alias("id_b"))
@@ -906,24 +966,16 @@ def winnow_match_pairs(
     :func:`minhash_bucket_pairs`: buckets above the cap are dropped
     whole (boilerplate grams — license headers, navigation chrome — are
     match NOISE for a plagiarism matcher, and true duplicates still
-    collide via their non-boilerplate fingerprints), with the drop
-    surfaced as ``observe`` metrics (``winnow_dropped_buckets`` /
+    collide via their non-boilerplate fingerprints). COUNT-FIRST via
+    :func:`_capped_bucket_ids` — the hot bucket's id array is never
+    built; its size comes from a partial-aggregating count and its rows
+    are semi-joined away before ``collect_list``. The drop is surfaced
+    as ``observe`` metrics (``winnow_dropped_buckets`` /
     ``winnow_dropped_rows``) so pipelines alert on silent candidate
     loss. Deterministic pure size predicate, mirrored by the SQL oracle.
     """
     fps = winnow_fingerprints(df, text_col, id_col, k=k, w=w, rows=True)
-    buckets = fps.groupBy("fp").agg(
-        F.sort_array(F.collect_list(id_col)).alias("_ids")
-    )
-    if max_bucket is not None:
-        hot = F.size("_ids") > max_bucket
-        buckets = buckets.observe(
-            f"winnow_bucket_cap_{next(_OBSERVE_IDS)}",  # unique per plan
-            F.sum(F.when(hot, 1).otherwise(0)).alias("winnow_dropped_buckets"),
-            F.sum(F.when(hot, F.size("_ids")).otherwise(0)).alias(
-                "winnow_dropped_rows"
-            ),
-        ).filter(~hot)
+    buckets = _capped_bucket_ids(fps, "fp", id_col, max_bucket, "winnow")
     return (
         buckets.select(F.explode(_ordered_pairs(F.col("_ids"))).alias("_p"))
         .groupBy(

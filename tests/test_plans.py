@@ -221,3 +221,42 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
             prev_thresh,
         )
+
+
+def test_hot_bucket_caps_count_before_collect(spark, qs):
+    """The hot-bucket cap must be COUNT-FIRST: bucket sizes from a plain
+    partial-aggregable count, over-cap keys semi-joined away, and only then
+    collect_list — so a pathological (boilerplate) bucket never materializes
+    its full id array in one task's aggregation buffer. Pinned on the
+    optimized logical plan: root-first printing means the collect_list
+    aggregate appears BEFORE (above) the count aggregate feeding the join."""
+    for name in ("minhash_lsh_capped", "winnow_match_capped"):
+        df = qs[name](spark, SF)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "collect_list" in plan, (name, plan)
+        # the observe (CollectMetrics) rides the count pre-pass; root-first
+        # printing ⇒ it must appear after (below) the collect_list aggregate
+        cm = plan.index("CollectMetrics")
+        assert plan.index("collect_list") < cm, (
+            name,
+            "count pre-pass must sit BELOW collect_list in the tree",
+        )
+        assert "count(" in plan[cm:], (
+            name,
+            "the cap must be fed by a plain count aggregate",
+        )
+        assert "Join" in plan, (name, "cap must be a key semi/inner join")
+
+
+def test_hot_bucket_cap_reuses_signature_exchange(spark, qs):
+    """The count pre-pass and the collect branch must share ONE bucket-key
+    exchange at runtime (AQE exchange reuse): without it the signature /
+    fingerprint pipeline upstream of the cap executes twice. Requires both
+    branches canonically equal — see the null-key pre-filter note in
+    dedup._capped_bucket_ids."""
+    for name in ("minhash_lsh_capped", "winnow_match_capped"):
+        df = qs[name](spark, SF)
+        df.collect()
+        ex = df._jdf.queryExecution().executedPlan().toString()
+        reused = [ln for ln in ex.splitlines() if "ReusedExchange" in ln]
+        assert any("REPARTITION_BY_COL" in ln for ln in reused), (name, ex)
