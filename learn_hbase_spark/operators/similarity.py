@@ -198,6 +198,69 @@ def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def _np_norm_rows(m):
+    """Row-normalize a matrix (L2, zero-safe)."""
+    import numpy as np
+
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+def _cell_assigner(cent_matrix, probes: int):
+    """``mapInPandas`` body assigning each vector its ``probes`` nearest
+    centroids by cosine (normalized rows × normalized centroids, stable
+    argsort → ties go to the lowest cell index — the numpy argmax rule the
+    ``ivf_cell_assign`` oracle mirrors). Module-level so both ``ivf_topk``
+    and the partial-oracle query :func:`ivf_seed_cells` run the SAME
+    kernel."""
+    import numpy as np
+
+    def fn(batches):
+        for pdf in batches:
+            m = _np_norm_rows(np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["_v"]]
+            ))
+            top = np.argsort(-(m @ cent_matrix.T), axis=1)[:, :probes]
+            for p in range(probes):
+                out = pdf[["_id", "_v"]].copy()
+                out["_cell"] = top[:, p].astype("int32")
+                yield out
+
+    return fn
+
+
+def ivf_seed_cells(
+    corpus: DataFrame,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The IVF coarse quantizer's SEED assignment pass, exposed as its own
+    operator so it can be oracle-twinned (``ivf_cell_assign``): centroids
+    are the ``nlist`` lowest-id corpus vectors (normalized) and every
+    vector goes to its max-cosine seed — the exact first stage of
+    :func:`ivf_topk` (same ``_cell_assigner`` kernel), and the stage that
+    decides the Lloyd-refinement sample memberships. Integer output
+    (id, cell); the refined-centroid assignment stays rows-only (the
+    per-cell float means are summation-order-sensitive across engines).
+    """
+    import numpy as np
+
+    seeds = (
+        corpus.orderBy(F.col(id_col).asc()).limit(nlist)
+        .select(vec_col).toPandas()[vec_col]
+    )
+    cents = _np_norm_rows(
+        np.stack([np.asarray(v, dtype=np.float64) for v in seeds])
+    )
+    prepped = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    )
+    return prepped.mapInPandas(
+        _cell_assigner(cents, 1), schema="_id long, _v array<double>, _cell int"
+    ).select(F.col("_id").alias(id_col), F.col("_cell").alias("cell"))
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -226,27 +289,14 @@ def ivf_topk(
     import numpy as np
     import pandas as pd
 
-    def _norm_rows(m: "np.ndarray") -> "np.ndarray":
-        return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    _norm_rows = _np_norm_rows
+    _assign = _cell_assigner
 
     seeds = (
         corpus.orderBy(F.col(id_col).asc()).limit(nlist)
         .select(vec_col).toPandas()[vec_col]
     )
     cents = _norm_rows(np.stack([np.asarray(v, dtype=np.float64) for v in seeds]))
-
-    def _assign(cent_matrix: "np.ndarray", probes: int):
-        def fn(batches):
-            for pdf in batches:
-                m = _norm_rows(np.stack(
-                    [np.asarray(v, dtype=np.float64) for v in pdf["_v"]]
-                ))
-                top = np.argsort(-(m @ cent_matrix.T), axis=1)[:, :probes]
-                for p in range(probes):
-                    out = pdf[["_id", "_v"]].copy()
-                    out["_cell"] = top[:, p].astype("int32")
-                    yield out
-        return fn
 
     prepped = corpus.select(
         F.col(id_col).alias("_id"),

@@ -2694,7 +2694,10 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register("simhash_fingerprints")  # xxhash64 has no DuckDB twin → rows-only
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash 64-bit fingerprints (Charikar 2002). Oracle omitted: the hash
-    family (xxhash64) has no DuckDB equivalent; driver records rows-only."""
+    family (xxhash64) has no DuckDB equivalent; driver records rows-only.
+    The ALGORITHM is oracle-twinned via ``simhash_fingerprints_md5`` below
+    (same bit-vote construction under the md5-parity hash family) — only
+    the production hash family itself stays rows-only."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.simhash(docs, "text", "doc_id")
 
@@ -2752,6 +2755,22 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_hamming_pairs(
         fps, "doc_id", "simhash", max_hamming=3, bands=4, bits=32
     )
+
+
+@_register(
+    "simhash_fingerprints_md5",
+    f"WITH {_SIMHASH32} SELECT doc_id, simhash FROM fp",
+)
+def simhash_fingerprints_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SimHash fingerprint CONSTRUCTION oracle-twinned (VERDICT r6 #6):
+    per-word feature bits → majority vote per bit → packed fingerprint,
+    under the md5-parity hash family DuckDB replays exactly (one hex parse
+    of md5's first 8 chars per word, identical lane-packed counters to the
+    production path). This moves the simhash algorithm out of the
+    rows-only tail; ``simhash_fingerprints`` keeps the xxhash64 production
+    family bench-covered. Integer output ⇒ exact driver hash compare."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_md5(docs, "text", "doc_id", bits=32)
 
 
 # ---------------------------------------------------------------------------
@@ -3416,7 +3435,8 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate top-k: coarse quantizer (seeded + one Lloyd
     step) splits the corpus into cells; queries probe their 4 nearest of 16
-    cells. Approximate ⇒ no SQL oracle; recall-tested in tests."""
+    cells. Approximate ⇒ no SQL oracle; recall-tested in tests. The seed
+    assignment pass is oracle-twinned via ``ivf_cell_assign``."""
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
     return similarity.ivf_topk(q, emb, k=10, nlist=16, nprobe=4)
@@ -3499,9 +3519,14 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _lsh_bucket_oracle() -> str:
     """Build the lsh_bucket_assign oracle with the SAME plane constants as
-    the Spark path: repr() round-trips doubles exactly, and both engines
-    fold the 64-term dot product left-to-right over identical IEEE values,
-    so the sign (and hence the bucket bit) cannot disagree."""
+    the Spark path: repr() round-trips doubles exactly, so both engines see
+    identical IEEE inputs. The fold ORDER of the 64-term dot product is not
+    contractual across engines (DuckDB's list_dot_product vs Spark's
+    aggregate/zip_with), so a near-zero plane dot could in principle flip a
+    sign between engines on summation-order ulps; the bench corpus is
+    guarded against that (test_lsh_plane_dots_well_separated asserts every
+    |dot| clears a wide margin), which makes the bucket bits engine-stable
+    in practice rather than by IEEE contract."""
     terms = [
         f"""CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]),
              [{', '.join(repr(x) for x in plane)}]) >= 0
@@ -3530,6 +3555,44 @@ def lsh_bucket_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         similarity.hyperplane_bucket(F.col("embedding"), _lsh_planes())
         .alias("bucket"),
     )
+
+
+@_register(
+    "ivf_cell_assign",
+    """
+    WITH seeds AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cell, c
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS c
+            FROM embeddings ORDER BY vec_id LIMIT 16)
+    ),
+    scored AS (
+      SELECT e.vec_id, s.cell,
+             list_dot_product(CAST(e.embedding AS DOUBLE[]), s.c)
+               / sqrt(list_dot_product(s.c, s.c))
+               / sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                       CAST(e.embedding AS DOUBLE[]))) AS sc
+      FROM embeddings e CROSS JOIN seeds s
+    )
+    SELECT vec_id, cell FROM (
+      SELECT vec_id, cell,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY sc DESC, cell ASC) AS rn
+      FROM scored
+    ) WHERE rn = 1
+    """,
+)
+def ivf_cell_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF coarse quantizer's seed assignment pass, oracle-twinned —
+    the partial oracle for ``ann_ivf_topk`` (VERDICT r6 #4): centroids are
+    the 16 lowest-id vectors (normalized) and each corpus vector goes to
+    its max-cosine seed (ties → lowest cell, the stable-argsort rule),
+    running the SAME ``_cell_assigner`` mapInPandas kernel as production
+    ``ivf_topk``. Integer output ⇒ exact driver hash compare; only the
+    Lloyd-refined means and the probe-and-rank stage stay rows-only
+    (recall-tested). Argmax is robust to summation-order ulps — cells
+    are separated far beyond the ~1e-15 relative error of a 64-term dot."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_seed_cells(emb, nlist=16)
 
 
 # ---------------------------------------------------------------------------
@@ -4933,13 +4996,72 @@ def pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-2; production graphs run the operator's default 10+) of
     join+aggregate per round with lineage truncation
     (operators.graph.pagerank); iterative float fixpoints are outside the
-    SQL-oracle scope (convergence properties are pytest-verified)."""
+    SQL-oracle scope (convergence properties are pytest-verified); the
+    first power-iteration step is oracle-twinned via ``pagerank_iter1``."""
     docs = _t(spark, sf_dir, "documents")
     pairs = dedup.minhash_bucket_pairs(
         docs, "text", "doc_id", num_hashes=8, bands=4
     )
     return graph.pagerank(
         docs.select("doc_id"), pairs, node_col="doc_id", n_iter=5
+    )
+
+
+@_register(
+    "pagerank_iter1",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_SHINGLES}) AS s FROM documents
+    ),
+    sig AS (
+      SELECT doc_id,
+        {", ".join(f"min(substr(md5(s || '#{i // 4}'), {1 + 8 * (i % 4)}, 8)) AS mh_{i}" for i in range(8))}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, md5('0' || '|' || mh_0 || '|' || mh_1) AS bk FROM sig
+      UNION ALL
+      SELECT doc_id, md5('1' || '|' || mh_2 || '|' || mh_3) AS bk FROM sig
+      UNION ALL
+      SELECT doc_id, md5('2' || '|' || mh_4 || '|' || mh_5) AS bk FROM sig
+      UNION ALL
+      SELECT doc_id, md5('3' || '|' || mh_6 || '|' || mh_7) AS bk FROM sig
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
+    ),
+    sym AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION ALL
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    deg AS (SELECT u, count(*) AS d FROM sym GROUP BY u),
+    contrib AS (
+      SELECT s.v AS u, sum(1.0 / d.d) AS inc
+      FROM sym s JOIN deg d ON d.u = s.u
+      GROUP BY s.v
+    )
+    SELECT n.doc_id, round(0.15 + 0.85 * coalesce(c.inc, 0.0), 6) AS rank
+    FROM documents n LEFT JOIN contrib c ON c.u = n.doc_id
+    """,
+)
+def pagerank_iter1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One PageRank power-iteration step from the uniform init over the
+    near-dup graph, oracle-twinned — the partial oracle for
+    ``pagerank_neardup`` (VERDICT r6 #5): with rank0 = 1 everywhere, each
+    node's rank1 is the closed form ``0.15 + 0.85 * Σ 1/deg(u)`` over its
+    in-neighbors, which DuckDB replays exactly from the edge list. The
+    operator rounds to 6 decimals on both sides; the per-node sum spans a
+    handful of reciprocal terms, so summation-order ulps (~1e-16 relative)
+    sit ~10 orders of magnitude below the rounding grid. Later iterations
+    stay rows-only (float fixpoint, pytest-verified convergence)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_bucket_pairs(
+        docs, "text", "doc_id", num_hashes=8, bands=4
+    )
+    return graph.pagerank(
+        docs.select("doc_id"), pairs, node_col="doc_id", n_iter=1
     )
 
 
@@ -6746,7 +6868,8 @@ def bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     it and report per-doc token counts plus the subword fertility ratio
     (tokens per whitespace word — the tokenizer-quality metric). Encode is
     an Arrow-batched mapInPandas (rank-priority merge loop has no
-    vectorized form); the merge table ships with the task closure."""
+    vectorized form); the merge table ships with the task closure. The
+    apply stage is oracle-twinned via ``bpe_apply_fixed``."""
     docs = _t(spark, sf_dir, "documents")
     merges = tokenizer.bpe_train(docs, n_merges=8)
     enc = tokenizer.bpe_encode(docs, merges)
@@ -6758,6 +6881,81 @@ def bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tokens",
             F.round(F.col("n_tokens") / words, 4).alias("fertility"),
         )
+    )
+
+
+# A pinned merge table for the oracle-twinned BPE APPLY stage: a valid
+# derivation chain (every compound symbol is produced by an earlier rule),
+# which is exactly the property a LEARNED merge list has and the property
+# that makes rank-priority application equal sequential in-order
+# application — so DuckDB can replay the segmentation with ordered string
+# replaces.
+_BPE_FIXED_MERGES: list[tuple[str, str]] = [
+    ("t", "h"), ("th", "e"), ("the", "</w>"),
+    ("a", "n"), ("an", "d"), ("and", "</w>"),
+    ("i", "n"), ("in", "</w>"), ("e", "r"), ("o", "n"),
+]
+
+
+def _bpe_fixed_oracle() -> str:
+    """DuckDB replay of BPE apply under the pinned merge table. Each word
+    becomes a delimited symbol string ``|c1||c2||...||</w>|`` (every symbol
+    wrapped in its own pipes so a replace can never match across symbol
+    boundaries, and adjacent pairs don't share a delimiter char — left-to-
+    right non-overlapping ``replace`` then implements exactly one merge
+    rule's sweep); the merge rules apply in rank order. Pipes are stripped
+    from the raw text on BOTH sides first so the delimiter is unambiguous.
+    """
+    sym_str = (
+        "'|' || array_to_string("
+        "list_append(regexp_split_to_array(w, ''), '</w>'), '||') || '|'"
+    )
+    expr = sym_str
+    for a, b in _BPE_FIXED_MERGES:
+        expr = f"replace({expr}, '|{a}||{b}|', '|{a}{b}|')"
+    word_tokens = f"array_to_string(string_split(trim({expr}, '|'), '||'), ' ')"
+    norm_clean = _NORM.replace("text", "replace(text, '|', '')")
+    return f"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split({norm_clean}, ' '), x -> x <> '')
+               AS words
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id,
+             array_to_string(
+               list_transform(words, w -> {word_tokens}), ' ') AS token_str
+      FROM w
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN token_str = '' THEN 0
+                     ELSE len(string_split(token_str, ' ')) END AS INT)
+             AS n_tokens,
+           token_str
+    FROM tok
+    """
+
+
+@_register("bpe_apply_fixed", _bpe_fixed_oracle())
+def bpe_apply_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE APPLY oracle-twinned (VERDICT r6 #3): tokenize the corpus with
+    the pinned ``_BPE_FIXED_MERGES`` table through the REAL production
+    encoder (``tokenizer.bpe_encode`` — the Arrow-batched rank-priority
+    mapInPandas loop), while DuckDB replays the identical segmentation as
+    ordered string replaces (valid for any derivation-ordered merge list —
+    see ``_bpe_fixed_oracle``). This pins the apply stage exactly; only
+    the learned-merge training loop stays rows-only (`bpe_train_merges`,
+    pair-count stage pinned by ``bpe_pair_counts``). Pipe characters are
+    stripped from the text on both sides (oracle delimiter)."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text", F.translate("text", "|", "")
+    )
+    enc = tokenizer.bpe_encode(docs, _BPE_FIXED_MERGES)
+    return enc.select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.array_join("tokens", " ").alias("token_str"),
     )
 
 

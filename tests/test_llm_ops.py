@@ -589,3 +589,29 @@ def test_duplicate_spans_matches_python_reference(spark):
         for r in duplicate_spans(df, k=k).collect()
     }
     assert got == expect
+
+
+def test_lsh_plane_dots_well_separated(spark):
+    """Guard for the lsh_bucket_assign / ivf-style sign oracles: the bucket
+    bit is the SIGN of a 64-term dot product, and the fold order is not
+    contractual across engines — a |dot| within summation-order ulps of
+    zero could flip a bit between Spark and DuckDB. Assert every
+    (vector, plane) dot on the bench corpus clears a margin many orders
+    above the ~1e-13 absolute error of a 64-term double fold."""
+    import numpy as np
+
+    from learn_hbase_spark import queries as Q
+    from learn_hbase_spark.tables import load_table
+
+    planes = np.array(Q._lsh_planes())  # (4, 64)
+    emb = (
+        load_table(spark, "/root/testdata/sf0.01", "embeddings")
+        .select("embedding")
+        .toPandas()["embedding"]
+    )
+    m = np.stack([np.asarray(v, dtype=np.float64) for v in emb])
+    dots = np.abs(m @ planes.T)
+    assert dots.min() > 1e-6, (
+        f"min |plane dot| {dots.min():.3e} too close to the sign boundary "
+        "for cross-engine fold-order safety"
+    )
