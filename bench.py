@@ -59,18 +59,23 @@ def main() -> None:
     for p in sorted(_glob.glob(os.path.join(sf_dir, "*.parquet"))):
         spark.read.parquet(p).write.mode("overwrite").format("noop").save()
 
-    # Timed pass at the MEASURED sf, then a second pass over only the
-    # slow-looking queries, reporting the per-query MIN. Pass 1 doubles
+    # Timed pass at the MEASURED sf, then a FULL second pass, reporting the
+    # per-query MIN (min-of-2 for every query — VERDICT r6 #8: the >1 s
+    # re-run cutoff let sub-second host-contention jitter pollute
+    # round-over-round diffs with ~26 false "regressions"). Pass 1 doubles
     # as the sf-level warmup: AQE picks different physical plans at sf0.1
     # than at the sf0.001 warmup (broadcast vs sort-merge), so
     # first-compile costs land in pass 1 and the min discards them
     # (measured: 3-4x outliers on the first few queries otherwise). The
     # min is also robust to transient host stalls (same-query times
-    # measured 2-4x apart purely by contention window on this VM). Only
-    # queries over 1 s re-run — sub-second times don't move the total,
-    # and the trimmed second pass keeps bench wall-clock bounded. The
-    # reported number is steady-state per-plan throughput — the quantity
-    # that extrapolates to a long-running cluster.
+    # measured 2-4x apart purely by contention window on this VM). When
+    # the two passes still disagree by >30% (both may have straddled the
+    # same stall — BENCH_r05: agg_pricing_summary recorded 2.05x its r4
+    # time exactly that way), one tie-breaking third run bounds that
+    # failure mode; sub-150 ms times skip the tie-break (pure scheduler
+    # jitter, irrelevant to the total). The reported number is
+    # steady-state per-plan throughput — the quantity that extrapolates
+    # to a long-running cluster.
     def _timed(name: str) -> float:
         t0 = time.time()
         qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
@@ -78,14 +83,10 @@ def main() -> None:
 
     for name in BENCH_QUERIES:
         timings[name] = _timed(name)
-    for name in [n for n in BENCH_QUERIES if timings[n] > 1.0]:
+    for name in BENCH_QUERIES:
         t2 = _timed(name)
         best = min(timings[name], t2)
-        # Two measurements that disagree by >30% mean at least one was
-        # hit by a host contention window (BENCH_r05: agg_pricing_summary
-        # recorded 2.05x its r4 time with BOTH passes landing in the same
-        # stall); one tie-breaking third run bounds that failure mode.
-        if best > 1.0 and abs(timings[name] - t2) / best > 0.30:
+        if best > 0.15 and abs(timings[name] - t2) / best > 0.30:
             best = min(best, _timed(name))
         timings[name] = best
 

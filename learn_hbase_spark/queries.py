@@ -3370,10 +3370,27 @@ def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("multimodal_features")  # stubbed binary decode → rows-only check
+@_register(
+    "multimodal_features",
+    """
+    SELECT doc_id AS media_id,
+           (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(coalesce(list_sum(list_transform(
+                  regexp_split_to_array(text, ''), c -> unicode(c))), 0)
+                % 2147483648 AS BIGINT) AS checksum,
+           CAST(64 AS INT) AS feature_dim
+    FROM documents
+    """,
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched media feature extraction via mapInPandas (decode body
-    stubbed — codecs absent in this container; plumbing real)."""
+    stubbed — codecs absent in this container; plumbing real). The stub is
+    DETERMINISTIC (byte length + byte-sum checksum of the payload), so it
+    is oracle-twinned after all (was rows-only through r6): DuckDB replays
+    the UTF-8 byte sum as a code-point sum, valid because the corpus is
+    pure ASCII — guarded by test_corpus_is_ascii_for_byte_sum_oracle, and
+    n_bytes uses octet_length so it would stay correct regardless."""
     return multimodal.extract_features(_media(spark, sf_dir))
 
 
@@ -3505,13 +3522,52 @@ def _lsh_planes() -> list[list[float]]:
     return [[rng.uniform(-1, 1) for _ in range(64)] for _ in range(4)]
 
 
-@_register("ann_lsh_topk")  # approximate by design → rows-only check
+def _ann_lsh_oracle() -> str:
+    """Full oracle for ann_lsh_topk: 'approximate' refers to RECALL vs
+    brute force, but the OUTPUT is a deterministic function of (corpus,
+    pinned seed-7 planes) — bucket by sign pattern, exact cosine rank
+    within the bucket. Float-ordering risk is identical to the green
+    ``ann_cosine_topk`` (same query set, same cosine form, a subset of
+    the same comparisons) plus the sign boundary already guarded by
+    test_lsh_plane_dots_well_separated."""
+    terms = " + ".join(
+        f"""CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]),
+             [{', '.join(repr(x) for x in plane)}]) >= 0
+            THEN {1 << i} ELSE 0 END"""
+        for i, plane in enumerate(_lsh_planes())
+    )
+    return f"""
+    WITH b AS (
+      SELECT vec_id, CAST({terms} AS BIGINT) AS bucket,
+             CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, bucket, v AS qv FROM b WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             list_dot_product(q.qv, c.v)
+             / (sqrt(list_dot_product(q.qv, q.qv))
+                * sqrt(list_dot_product(c.v, c.v))) AS s
+      FROM q JOIN b c ON c.bucket = q.bucket AND c.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, rank, sim FROM (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY s DESC, neighbor_id ASC) AS rank,
+             round(s, 6) AS sim
+      FROM scored
+    ) WHERE rank <= 10
+    """
+
+
+@_register("ann_lsh_topk", _ann_lsh_oracle())
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k (random-hyperplane signs). The scale
-    path for ANN: only bucket-colliding vectors are compared. Approximate ⇒
-    no SQL oracle for the top-k itself; recall is tested against brute
-    force in tests/test_similarity.py, and the bucketing stage is
-    oracle-twinned via ``lsh_bucket_assign`` below."""
+    path for ANN: only bucket-colliding vectors are compared. Approximate
+    in RECALL (tested against brute force in tests), but deterministic in
+    OUTPUT under the pinned seed-7 planes — so fully oracle-twinned (was
+    rows-only through r6): DuckDB replays bucket assignment and the
+    within-bucket exact-cosine ranking end-to-end."""
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
     return similarity.lsh_topk(q, emb, _lsh_planes(), k=10)

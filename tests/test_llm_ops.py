@@ -615,3 +615,18 @@ def test_lsh_plane_dots_well_separated(spark):
         f"min |plane dot| {dots.min():.3e} too close to the sign boundary "
         "for cross-engine fold-order safety"
     )
+
+
+def test_corpus_is_ascii_for_byte_sum_oracle(spark):
+    """Guard for the multimodal_features oracle: its DuckDB twin replays
+    the stub decoder's UTF-8 byte-sum checksum as a code-point sum, which
+    is only byte-exact for ASCII text. The synthetic corpus is ASCII at
+    every SF; if a future data generation breaks that, this fails before
+    the driver records a mystery hash mismatch."""
+    from learn_hbase_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    n_non_ascii = docs.filter(
+        F.octet_length(F.col("text")) != F.length(F.col("text"))
+    ).count()
+    assert n_non_ascii == 0

@@ -644,3 +644,71 @@ def test_neardup_ingest_corrupted_index_fails_loudly(spark, tmp_path):
     b2 = _docs(spark, [(2, "some fresh words never before seen here now")])
     with pytest.raises(Exception, match="(?i)parquet|footer|corrupt"):
         neardup_ingest_batch(b2, 1, idx, acc)
+
+
+def test_neardup_ingest_restart_after_lost_commit_is_exactly_once(
+    spark, tmp_path
+):
+    """End-to-end replay through Structured Streaming's OWN recovery path
+    (VERDICT r6 #7; the direct batch-body replay tests above simulate the
+    failure, this one drives it): a crash between the foreachBatch writes
+    and the checkpoint commit is simulated by deleting the latest commit
+    file after a successful drain. On restart the engine sees the offset
+    without its commit, replays that exact batch through foreachBatch, and
+    the _batch-partitioned dynamic partition overwrites must keep BOTH
+    outputs exactly-once."""
+    import json
+    import os
+
+    from learn_hbase_spark.streaming.events import neardup_ingest_stream
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    idx = str(tmp_path / "index")
+    acc = str(tmp_path / "accepted")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_batch(name, rows):
+        with open(inp / name, "w") as fh:
+            for doc_id, text in rows:
+                fh.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+
+    write_batch("b1.json", [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "totally different words in this second document here"),
+    ])
+    neardup_ingest_stream(spark, str(inp), idx, acc, ckpt)
+    write_batch("b2.json", [
+        (3, "alpha beta gamma delta epsilon zeta eta theta"),  # hist dup of 1
+        (4, "brand new unique content appearing only in batch two"),
+        (5, "brand new unique content appearing only in batch two"),  # intra
+    ])
+    neardup_ingest_stream(spark, str(inp), idx, acc, ckpt)
+    before_acc = sorted(r["doc_id"] for r in spark.read.parquet(acc).collect())
+    before_idx = sorted(
+        (r["_id"], r["_bk"]) for r in spark.read.parquet(idx).collect()
+    )
+    assert before_acc == [1, 2, 4]
+
+    # crash between write and commit: the engine wrote offsets/N, ran the
+    # batch (outputs landed), but never recorded commits/N
+    commits = [
+        c for c in os.listdir(os.path.join(ckpt, "commits"))
+        if not c.startswith(".")
+    ]
+    latest = max(int(c) for c in commits)
+    os.remove(os.path.join(ckpt, "commits", str(latest)))
+    crc = os.path.join(ckpt, "commits", f".{latest}.crc")
+    if os.path.exists(crc):  # local-FS checksum shadow of the commit file
+        os.remove(crc)
+
+    # restart: recovery replays batch `latest` from its offset log entry
+    neardup_ingest_stream(spark, str(inp), idx, acc, ckpt)
+    after_acc = sorted(r["doc_id"] for r in spark.read.parquet(acc).collect())
+    after_idx = sorted(
+        (r["_id"], r["_bk"]) for r in spark.read.parquet(idx).collect()
+    )
+    assert after_acc == before_acc
+    assert after_idx == before_idx
+    # and the replayed batch's commit is restored
+    assert str(latest) in os.listdir(os.path.join(ckpt, "commits"))

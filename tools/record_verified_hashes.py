@@ -53,17 +53,11 @@ _ROWS_ONLY_CHECKS = {
         "tests/test_sketches.py::test_approx_distinct_within_rsd",
         "tests/test_sketches.py::test_approx_quantiles_near_exact",
     ],
-    "multimodal_features": [
-        "tests/test_llm_ops.py::test_extract_features_batched",
-    ],
     "ann_ivf_topk": [
         "tests/test_llm_ops.py::test_ivf_recall_vs_bruteforce",
     ],
     "embedding_kmeans": [
         "tests/test_llm_ops.py::test_kmeans_matches_numpy_reference",
-    ],
-    "ann_lsh_topk": [
-        "tests/test_llm_ops.py::test_lsh_recall_vs_bruteforce",
     ],
     "pagerank_neardup": [
         "tests/test_graph_sampling.py::test_pagerank_properties",
