@@ -196,6 +196,14 @@ def _capped_bucket_ids(
         .filter(~hot)
         .select(key)
     )
+    # INNER join on the under-cap keys, not an anti join on the hot keys:
+    # with the anti form Catalyst hoists the shared repartition above the
+    # join, the two branches stop being canonically equal, and the
+    # signature pipeline computes twice (measured +25%). Broadcast vs
+    # shuffled build is the planner's size-based choice — at corpus scale
+    # the keep side exceeds the broadcast threshold and both sides are
+    # already partitioned on ``key``, so the join is co-partitioned with
+    # no extra exchange.
     return (
         banded.join(keep, key)
         .groupBy(key)
