@@ -630,3 +630,40 @@ def test_corpus_is_ascii_for_byte_sum_oracle(spark):
         F.octet_length(F.col("text")) != F.length(F.col("text"))
     ).count()
     assert n_non_ascii == 0
+
+
+def test_minhash_cap_drops_hot_bucket_but_keeps_pairs(spark):
+    """Count-first cap under a genuinely hot bucket: 200 verbatim-identical
+    boilerplate docs share every band bucket (bucket size 200 >> cap), so
+    all their pairs drop; an unrelated near-dup pair in normal-size
+    buckets survives. Exercises the count → semi-join → collect path end
+    to end on a bucket that would have built a 200-element array row
+    pre-filter under the old cap-after-collect shape."""
+    from learn_hbase_spark.operators.dedup import minhash_bucket_pairs
+
+    boiler = (
+        "this exact license header paragraph appears verbatim at the top "
+        "of every singe generated file in the synthetic corpus"
+    )
+    docs = [(i, boiler) for i in range(1, 201)]
+    docs += [
+        (301, "completely unrelated passage about meter readings one"),
+        (302, "completely unrelated passage about meter readings one two"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_bucket_pairs(
+            df, num_hashes=8, bands=4, max_bucket=10
+        ).collect()
+    }
+    assert not any(a <= 200 and b <= 200 for a, b in capped)
+    assert (301, 302) in capped
+    # and uncapped, the boilerplate clique is present (sanity: the cap is
+    # what removed it, not the banding)
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_bucket_pairs(df, num_hashes=8, bands=4).collect()
+    }
+    assert (1, 2) in uncapped and (199, 200) in uncapped

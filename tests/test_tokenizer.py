@@ -90,3 +90,52 @@ def test_bpe_train_df_artifact_shape(spark):
     assert [r["rank"] for r in art] == list(range(len(art)))
     for r in art:
         assert r["merged"] == r["left"] + r["right"]
+
+
+def test_bpe_apply_priority_equals_inorder_for_derivation_ordered(spark):
+    """The bpe_apply_fixed oracle replays the encoder as SEQUENTIAL
+    in-order replace-alls, while production bpe_encode runs the classic
+    rank-priority loop. The two agree exactly when every compound symbol
+    in a rule is produced by an earlier rule (true of any learned list and
+    of _BPE_FIXED_MERGES): applying rule k can only create pairs for rules
+    > k, so the priority loop never revisits an earlier rank. Pin that
+    equivalence on adversarial words — overlap chains, repeated symbols,
+    stacked merges."""
+    from learn_hbase_spark.operators.tokenizer import END_OF_WORD, bpe_encode
+    from learn_hbase_spark.queries import _BPE_FIXED_MERGES
+
+    def inorder_reference(word, merges):
+        syms = list(word) + [END_OF_WORD]
+        for a, b in merges:  # each rule: left-to-right non-overlapping sweep
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    words = [
+        "the", "then", "there", "and", "hand", "in", "inn", "thin",
+        "ananan", "anand", "thethe", "ththe", "ander", "onion",
+        "a", "t", "", "x",
+        # stacked-merge stress under a chain list
+        "aaa", "aaaa", "abab",
+    ]
+    chain = [("a", "a"), ("aa", "a"), ("a", "b"), ("ab", "ab")]
+    for merges in (_BPE_FIXED_MERGES, chain):
+        df = spark.createDataFrame(
+            [(i, w) for i, w in enumerate(words) if w],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: list(r["tokens"])
+            for r in bpe_encode(df, merges).collect()
+        }
+        for i, w in enumerate(words):
+            if not w:
+                continue
+            assert got[i] == inorder_reference(w, merges), (w, merges)
