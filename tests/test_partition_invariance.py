@@ -46,6 +46,15 @@ CASES = [
     "histogram_equiwidth",
     "linear_fit_by_type",
     "curation_audit",
+    # round 7: count-first capped bucketing (join+collect order risk),
+    # batch-kernel cell assignment (argsort-tie risk across batch shapes),
+    # one-step pagerank (float sum-order risk), fixed-merge BPE apply
+    # (mapInPandas batch-shape risk)
+    "minhash_lsh_capped",
+    "winnow_match_capped",
+    "ivf_cell_assign",
+    "pagerank_iter1",
+    "bpe_apply_fixed",
 ]
 
 
