@@ -66,3 +66,28 @@ def test_recorded_file_only_contains_registered_names():
     recorded = Q.recorded_fingerprints()
     assert recorded, "bootstrap _verified_hashes.json missing"
     assert set(recorded) <= set(Q._QUERIES)
+
+
+def test_rows_only_checks_cover_exactly_the_no_oracle_tail():
+    """tools/record_verified_hashes.py re-stamps a changed rows-only query
+    only after its declared pytest check passes — that tier map must track
+    the registry exactly: every no-oracle query has a declared check, and
+    no stale entries linger for queries that gained an oracle."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "record_verified_hashes",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools",
+            "record_verified_hashes.py",
+        ),
+    )
+    tool = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(tool)
+
+    rows_only = set(Q._QUERIES) - set(Q._ORACLES)
+    assert set(tool._ROWS_ONLY_CHECKS) == rows_only
+    for name, nodes in tool._ROWS_ONLY_CHECKS.items():
+        assert nodes, f"{name} has an empty check list"
