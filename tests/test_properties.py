@@ -164,3 +164,48 @@ def test_connected_components_match_union_find(spark, edges):
         for r in connected_components(ndf, edf).collect()
     }
     assert got == expect
+
+
+@given(
+    docs=st.lists(
+        st.lists(_word, min_size=1, max_size=8), min_size=2, max_size=12
+    ),
+    max_bucket=st.integers(min_value=1, max_value=4),
+)
+@settings(**_SETTINGS)
+def test_capped_pairs_law(spark, docs, max_bucket):
+    """The hot-bucket cap's defining law, for ALL corpora: capped pairs are
+    exactly the uncapped pairs that share at least one bucket of size <=
+    max_bucket. Checked via an independent single-node replay of the
+    banding (bucket membership from minhash_bands), so the count-first
+    join/collect machinery is exercised against first-principles set
+    algebra — including all-identical corpora, singleton buckets, and
+    caps below every bucket size."""
+    from collections import defaultdict
+
+    from learn_hbase_spark.operators.dedup import (
+        minhash_bands,
+        minhash_bucket_pairs,
+    )
+
+    rows = [(i + 1, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    buckets = defaultdict(set)
+    for r in minhash_bands(df, "text", "doc_id", 8, 4).collect():
+        buckets[r["_bk"]].add(r["_id"])
+    expect = {
+        (a, b)
+        for ids in buckets.values()
+        if len(ids) <= max_bucket
+        for a in ids
+        for b in ids
+        if a < b
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_bucket_pairs(
+            df, "text", "doc_id", 8, 4, max_bucket=max_bucket
+        ).collect()
+    }
+    assert got == expect
