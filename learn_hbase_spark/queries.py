@@ -6876,9 +6876,10 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     once into a word-frequency table; each merge round is one
     (pair, count) shuffle plus a one-row driver fetch. Iterative greedy
     argmax ⇒ rows-only; the merge sequence is pytest-verified against a
-    single-node reference implementation (test_tokenizer), and the
-    counting stage every round reuses is oracle-twinned via
-    ``bpe_pair_counts`` below."""
+    single-node reference implementation (test_tokenizer), the counting
+    stage every round reuses is oracle-twinned via ``bpe_pair_counts``
+    below, and the first full train cycle (count → argmax → rewrite →
+    recount) via ``bpe_pair_counts_round1``."""
     docs = _t(spark, sf_dir, "documents")
     return tokenizer.bpe_train_df(docs, n_merges=8)
 
@@ -6937,6 +6938,74 @@ def bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tokens",
             F.round(F.col("n_tokens") / words, 4).alias("fertility"),
         )
+    )
+
+
+@_register(
+    "bpe_pair_counts_round1",
+    f"""
+    WITH words AS (
+      SELECT unnest(string_split({_NORM.replace("text", "replace(text, '|', '')")}, ' ')) AS word
+      FROM documents
+    ),
+    wt AS (
+      SELECT word, count(*) AS freq FROM words WHERE word <> ''
+      GROUP BY word
+    ),
+    p0 AS (
+      SELECT substr(word, i, 1) AS a,
+             CASE WHEN i < length(word) THEN substr(word, i + 1, 1)
+                  ELSE '</w>' END AS b,
+             freq
+      FROM wt, unnest(generate_series(1, length(word))) AS t(i)
+    ),
+    c0 AS (SELECT a, b, sum(freq) AS n FROM p0 GROUP BY a, b),
+    best AS (SELECT a, b FROM c0 ORDER BY n DESC, a ASC, b ASC LIMIT 1),
+    sym1 AS (
+      SELECT replace(
+               '|' || array_to_string(
+                 list_append(regexp_split_to_array(word, ''), '</w>'),
+                 '||') || '|',
+               '|' || best.a || '||' || best.b || '|',
+               '|' || best.a || best.b || '|') AS s,
+             freq
+      FROM wt CROSS JOIN best
+    ),
+    syms AS (
+      SELECT string_split(trim(s, '|'), '||') AS arr, freq FROM sym1
+    ),
+    p1 AS (
+      SELECT arr[i] AS a, arr[i + 1] AS b, freq
+      FROM syms, unnest(generate_series(1, len(arr) - 1)) AS t(i)
+    )
+    SELECT a, b, CAST(sum(freq) AS BIGINT) AS n FROM p1 GROUP BY a, b
+    """,
+)
+def bpe_pair_counts_round1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE training's FIRST FULL CYCLE oracle-twinned: round-0 pair counts
+    → the argmax merge choice (count desc, lexicographic tiebreak — the
+    exact ``bpe_train`` rule) → the merge applied to the word table via
+    the production ``_apply_merge`` fold → round-1 pair counts. Extends
+    ``bpe_pair_counts`` (which pins only the round-0 aggregation) to pin
+    one complete training iteration including the greedy selection and
+    symbol rewrite; DuckDB replays the rewrite with the same delimiter
+    encoding as ``bpe_apply_fixed``. Pipes stripped both sides (oracle
+    delimiter). The one-row driver fetch mirrors ``bpe_train``'s bounded
+    per-round argmax pull."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text", F.translate("text", "|", "")
+    )
+    wt = tokenizer._word_table(docs, "text")
+    best = (
+        tokenizer._pair_counts(wt)
+        .orderBy(F.col("n").desc(), F.col("a").asc(), F.col("b").asc())
+        .limit(1)
+        .toPandas()
+    )
+    a, b = str(best["a"][0]), str(best["b"][0])
+    wt1 = wt.withColumn("syms", tokenizer._apply_merge(F.col("syms"), a, b))
+    return tokenizer._pair_counts(wt1).select(
+        "a", "b", F.col("n").cast("long").alias("n")
     )
 
 
