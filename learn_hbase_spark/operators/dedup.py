@@ -163,6 +163,16 @@ def _capped_bucket_ids(
     Bucket-size semantics are identical to ``size(collect_list(...))`` —
     the oracle SQL for the capped queries is unchanged.
 
+    Skew note: the hot bucket's rows still cross the key exchange once and
+    are dropped AT the join — one task streams (broadcast build) or
+    spill-sorts (co-partitioned build) the hot partition's narrow
+    (key, id) rows before discarding them. The alternative — broadcast
+    the hot keys and anti-filter map-side so hot rows never shuffle —
+    requires the count branch to re-derive the banded rows outside the
+    shared exchange, re-running the signature pipeline (measured +25%;
+    the md5/shingle CPU dominates a spillable narrow-row sort at any
+    scale), so the shared-exchange shape wins.
+
     Both branches hang off ONE explicit repartition on the bucket key, and
     the count deliberately references ``id_colname`` (``count(id)``, ids
     are non-null by contract) so column pruning leaves both subtrees
