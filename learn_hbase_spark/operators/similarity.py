@@ -423,7 +423,11 @@ def kmeans_clusters(
     prepped = corpus.select(
         F.col(id_col).alias("_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
-    )
+    ).localCheckpoint()  # n_iter+1 passes read this; materialize the cast
+    # vectors once instead of re-scanning parquet + re-casting per Lloyd
+    # round (the standard cache-the-input shape for iterative ML). At
+    # cluster scale this is a persist of (id, double[]) — strictly smaller
+    # than re-decoding the source each round.
     seeds = (
         prepped.orderBy(F.col("_id").asc()).limit(k).toPandas()["_v"]
     )
