@@ -302,6 +302,9 @@ def ivf_topk(
         F.col(id_col).alias("_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
     )
+    # NOT checkpointed (unlike kmeans_clusters): only two passes read this
+    # (sample refinement + final assignment), and the A/B measured the
+    # materialization costing more than the one extra scan it saves.
     schema = "_id long, _v array<double>, _cell int"
     # refinement trains on a deterministic 1/train_mod hash-sample so the
     # full corpus is only assigned once (below, under the refined centroids)
