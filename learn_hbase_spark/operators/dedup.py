@@ -145,13 +145,14 @@ def _capped_bucket_ids(
 ) -> DataFrame:
     """Per-bucket sorted id arrays with a COUNT-FIRST hot-bucket cap.
 
-    Bucket sizes are pre-computed with a plain ``groupBy(key).count()`` —
-    partial-aggregable, so a pathological bucket (a boilerplate band key
-    shared by 10^8 docs at 100 TB) reduces to per-map-task partial counts
-    and one final row, never a skewed array. Over-cap keys are dropped by a
-    semi join BEFORE any ``collect_list``, so the hot bucket's id array is
-    never materialized in an aggregation buffer (the prior shape filtered
-    AFTER ``collect_list``: the cap prevented the B²/2 pair explosion but
+    Bucket sizes are pre-computed with a plain ``groupBy(key).count()``
+    over the shared key exchange — a streaming aggregate whose state is
+    one counter per bucket, so a pathological bucket (a boilerplate band
+    key shared by 10^8 docs at 100 TB) reduces to one row regardless of
+    its size. Over-cap keys are dropped by a key join BEFORE any
+    ``collect_list``, so the hot bucket's id array is never materialized
+    in an aggregation buffer (the prior shape filtered AFTER
+    ``collect_list``: the cap prevented the B²/2 pair explosion but
     still built the full B-element array in one task — ~800 MB for a 10^8
     bucket, brushing Spark's 2 GB collection limit). The drop metrics
     (``{ns}_dropped_buckets`` / ``{ns}_dropped_rows``) ride the count
