@@ -5780,7 +5780,11 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantically dedup pretraining corpora; every stage here is the
     individually-tested operator. Rows-only: the upstream k-means is an
     iterative float fixpoint (same declared class as pagerank_neardup);
-    stage semantics are pytest-verified."""
+    stage semantics are pytest-verified, and every stage also has an
+    exact oracle twin under a pinned input — assignment
+    (``kmeans_assign_iter1``), within-cell pair search
+    (``semantic_pairs_seeded``), transitive closure + min-id retention
+    (``neardup_clusters``)."""
     emb = _t(spark, sf_dir, "embeddings")
     assigned = similarity.kmeans_clusters(emb, k=8, n_iter=3).select(
         "vec_id", "cluster_id"
@@ -5795,6 +5799,64 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         src_col="id_a", dst_col="id_b",
     )
     return graph.dedup_decisions(comps, node_col="vec_id")
+
+
+@_register(
+    "semantic_pairs_seeded",
+    """
+    WITH seeds AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cell, c
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS c
+            FROM embeddings ORDER BY vec_id LIMIT 8)
+    ),
+    scored AS (
+      SELECT e.vec_id, s.cell,
+             list_dot_product(CAST(e.embedding AS DOUBLE[]), s.c)
+               / sqrt(list_dot_product(s.c, s.c))
+               / sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                       CAST(e.embedding AS DOUBLE[]))) AS sc
+      FROM embeddings e CROSS JOIN seeds s
+    ),
+    assigned AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sc DESC, cell ASC) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ),
+    v AS (
+      SELECT a.vec_id, a.cell, CAST(e.embedding AS DOUBLE[]) AS emb
+      FROM assigned a JOIN embeddings e ON e.vec_id = a.vec_id
+    )
+    SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+           round(list_dot_product(x.emb, y.emb)
+                 / sqrt(list_dot_product(x.emb, x.emb))
+                 / sqrt(list_dot_product(y.emb, y.emb)), 6) AS sim
+    FROM v x JOIN v y ON x.cell = y.cell AND x.vec_id < y.vec_id
+    WHERE round(list_dot_product(x.emb, y.emb)
+                / sqrt(list_dot_product(x.emb, x.emb))
+                / sqrt(list_dot_product(y.emb, y.emb)), 6) >= 0.35
+    """,
+)
+def semantic_pairs_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SemDeDup within-cell cosine pair stage, oracle-twinned — the
+    last unpinned stage of the ``semantic_dedup`` composition: cells come
+    from the SQL-replayable SEED assignment (``kmeans_assign_iter1``'s
+    rule — n_iter=0, integer-exact), and the pair search is the REAL
+    production kernel (``similarity.within_cluster_pairs``'s per-cell
+    BLAS matmul in applyInPandas). DuckDB replays the assignment and the
+    within-cell self-join with the same rounded-to-6 cosine threshold.
+    With this, every semantic_dedup stage has an exact twin under some
+    pinned input: assignment (kmeans_assign_iter1), pair search (here),
+    transitive closure + min-id retention (neardup_clusters' recursive
+    CTE); only the Lloyd fixpoint itself stays rows-only."""
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned = similarity.kmeans_clusters(emb, k=8, n_iter=0).select(
+        "vec_id", F.col("cluster_id").cast("int").alias("cluster_id")
+    )
+    with_vec = assigned.join(emb.select("vec_id", "embedding"), "vec_id")
+    return similarity.within_cluster_pairs(with_vec, threshold=0.35)
 
 
 @_register(
