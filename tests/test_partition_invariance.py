@@ -55,6 +55,10 @@ CASES = [
     "ivf_cell_assign",
     "pagerank_iter1",
     "bpe_apply_fixed",
+    # round 7 late: per-cell BLAS pair kernel (group-order risk), one full
+    # BPE train cycle (argmax-tie + fold-order risk)
+    "semantic_pairs_seeded",
+    "bpe_pair_counts_round1",
 ]
 
 
