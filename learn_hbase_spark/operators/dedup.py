@@ -228,6 +228,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.8,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """N-gram Jaccard near-duplicate pairs: explode shingles → self-join on
     shingle → |intersection| per pair → |union| via per-doc counts.
@@ -241,6 +242,17 @@ def ngram_jaccard_pairs(
     projection — not a second explode+groupBy over the corpus (shingles
     are distinct per doc, so |set| == array size); that removes a full
     shuffle and a second evaluation of the shingle pipeline.
+
+    ``max_bucket`` applies the count-first hot-bucket cap
+    (:func:`_capped_bucket_ids`) to the shingle buckets — the same 2
+    GB-array / quadratic-expansion guard as the LSH and winnowing
+    matchers, for the shingle shared by a corpus-wide boilerplate run.
+    Dropped shingles leave the intersection count but NOT the per-doc set
+    sizes, so capped-mode jaccard is an UNDERESTIMATE for pairs sharing
+    hot shingles — the conservative direction for a dedup gate (standard
+    document-frequency shingle pruning, CCNet-style); drops surface as
+    ``jaccard_dropped_buckets`` / ``jaccard_dropped_rows`` observe
+    metrics.
     """
     # shuffle 8-byte shingle hashes, not the shingle strings themselves —
     # the intersection only needs equality, and xxhash64 collisions are
@@ -253,8 +265,7 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("_id"), words.alias("_w")
     ).select("_id", F.size(_grams_from_words(F.col("_w"), n)).alias("_sz"))
     inter = (
-        sh.groupBy("_sh")
-        .agg(F.sort_array(F.collect_list("_id")).alias("_ids"))
+        _capped_bucket_ids(sh, "_sh", "_id", max_bucket, "jaccard")
         .select(F.explode(_ordered_pairs(F.col("_ids"))).alias("_p"))
         .groupBy(F.col("_p.id_a").alias("id_a"), F.col("_p.id_b").alias("id_b"))
         .agg(F.count("*").alias("_inter"))
@@ -911,6 +922,7 @@ def ngram_containment_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.8,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """N-gram CONTAINMENT near-duplicate pairs (Broder 1997's containment
     coefficient): ``C = |A∩B| / min(|A|,|B|)`` — the asymmetric companion
@@ -921,7 +933,11 @@ def ngram_containment_pairs(
     Same scale shape as the Jaccard path: 8-byte hashed-shingle shuffle
     for the intersection, per-doc set sizes from array length in a plain
     projection (no second corpus pass), candidate pairs only through the
-    shingle-equality join — never all-pairs.
+    shingle-equality join — never all-pairs. ``max_bucket`` applies the
+    count-first hot-shingle cap exactly as in
+    :func:`ngram_jaccard_pairs` (containment underestimates for pairs
+    sharing dropped boilerplate shingles; drops surface as
+    ``containment_dropped_*`` observe metrics).
 
     Returns (id_a, id_b, containment) with id_a < id_b and
     containment >= threshold.
@@ -934,8 +950,7 @@ def ngram_containment_pairs(
         F.col(id_col).alias("_id"), words.alias("_w")
     ).select("_id", F.size(_grams_from_words(F.col("_w"), n)).alias("_sz"))
     inter = (
-        sh.groupBy("_sh")
-        .agg(F.sort_array(F.collect_list("_id")).alias("_ids"))
+        _capped_bucket_ids(sh, "_sh", "_id", max_bucket, "containment")
         .select(F.explode(_ordered_pairs(F.col("_ids"))).alias("_p"))
         .groupBy(F.col("_p.id_a").alias("id_a"), F.col("_p.id_b").alias("id_b"))
         .agg(F.count("*").alias("_inter"))

@@ -667,3 +667,35 @@ def test_minhash_cap_drops_hot_bucket_but_keeps_pairs(spark):
         for r in minhash_bucket_pairs(df, num_hashes=8, bands=4).collect()
     }
     assert (1, 2) in uncapped and (199, 200) in uncapped
+
+
+def test_ngram_pair_caps_drop_hot_shingles(spark):
+    """Count-first cap on the n-gram pair expanders: a shingle shared by
+    many boilerplate docs is dropped from the intersection (its bucket
+    exceeds the cap) while pairs backed by normal-fanout shingles keep
+    their scores; max_bucket=None is byte-identical to the uncapped
+    plan (the default path is unchanged)."""
+    from learn_hbase_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    boiler = "shared license header words appear in every generated file"
+    docs = [(i, boiler) for i in range(1, 31)]
+    docs += [
+        (41, "unique overlapping passage found in two documents alpha"),
+        (42, "unique overlapping passage found in two documents bravo"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    for fn in (ngram_jaccard_pairs, ngram_containment_pairs):
+        uncapped = {
+            (r["id_a"], r["id_b"]) for r in fn(df, threshold=0.1).collect()
+        }
+        capped = {
+            (r["id_a"], r["id_b"])
+            for r in fn(df, threshold=0.1, max_bucket=5).collect()
+        }
+        assert (1, 2) in uncapped, fn.__name__
+        assert not any(a <= 30 and b <= 30 for a, b in capped), fn.__name__
+        assert (41, 42) in capped and (41, 42) in uncapped, fn.__name__
