@@ -136,3 +136,78 @@ def length_profile(
         F.max(value_col).alias("v_max"),
         F.count("*").alias("n"),
     )
+
+
+BOS = "<s>"
+
+
+def bigram_lm_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: float = 1.0,
+) -> DataFrame:
+    """Bigram language-model scoring with add-k smoothing: per-document
+    mean log-probability under the corpus's own bigram distribution — the
+    CCNet-style quality filter (Wenzek et al. 2020 score with a KenLM
+    n-gram model; this is the n=2 member of that family, trained ON the
+    corpus like the unigram ``lm_score`` query), one order stronger than
+    unigram scoring because it penalizes improbable word ORDER, not just
+    rare words.
+
+    ``P(w2|w1) = (C(w1,w2) + k) / (C(w1) + k·V)`` with ``V`` = distinct
+    corpus tokens; every document is prefixed with a ``<s>`` marker so its
+    first token is conditioned too. Scoring the corpus under its own
+    counts means every scored bigram exists in the tables (inner joins,
+    no missing-key branch); scoring NEW text against a frozen table would
+    left-join with ``C=0``.
+
+    Scale: bigram/context counts are two partial-aggregable shuffles over
+    (token-pair, count) rows — Zipf-truncated, far smaller than the
+    corpus; the per-doc score join keys on the bigram (broadcast or
+    shuffled, Catalyst's choice by size); ``V`` rides a one-row broadcast
+    cross join (bounded build side — the allowlisted NLJ class). Returns
+    ``(id, n_bigrams, avg_logprob)``; logprob rounded to 6 (same
+    cross-engine float posture as ``lm_score``: identical double ratios
+    into ``ln``, summation ulps ~1e-15 against a 1e-6 grid).
+    """
+    arr = F.filter(
+        F.split(normalize_text(F.col(text_col)), " "), lambda w: w != ""
+    )
+    docs = df.select(
+        F.col(id_col).alias("_id"),
+        F.concat(F.array(F.lit(BOS)), arr).alias("_a"),
+    ).filter(F.size("_a") >= 2)
+    big = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size("_a") - 2, F.lit(0))),
+        lambda i: F.struct(
+            F.try_element_at("_a", i + 1).alias("w1"),
+            F.try_element_at("_a", i + 2).alias("w2"),
+        ),
+    )
+    pairs = (
+        docs.select("_id", F.explode(big).alias("_p"))
+        .select("_id", F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
+        .filter(F.col("w2").isNotNull())
+    )
+    c2 = pairs.groupBy("w1", "w2").agg(F.count("*").alias("_c2"))
+    c1 = pairs.groupBy("w1").agg(F.count("*").alias("_c1"))
+    # V = distinct real tokens: every token occurrence appears as w2
+    # (BOS-prefixing makes position 1..n all right-hand sides)
+    vocab_n = pairs.select("w2").distinct().agg(
+        F.count("*").alias("_v")
+    )
+    logp = F.log(
+        (F.col("_c2") + F.lit(float(k)))
+        / (F.col("_c1") + F.lit(float(k)) * F.col("_v"))
+    )
+    return (
+        pairs.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab_n))
+        .groupBy(F.col("_id").alias(id_col))
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(logp), 6).alias("avg_logprob"),
+        )
+    )

@@ -3984,6 +3984,44 @@ def lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "bigram_lm_score",
+    f"""
+    WITH docs AS (
+      SELECT doc_id,
+             list_prepend('<s>', list_filter(
+               string_split({_NORM}, ' '), x -> x <> '')) AS a
+      FROM documents
+    ),
+    pairs AS (
+      SELECT doc_id, a[i] AS w1, a[i + 1] AS w2
+      FROM docs, unnest(generate_series(1, len(a) - 1)) AS t(i)
+      WHERE len(a) >= 2
+    ),
+    c2 AS (SELECT w1, w2, count(*) AS c2 FROM pairs GROUP BY w1, w2),
+    c1 AS (SELECT w1, count(*) AS c1 FROM pairs GROUP BY w1),
+    v AS (SELECT count(DISTINCT w2) AS v FROM pairs)
+    SELECT p.doc_id,
+           count(*) AS n_bigrams,
+           round(avg(ln((c2.c2 + 1.0) / (c1.c1 + 1.0 * (SELECT v FROM v)))),
+                 6) AS avg_logprob
+    FROM pairs p
+    JOIN c2 ON c2.w1 = p.w1 AND c2.w2 = p.w2
+    JOIN c1 ON c1.w1 = p.w1
+    GROUP BY p.doc_id
+    """,
+)
+def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM quality scoring (operators.corpus.bigram_lm_score) — the
+    CCNet-style filter upgraded from the unigram ``lm_score``: mean
+    add-1-smoothed log P(w2|w1) per document under the corpus's own
+    bigram counts, BOS-conditioned. Penalizes improbable word ORDER, not
+    just rare words. DuckDB replays counts, smoothing, and the ln/avg
+    exactly (same float posture as lm_score)."""
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_ops.bigram_lm_score(docs, "text", "doc_id", k=1.0)
+
+
+@_register(
     "quality_band_sample",
     f"""
     WITH toks AS (

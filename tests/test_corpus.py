@@ -69,3 +69,39 @@ def test_length_profile_single_row_group(spark):
     )
     r = corpus_ops.length_profile(df).collect()[0]
     assert (r["p10"], r["p50"], r["p90"]) == (7, 7, 7)
+
+
+def test_bigram_lm_score_matches_hand_computation(spark):
+    """Tiny corpus, add-1 smoothing, hand-computed reference: two docs,
+    checked bigram by bigram against the closed form
+    P(w2|w1) = (C(w1,w2)+1)/(C(w1)+V)."""
+    import math
+    from collections import Counter
+
+    from learn_hbase_spark.operators.corpus import bigram_lm_score
+
+    texts = {1: "a b a b", 2: "a b c"}
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+
+    seqs = {i: ["<s>"] + t.split() for i, t in texts.items()}
+    pairs = [
+        (s[j], s[j + 1]) for s in seqs.values() for j in range(len(s) - 1)
+    ]
+    c2, c1 = Counter(pairs), Counter(p[0] for p in pairs)
+    vocab = {p[1] for p in pairs}
+    expect = {}
+    for i, s in seqs.items():
+        lps = [
+            math.log((c2[(s[j], s[j + 1])] + 1) / (c1[s[j]] + len(vocab)))
+            for j in range(len(s) - 1)
+        ]
+        expect[i] = (len(lps), round(sum(lps) / len(lps), 6))
+
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logprob"])
+        for r in bigram_lm_score(df).collect()
+    }
+    assert got == expect
+
+    # repeated-order doc scores higher than the one with the novel token
+    assert got[1][1] > got[2][1]

@@ -36,6 +36,11 @@ NESTED_LOOP_ALLOWED: dict[str, str] = {
     # Theta self-join (<) over the 25-row nation dimension: dim x dim by
     # construction; corpus-scale fuzzy matching goes through blocking first.
     "fuzzy_nation_pairs": "bounded dim x dim theta join (25-row nation)",
+    # ONE-ROW broadcast cross join shipping the scalar vocabulary size to
+    # every score row (the add-k smoothing denominator) — the same bounded
+    # class as pagerank's dangling-mass scalar; build side is a single
+    # aggregate row at any corpus size.
+    "bigram_lm_score": "one-row broadcast cross join (vocab-size scalar)",
     # Scalar-aggregate threshold: the build side is the ONE-ROW avg frame,
     # so the "nested loop" is a broadcast compare per row — O(N), exactly
     # how Catalyst itself plans scalar subqueries.
