@@ -56,9 +56,11 @@ CASES = [
     "pagerank_iter1",
     "bpe_apply_fixed",
     # round 7 late: per-cell BLAS pair kernel (group-order risk), one full
-    # BPE train cycle (argmax-tie + fold-order risk)
+    # BPE train cycle (argmax-tie + fold-order risk), bigram LM scoring
+    # (float avg summation-order risk)
     "semantic_pairs_seeded",
     "bpe_pair_counts_round1",
+    "bigram_lm_score",
 ]
 
 
