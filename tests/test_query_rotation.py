@@ -91,3 +91,24 @@ def test_rows_only_checks_cover_exactly_the_no_oracle_tail():
     assert set(tool._ROWS_ONLY_CHECKS) == rows_only
     for name, nodes in tool._ROWS_ONLY_CHECKS.items():
         assert nodes, f"{name} has an empty check list"
+
+
+def test_package_module_closure_terminates_on_import_cycles():
+    """Two package modules importing each other must not loop the closure
+    walk — the visited-set guard, pinned with synthetic cyclic modules."""
+    import os
+    import types
+
+    import learn_hbase_spark
+
+    pkgdir = os.path.dirname(learn_hbase_spark.__file__)
+    a = types.ModuleType("learn_hbase_spark._fake_a")
+    b = types.ModuleType("learn_hbase_spark._fake_b")
+    a.__file__ = os.path.join(pkgdir, "queries.py")
+    b.__file__ = os.path.join(pkgdir, "tables.py")
+    a.dep, b.dep = b, a  # cycle
+
+    parts = Q._package_module_closure(a)
+    assert "mod:learn_hbase_spark._fake_a" in parts
+    assert "mod:learn_hbase_spark._fake_b" in parts
+    assert len(parts) == 2
