@@ -141,3 +141,84 @@ def read_xml(
         .option("columnNameOfCorruptRecord", CORRUPT_COL)
         .load(path)
     )
+
+
+# Extension → (kind, mime) map for the binary-file ingest edge. Unknown
+# extensions ingest as kind='binary' (opaque) rather than being dropped —
+# a corpus crawl must never silently lose files.
+_MEDIA_EXT = {
+    "jpg": ("image", "image/jpeg"),
+    "jpeg": ("image", "image/jpeg"),
+    "png": ("image", "image/png"),
+    "wav": ("audio", "audio/wav"),
+    "mp3": ("audio", "audio/mpeg"),
+    "mp4": ("video", "video/mp4"),
+    "mkv": ("video", "video/x-matroska"),
+}
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, pattern: str | None = None
+) -> DataFrame:
+    """Raw media ingest via the built-in ``binaryFile`` source — the real
+    file edge of the multimodal pipeline (media arrive as object-store
+    files, not parquet rows): one row per file with
+    ``(media_id, kind, payload, mime, path, n_bytes, mod_time)``.
+
+    ``media_id`` is ``xxhash64(path)`` — deterministic across reruns, so
+    downstream dedup/feature tables key stably. ``kind``/``mime`` derive
+    from the extension (unknown → opaque ``binary``). ``pattern`` rides
+    ``pathGlobFilter``, pruning at the file LISTING — at 100 TB of crawl
+    output the listing filter is the difference between planning over the
+    selected files and over the bucket. The source streams file contents
+    into the ``content`` binary column task-side (no driver involvement);
+    feed the result to ``operators.multimodal.extract_features`` /
+    ``resize_images`` — the batch shape those mapInPandas kernels expect.
+    """
+    reader = spark.read.format("binaryFile")
+    if pattern is not None:
+        reader = reader.option("pathGlobFilter", pattern)
+    raw = reader.load(path)
+    ext = F.lower(F.element_at(F.split(F.col("path"), r"\."), -1))
+    kind_map = F.create_map(
+        *[F.lit(x) for kv in _MEDIA_EXT.items() for x in (kv[0], kv[1][0])]
+    )
+    mime_map = F.create_map(
+        *[F.lit(x) for kv in _MEDIA_EXT.items() for x in (kv[0], kv[1][1])]
+    )
+    return raw.select(
+        F.xxhash64("path").alias("media_id"),
+        F.coalesce(kind_map[ext], F.lit("binary")).alias("kind"),
+        F.col("content").alias("payload"),
+        F.coalesce(mime_map[ext], F.lit("application/octet-stream")).alias(
+            "mime"
+        ),
+        F.col("path"),
+        F.col("length").alias("n_bytes"),
+        F.col("modificationTime").alias("mod_time"),
+    )
+
+
+def read_text_docs(
+    spark: SparkSession, path: str, pattern: str | None = None
+) -> DataFrame:
+    """Raw text-corpus ingest: one DOCUMENT per file via the built-in
+    ``text`` source with ``wholetext`` — the file edge feeding the dedup /
+    curation operators when a corpus arrives as crawl files instead of
+    parquet. Returns ``(doc_id, text, path, n_chars)`` with
+    ``doc_id = xxhash64(path)`` (stable across reruns). ``pattern`` rides
+    ``pathGlobFilter`` (listing-level pruning). Each file must fit a task
+    (wholetext reads a file as one row — the right contract for documents,
+    not for concatenated shards; shard-per-line corpora use the default
+    line mode + JSONL readers above)."""
+    reader = spark.read.option("wholetext", "true")
+    if pattern is not None:
+        reader = reader.option("pathGlobFilter", pattern)
+    raw = reader.text(path)
+    pathcol = F.input_file_name()
+    return raw.select(
+        F.xxhash64(pathcol).alias("doc_id"),
+        F.col("value").alias("text"),
+        pathcol.alias("path"),
+        F.length("value").alias("n_chars"),
+    )

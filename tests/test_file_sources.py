@@ -98,3 +98,57 @@ def test_xml_round_trip_and_corrupt_capture(spark, tmp_path):
     good2, bad2 = split_corrupt(df)
     assert [r["id"] for r in good2.collect()] == [1]
     assert bad2.count() == 1
+
+
+def test_binary_file_ingest_feeds_multimodal(spark, tmp_path):
+    """binaryFile source -> MEDIA-shaped frame -> the real mapInPandas
+    feature kernel: kinds/mime from extension, deterministic path-hash
+    ids, glob pruning at the listing, unknown extensions kept opaque."""
+    from learn_hbase_spark.operators.multimodal import extract_features
+    from learn_hbase_spark.sources.files import read_binary_files
+
+    (tmp_path / "a.png").write_bytes(b"\x89PNG-fake")
+    (tmp_path / "b.wav").write_bytes(b"RIFF-fake-audio")
+    (tmp_path / "c.xyz").write_bytes(b"opaque")
+
+    media = read_binary_files(spark, str(tmp_path))
+    rows = {r["kind"]: r for r in media.collect()}
+    assert set(rows) == {"image", "audio", "binary"}
+    assert rows["image"]["mime"] == "image/png"
+    assert rows["binary"]["mime"] == "application/octet-stream"
+    assert rows["audio"]["n_bytes"] == len(b"RIFF-fake-audio")
+    # deterministic ids across re-reads
+    again = {r["path"]: r["media_id"] for r in read_binary_files(
+        spark, str(tmp_path)).collect()}
+    assert all(again[r["path"]] == r["media_id"] for r in rows.values())
+
+    # glob pruning at the listing
+    only_png = read_binary_files(spark, str(tmp_path), pattern="*.png")
+    assert only_png.count() == 1
+
+    feats = {
+        r["kind"]: r for r in extract_features(media).collect()
+    }
+    assert feats["image"]["n_bytes"] == len(b"\x89PNG-fake")
+    assert feats["image"]["checksum"] == sum(b"\x89PNG-fake") % (2**31)
+
+
+def test_wholetext_ingest_feeds_dedup(spark, tmp_path):
+    """text/wholetext source -> documents-shaped frame -> exact dedup:
+    one document per file, stable path-hash ids, duplicate file contents
+    collapse to one fingerprint winner."""
+    from learn_hbase_spark.operators.dedup import exact_fingerprints
+    from learn_hbase_spark.sources.files import read_text_docs
+
+    (tmp_path / "d1.txt").write_text("alpha beta gamma")
+    (tmp_path / "d2.txt").write_text("alpha  beta   GAMMA")  # near-identical
+    (tmp_path / "d3.txt").write_text("totally different words")
+
+    docs = read_text_docs(spark, str(tmp_path), pattern="*.txt")
+    got = docs.collect()
+    assert len(got) == 3
+    assert {r["n_chars"] for r in got} == {16, 19, 23}
+
+    winners = exact_fingerprints(docs, "text", "doc_id").collect()
+    # d1/d2 normalize identically -> one shared fingerprint, 2 total
+    assert len(winners) == 2
