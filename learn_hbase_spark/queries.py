@@ -174,6 +174,26 @@ _DRIVER_VERIFIED = [
     "scalar_subquery_q17", "exists_agg", "outer_join_histogram",
     "full_outer_reconcile", "window_ranks", "gap_fill_ffill",
     "incremental_agg", "ordered_export", "referential_integrity",
+    # round 7 (CORRECTNESS_r07.json: 43 green + 7 declared no_oracle; the
+    # sweep's green names in checked order — includes the 7 queries new or
+    # promoted in r7, which enter the verified list here for the first
+    # time: simhash_fingerprints_md5, ivf_cell_assign, bigram_lm_score,
+    # pagerank_iter1, semantic_pairs_seeded, bpe_pair_counts_round1,
+    # bpe_apply_fixed)
+    "dedup_first_wins", "dedup_exact", "minhash_signature",
+    "minhash_lsh_pairs", "minhash_lsh_capped", "ngram_jaccard_pairs",
+    "neardup_clusters", "embedding_neardup", "embedding_neardup_lsh",
+    "simhash_hamming_pairs", "simhash_fingerprints_md5", "vocab_topk",
+    "decontaminate", "tfidf_topk", "length_profile", "column_profile",
+    "curation_pipeline", "multimodal_features", "ann_cosine_topk",
+    "kmeans_assign_iter1", "ann_lsh_topk", "lsh_bucket_assign",
+    "ivf_cell_assign", "chunk_documents", "array_ops_surface", "lm_score",
+    "bigram_lm_score", "quality_band_sample", "source_overlap",
+    "pagerank_iter1", "line_dedup_boilerplate", "neardup_canonical",
+    "semantic_pairs_seeded", "graph_triangle_stats", "minhash_incremental",
+    "semantic_decontaminate", "bpe_pair_counts", "bpe_pair_counts_round1",
+    "bpe_apply_fixed", "substring_dup_spans", "winnow_fingerprints",
+    "ngram_containment_pairs", "length_bucket_batching",
 ]
 
 def _keep_latest(names: list[str]) -> list[str]:
