@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DataType,
     IntegerType,
     LongType,
     StringType,
@@ -36,15 +37,30 @@ MEDIA_SCHEMA = StructType(
     ]
 )
 
-FEATURE_SCHEMA = StructType(
-    [
-        StructField("media_id", LongType(), False),
-        StructField("kind", StringType(), False),
-        StructField("n_bytes", LongType(), True),
-        StructField("checksum", LongType(), True),
-        StructField("feature_dim", IntegerType(), True),
-    ]
-)
+
+def _id_type(media: DataFrame) -> DataType:
+    """The kernels are id-type-polymorphic: ``media_id`` may be a 64-bit
+    long (documents-table-derived media) or a 32-hex md5 string (the
+    ``sources.files.read_binary_files`` crawl edge, where a 64-bit id would
+    silently birthday-merge distinct files at ~1e9-file scale). Output
+    schemas copy whatever type the input carries; everything else in the
+    contract is fixed."""
+    return media.schema["media_id"].dataType
+
+
+def _feature_schema(id_type: DataType) -> StructType:
+    return StructType(
+        [
+            StructField("media_id", id_type, False),
+            StructField("kind", StringType(), False),
+            StructField("n_bytes", LongType(), True),
+            StructField("checksum", LongType(), True),
+            StructField("feature_dim", IntegerType(), True),
+        ]
+    )
+
+
+FEATURE_SCHEMA = _feature_schema(LongType())
 
 
 def _decode_bytes(payload: bytes | None) -> tuple[int, int]:
@@ -79,17 +95,21 @@ def extract_features(media: DataFrame, batch_size_hint: int = 1024) -> DataFrame
                 }
             )
 
-    return media.mapInPandas(_extract, schema=FEATURE_SCHEMA)
+    return media.mapInPandas(_extract, schema=_feature_schema(_id_type(media)))
 
 
-RESIZED_SCHEMA = StructType(
-    [
-        StructField("media_id", LongType(), False),
-        StructField("payload", BinaryType(), True),
-        StructField("width", IntegerType(), True),
-        StructField("height", IntegerType(), True),
-    ]
-)
+def _resized_schema(id_type: DataType) -> StructType:
+    return StructType(
+        [
+            StructField("media_id", id_type, False),
+            StructField("payload", BinaryType(), True),
+            StructField("width", IntegerType(), True),
+            StructField("height", IntegerType(), True),
+        ]
+    )
+
+
+RESIZED_SCHEMA = _resized_schema(LongType())
 
 
 def resize_images(
@@ -122,17 +142,21 @@ def resize_images(
             )
 
     return media.filter(F.col("kind") == "image").mapInPandas(
-        _resize, schema=RESIZED_SCHEMA
+        _resize, schema=_resized_schema(_id_type(media))
     )
 
 
-AUDIO_SCHEMA = StructType(
-    [
-        StructField("media_id", LongType(), False),
-        StructField("n_samples", LongType(), True),
-        StructField("rms", LongType(), True),
-    ]
-)
+def _audio_schema(id_type: DataType) -> StructType:
+    return StructType(
+        [
+            StructField("media_id", id_type, False),
+            StructField("n_samples", LongType(), True),
+            StructField("rms", LongType(), True),
+        ]
+    )
+
+
+AUDIO_SCHEMA = _audio_schema(LongType())
 
 
 def audio_features(media: DataFrame) -> DataFrame:
@@ -153,7 +177,7 @@ def audio_features(media: DataFrame) -> DataFrame:
             )
 
     return media.filter(F.col("kind") == "audio").mapInPandas(
-        _extract, schema=AUDIO_SCHEMA
+        _extract, schema=_audio_schema(_id_type(media))
     )
 
 

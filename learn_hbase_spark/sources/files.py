@@ -165,15 +165,29 @@ def read_binary_files(
     files, not parquet rows): one row per file with
     ``(media_id, kind, payload, mime, path, n_bytes, mod_time)``.
 
-    ``media_id`` is ``xxhash64(path)`` — deterministic across reruns, so
-    downstream dedup/feature tables key stably. ``kind``/``mime`` derive
-    from the extension (unknown → opaque ``binary``). ``pattern`` rides
-    ``pathGlobFilter``, pruning at the file LISTING — at 100 TB of crawl
-    output the listing filter is the difference between planning over the
-    selected files and over the bucket. The source streams file contents
-    into the ``content`` binary column task-side (no driver involvement);
-    feed the result to ``operators.multimodal.extract_features`` /
-    ``resize_images`` — the batch shape those mapInPandas kernels expect.
+    ``media_id`` is ``md5(path)`` (32-hex string) — deterministic across
+    reruns AND collision-safe at crawl scale: a 64-bit path hash silently
+    birthday-merges distinct files at ~1e9 files (~2.7% odds, growing
+    quadratically), and a merged id is silent data loss inside exactly the
+    dedup/feature tables this edge feeds; 128 bits puts the same bound at
+    ~1e-20. ``path`` stays in the schema as the human-auditable key.
+
+    NOTE on cross-reader id comparability: this reader's ``path`` column is
+    the ``binaryFile`` source's URI form, while ``read_text_docs`` derives
+    its path from ``input_file_name()`` — the two URI-encode differently
+    (e.g. spaces), so ``media_id`` and ``doc_id`` are NOT comparable across
+    the two readers for the same file. Join on nothing across them; each
+    id is stable only within its own reader.
+
+    ``kind``/``mime`` derive from the extension (unknown → opaque
+    ``binary``). ``pattern`` rides ``pathGlobFilter``, pruning at the file
+    LISTING — at 100 TB of crawl output the listing filter is the
+    difference between planning over the selected files and over the
+    bucket. The source streams file contents into the ``content`` binary
+    column task-side (no driver involvement); feed the result to
+    ``operators.multimodal.extract_features`` / ``resize_images`` — the
+    batch shape those mapInPandas kernels expect (id-type-polymorphic:
+    they copy this reader's string id type through).
     """
     reader = spark.read.format("binaryFile")
     if pattern is not None:
@@ -187,7 +201,7 @@ def read_binary_files(
         *[F.lit(x) for kv in _MEDIA_EXT.items() for x in (kv[0], kv[1][1])]
     )
     return raw.select(
-        F.xxhash64("path").alias("media_id"),
+        F.md5(F.col("path").cast("binary")).alias("media_id"),
         F.coalesce(kind_map[ext], F.lit("binary")).alias("kind"),
         F.col("content").alias("payload"),
         F.coalesce(mime_map[ext], F.lit("application/octet-stream")).alias(
@@ -206,18 +220,23 @@ def read_text_docs(
     ``text`` source with ``wholetext`` — the file edge feeding the dedup /
     curation operators when a corpus arrives as crawl files instead of
     parquet. Returns ``(doc_id, text, path, n_chars)`` with
-    ``doc_id = xxhash64(path)`` (stable across reruns). ``pattern`` rides
-    ``pathGlobFilter`` (listing-level pruning). Each file must fit a task
-    (wholetext reads a file as one row — the right contract for documents,
-    not for concatenated shards; shard-per-line corpora use the default
-    line mode + JSONL readers above)."""
+    ``doc_id = md5(path)`` (32-hex string — stable across reruns and
+    collision-safe at the ~1e9-file crawl scale where a 64-bit id
+    birthday-merges distinct documents; see ``read_binary_files`` for the
+    bound, and for why ids are NOT comparable across the two readers: this
+    path comes from ``input_file_name()``, whose URI encoding differs from
+    ``binaryFile``'s path column). ``pattern`` rides ``pathGlobFilter``
+    (listing-level pruning). Each file must fit a task (wholetext reads a
+    file as one row — the right contract for documents, not for
+    concatenated shards; shard-per-line corpora use the default line mode
+    + JSONL readers above)."""
     reader = spark.read.option("wholetext", "true")
     if pattern is not None:
         reader = reader.option("pathGlobFilter", pattern)
     raw = reader.text(path)
     pathcol = F.input_file_name()
     return raw.select(
-        F.xxhash64(pathcol).alias("doc_id"),
+        F.md5(pathcol.cast("binary")).alias("doc_id"),
         F.col("value").alias("text"),
         pathcol.alias("path"),
         F.length("value").alias("n_chars"),

@@ -117,6 +117,12 @@ def test_binary_file_ingest_feeds_multimodal(spark, tmp_path):
     assert rows["image"]["mime"] == "image/png"
     assert rows["binary"]["mime"] == "application/octet-stream"
     assert rows["audio"]["n_bytes"] == len(b"RIFF-fake-audio")
+    # 128-bit id semantics: 32-hex md5 of the path, unique per file —
+    # a 64-bit id would silently birthday-merge files at crawl scale
+    import re
+    ids = [r["media_id"] for r in rows.values()]
+    assert all(re.fullmatch(r"[0-9a-f]{32}", i) for i in ids)
+    assert len(set(ids)) == len(ids)
     # deterministic ids across re-reads
     again = {r["path"]: r["media_id"] for r in read_binary_files(
         spark, str(tmp_path)).collect()}
@@ -148,6 +154,11 @@ def test_wholetext_ingest_feeds_dedup(spark, tmp_path):
     got = docs.collect()
     assert len(got) == 3
     assert {r["n_chars"] for r in got} == {16, 19, 23}
+    # 128-bit id semantics (same contract as the binary edge)
+    import re
+    ids = [r["doc_id"] for r in got]
+    assert all(re.fullmatch(r"[0-9a-f]{32}", i) for i in ids)
+    assert len(set(ids)) == 3
 
     winners = exact_fingerprints(docs, "text", "doc_id").collect()
     # d1/d2 normalize identically -> one shared fingerprint, 2 total
