@@ -183,8 +183,14 @@ def _capped_bucket_ids(
     ``key``, already satisfied by that partitioning.
     """
     if max_bucket is None:
-        return long_df.groupBy(key).agg(
-            F.sort_array(F.collect_list(id_colname)).alias("_ids")
+        # Same null-key contract as the capped branch below (which drops
+        # nulls via its inner join): one shared semantic whether or not a
+        # cap is set. All production bucket keys are non-null; this guards
+        # a future nullable key from silently diverging between modes.
+        return (
+            long_df.filter(F.col(key).isNotNull())
+            .groupBy(key)
+            .agg(F.sort_array(F.collect_list(id_colname)).alias("_ids"))
         )
     # Explicit null-key filter BEFORE the shared repartition: the inner join
     # drops null keys anyway (no semantic change), but without it Catalyst

@@ -219,7 +219,13 @@ def _cell_assigner(cent_matrix, probes: int):
             m = _np_norm_rows(np.stack(
                 [np.asarray(v, dtype=np.float64) for v in pdf["_v"]]
             ))
-            top = np.argsort(-(m @ cent_matrix.T), axis=1)[:, :probes]
+            # kind="stable" is load-bearing: default quicksort is NOT
+            # stable, so exact cosine ties (duplicate seed embeddings)
+            # would break the documented lowest-cell-index tie rule the
+            # oracle's ORDER BY sc DESC, cell ASC mirrors.
+            top = np.argsort(
+                -(m @ cent_matrix.T), axis=1, kind="stable"
+            )[:, :probes]
             for p in range(probes):
                 out = pdf[["_id", "_v"]].copy()
                 out["_cell"] = top[:, p].astype("int32")

@@ -209,3 +209,158 @@ def test_capped_pairs_law(spark, docs, max_bucket):
         ).collect()
     }
     assert got == expect
+
+
+@given(
+    docs=st.lists(
+        st.lists(_word, min_size=1, max_size=8), min_size=2, max_size=10
+    ),
+    max_bucket=st.integers(min_value=1, max_value=4),
+)
+@settings(**_SETTINGS)
+def test_winnow_capped_pairs_law(spark, docs, max_bucket):
+    """Cap law for the MOSS matcher: capped match pairs are exactly the
+    per-fingerprint-bucket pairs restricted to buckets of size <=
+    max_bucket, with shared counts summed over surviving buckets only.
+    Bucket membership comes from winnow_fingerprints(rows=True) — the
+    selection itself is oracle-verified elsewhere; this pins the
+    count-first join/collect machinery against set algebra."""
+    from collections import defaultdict
+
+    from learn_hbase_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_match_pairs,
+    )
+
+    rows = [(i + 1, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    buckets = defaultdict(set)
+    for r in winnow_fingerprints(
+        df, "text", "doc_id", k=2, w=2, rows=True
+    ).collect():
+        buckets[r["fp"]].add(r["doc_id"])
+    shared = defaultdict(int)
+    for ids in buckets.values():
+        if len(ids) > max_bucket:
+            continue
+        for a in ids:
+            for b in ids:
+                if a < b:
+                    shared[(a, b)] += 1
+    expect = {p: c for p, c in shared.items() if c >= 1}
+    got = {
+        (r["id_a"], r["id_b"]): r["shared_fps"]
+        for r in winnow_match_pairs(
+            df, "text", "doc_id", k=2, w=2, min_shared=1,
+            max_bucket=max_bucket,
+        ).collect()
+    }
+    assert got == expect
+
+
+def _gram_sets(docs: list[list[str]], n: int) -> dict[int, set[str]]:
+    """First-principles replay of the per-doc distinct word-n-gram set
+    (including the whole-text gram for sub-n docs), mirroring
+    _grams_from_words' greatest-clamp semantics."""
+    out: dict[int, set[str]] = {}
+    for i, ws in enumerate(docs):
+        grams = {
+            " ".join(ws[j : j + n])
+            for j in range(max(len(ws) - n, 0) + 1)
+        }
+        out[i + 1] = grams
+    return out
+
+
+def _capped_ngram_expect(gram_sets, max_bucket):
+    """(pair -> intersection-count over surviving buckets, per-doc sizes):
+    the shared algebra behind both n-gram pair scorers. Capped-mode
+    intersection counts only grams whose doc set is <= max_bucket; sizes
+    stay UNCAPPED (the documented underestimate direction)."""
+    from collections import defaultdict
+
+    buckets = defaultdict(set)
+    for i, grams in gram_sets.items():
+        for g in grams:
+            buckets[g].add(i)
+    inter = defaultdict(int)
+    for ids in buckets.values():
+        if max_bucket is not None and len(ids) > max_bucket:
+            continue
+        for a in ids:
+            for b in ids:
+                if a < b:
+                    inter[(a, b)] += 1
+    sizes = {i: len(g) for i, g in gram_sets.items()}
+    return inter, sizes
+
+
+@given(
+    docs=st.lists(
+        st.lists(_word, min_size=1, max_size=8), min_size=2, max_size=10
+    ),
+    max_bucket=st.integers(min_value=1, max_value=4),
+)
+@settings(**_SETTINGS)
+def test_ngram_jaccard_capped_pairs_law(spark, docs, max_bucket):
+    """Cap law + capped-score semantics for the Jaccard expander: the
+    intersection count drops hot-shingle contributions, the union sizes
+    do NOT — so capped jaccard = capped_inter / (|A| + |B| - capped_inter),
+    an underestimate of the true score, over exactly the under-cap
+    candidate pairs."""
+    import pytest
+
+    from learn_hbase_spark.operators.dedup import ngram_jaccard_pairs
+
+    rows = [(i + 1, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    inter, sizes = _capped_ngram_expect(_gram_sets(docs, 2), max_bucket)
+    expect = {
+        (a, b): c / (sizes[a] + sizes[b] - c)
+        for (a, b), c in inter.items()
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            df, "text", "doc_id", n=2, threshold=0.0,
+            max_bucket=max_bucket,
+        ).collect()
+    }
+    assert set(got) == set(expect)
+    for p, v in expect.items():
+        assert got[p] == pytest.approx(v)
+
+
+@given(
+    docs=st.lists(
+        st.lists(_word, min_size=1, max_size=8), min_size=2, max_size=10
+    ),
+    max_bucket=st.integers(min_value=1, max_value=4),
+)
+@settings(**_SETTINGS)
+def test_ngram_containment_capped_pairs_law(spark, docs, max_bucket):
+    """Same law for the containment expander: capped containment =
+    capped_inter / min(|A|, |B|) with uncapped sizes."""
+    import pytest
+
+    from learn_hbase_spark.operators.dedup import ngram_containment_pairs
+
+    rows = [(i + 1, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    inter, sizes = _capped_ngram_expect(_gram_sets(docs, 2), max_bucket)
+    expect = {
+        (a, b): c / min(sizes[a], sizes[b]) for (a, b), c in inter.items()
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in ngram_containment_pairs(
+            df, "text", "doc_id", n=2, threshold=0.0,
+            max_bucket=max_bucket,
+        ).collect()
+    }
+    assert set(got) == set(expect)
+    for p, v in expect.items():
+        assert got[p] == pytest.approx(v)

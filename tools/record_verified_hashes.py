@@ -103,7 +103,7 @@ def _green(row: dict) -> bool:
 
 
 def _rows_only_ran(row: dict) -> bool:
-    return row.get("err") == "no_oracle" and (row.get("spark_rows") or 0) >= 0
+    return row.get("err") == "no_oracle" and (row.get("spark_rows") or 0) > 0
 
 
 def main(argv: list[str]) -> None:
