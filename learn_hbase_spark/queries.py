@@ -47,6 +47,7 @@ from .operators import corpus as corpus_ops
 from .operators import window as window_ops
 from .operators.window import date_spine, guarded_lead_diff
 from .pipeline import curation
+from .sources import files as file_sources
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -2455,6 +2456,97 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     digest + id, never the document body."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.exact_fingerprints(docs, "text", "doc_id")
+
+
+def _file_corpus() -> list[tuple[str, str]]:
+    """Deterministic 15-file text corpus with planned duplicate structure:
+    8 distinct normalized contents; even groups add an UPPERCASE variant
+    and every-third groups add a whitespace-mangled variant — both
+    normalize-identical to their base, so exact dedup must collapse them.
+    Pure arithmetic, no randomness (the driver may replay either engine
+    side at any time)."""
+    words = ["alpha", "bravo", "charlie", "delta",
+             "echo", "foxtrot", "golf", "hotel"]
+
+    def base(g: int) -> str:
+        return " ".join(words[(g + j) % 8] for j in range(6))
+
+    out: list[tuple[str, str]] = []
+    n = 0
+    for g in range(8):
+        variants = [base(g)]
+        if g % 2 == 0:
+            variants.append(base(g).upper())
+        if g % 3 == 0:
+            variants.append("  " + base(g).replace(" ", "   ") + "\n")
+        for v in variants:
+            out.append((f"doc_{n:02d}.txt", v))
+            n += 1
+    return out
+
+
+# Exact DuckDB twin of operators.dedup.normalize_text for RAW FILE text:
+# trim AFTER the whitespace collapse (unlike _NORM's trim-first shorthand,
+# which is only equivalent when values carry no leading/trailing
+# non-space whitespace — parquet document rows do, crawl files with
+# trailing newlines do NOT).
+_NORM_FILE = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+@_register(
+    "file_corpus_dedup",
+    f"""
+    WITH docs AS (
+      SELECT filename AS path, content AS text
+      FROM read_text('{_SCRATCH_ROOT}/file_corpus/doc_*.txt')
+    )
+    SELECT regexp_extract(min(path), '([^/]+)$', 1) AS fname,
+           md5({_NORM_FILE}) AS fingerprint,
+           count(*) AS n_dups,
+           count(DISTINCT path) AS n_unique_ids
+    FROM docs
+    GROUP BY md5({_NORM_FILE})
+    """,
+)
+def file_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end oracle twin of the raw-file ingest edge (VERDICT r7 item
+    3): materialize a deterministic text-file corpus into the scratch
+    root, ingest one-document-per-file via ``sources.files.read_text_docs``
+    (wholetext + listing-level glob pruning), and run exact dedup over the
+    ingested frame. DuckDB replays from the SAME files via ``read_text``
+    + glob, proving the whole edge — file bytes → document rows →
+    normalize → fingerprint → winner — matches across engines.
+
+    Output per fingerprint: the winning file's basename (lexicographically
+    lowest path — basename order equals full-URI order because every file
+    shares one directory prefix), duplicate count, and the count of
+    DISTINCT ``doc_id`` values (md5(path) — equal to ``n_dups`` iff no
+    two paths collide, pinning the 128-bit id-uniqueness contract in the
+    oracle row itself). The corpus is rewritten idempotently per run (15
+    tiny files) so the query is self-contained at any sf and safe under
+    re-execution; the Spark side always runs before the oracle side in
+    both the driver gate and tools/oracle_check.py, so the files exist
+    when DuckDB reads them.
+    """
+    dest = os.path.join(_SCRATCH_ROOT, "file_corpus")
+    os.makedirs(dest, exist_ok=True)
+    for fname, text in _file_corpus():
+        with open(os.path.join(dest, fname), "w") as fh:
+            fh.write(text)
+    docs = file_sources.read_text_docs(spark, dest, pattern="doc_*.txt")
+    winners = dedup.exact_fingerprints(docs, "text", "path")
+    stats = docs.groupBy(
+        F.md5(dedup.normalize_text(F.col("text"))).alias("fingerprint")
+    ).agg(
+        F.count("*").alias("n_dups"),
+        F.countDistinct("doc_id").alias("n_unique_ids"),
+    )
+    return winners.join(stats, "fingerprint").select(
+        F.element_at(F.split("path", "/"), -1).alias("fname"),
+        "fingerprint",
+        "n_dups",
+        "n_unique_ids",
+    )
 
 
 @_register(
