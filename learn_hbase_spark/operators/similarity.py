@@ -205,27 +205,36 @@ def _np_norm_rows(m):
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
 
 
+def _topk_cells_np(raw, cent_matrix, probes: int):
+    """THE cell-assignment rule, shared by every IVF stage — the
+    ``ivf_seed_cells``/``ivf_topk`` assignment passes (via
+    :func:`_cell_assigner`) and ``ivf_topk``'s fused refinement kernel:
+    L2-normalize the rows, score against the (already normalized)
+    centroid matrix, take the ``probes`` best cells per row. kind="stable"
+    is load-bearing: default quicksort is NOT stable, so exact cosine ties
+    (duplicate seed embeddings) would break the documented
+    lowest-cell-index tie rule the ``ivf_cell_assign`` oracle's
+    ORDER BY sc DESC, cell ASC mirrors."""
+    import numpy as np
+
+    m = _np_norm_rows(raw)
+    return np.argsort(-(m @ cent_matrix.T), axis=1, kind="stable")[:, :probes]
+
+
 def _cell_assigner(cent_matrix, probes: int):
     """``mapInPandas`` body assigning each vector its ``probes`` nearest
-    centroids by cosine (normalized rows × normalized centroids, stable
-    argsort → ties go to the lowest cell index — the numpy argmax rule the
-    ``ivf_cell_assign`` oracle mirrors). Module-level so both ``ivf_topk``
-    and the partial-oracle query :func:`ivf_seed_cells` run the SAME
-    kernel."""
+    centroids by cosine (:func:`_topk_cells_np` — stable argsort, ties to
+    the lowest cell index, the numpy argmax rule the ``ivf_cell_assign``
+    oracle mirrors). Module-level so both ``ivf_topk`` and the
+    partial-oracle query :func:`ivf_seed_cells` run the SAME kernel."""
     import numpy as np
 
     def fn(batches):
         for pdf in batches:
-            m = _np_norm_rows(np.stack(
+            raw = np.stack(
                 [np.asarray(v, dtype=np.float64) for v in pdf["_v"]]
-            ))
-            # kind="stable" is load-bearing: default quicksort is NOT
-            # stable, so exact cosine ties (duplicate seed embeddings)
-            # would break the documented lowest-cell-index tie rule the
-            # oracle's ORDER BY sc DESC, cell ASC mirrors.
-            top = np.argsort(
-                -(m @ cent_matrix.T), axis=1, kind="stable"
-            )[:, :probes]
+            )
+            top = _topk_cells_np(raw, cent_matrix, probes)
             for p in range(probes):
                 out = pdf[["_id", "_v"]].copy()
                 out["_cell"] = top[:, p].astype("int32")
@@ -309,31 +318,59 @@ def ivf_topk(
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
     )
     # NOT checkpointed (unlike kmeans_clusters): only two passes read this
-    # (sample refinement + final assignment), and the A/B measured the
-    # materialization costing more than the one extra scan it saves.
+    # (sample refinement + final assignment). Re-measured r8 at sf0.1,
+    # min-of-3: none 0.676 s vs localCheckpoint 0.663 s on the execution
+    # phase — a wash, so the simpler no-materialization form stays.
     schema = "_id long, _v array<double>, _cell int"
     # refinement trains on a deterministic 1/train_mod hash-sample so the
     # full corpus is only assigned once (below, under the refined centroids)
     train_mod = 4
-    sample = prepped.filter(F.pmod(F.xxhash64(F.col("_id")), F.lit(train_mod)) == 0)
-    assigned0 = sample.mapInPandas(_assign(cents, 1), schema=schema)
+    sample = prepped.filter(
+        F.pmod(F.xxhash64(F.col("_id")), F.lit(train_mod)) == 0
+    ).withColumn("_pid", F.spark_partition_id())
 
-    # one Lloyd refinement: per-cell mean, normalized (bounded collect: nlist rows)
-    def _cell_mean(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
-        return pd.DataFrame({"_cell": [key[0]], "_v": [m.mean(axis=0).tolist()]})
+    # One Lloyd refinement, FUSED into a single Python stage: each task
+    # assigns its batch (same _topk_cells_np rule as every other IVF
+    # stage) and emits per-(partition, cell) partial sums — ≤ nlist tiny
+    # rows per batch — which the driver combines in canonical
+    # (cell, partition) order. Replaces the r7 shape (assignment
+    # mapInPandas → groupBy → applyInPandas → toPandas): same bounded
+    # driver pull, but one Python stage and ZERO exchanges instead of two
+    # Python stages around a shuffle (measured 0.67 → 0.27 s at sf0.1 —
+    # the construction latency the r7→r8 bench regression traced to).
+    # At cluster scale the partials are a map-side-only aggregation: the
+    # refinement never reshuffles the sample.
+    def _partial_cell_sums(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            raw = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["_v"]]
+            )
+            cells = _topk_cells_np(raw, cents, 1)[:, 0]
+            pid = int(pdf["_pid"].iloc[0])
+            rows = []
+            for c in np.unique(cells):
+                mask = cells == c
+                rows.append(
+                    (pid, int(c), raw[mask].sum(axis=0).tolist(),
+                     int(mask.sum()))
+                )
+            yield pd.DataFrame(
+                rows, columns=["_pid", "_cell", "_s", "_n"]
+            )
 
-    refined = (
-        assigned0.groupBy("_cell")
-        .applyInPandas(_cell_mean, schema="_cell int, _v array<double>")
-        .toPandas()
-    )
-    cents2 = np.zeros_like(cents)
-    cents2[refined["_cell"].to_numpy()] = _norm_rows(
-        np.stack([np.asarray(v) for v in refined["_v"]])
-    )
-    empty = ~np.isin(np.arange(nlist), refined["_cell"].to_numpy())
-    cents2[empty] = cents[empty]  # keep seed for cells that lost all members
+    parts = sample.mapInPandas(
+        _partial_cell_sums,
+        schema="_pid int, _cell int, _s array<double>, _n long",
+    ).toPandas()
+    cents2 = cents.copy()  # cells that lost all members keep their seed
+    if len(parts):
+        parts = parts.sort_values(["_cell", "_pid"], kind="stable")
+        for c, grp in parts.groupby("_cell", sort=True):
+            s = np.stack([np.asarray(v) for v in grp["_s"]]).sum(axis=0)
+            cents2[int(c)] = s / grp["_n"].sum()
+        cents2 = _norm_rows(cents2)  # seed rows are already unit-norm
 
     corpus_cells = prepped.mapInPandas(_assign(cents2, 1), schema=schema)
     q_prepped = queries.select(
