@@ -7,15 +7,21 @@ Stages (each is an operator from this library, each individually oracled):
 1. quality gate     — drop docs under a minimum token count
 2. exact dedup      — first-wins by content fingerprint (min doc_id)
 3. decontamination  — drop docs sharing 3-grams with the held-out set
-4. mixture sampling — per-source keep rates (salted identity hash)
-5. sequence packing — token-budget bins in hash-sharded streams
+4. LM quality band  — optional: drop docs under a bigram-LM score
+                      percentile (the CCNet recipe, Wenzek 2020: filter
+                      on model score BEFORE mixing)
+5. mixture sampling — per-source keep rates (salted identity hash)
+6. sequence packing — token-budget bins in hash-sharded streams
 
-Scale posture: stages 1, 3 (probe side), and 4 are projection+filter and
-fuse into the scan; the only corpus-wide shuffles are the dedup digest
-aggregation and the final packing window — both carry key-sized rows, never
-bodies, until the surviving ids are semi-joined back. Composing lazily (no
-materialization between stages) lets Catalyst push the cheap filters below
-the expensive joins where legal.
+Scale posture: stages 1, 3 (probe side), and 5 are projection+filter and
+fuse into the scan; the corpus-wide shuffles are the dedup digest
+aggregation, the (optional) bigram count/score shuffles — Zipf-truncated
+(token-pair, count) rows, never bodies — and the final packing window.
+The LM threshold is an exact interpolated percentile computed by
+AGGREGATION and broadcast back as a one-row frame, deliberately not a
+global rank window (which would serialize 100 TB into one task).
+Composing lazily (no materialization between stages) lets Catalyst push
+the cheap filters below the expensive joins where legal.
 """
 
 from __future__ import annotations
@@ -25,6 +31,29 @@ from pyspark.sql import functions as F
 
 from ..functions import text as T
 from ..operators import dedup, packing, sampling
+from ..operators.corpus import bigram_lm_score
+
+
+def _lm_band_ids(clean: DataFrame, lm_quantile: float) -> DataFrame:
+    """Key-only frame of documents at or above the ``lm_quantile``
+    percentile of the corpus's own bigram-LM score — the CCNet-style
+    quality band (score the corpus under a model trained on itself, drop
+    the low tail). Round-6 scores compared to a round-4 threshold so an
+    external oracle makes identical keep/drop calls (same posture as
+    ``quality_band_sample``). Every doc reaching this stage has passed
+    the token gate, so every doc has a score (``bigram_lm_score`` only
+    skips docs with zero real tokens)."""
+    scored = bigram_lm_score(clean, "text", "doc_id").select(
+        "doc_id", F.col("avg_logprob").alias("_lm")
+    )
+    lo = scored.agg(
+        F.round(F.expr(f"percentile(_lm, {lm_quantile})"), 4).alias("_lo")
+    )
+    return (
+        scored.crossJoin(F.broadcast(lo))
+        .filter(F.col("_lm") >= F.col("_lo"))
+        .select("doc_id")
+    )
 
 
 def curate(
@@ -35,9 +64,13 @@ def curate(
     default_rate: float = 0.1,
     budget: int = 64,
     token_count: Column | None = None,
+    lm_quantile: float | None = None,
 ) -> DataFrame:
-    """Run the 5-stage curation pipeline; returns packed training rows
-    ``(doc_id, pack_group, seq_id)`` for the surviving documents."""
+    """Run the curation pipeline; returns packed training rows
+    ``(doc_id, pack_group, seq_id)`` for the surviving documents.
+    ``lm_quantile`` (e.g. 0.10) enables the bigram-LM quality band:
+    documents scoring under that percentile of the post-decontamination
+    corpus are dropped before mixing."""
     tokens = token_count if token_count is not None else T.token_count(F.col("text"))
 
     gated = docs.filter(tokens >= min_tokens)
@@ -48,6 +81,8 @@ def curate(
         .select("doc_id")
     )
     clean = survivors.join(clean_ids, "doc_id", "left_semi")
+    if lm_quantile is not None:
+        clean = clean.join(_lm_band_ids(clean, lm_quantile), "doc_id", "left_semi")
     mixed = sampling.stratified_sample(
         clean, "doc_id", "source", rates or {}, default=default_rate
     )
@@ -61,16 +96,18 @@ def audit(
     rates: dict[str, float] | None = None,
     default_rate: float = 0.1,
     token_count: Column | None = None,
+    lm_quantile: float | None = None,
 ) -> DataFrame:
     """Per-document curation verdict — the debuggability complement to
     :func:`curate`: every doc gets the FIRST stage that dropped it
-    (``short`` → ``duplicate`` → ``contaminated`` → ``sampled_out``) or
-    ``kept``. Stage decisions are the same operator expressions the
-    pipeline runs (dedup winners, decontamination flags,
-    ``sampling.stratified_keep_expr``), so the audit can never disagree
-    with the pipeline. Two narrow left joins on doc_id (winner set,
-    contaminated set — both key-only frames); everything else is
-    projection."""
+    (``short`` → ``duplicate`` → ``contaminated`` → ``low_quality`` →
+    ``sampled_out``) or ``kept``. Stage decisions are the same operator
+    expressions the pipeline runs (dedup winners, decontamination flags,
+    the :func:`_lm_band_ids` threshold, ``sampling.stratified_keep_expr``),
+    so the audit can never disagree with the pipeline. Narrow left joins
+    on doc_id (winner set, contaminated set, band set — all key-only
+    frames); everything else is projection. ``low_quality`` appears only
+    when ``lm_quantile`` is set, mirroring :func:`curate`."""
     tokens = token_count if token_count is not None else T.token_count(F.col("text"))
     base = docs.select("doc_id", "text", "source", tokens.alias("_n"))
     gated = base.filter(F.col("_n") >= min_tokens)
@@ -83,19 +120,26 @@ def audit(
         .filter(F.col("contaminated"))
         .select("doc_id", F.lit(True).alias("_cont"))
     )
+    out = base.join(winners, "doc_id", "left").join(cont, "doc_id", "left")
+    verdict = (
+        F.when(F.col("_n") < min_tokens, "short")
+        .when(F.col("_win").isNull(), "duplicate")
+        .when(F.col("_cont").isNotNull(), "contaminated")
+    )
+    if lm_quantile is not None:
+        # score the SAME corpus the pipeline scores: post-decontamination
+        # survivors (the model is trained on the set it filters, so the
+        # threshold matches curate()'s bit for bit)
+        clean = survivors.join(cont.select("doc_id"), "doc_id", "left_anti")
+        band = _lm_band_ids(clean, lm_quantile).select(
+            "doc_id", F.lit(True).alias("_band")
+        )
+        out = out.join(band, "doc_id", "left")
+        verdict = verdict.when(F.col("_band").isNull(), "low_quality")
     keep = sampling.stratified_keep_expr(
         "doc_id", "source", rates or {}, default_rate
     )
-    return (
-        base.join(winners, "doc_id", "left")
-        .join(cont, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.when(F.col("_n") < min_tokens, "short")
-            .when(F.col("_win").isNull(), "duplicate")
-            .when(F.col("_cont").isNotNull(), "contaminated")
-            .when(~keep, "sampled_out")
-            .otherwise("kept")
-            .alias("verdict"),
-        )
+    return out.select(
+        "doc_id",
+        verdict.when(~keep, "sampled_out").otherwise("kept").alias("verdict"),
     )

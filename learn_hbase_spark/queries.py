@@ -3388,8 +3388,36 @@ def approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT * FROM surv
       WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
     ),
+    lmdocs AS (
+      SELECT doc_id, list_prepend('<s>', list_filter(
+               string_split({_NORM}, ' '), x -> x <> '')) AS a
+      FROM clean
+    ),
+    lmpairs AS (
+      SELECT doc_id, a[i] AS w1, a[i + 1] AS w2
+      FROM lmdocs, unnest(generate_series(1, len(a) - 1)) AS t(i)
+      WHERE len(a) >= 2
+    ),
+    lmc2 AS (SELECT w1, w2, count(*) AS c2 FROM lmpairs GROUP BY w1, w2),
+    lmc1 AS (SELECT w1, count(*) AS c1 FROM lmpairs GROUP BY w1),
+    lmv AS (SELECT count(DISTINCT w2) AS v FROM lmpairs),
+    lmscore AS (
+      SELECT p.doc_id,
+             round(avg(ln((c2 + 1.0) / (c1 + 1.0 * (SELECT v FROM lmv)))),
+                   6) AS s
+      FROM lmpairs p
+      JOIN lmc2 ON lmc2.w1 = p.w1 AND lmc2.w2 = p.w2
+      JOIN lmc1 ON lmc1.w1 = p.w1
+      GROUP BY p.doc_id
+    ),
+    lmlo AS (SELECT round(quantile_cont(s, 0.10), 4) AS lo FROM lmscore),
+    banded AS (
+      SELECT c.* FROM clean c
+      JOIN lmscore ls ON ls.doc_id = c.doc_id
+      JOIN lmlo ON ls.s >= lmlo.lo
+    ),
     mixed AS (
-      SELECT * FROM clean
+      SELECT * FROM banded
       WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':' || source), 1, 4) <
         CASE source
           WHEN 'src0' THEN '{sampling.threshold(1.0)}'
@@ -3409,11 +3437,13 @@ def approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full curation pipeline as ONE lineage: token-count quality gate →
-    exact dedup (first-wins) → benchmark decontamination → per-source
-    mixture sampling → token-budget sequence packing. The LLM-era analog of
-    the reference's 3-stage ETL (pipeline/curation.py); every stage is an
-    individually-oracled operator, and this query oracles their
-    composition."""
+    exact dedup (first-wins) → benchmark decontamination → bigram-LM
+    quality band (drop the bottom decile of the post-decontamination
+    corpus's own LM score — the CCNet recipe: filter on model score
+    BEFORE mixing) → per-source mixture sampling → token-budget sequence
+    packing. The LLM-era analog of the reference's 3-stage ETL
+    (pipeline/curation.py); every stage is an individually-oracled
+    operator, and this query oracles their composition."""
     docs = _t(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     return curation.curate(
@@ -3423,6 +3453,7 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         rates={"src0": 1.0, "src1": 0.5, "src2": 0.25},
         default_rate=0.1,
         budget=64,
+        lm_quantile=0.10,
     )
 
 
@@ -8070,11 +8101,42 @@ def linear_fit_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT doc_id FROM (
         SELECT doc_id, unnest({_SHINGLES}) AS s FROM surv
       ) WHERE s IN (SELECT s FROM bench)
+    ),
+    clean AS (
+      SELECT * FROM surv
+      WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    lmdocs AS (
+      SELECT doc_id, list_prepend('<s>', list_filter(
+               string_split({_NORM}, ' '), x -> x <> '')) AS a
+      FROM clean
+    ),
+    lmpairs AS (
+      SELECT doc_id, a[i] AS w1, a[i + 1] AS w2
+      FROM lmdocs, unnest(generate_series(1, len(a) - 1)) AS t(i)
+      WHERE len(a) >= 2
+    ),
+    lmc2 AS (SELECT w1, w2, count(*) AS c2 FROM lmpairs GROUP BY w1, w2),
+    lmc1 AS (SELECT w1, count(*) AS c1 FROM lmpairs GROUP BY w1),
+    lmv AS (SELECT count(DISTINCT w2) AS v FROM lmpairs),
+    lmscore AS (
+      SELECT p.doc_id,
+             round(avg(ln((c2 + 1.0) / (c1 + 1.0 * (SELECT v FROM lmv)))),
+                   6) AS s
+      FROM lmpairs p
+      JOIN lmc2 ON lmc2.w1 = p.w1 AND lmc2.w2 = p.w2
+      JOIN lmc1 ON lmc1.w1 = p.w1
+      GROUP BY p.doc_id
+    ),
+    lmlo AS (SELECT round(quantile_cont(s, 0.10), 4) AS lo FROM lmscore),
+    band AS (
+      SELECT ls.doc_id FROM lmscore ls, lmlo WHERE ls.s >= lmlo.lo
     )
     SELECT t.doc_id,
            CASE WHEN t.n < 5 THEN 'short'
                 WHEN w.doc_id IS NULL THEN 'duplicate'
                 WHEN c.doc_id IS NOT NULL THEN 'contaminated'
+                WHEN b.doc_id IS NULL THEN 'low_quality'
                 WHEN NOT (substr(md5(CAST(t.doc_id AS VARCHAR) || ':'
                                   || t.source), 1, 4) <
                   CASE t.source
@@ -8087,15 +8149,18 @@ def linear_fit_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM tok t
     LEFT JOIN winners w ON t.doc_id = w.doc_id
     LEFT JOIN contaminated c ON t.doc_id = c.doc_id
+    LEFT JOIN band b ON t.doc_id = b.doc_id
     """,
 )
 def curation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document curation verdict (pipeline/curation.py audit): the
-    FIRST stage that dropped each doc, or 'kept' — the lineage report a
-    data team reads when a document unexpectedly vanishes from training.
-    Same parameters as curation_pipeline; verdicts derive from the SAME
-    operator expressions the pipeline runs, so audit and pipeline cannot
-    disagree (the kept set here == curation_pipeline's input to packing)."""
+    FIRST stage that dropped each doc — short → duplicate → contaminated
+    → low_quality (bigram-LM band, bottom decile) → sampled_out — or
+    'kept'; the lineage report a data team reads when a document
+    unexpectedly vanishes from training. Same parameters as
+    curation_pipeline; verdicts derive from the SAME operator expressions
+    the pipeline runs, so audit and pipeline cannot disagree (the kept
+    set here == curation_pipeline's input to packing)."""
     docs = _t(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     return curation.audit(
@@ -8104,6 +8169,7 @@ def curation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_tokens=5,
         rates={"src0": 1.0, "src1": 0.5, "src2": 0.25},
         default_rate=0.1,
+        lm_quantile=0.10,
     )
 
 

@@ -69,3 +69,46 @@ def test_audit_kept_set_equals_pipeline_survivors(spark):
     assert kept_ids == packed_ids
     # every doc gets exactly one verdict
     assert len(verdicts) == docs.count()
+
+
+def test_lm_band_drops_low_quality_before_mixing(spark):
+    """The optional bigram-LM band (CCNet-style): with lm_quantile set,
+    the bottom-percentile docs drop with verdict 'low_quality', the kept
+    sets of curate() and audit() still agree, and with lm_quantile=None
+    the stage (and its verdict) is absent entirely."""
+    from pyspark.sql import functions as F
+
+    from learn_hbase_spark import tables
+    from learn_hbase_spark.pipeline import curation
+
+    docs = tables.load_table(spark, "/root/testdata/sf0.001", "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    kw = dict(
+        min_tokens=5,
+        rates={"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        default_rate=0.1,
+    )
+    base_verdicts = {r["doc_id"]: r["verdict"]
+                     for r in curation.audit(docs, bench, **kw).collect()}
+    assert "low_quality" not in set(base_verdicts.values())
+
+    banded = {r["doc_id"]: r["verdict"]
+              for r in curation.audit(docs, bench, lm_quantile=0.10,
+                                      **kw).collect()}
+    lowq = {d for d, v in banded.items() if v == "low_quality"}
+    # ~10% of the post-decontamination corpus drops; every dropped doc
+    # previously reached the sampling stage (kept or sampled_out)
+    assert lowq
+    assert all(base_verdicts[d] in ("kept", "sampled_out") for d in lowq)
+    # earlier-stage verdicts are untouched by the new stage
+    for d, v in base_verdicts.items():
+        if v in ("short", "duplicate", "contaminated"):
+            assert banded[d] == v
+
+    packed_ids = {
+        r["doc_id"]
+        for r in curation.curate(docs, bench, lm_quantile=0.10,
+                                 **kw).collect()
+    }
+    kept_ids = {d for d, v in banded.items() if v == "kept"}
+    assert kept_ids == packed_ids
