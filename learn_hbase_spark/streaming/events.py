@@ -487,9 +487,74 @@ def neardup_ingest_stream(
     q.awaitTermination()
 
 
+def neardup_ingest_file_stream(
+    spark: SparkSession,
+    input_dir: str,
+    index_dir: str,
+    accepted_dir: str,
+    checkpoint_dir: str,
+    pattern: str = "*.txt",
+    max_files_per_trigger: int | None = None,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> None:
+    """:func:`neardup_ingest_stream` fed from a raw crawl DROP ZONE — the
+    shape a real corpus landing area has: documents arrive as text FILES
+    in a growing directory, not as parquet-shaped batches. The streaming
+    ``text`` source's checkpointed file listing ingests ONLY new files on
+    each drain (already-seen files are never re-read — the O(new)
+    property at the file level), ``wholetext`` makes one document per
+    file, ``pathGlobFilter`` prunes non-corpus files at the LISTING, and
+    ``maxFilesPerTrigger`` bounds a micro-batch so a backlogged drop zone
+    drains in executor-sized bites instead of one giant batch.
+
+    Document identity matches the batch file edge
+    (``sources.files.read_text_docs``): ``doc_id = md5(path)`` — 128-bit,
+    collision-safe at crawl scale, stable across drains so a replayed
+    file keeps its id. The per-batch gate/land body is the SAME
+    :func:`neardup_ingest_batch` (string id type); everything proven for
+    the parquet-shaped stream — replay idempotence, engine-recovery
+    restart, exactly-once landing — holds here because the body is
+    shared.
+    """
+    reader = (
+        spark.readStream.format("text")
+        .option("wholetext", "true")
+        .option("pathGlobFilter", pattern)
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.load(input_dir)
+    pathcol = F.input_file_name()
+    docs = raw.select(
+        F.md5(pathcol.cast("binary")).alias("doc_id"),
+        F.col("value").alias("text"),
+        pathcol.alias("path"),
+    )
+    q = (
+        docs.writeStream.foreachBatch(
+            lambda batch, batch_id: neardup_ingest_batch(
+                batch, batch_id, index_dir, accepted_dir, num_hashes,
+                bands, id_type="string",
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 # Band-index layout on disk: parquet partitioned by the writing batch id.
 # The data columns are minhash_bands' output; _batch is the partition key.
-_NEARDUP_INDEX_SCHEMA = "_id long, _bk string, _batch long"
+# The id column's type follows the ingest edge: long for parquet-shaped
+# document batches, a 32-hex md5(path) string for the raw-file edge
+# (sources.files contract) — hence the parameterized form below.
+def _neardup_index_schema(id_type: str) -> str:
+    return f"_id {id_type}, _bk string, _batch long"
+
+
+_NEARDUP_INDEX_SCHEMA = _neardup_index_schema("long")
 
 
 def _dir_exists(spark: SparkSession, path: str) -> bool:
@@ -510,11 +575,15 @@ def neardup_ingest_batch(
     accepted_dir: str,
     num_hashes: int = 8,
     bands: int = 4,
+    id_type: str = "long",
 ) -> None:
-    """One micro-batch of :func:`neardup_ingest_stream`: LSH-gate the batch
-    against the persisted band index and itself, then land BOTH outputs as
-    a dynamic partition overwrite of this batch's own ``_batch`` partition
-    — replay-idempotent under foreachBatch's at-least-once contract."""
+    """One micro-batch of :func:`neardup_ingest_stream` /
+    :func:`neardup_ingest_file_stream`: LSH-gate the batch against the
+    persisted band index and itself, then land BOTH outputs as a dynamic
+    partition overwrite of this batch's own ``_batch`` partition —
+    replay-idempotent under foreachBatch's at-least-once contract.
+    ``id_type`` matches the ingest edge's doc_id type (long for
+    parquet-shaped batches, string for the md5(path) file edge)."""
     from ..operators import dedup as D
 
     s = batch.sparkSession
@@ -525,7 +594,9 @@ def neardup_ingest_batch(
         # explicit schema: skips footer-based inference (valid on an
         # empty/partition-less dir) while still failing loudly on real
         # corruption at scan time; the _batch filter is partition pruning.
-        idx = s.read.schema(_NEARDUP_INDEX_SCHEMA).parquet(index_dir).filter(
+        idx = s.read.schema(_neardup_index_schema(id_type)).parquet(
+            index_dir
+        ).filter(
             F.col("_batch") != batch_id
         )
         # against-history collisions (index-lookup join on band key)

@@ -712,3 +712,55 @@ def test_neardup_ingest_restart_after_lost_commit_is_exactly_once(
     assert after_idx == before_idx
     # and the replayed batch's commit is restored
     assert str(latest) in os.listdir(os.path.join(ckpt, "commits"))
+
+
+def test_neardup_file_stream_ingests_only_new_files(spark, tmp_path):
+    """The crawl-drop-zone shape: text files land in a growing directory;
+    each drain ingests ONLY the files the checkpoint hasn't seen, gates
+    them against the persisted band index (near-dup of an earlier FILE is
+    rejected), prunes non-matching names at the listing, and keeps ids
+    stable (md5 of path, matching the batch file edge)."""
+    from learn_hbase_spark.streaming.events import neardup_ingest_file_stream
+
+    inp = tmp_path / "drop"
+    inp.mkdir()
+    idx = str(tmp_path / "index")
+    acc = str(tmp_path / "accepted")
+    ckpt = str(tmp_path / "ckpt")
+
+    (inp / "a.txt").write_text(
+        "alpha beta gamma delta epsilon zeta eta theta")
+    (inp / "b.txt").write_text(
+        "totally different words in this second document here")
+    (inp / "ignore.log").write_text("not part of the corpus")
+
+    kw = dict(pattern="*.txt", max_files_per_trigger=1)
+    neardup_ingest_file_stream(spark, str(inp), idx, acc, ckpt, **kw)
+    rows1 = {r["path"].rsplit("/", 1)[-1]: r
+             for r in spark.read.parquet(acc).collect()}
+    assert set(rows1) == {"a.txt", "b.txt"}  # .log pruned at the listing
+    # maxFilesPerTrigger=1 -> one micro-batch (and _batch partition) each
+    assert rows1["a.txt"]["_batch"] != rows1["b.txt"]["_batch"]
+    import re
+    assert all(re.fullmatch(r"[0-9a-f]{32}", r["doc_id"])
+               for r in rows1.values())
+
+    # second drop: near-identical content of a.txt (normalize-equal) must
+    # be rejected via the PERSISTED index; the genuinely new file lands
+    (inp / "c.txt").write_text(
+        "Alpha  BETA gamma delta epsilon zeta eta theta")
+    (inp / "d.txt").write_text(
+        "brand new unique content appearing only in drop two")
+    neardup_ingest_file_stream(spark, str(inp), idx, acc, ckpt, **kw)
+    rows2 = {r["path"].rsplit("/", 1)[-1]: r
+             for r in spark.read.parquet(acc).collect()}
+    assert set(rows2) == {"a.txt", "b.txt", "d.txt"}
+    # earlier files kept their ids (stable md5(path) across drains)
+    for name in ("a.txt", "b.txt"):
+        assert rows2[name]["doc_id"] == rows1[name]["doc_id"]
+
+    # third drain with nothing new is a no-op (checkpointed file listing)
+    neardup_ingest_file_stream(spark, str(inp), idx, acc, ckpt, **kw)
+    assert {r["path"].rsplit("/", 1)[-1]
+            for r in spark.read.parquet(acc).collect()} == {
+        "a.txt", "b.txt", "d.txt"}
