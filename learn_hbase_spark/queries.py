@@ -354,10 +354,28 @@ def _still_verified() -> tuple[str, ...]:
     return tuple(_verified_against(recorded_fingerprints()))
 
 
+# Sweep-priority hint: queries whose ANSWER changed (or that are brand new)
+# this round, listed here so they take the first slots of the rotation
+# front. Without this the front follows registration order, and when a
+# module edit invalidates more fingerprints than the driver's ~50-slot
+# sweep can hold, a late-registered answer-changed query (curation_audit
+# in r8) could wait a round behind answer-UNCHANGED queries whose
+# fingerprints moved only via a shared-module edit. Maintained per round;
+# stale names cost nothing (they sort first only while unverified).
+_SWEEP_PRIORITY = [
+    "file_corpus_dedup",
+    "curation_pipeline",
+    "curation_audit",
+]
+
+
 def _rotated(mapping: dict) -> dict:
     verified = [n for n in _still_verified() if n in mapping]
     seen = set(verified)
-    out = {n: v for n, v in mapping.items() if n not in seen}
+    front = [n for n in mapping if n not in seen]
+    rank = {n: i for i, n in enumerate(_SWEEP_PRIORITY)}
+    front.sort(key=lambda n: rank.get(n, len(rank)))  # stable: ties keep order
+    out = {n: mapping[n] for n in front}
     out.update({n: mapping[n] for n in verified})
     return out
 
