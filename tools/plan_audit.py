@@ -68,6 +68,12 @@ NESTED_LOOP_ALLOWED: dict[str, str] = {
     # the scored frame — O(N) compare, the aggregation alternative to a
     # single-task global rank window.
     "quality_band_sample": "one-row percentile-bounds broadcast threshold",
+    # The curation pipeline/audit embed the bigram-LM band (r8): the same
+    # two bounded one-row broadcasts as their standalone twins — the
+    # vocab-size scalar (bigram_lm_score) and the percentile threshold
+    # (quality_band_sample). Every corpus-sized join in the lineage is equi.
+    "curation_pipeline": "one-row vocab-size + percentile-threshold broadcasts",
+    "curation_audit": "one-row vocab-size + percentile-threshold broadcasts",
 }
 
 
