@@ -901,15 +901,21 @@ def winnow_fingerprints(
         # only full windows: starts 0 .. n_grams - w  (n_grams = _nw - k + 1)
         .filter(F.col("pos") <= F.col("_nw") - k + 1 - w)
         .select("_id", "_nw", "_sel")
-        .distinct()
     )
     if rows:
-        # the raw fingerprint set: (id, selected key) — the input you feed
-        # a bucket join for cross-doc match candidates (MOSS's index)
+        # the raw fingerprint set: (id, selected hash) — the input you
+        # feed a bucket join for cross-doc match candidates (MOSS's
+        # index). ONE distinct, directly on the 32-char hash: a prior
+        # distinct on the position-suffixed 45-char key would shuffle the
+        # same rows a second time only to be collapsed again here
+        # (distinct∘substring∘distinct ≡ distinct∘substring).
         return sel.select(
             F.col("_id").alias(id_col),
             F.substring("_sel", 1, 32).alias("fp"),
         ).distinct()
+    # the per-doc fingerprint COUNT needs (hash, position) granularity —
+    # _sel's position suffix is load-bearing here, so distinct the full key
+    sel = sel.distinct()
     return (
         sel.groupBy(F.col("_id").alias(id_col))
         .agg(
