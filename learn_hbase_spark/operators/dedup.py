@@ -726,37 +726,51 @@ def positional_gram_rows(
     Docs shorter than ``k`` words yield no rows.
     """
     words = F.split(normalize_text(F.col(text_col)), " ")
-    # the greatest-clamp (not just the filter below) makes the expression
-    # itself short-doc-safe: Catalyst may reorder the filter conjuncts it
-    # infers from the generator ahead of the size filter, and an
-    # unclamped sequence(0, size-k) DESCENDS for size < k, driving
-    # slice(start=0) into a runtime error (caught by the randomized
-    # reference test with 1-word docs). For a sub-k doc the clamp emits
-    # one harmless short gram at pos 0 — and the size filter drops the
-    # row anyway. A when()-guard would be equally safe but measured 2.2x
-    # slower (the CASE wrapper around the transform defeats codegen).
-    grams = F.transform(
-        F.sequence(
-            F.lit(0), F.greatest(F.size(F.col("_w")) - k, F.lit(0))
-        ),
-        lambda i: F.array_join(F.slice(F.col("_w"), i + 1, k), " "),
-    )
-    # the gram array gets its OWN projection before the generator: a
-    # transform/slice tree inside the explode operator costs ~15 s of
-    # whole-stage-codegen compilation (measured; 1.4 s with the split),
-    # and posexplode supplies the position for free. The id-hash
-    # repartition decouples the CPU-heavy explode from the input split
-    # count (a small corpus arrives as one split = one task) and
-    # pre-satisfies the per-doc window partitioning downstream consumers
-    # need; at cluster scale the input already has enough splits and the
-    # exchange is one narrow pass over (id, words).
+    # Shape: explode only the POSITION INTS, then build each gram from the
+    # carried word array in a post-explode projection. The generator emits
+    # ints; the array_join(slice(...)) per gram runs inside the SAME
+    # whole-stage-codegen span as the filter above it, and the word array
+    # never materializes per output row (the projection drops _w in the
+    # same stage). The two rejected shapes, both measured at sf0.1:
+    # building the gram ARRAY in its own projection and posexploding it
+    # (the pre-r8 form) pays generator array materialization + per-row
+    # copies — 3.4 s vs 0.3 s for this form; putting the transform/slice
+    # tree inside the explode operator itself costs ~15 s of codegen
+    # compilation.
+    # The greatest-clamp (not just the size filter) keeps the sequence
+    # expression itself short-doc-safe: Catalyst may reorder the filter
+    # conjuncts it infers from the generator ahead of the size filter,
+    # and an unclamped sequence(0, size-k) DESCENDS for size < k. For a
+    # sub-k doc the clamp emits pos 0 with a short gram — and the size
+    # filter drops the row anyway. The id-hash repartition decouples the
+    # CPU-heavy gram build from the input split count (a small corpus
+    # arrives as one split = one task) and pre-satisfies the per-doc
+    # window partitioning downstream consumers need; at cluster scale the
+    # input already has enough splits and the exchange is one narrow pass
+    # over (id, words).
     sc = df.sparkSession.sparkContext
     return (
         df.select(F.col(id_col).alias("_id"), words.alias("_w"))
         .filter(F.size("_w") >= k)
         .repartition(sc.defaultParallelism, F.col("_id"))
-        .select("_id", F.size("_w").alias("_nw"), grams.alias("_ga"))
-        .select("_id", "_nw", F.posexplode("_ga").alias("pos", "gram"))
+        .select(
+            "_id",
+            F.size("_w").alias("_nw"),
+            "_w",
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.greatest(F.size("_w") - k, F.lit(0))
+                )
+            ).alias("pos"),
+        )
+        .select(
+            "_id",
+            "_nw",
+            "pos",
+            F.array_join(
+                F.slice("_w", F.col("pos") + 1, F.lit(k)), " "
+            ).alias("gram"),
+        )
     )
 
 
