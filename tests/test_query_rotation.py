@@ -112,3 +112,24 @@ def test_package_module_closure_terminates_on_import_cycles():
     assert "mod:learn_hbase_spark._fake_a" in parts
     assert "mod:learn_hbase_spark._fake_b" in parts
     assert len(parts) == 2
+
+
+def test_sweep_priority_names_lead_the_rotation_front(monkeypatch):
+    """_SWEEP_PRIORITY names (new or answer-changed this round) take the
+    first rotation slots while unverified; verified names stay in the
+    tail regardless of priority; unknown priority names are inert."""
+    names = list(Q._QUERIES)
+    pri = [n for n in Q._SWEEP_PRIORITY if n in Q._QUERIES]
+    assert pri, "priority list should name registered queries"
+    # pretend everything EXCEPT the priority names is verified
+    monkeypatch.setattr(
+        Q, "_still_verified", lambda: tuple(n for n in names if n not in pri)
+    )
+    rotated = list(Q.queries())
+    assert rotated[: len(pri)] == pri
+    # now pretend a priority name is ALSO verified: it must move to the
+    # tail (priority only orders the unverified front)
+    monkeypatch.setattr(Q, "_still_verified", lambda: (pri[0],))
+    rotated2 = list(Q.queries())
+    assert rotated2[-1] == pri[0]
+    assert rotated2[: len(pri) - 1] == pri[1:]
