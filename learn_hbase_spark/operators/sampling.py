@@ -153,3 +153,86 @@ def mixture_sample(
         .filter(h < F.lower(thr))
         .drop("_stratum", "_rate")
     )
+
+
+def temperature_rates(
+    df: DataFrame,
+    strata_col: str,
+    alpha: float = 0.5,
+    target_frac: float = 0.5,
+) -> DataFrame:
+    """Per-stratum keep rates for TEMPERATURE-scaled mixture sampling — the
+    multilingual/pretraining rebalancing recipe (sample source s with
+    probability ∝ n_s^alpha; alpha < 1 flattens the source distribution so
+    low-resource sources are over-represented relative to their raw share,
+    alpha = 1 reproduces natural proportions).
+
+    ``rate_s = target_frac · N · n_s^alpha / (Z · n_s)`` with
+    ``Z = Σ_s n_s^alpha`` — expected kept volume ≈ ``target_frac · N``,
+    distributed across sources by the tempered weights. One-pass: rates
+    are capped at 1 (a small source whose tempered share exceeds its size
+    cannot be upsampled), and the excess is NOT redistributed — the
+    standard one-shot approximation; iterate externally if exact volume
+    under caps matters. Rates are rounded to 6 decimals so an external
+    engine derives bit-identical thresholds (the Z sum's float
+    accumulation order differs across engines; round-6 absorbs it).
+
+    One count aggregation (partial-aggregable, |strata| rows) plus a
+    one-row broadcast of (N, Z); the corpus itself is never touched.
+    Returns ``(stratum, n, rate)``.
+    """
+    counts = df.groupBy(F.col(strata_col).alias("stratum")).agg(
+        F.count("*").alias("n")
+    )
+
+    # sqrt for the canonical alpha=0.5: IEEE-correctly-rounded in every
+    # engine, unlike pow(x, 0.5) (Java Math.pow makes no correct-rounding
+    # guarantee) — so the DuckDB oracle's sqrt matches bit for bit.
+    def _temp(col: Column) -> Column:
+        if alpha == 0.5:
+            return F.sqrt(col)
+        return F.pow(col, F.lit(float(alpha)))
+
+    tots = counts.agg(
+        F.sum("n").alias("_N"),
+        F.sum(_temp(F.col("n"))).alias("_Z"),
+    )
+    raw = (
+        F.lit(float(target_frac))
+        * F.col("_N")
+        * _temp(F.col("n"))
+        / F.col("_Z")
+        / F.col("n")
+    )
+    return counts.crossJoin(F.broadcast(tots)).select(
+        "stratum",
+        "n",
+        F.round(F.least(F.lit(1.0), raw), 6).alias("rate"),
+    )
+
+
+def temperature_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    alpha: float = 0.5,
+    target_frac: float = 0.5,
+) -> DataFrame:
+    """Apply :func:`temperature_rates` deterministically: identity-hash
+    each row against its stratum's derived threshold (same stratum-salted
+    hash primitive as :func:`stratified_sample`, same in-frame
+    rate→hex-threshold bridge as :func:`mixture_sample`). The corpus never
+    shuffles — count aggregate broadcast onto a projection+filter."""
+    rates = temperature_rates(df, strata_col, alpha, target_frac)
+    h = hash_hex(
+        F.concat(F.col(id_col).cast("string"), F.lit(":"), F.col(strata_col))
+    )
+    bucket = F.floor(F.col("rate") * _BUCKETS).cast("int")
+    thr = F.when(bucket >= _BUCKETS, F.lit("g")).otherwise(
+        F.lpad(F.conv(bucket.cast("string"), 10, 16), 4, "0")
+    )
+    return (
+        df.join(F.broadcast(rates), df[strata_col] == F.col("stratum"))
+        .filter(h < F.lower(thr))
+        .drop("stratum", "n", "rate")
+    )

@@ -366,6 +366,8 @@ _SWEEP_PRIORITY = [
     "file_corpus_dedup",
     "curation_pipeline",
     "curation_audit",
+    "temperature_mixture_rates",
+    "temperature_mixture_sample",
 ]
 
 
@@ -3943,6 +3945,64 @@ def domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     out = sampling.mixture_sample(
         docs, "doc_id", "source", {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    )
+    return out.select("doc_id", "source")
+
+
+@_register(
+    "temperature_mixture_rates",
+    """
+    WITH counts AS (
+      SELECT source AS stratum, count(*) AS n FROM documents GROUP BY source
+    ),
+    tots AS (SELECT sum(n) AS tot, sum(sqrt(n)) AS z FROM counts)
+    SELECT stratum, n,
+           round(least(1.0, 0.5 * tot * sqrt(n) / z / n), 6) AS rate
+    FROM counts, tots
+    """,
+)
+def temperature_mixture_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture RATES (alpha=0.5, target half the
+    corpus): per-source keep probability ∝ n^alpha / n — the
+    multilingual/pretraining rebalancing recipe that over-represents
+    low-resource sources relative to their natural share
+    (operators.sampling.temperature_rates). sqrt (correctly-rounded
+    IEEE, unlike pow(x, 0.5)) plus round-6 make the derived rates
+    bit-identical in DuckDB despite each engine's own Z-sum order."""
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.temperature_rates(
+        docs, "source", alpha=0.5, target_frac=0.5
+    )
+
+
+@_register(
+    "temperature_mixture_sample",
+    """
+    WITH counts AS (
+      SELECT source AS stratum, count(*) AS n FROM documents GROUP BY source
+    ),
+    tots AS (SELECT sum(n) AS tot, sum(sqrt(n)) AS z FROM counts),
+    rates AS (
+      SELECT stratum, round(least(1.0, 0.5 * tot * sqrt(n) / z / n), 6) AS rate
+      FROM counts, tots
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN rates r ON d.source = r.stratum
+    WHERE substr(md5(CAST(d.doc_id AS VARCHAR) || ':' || d.source), 1, 4) <
+          CASE WHEN CAST(floor(r.rate * 65536) AS INT) >= 65536 THEN 'g'
+               ELSE printf('%04x', CAST(floor(r.rate * 65536) AS INT)) END
+    """,
+)
+def temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The applied temperature sample: every row identity-hash-gated
+    against its source's derived tempered rate
+    (operators.sampling.temperature_sample — same stratum-salted hash and
+    rate→hex-threshold bridge as domain_mixture, rates from data instead
+    of a target dict). Corpus never shuffles: count aggregate broadcast
+    onto a projection+filter."""
+    docs = _t(spark, sf_dir, "documents")
+    out = sampling.temperature_sample(
+        docs, "doc_id", "source", alpha=0.5, target_frac=0.5
     )
     return out.select("doc_id", "source")
 

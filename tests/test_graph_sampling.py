@@ -203,3 +203,50 @@ def test_connected_components_max_iter_cap_keeps_one_row_per_node(spark):
     got = connected_components(ndf, edf, max_iter=1).collect()
     assert len(got) == 40
     assert len({r["node"] for r in got}) == 40
+
+
+def test_temperature_rates_laws(spark):
+    """The temperature-sampling defining laws: alpha=1 gives every source
+    the uniform target_frac rate (natural proportions); alpha<1 flattens —
+    smaller sources get strictly higher rates; rates never exceed 1; and
+    the expected kept volume stays ~target_frac*N when no rate caps."""
+    from learn_hbase_spark.operators.sampling import (
+        temperature_rates,
+        temperature_sample,
+    )
+
+    rows = (
+        [(i, "big") for i in range(400)]
+        + [(i + 1000, "mid") for i in range(100)]
+        + [(i + 2000, "small") for i in range(25)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    flat = {r["stratum"]: r["rate"]
+            for r in temperature_rates(df, "source", alpha=1.0,
+                                       target_frac=0.4).collect()}
+    assert all(abs(v - 0.4) < 1e-9 for v in flat.values())
+
+    tempered = {r["stratum"]: r
+                for r in temperature_rates(df, "source", alpha=0.5,
+                                           target_frac=0.4).collect()}
+    assert (tempered["small"]["rate"] > tempered["mid"]["rate"]
+            > tempered["big"]["rate"])
+    assert all(r["rate"] <= 1.0 for r in tempered.values())
+    # first-principles replay: Z = 20 + 10 + 5; the small source's
+    # tempered ask (0.4*525*5/(35*25) = 1.2) caps at 1.0, so the one-pass
+    # kept volume is the capped sum, deliberately UNDER the raw target
+    ref = {"big": 0.3, "mid": 0.6, "small": 1.0}
+    for s, want in ref.items():
+        assert abs(tempered[s]["rate"] - want) < 1e-9
+    expected = sum(r["n"] * r["rate"] for r in tempered.values())
+    assert abs(expected - 205.0) < 1e-6  # 120 + 60 + 25, caps applied
+
+    kept = temperature_sample(df, "doc_id", "source", alpha=0.5,
+                              target_frac=0.4)
+    by_src = {r["source"]: r["cnt"] for r in
+              kept.groupBy("source").agg(F.count("*").alias("cnt")).collect()}
+    # hash realization tracks expectation within binomial noise
+    for s in ("big", "mid", "small"):
+        exp = tempered[s]["n"] * tempered[s]["rate"]
+        assert abs(by_src.get(s, 0) - exp) < 4 * (exp ** 0.5) + 3

@@ -74,6 +74,11 @@ NESTED_LOOP_ALLOWED: dict[str, str] = {
     # (quality_band_sample). Every corpus-sized join in the lineage is equi.
     "curation_pipeline": "one-row vocab-size + percentile-threshold broadcasts",
     "curation_audit": "one-row vocab-size + percentile-threshold broadcasts",
+    # Temperature mixture: the ONE-ROW (N, Z) totals aggregate crossed into
+    # the |strata|-row counts frame — both sides bounded by the source
+    # vocabulary; the corpus-sized application join is equi (hash).
+    "temperature_mixture_rates": "one-row (N, Z) totals crossed into strata counts",
+    "temperature_mixture_sample": "one-row (N, Z) totals crossed into strata counts",
 }
 
 
