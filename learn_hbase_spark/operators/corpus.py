@@ -141,6 +141,34 @@ def length_profile(
 BOS = "<s>"
 
 
+def _bigram_pairs(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, w1, w2) BOS-conditioned bigram rows of normalized text — the
+    shared extraction of :func:`bigram_lm_score` (self-trained) and
+    :func:`bigram_lm_score_frozen` (frozen reference model), so the two
+    scorers can never disagree on tokenization."""
+    arr = F.filter(
+        F.split(normalize_text(F.col(text_col)), " "), lambda w: w != ""
+    )
+    docs = df.select(
+        F.col(id_col).alias("_id"),
+        F.concat(F.array(F.lit(BOS)), arr).alias("_a"),
+    ).filter(F.size("_a") >= 2)
+    big = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size("_a") - 2, F.lit(0))),
+        lambda i: F.struct(
+            F.try_element_at("_a", i + 1).alias("w1"),
+            F.try_element_at("_a", i + 2).alias("w2"),
+        ),
+    )
+    return (
+        docs.select("_id", F.explode(big).alias("_p"))
+        .select("_id", F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
+        .filter(F.col("w2").isNotNull())
+    )
+
+
 def bigram_lm_score(
     df: DataFrame,
     text_col: str = "text",
@@ -171,25 +199,7 @@ def bigram_lm_score(
     cross-engine float posture as ``lm_score``: identical double ratios
     into ``ln``, summation ulps ~1e-15 against a 1e-6 grid).
     """
-    arr = F.filter(
-        F.split(normalize_text(F.col(text_col)), " "), lambda w: w != ""
-    )
-    docs = df.select(
-        F.col(id_col).alias("_id"),
-        F.concat(F.array(F.lit(BOS)), arr).alias("_a"),
-    ).filter(F.size("_a") >= 2)
-    big = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size("_a") - 2, F.lit(0))),
-        lambda i: F.struct(
-            F.try_element_at("_a", i + 1).alias("w1"),
-            F.try_element_at("_a", i + 2).alias("w2"),
-        ),
-    )
-    pairs = (
-        docs.select("_id", F.explode(big).alias("_p"))
-        .select("_id", F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
-        .filter(F.col("w2").isNotNull())
-    )
+    pairs = _bigram_pairs(df, text_col, id_col)
     c2 = pairs.groupBy("w1", "w2").agg(F.count("*").alias("_c2"))
     c1 = pairs.groupBy("w1").agg(F.count("*").alias("_c1"))
     # V = distinct real tokens: every token occurrence appears as w2
@@ -204,6 +214,53 @@ def bigram_lm_score(
     return (
         pairs.join(c2, ["w1", "w2"])
         .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab_n))
+        .groupBy(F.col("_id").alias(id_col))
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(logp), 6).alias("avg_logprob"),
+        )
+    )
+
+
+def bigram_lm_score_frozen(
+    docs: DataFrame,
+    model: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: float = 1.0,
+) -> DataFrame:
+    """Score ``docs`` under a bigram LM trained on a SEPARATE reference
+    corpus ``model`` — the actual CCNet deployment shape (Wenzek et al.
+    2020: the KenLM model is trained on Wikipedia, then scores the
+    crawl). Unlike :func:`bigram_lm_score` (self-trained, inner joins),
+    the crawl contains bigrams and contexts the model never saw, so the
+    count joins are LEFT with ``C = 0`` fallbacks and add-k smoothing
+    supplies the floor probability: an unseen bigram under a seen context
+    scores ``k / (C(w1) + k·V)``; a wholly unseen context scores
+    ``1 / V``. V = the MODEL's vocabulary (distinct right-hand tokens),
+    exactly the self-trained definition.
+
+    Scale: identical to the self-trained scorer — the model-side count
+    tables are Zipf-truncated (token-pair, count) rows joined to the
+    crawl's bigram stream by key (broadcast when the reference corpus is
+    small — the usual case — else shuffled, Catalyst's size-based
+    choice); V rides a one-row broadcast. Same float posture: exact
+    integer ratios into ``ln``, average rounded to 6.
+    Returns ``(id, n_bigrams, avg_logprob)``.
+    """
+    mp = _bigram_pairs(model, text_col, id_col)
+    c2 = mp.groupBy("w1", "w2").agg(F.count("*").alias("_c2"))
+    c1 = mp.groupBy("w1").agg(F.count("*").alias("_c1"))
+    vocab_n = mp.select("w2").distinct().agg(F.count("*").alias("_v"))
+    dp = _bigram_pairs(docs, text_col, id_col)
+    logp = F.log(
+        (F.coalesce(F.col("_c2"), F.lit(0)) + F.lit(float(k)))
+        / (F.coalesce(F.col("_c1"), F.lit(0)) + F.lit(float(k)) * F.col("_v"))
+    )
+    return (
+        dp.join(c2, ["w1", "w2"], "left")
+        .join(c1, "w1", "left")
         .crossJoin(F.broadcast(vocab_n))
         .groupBy(F.col("_id").alias(id_col))
         .agg(

@@ -368,6 +368,7 @@ _SWEEP_PRIORITY = [
     "curation_audit",
     "temperature_mixture_rates",
     "temperature_mixture_sample",
+    "bigram_lm_score_frozen",
 ]
 
 
@@ -4240,6 +4241,61 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly (same float posture as lm_score)."""
     docs = _t(spark, sf_dir, "documents")
     return corpus_ops.bigram_lm_score(docs, "text", "doc_id", k=1.0)
+
+
+@_register(
+    "bigram_lm_score_frozen",
+    f"""
+    WITH mdocs AS (
+      SELECT doc_id,
+             list_prepend('<s>', list_filter(
+               string_split({_NORM}, ' '), x -> x <> '')) AS a
+      FROM documents WHERE doc_id % 7 = 0
+    ),
+    mpairs AS (
+      SELECT a[i] AS w1, a[i + 1] AS w2
+      FROM mdocs, unnest(generate_series(1, len(a) - 1)) AS t(i)
+      WHERE len(a) >= 2
+    ),
+    c2 AS (SELECT w1, w2, count(*) AS c2 FROM mpairs GROUP BY w1, w2),
+    c1 AS (SELECT w1, count(*) AS c1 FROM mpairs GROUP BY w1),
+    v AS (SELECT count(DISTINCT w2) AS v FROM mpairs),
+    ddocs AS (
+      SELECT doc_id,
+             list_prepend('<s>', list_filter(
+               string_split({_NORM}, ' '), x -> x <> '')) AS a
+      FROM documents WHERE doc_id % 7 <> 0
+    ),
+    dpairs AS (
+      SELECT doc_id, a[i] AS w1, a[i + 1] AS w2
+      FROM ddocs, unnest(generate_series(1, len(a) - 1)) AS t(i)
+      WHERE len(a) >= 2
+    )
+    SELECT p.doc_id,
+           count(*) AS n_bigrams,
+           round(avg(ln((coalesce(c2.c2, 0) + 1.0)
+                        / (coalesce(c1.c1, 0) + 1.0 * (SELECT v FROM v)))),
+                 6) AS avg_logprob
+    FROM dpairs p
+    LEFT JOIN c2 ON c2.w1 = p.w1 AND c2.w2 = p.w2
+    LEFT JOIN c1 ON c1.w1 = p.w1
+    GROUP BY p.doc_id
+    """,
+)
+def bigram_lm_score_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet DEPLOYMENT shape (operators.corpus.bigram_lm_score_frozen):
+    a bigram LM trained on a frozen reference slice (doc_id % 7 == 0
+    plays the clean Wikipedia corpus) scores the REST of the corpus —
+    left joins with C=0 fallbacks, so unseen bigrams/contexts get the
+    add-1 smoothing floor (k/(C(w1)+kV), wholly-unseen context 1/V)
+    instead of being undefined. DuckDB replays the frozen counts, both
+    fallback branches, and the ln/avg exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    model = docs.filter(F.col("doc_id") % 7 == 0)
+    crawl = docs.filter(F.col("doc_id") % 7 != 0)
+    return corpus_ops.bigram_lm_score_frozen(
+        crawl, model, "text", "doc_id", k=1.0
+    )
 
 
 @_register(

@@ -105,3 +105,47 @@ def test_bigram_lm_score_matches_hand_computation(spark):
 
     # repeated-order doc scores higher than the one with the novel token
     assert got[1][1] > got[2][1]
+
+
+def test_bigram_lm_score_frozen_fallback_branches(spark):
+    """The frozen-model scorer's two C=0 branches, hand-computed: a crawl
+    bigram with a SEEN context but unseen continuation scores
+    (0+1)/(C(w1)+V); a wholly UNSEEN context scores (0+1)/(0+V) = 1/V.
+    Model-seen bigrams score exactly as the self-trained form would."""
+    import math
+    from collections import Counter
+
+    from learn_hbase_spark.operators.corpus import bigram_lm_score_frozen
+
+    model = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")], "doc_id long, text string"
+    )
+    crawl = spark.createDataFrame(
+        [
+            (10, "a b"),    # every bigram model-seen
+            (11, "a z"),    # seen context 'a', unseen continuation 'z'
+            (12, "q r"),    # wholly unseen context 'q' (and '<s> q')
+        ],
+        "doc_id long, text string",
+    )
+
+    seqs = [["<s>", "a", "b", "a", "b"], ["<s>", "a", "b", "c"]]
+    pairs = [(s[j], s[j + 1]) for s in seqs for j in range(len(s) - 1)]
+    c2, c1 = Counter(pairs), Counter(p[0] for p in pairs)
+    V = len({p[1] for p in pairs})
+
+    def lp(w1, w2):
+        return math.log((c2[(w1, w2)] + 1) / (c1[w1] + V))
+
+    expect = {
+        10: round((lp("<s>", "a") + lp("a", "b")) / 2, 6),
+        11: round((lp("<s>", "a") + lp("a", "z")) / 2, 6),
+        12: round((lp("<s>", "q") + lp("q", "r")) / 2, 6),
+    }
+    assert math.isclose(lp("q", "r"), math.log(1 / V))
+
+    got = {r["doc_id"]: r["avg_logprob"]
+           for r in bigram_lm_score_frozen(crawl, model).collect()}
+    assert got == expect
+    # in-model word order scores best; unseen tokens progressively worse
+    assert got[10] > got[11] > got[12]

@@ -41,6 +41,8 @@ NESTED_LOOP_ALLOWED: dict[str, str] = {
     # class as pagerank's dangling-mass scalar; build side is a single
     # aggregate row at any corpus size.
     "bigram_lm_score": "one-row broadcast cross join (vocab-size scalar)",
+    # Same one-row vocab-size scalar, frozen-model variant.
+    "bigram_lm_score_frozen": "one-row broadcast cross join (vocab-size scalar)",
     # Scalar-aggregate threshold: the build side is the ONE-ROW avg frame,
     # so the "nested loop" is a broadcast compare per row — O(N), exactly
     # how Catalyst itself plans scalar subqueries.
