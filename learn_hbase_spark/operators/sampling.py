@@ -236,3 +236,49 @@ def temperature_sample(
         .filter(h < F.lower(thr))
         .drop("stratum", "n", "rate")
     )
+
+
+def cluster_safe_split(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    train: float = 0.8,
+    val: float = 0.1,
+    split_col: str = "split",
+    cluster_out: str | None = None,
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: split at NEAR-DUP-CLUSTER
+    granularity — the split hash keys on the cluster id, so every member
+    of a cluster lands in the same split. A doc-level :func:`hash_split`
+    silently leaks: a test document whose near-duplicate sits in train is
+    memorization measured as generalization. Feed ``clusters`` from any
+    clustering the pipeline already ran (MinHash-LSH + connected
+    components, SemDeDup cells, entity resolution) — ``(id, cluster_id)``
+    rows; ids absent from ``clusters`` are their own singleton cluster
+    (split by their own id — identical to doc-level hashing, which is
+    leakage-safe for docs with no known duplicates by definition).
+
+    Scale: one equi join of the corpus against the (id, cluster) frame —
+    key-sized build side, broadcast or shuffled by size — then the same
+    pure-projection hash assignment as :func:`hash_split`; fractions
+    apportion CLUSTERS, so split sizes track fractions only as closely as
+    the cluster-size distribution allows (a giant cluster moves whole).
+    ``cluster_out`` optionally emits the effective split key (the cluster
+    id, or the doc's own id for singletons) under that column name."""
+    cl = clusters.select(
+        F.col(id_col).alias("_cid"), F.col(cluster_col).alias("_cluster")
+    )
+    keyed = df.join(cl, df[id_col] == F.col("_cid"), "left").withColumn(
+        "_skey", F.coalesce(F.col("_cluster"), F.col(id_col))
+    )
+    h = hash_hex(F.col("_skey").cast("string"))
+    out = keyed.withColumn(
+        split_col,
+        F.when(h < threshold(train), "train")
+        .when(h < threshold(train + val), "val")
+        .otherwise("test"),
+    )
+    if cluster_out is not None:
+        out = out.withColumn(cluster_out, F.col("_skey"))
+    return out.drop("_cid", "_cluster", "_skey")

@@ -369,6 +369,7 @@ _SWEEP_PRIORITY = [
     "temperature_mixture_rates",
     "temperature_mixture_sample",
     "bigram_lm_score_frozen",
+    "leakage_safe_split",
 ]
 
 
@@ -2739,6 +2740,70 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.connected_components(
         docs.select("doc_id"), pairs, node_col="doc_id"
     )
+
+
+@_register(
+    "leakage_safe_split",
+    f"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, unnest({_SHINGLES}) AS s FROM documents
+    ),
+    sig AS (
+      SELECT doc_id,
+        {", ".join(f"min(substr(md5(s || '#{i // 4}'), {1 + 8 * (i % 4)}, 8)) AS mh_{i}" for i in range(8))}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, md5('0' || '|' || mh_0 || '|' || mh_1) AS bk FROM sig
+      UNION ALL
+      SELECT doc_id, md5('1' || '|' || mh_2 || '|' || mh_3) AS bk FROM sig
+      UNION ALL
+      SELECT doc_id, md5('2' || '|' || mh_4 || '|' || mh_5) AS bk FROM sig
+      UNION ALL
+      SELECT doc_id, md5('3' || '|' || mh_6 || '|' || mh_7) AS bk FROM sig
+    ),
+    edges AS (
+      SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+      FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id <> b.doc_id
+    ),
+    cc(u, comp) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.v, c.comp FROM cc c JOIN edges e ON e.u = c.u
+    ),
+    clusters AS (
+      SELECT u AS doc_id, min(comp) AS cluster_id FROM cc GROUP BY u
+    )
+    SELECT doc_id, cluster_id,
+           CASE WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 4)
+                     < 'cccc' THEN 'train'
+                WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 4)
+                     < 'e666' THEN 'val'
+                ELSE 'test' END AS split
+    FROM clusters
+    """,
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe 80/10/10 train/val/test assignment
+    (operators.sampling.cluster_safe_split): the split hash keys on the
+    NEAR-DUP CLUSTER id (MinHash-LSH pairs closed under connectivity),
+    so a document and its near-duplicates can never straddle splits —
+    the contamination a doc-level hash split admits (a test doc whose
+    near-dup sits in train is memorization measured as generalization).
+    The oracle replays clustering (recursive CTE over the identical
+    md5-derived edge set) and the cluster-keyed hash thresholds
+    (0.8·2¹⁶ = 'cccc', 0.9·2¹⁶ = 'e666') exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_bucket_pairs(
+        docs, "text", "doc_id", num_hashes=8, bands=4
+    )
+    clusters = graph.connected_components(
+        docs.select("doc_id"), pairs, node_col="doc_id"
+    )
+    return sampling.cluster_safe_split(
+        docs.select("doc_id"), clusters, id_col="doc_id",
+        train=0.8, val=0.1, cluster_out="cluster_id",
+    ).select("doc_id", "cluster_id", "split")
 
 
 @_register(

@@ -250,3 +250,34 @@ def test_temperature_rates_laws(spark):
     for s in ("big", "mid", "small"):
         exp = tempered[s]["n"] * tempered[s]["rate"]
         assert abs(by_src.get(s, 0) - exp) < 4 * (exp ** 0.5) + 3
+
+
+def test_cluster_safe_split_never_leaks_near_dups(spark):
+    """The defining guarantee: every member of a cluster lands in the
+    SAME split; singletons (absent from the cluster frame) split by
+    their own id — bit-identical to hash_split for them."""
+    from learn_hbase_spark.operators.sampling import (
+        cluster_safe_split,
+        hash_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(200)], "doc_id long"
+    )
+    # clusters: {0..9} -> 0, {10..14} -> 10; everything else singleton
+    cl_rows = [(i, 0) for i in range(10)] + [(i, 10) for i in range(10, 15)]
+    clusters = spark.createDataFrame(cl_rows, "doc_id long, cluster_id long")
+
+    out = {r["doc_id"]: r["split"]
+           for r in cluster_safe_split(docs, clusters).collect()}
+    assert len({out[i] for i in range(10)}) == 1
+    assert len({out[i] for i in range(10, 15)}) == 1
+    # singletons match plain doc-level hashing exactly
+    plain = {r["doc_id"]: r["split"]
+             for r in hash_split(docs, "doc_id").collect()}
+    for i in range(15, 200):
+        assert out[i] == plain[i]
+    # all three splits realized at ~80/10/10 over 200 ids
+    from collections import Counter
+    c = Counter(out.values())
+    assert c["train"] > c["val"] > 0 and c["test"] > 0
