@@ -61,6 +61,13 @@ CASES = [
     "semantic_pairs_seeded",
     "bpe_pair_counts_round1",
     "bigram_lm_score",
+    # round 8: frozen-model LM scoring (left-join + float avg order risk),
+    # cluster-keyed splitting (CC round/order risk upstream), tempered
+    # rates (Z-sum order risk), file-corpus dedup (min-winner order risk)
+    "bigram_lm_score_frozen",
+    "leakage_safe_split",
+    "temperature_mixture_rates",
+    "file_corpus_dedup",
 ]
 
 
