@@ -32,7 +32,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL twin for each query (omitted only for
-    non-SQL-expressible ops: simhash — hash family has no DuckDB twin;
-    ann_lsh_topk — approximate by design, recall-tested in pytest)."""
+    """DuckDB-runnable ANSI SQL twin for each query. Omitted only for the
+    declared rows-only tail (float fixpoints, learned iterative loops,
+    engine sketch bytes, the xxhash64 hash family) — each of those
+    carries a pinned pytest reference check and, where one exists, an
+    exact oracle twin of its deterministic stage."""
     return _q.oracle_sql()
