@@ -268,3 +268,203 @@ def bigram_lm_score_frozen(
             F.round(F.avg(logp), 6).alias("avg_logprob"),
         )
     )
+
+
+def hashed_gram_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Hashed n-gram featurization (Xie et al. 2023 "DSIR" §3; also the
+    fastText feature map, Joulin et al. 2017): every unigram and adjacent
+    word bigram of the normalized text hashes into one of ``buckets``
+    integer feature ids. Returns one ``(id, bucket)`` row per gram
+    OCCURRENCE (a bag, not a set — downstream counts are frequencies).
+
+    The hash is the md5-hex family shared with the sampling/simhash
+    operators (first 6 hex chars parsed base-16, mod ``buckets``) so a
+    DuckDB oracle reproduces bucket ids bit-for-bit; tokenization is
+    :func:`~learn_hbase_spark.operators.dedup.normalize_text` + split,
+    identical to every other corpus operator.
+
+    Scale: pure scan → explode projection, no shuffle here; the bucket
+    space bounds every downstream aggregate at ``buckets`` rows no matter
+    the corpus size — that is the entire point of hashed features at
+    100 TB (vocabulary-sized state would be unbounded; bucket state is a
+    constant ~10k rows).
+    """
+    arr = F.filter(
+        F.split(normalize_text(F.col(text_col)), " "), lambda w: w != ""
+    )
+    docs = df.select(F.col(id_col).alias("_id"), arr.alias("_a"))
+    uni = docs.filter(F.size("_a") >= 1).select(
+        "_id", F.explode("_a").alias("_g")
+    )
+    # size>=2 guard BEFORE sequence(): Spark's sequence(1, 0) infers a
+    # descending step and yields [1, 0] instead of the empty array
+    bi_arr = F.transform(
+        F.sequence(F.lit(1), F.size("_a") - 1),
+        lambda i: F.concat_ws(
+            " ", F.try_element_at("_a", i), F.try_element_at("_a", i + 1)
+        ),
+    )
+    bi = docs.filter(F.size("_a") >= 2).select(
+        "_id", F.explode(bi_arr).alias("_g")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("_g")), 1, 6), 16, 10).cast("long")
+        % F.lit(int(buckets))
+    )
+    return uni.unionByName(bi).select(
+        F.col("_id").alias(id_col), bucket.alias("bucket")
+    )
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 10_000,
+    k: float = 1.0,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): fit bag-of-hashed-ngram
+    unigram distributions over the ``target`` domain (the corpus you WANT
+    more of — e.g. Wikipedia) and the ``raw`` pool (the crawl), then
+    weight every raw document by its log importance ratio
+
+        log w(z) = sum_g [ ln p_target(bucket(g)) - ln p_raw(bucket(g)) ]
+
+    summed over the document's gram occurrences, with add-``k`` smoothing
+    ``(c_j + k) / (N + k * buckets)`` on both distributions so
+    target-unseen buckets get a floor instead of -inf. High-weight
+    documents look like the target domain; resampling by this weight
+    (:func:`dsir_select`) is the published recipe for pretraining-data
+    selection toward a domain.
+
+    Scale: the two distribution fits are partial-aggregable counts keyed
+    on the bucket id — state bounded at ``buckets`` rows each regardless
+    of corpus size. The per-bucket log-ratio table (<= ``buckets`` rows)
+    broadcasts to the raw gram stream; the only other shuffle is the
+    per-doc sum. Totals ride one-row broadcast cross joins (the
+    allowlisted bounded-NLJ class). Returns ``(id, n_grams,
+    log_weight)``; sum rounded to 6 (identical integer counts feed ln in
+    both engines; summation ulps ~1e-12 against the 1e-6 grid).
+    """
+    tg = hashed_gram_buckets(target, text_col, id_col, buckets)
+    rg = hashed_gram_buckets(raw, text_col, id_col, buckets)
+    tc = tg.groupBy("bucket").agg(F.count("*").alias("_tc"))
+    rc = rg.groupBy("bucket").agg(F.count("*").alias("_rc"))
+    tn = tg.agg(F.count("*").alias("_tn"))
+    rn = rg.agg(F.count("*").alias("_rn"))
+    kk = F.lit(float(k))
+    kb = F.lit(float(k) * buckets)
+    # every scored bucket exists in rc (the scored docs ARE the raw fit
+    # corpus), so rc is the spine and only the target side needs a
+    # missing-bucket fallback
+    ratios = (
+        rc.join(tc, "bucket", "left")
+        .crossJoin(F.broadcast(tn))
+        .crossJoin(F.broadcast(rn))
+        .select(
+            "bucket",
+            (
+                F.log((F.coalesce(F.col("_tc"), F.lit(0)) + kk) / (F.col("_tn") + kb))
+                - F.log((F.col("_rc") + kk) / (F.col("_rn") + kb))
+            ).alias("_lr"),
+        )
+    )
+    return (
+        rg.join(F.broadcast(ratios), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.round(F.sum("_lr"), 6).alias("log_weight"),
+        )
+    )
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 10_000,
+    k: float = 1.0,
+    keep_frac: float = 0.25,
+) -> DataFrame:
+    """The DSIR selection step: keep the top ``keep_frac`` of the raw
+    pool by importance weight. The paper resamples with Gumbel noise;
+    this takes the deterministic top-quantile variant (the noise-free
+    limit) so the selection is engine-replayable — the threshold is the
+    ``1 - keep_frac`` quantile of the rounded weights, rounded to 4
+    (the ``quality_band_sample`` cross-engine posture: both engines
+    interpolate the same rounded-6 scores, so every keep/drop call
+    agrees). Threshold comparison is ``>=``, so ties at the boundary are
+    kept — the conservative (keep-more) direction.
+
+    Scale: :func:`dsir_weights` plus one grouped-aggregate quantile over
+    (weight) scalars and a one-row threshold broadcast — no new
+    corpus-sized state.
+    """
+    w = dsir_weights(raw, target, text_col, id_col, buckets, k)
+    thr = w.agg(
+        F.round(
+            F.expr(f"percentile(log_weight, {1.0 - keep_frac})"), 4
+        ).alias("_thr")
+    )
+    return (
+        w.crossJoin(F.broadcast(thr))
+        .filter(F.col("log_weight") >= F.col("_thr"))
+        .select(id_col, "n_grams", "log_weight")
+    )
+
+
+def hashed_classifier_score(
+    df: DataFrame,
+    weights: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 10_000,
+    bias: float = 0.0,
+) -> DataFrame:
+    """Frozen linear text classifier over hashed n-gram features — the
+    fastText deployment shape (Joulin et al. 2017) used as the
+    "quality classifier" stage of GPT-3/LLaMA-style pipelines (Brown
+    et al. 2020 §A: a classifier trained on a curated-vs-crawl
+    distinction scores every crawl document): the model ships as a
+    ``(bucket, wt)`` weight table, inference is a broadcast join of the
+    gram stream against it, score = mean feature weight (fastText's
+    mean-of-embeddings with dim=1), prob = sigmoid(bias + score).
+
+    ``weights`` is ANY ``(bucket, wt)`` table — the real deployment
+    imports trained weights; tests and the registered query feed a
+    deterministic pseudo-table. Buckets absent from the table weigh 0
+    (an untrained hash bucket is exactly "no evidence"). ``prob`` is
+    computed from the ROUNDED margin so both engines exponentiate
+    identical inputs.
+
+    Scale: the weight table is <= ``buckets`` rows — always broadcast;
+    the only shuffle is the per-doc mean. Inference over 100 TB is one
+    scan + map-side join + partial-aggregable average.
+    """
+    g = hashed_gram_buckets(df, text_col, id_col, buckets)
+    margin = F.round(F.avg(F.coalesce(F.col("wt"), F.lit(0.0))), 6)
+    return (
+        g.join(F.broadcast(weights), "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            margin.alias("margin"),
+        )
+        .withColumn(
+            "prob",
+            F.round(
+                F.lit(1.0)
+                / (F.lit(1.0) + F.exp(-(F.lit(float(bias)) + F.col("margin")))),
+                6,
+            ),
+        )
+    )

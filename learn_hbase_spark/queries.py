@@ -370,6 +370,9 @@ _SWEEP_PRIORITY = [
     "temperature_mixture_sample",
     "bigram_lm_score_frozen",
     "leakage_safe_split",
+    "dsir_weights",
+    "dsir_select",
+    "quality_classifier_score",
 ]
 
 
@@ -8461,4 +8464,173 @@ def winnow_match_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return dedup.winnow_match_pairs(
         docs, "text", "doc_id", k=4, w=5, min_shared=1, max_bucket=2
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling + frozen hashed quality classifier (round 8):
+# the two model-based data-selection shapes of modern pretraining pipelines
+# (Xie et al. 2023; Brown et al. 2020 §A / Joulin et al. 2017).
+# ---------------------------------------------------------------------------
+
+# shared featurization CTEs: hashed unigram+bigram gram streams of the
+# target (doc_id % 7 = 0, plays Wikipedia) and raw (the rest) slices —
+# bucket = first 6 md5 hex chars parsed base-16 mod 10000, the exact
+# md5-hex family of operators.corpus.hashed_gram_buckets
+_DSIR_GRAMS = f"""
+    tdocs AS (
+      SELECT doc_id, list_filter(string_split({{norm}}, ' '), x -> x <> '') AS a
+      FROM documents WHERE doc_id % 7 = 0
+    ),
+    rdocs AS (
+      SELECT doc_id, list_filter(string_split({{norm}}, ' '), x -> x <> '') AS a
+      FROM documents WHERE doc_id % 7 <> 0
+    ),
+    tgram AS (
+      SELECT CAST(('0x' || substr(md5(g), 1, 6)) AS BIGINT) % 10000 AS bucket
+      FROM (
+        SELECT unnest(a) AS g FROM tdocs
+        UNION ALL
+        SELECT a[i] || ' ' || a[i + 1] AS g
+        FROM tdocs, unnest(generate_series(1, len(a) - 1)) AS t(i)
+        WHERE len(a) >= 2
+      )
+    ),
+    rgram AS (
+      SELECT doc_id, CAST(('0x' || substr(md5(g), 1, 6)) AS BIGINT) % 10000 AS bucket
+      FROM (
+        SELECT doc_id, unnest(a) AS g FROM rdocs
+        UNION ALL
+        SELECT doc_id, a[i] || ' ' || a[i + 1] AS g
+        FROM rdocs, unnest(generate_series(1, len(a) - 1)) AS t(i)
+        WHERE len(a) >= 2
+      )
+    ),
+    tc AS (SELECT bucket, count(*) AS tc FROM tgram GROUP BY bucket),
+    rc AS (SELECT bucket, count(*) AS rc FROM rgram GROUP BY bucket),
+    tn AS (SELECT count(*) AS tn FROM tgram),
+    rn AS (SELECT count(*) AS rn FROM rgram),
+    wts AS (
+      SELECT g.doc_id, count(*) AS n_grams,
+             round(sum(ln((coalesce(tc.tc, 0) + 1.0)
+                          / ((SELECT tn FROM tn) + 1.0 * 10000))
+                     - ln((rc.rc + 1.0)
+                          / ((SELECT rn FROM rn) + 1.0 * 10000))), 6)
+               AS log_weight
+      FROM rgram g
+      LEFT JOIN tc USING (bucket)
+      JOIN rc USING (bucket)
+      GROUP BY g.doc_id
+    )
+""".format(norm=_NORM)
+
+
+@_register(
+    "dsir_weights",
+    f"""
+    WITH {_DSIR_GRAMS}
+    SELECT doc_id, n_grams, log_weight FROM wts
+    """,
+)
+def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023,
+    operators.corpus.dsir_weights): bag-of-hashed-ngram unigram
+    distributions are fit over the target slice (doc_id % 7 == 0 plays
+    the clean Wikipedia corpus) and the raw pool, and every raw document
+    gets its summed log importance ratio under add-1 smoothing — the
+    published recipe for steering pretraining data toward a domain.
+    Hashed buckets bound all distribution state at 10k rows regardless of
+    corpus size; DuckDB replays the md5 bucketing, both smoothed
+    distributions, and the ln/sum exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("doc_id") % 7 == 0)
+    raw = docs.filter(F.col("doc_id") % 7 != 0)
+    return corpus_ops.dsir_weights(raw, target, "text", "doc_id", 10_000, 1.0)
+
+
+@_register(
+    "dsir_select",
+    f"""
+    WITH {_DSIR_GRAMS},
+    thr AS (SELECT round(quantile_cont(log_weight, 0.75), 4) AS t FROM wts)
+    SELECT doc_id, n_grams, log_weight FROM wts
+    WHERE log_weight >= (SELECT t FROM thr)
+    """,
+)
+def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DSIR selection step (operators.corpus.dsir_select): keep the
+    top 25% of the raw pool by importance weight — the deterministic
+    noise-free limit of the paper's Gumbel resampling, so both engines
+    make identical keep/drop calls (threshold = 0.75 quantile of the
+    rounded-6 weights, rounded to 4; >= keeps boundary ties — the
+    quality_band_sample posture). Spark `percentile` == DuckDB
+    `quantile_cont` on the same rounded inputs."""
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("doc_id") % 7 == 0)
+    raw = docs.filter(F.col("doc_id") % 7 != 0)
+    return corpus_ops.dsir_select(
+        raw, target, "text", "doc_id", 10_000, 1.0, keep_frac=0.25
+    )
+
+
+@_register(
+    "quality_classifier_score",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, list_filter(string_split({_NORM}, ' '), x -> x <> '') AS a
+      FROM documents
+    ),
+    gram AS (
+      SELECT doc_id, CAST(('0x' || substr(md5(g), 1, 6)) AS BIGINT) % 10000 AS bucket
+      FROM (
+        SELECT doc_id, unnest(a) AS g FROM docs
+        UNION ALL
+        SELECT doc_id, a[i] || ' ' || a[i + 1] AS g
+        FROM docs, unnest(generate_series(1, len(a) - 1)) AS t(i)
+        WHERE len(a) >= 2
+      )
+    ),
+    w AS (
+      SELECT j AS bucket,
+             (CAST(('0x' || substr(md5('w:' || CAST(j AS VARCHAR)), 1, 4)) AS INT)
+              - 32768) / 32768.0 AS wt
+      FROM generate_series(0, 9999) AS t(j)
+    ),
+    per AS (
+      SELECT g.doc_id, count(*) AS n_grams,
+             round(avg(coalesce(w.wt, 0.0)), 6) AS margin
+      FROM gram g LEFT JOIN w USING (bucket) GROUP BY g.doc_id
+    )
+    SELECT doc_id, n_grams, margin,
+           round(1.0 / (1.0 + exp(-(0.0 + margin))), 6) AS prob
+    FROM per
+    """,
+)
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frozen linear quality classifier over hashed n-gram features
+    (operators.corpus.hashed_classifier_score) — the fastText deployment
+    shape of the GPT-3/LLaMA "quality classifier" filter: the model is a
+    (bucket, weight) table broadcast to the gram stream, score = mean
+    feature weight, prob = sigmoid. The weight table here is a
+    deterministic pseudo-model derived from md5(bucket id) — it stands in
+    for trained fastText weights, which is exactly how a real deployment
+    feeds this operator (an imported weight table; the operator never
+    trains). prob is computed from the ROUNDED margin so both engines
+    exponentiate identical inputs."""
+    docs = _t(spark, sf_dir, "documents")
+    wt = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("w:"), F.col("id").cast("string"))), 1, 4
+            ),
+            16,
+            10,
+        ).cast("long")
+        - 32768
+    ) / F.lit(32768.0)
+    weights = spark.range(10_000).select(
+        F.col("id").alias("bucket"), wt.alias("wt")
+    )
+    return corpus_ops.hashed_classifier_score(
+        docs, weights, "text", "doc_id", 10_000, bias=0.0
     )

@@ -149,3 +149,133 @@ def test_bigram_lm_score_frozen_fallback_branches(spark):
     assert got == expect
     # in-model word order scores best; unseen tokens progressively worse
     assert got[10] > got[11] > got[12]
+
+
+def _bucket(gram: str, buckets: int) -> int:
+    import hashlib
+
+    return int(hashlib.md5(gram.encode()).hexdigest()[:6], 16) % buckets
+
+
+def test_hashed_gram_buckets_feature_set(spark):
+    """'a b c' yields 3 unigrams + 2 bigrams; a single-token doc yields
+    only its unigram; an empty doc yields nothing — and every bucket id
+    matches the md5-hex family replicated in pure Python."""
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "x"), (3, "")], "doc_id long, text string"
+    )
+    rows = corpus_ops.hashed_gram_buckets(df, buckets=64).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["doc_id"], []).append(r["bucket"])
+    assert sorted(got[1]) == sorted(
+        _bucket(g, 64) for g in ["a", "b", "c", "a b", "b c"]
+    )
+    assert got[2] == [_bucket("x", 64)]
+    assert 3 not in got
+
+
+def test_dsir_weights_hand_computation(spark):
+    """Tiny target/raw corpora, buckets=64: the summed log importance
+    ratio matches a pure-Python replay of the hashed distributions and
+    add-1 smoothing."""
+    import math
+    from collections import Counter
+
+    B = 64
+    target = {10: "alpha beta", 11: "alpha gamma alpha"}
+    raw = {1: "alpha beta", 2: "delta epsilon zeta", 3: "alpha"}
+
+    def grams(text):
+        w = text.split()
+        return w + [f"{a} {b}" for a, b in zip(w, w[1:])]
+
+    tcnt = Counter(_bucket(g, B) for t in target.values() for g in grams(t))
+    rcnt = Counter(_bucket(g, B) for t in raw.values() for g in grams(t))
+    tn, rn = sum(tcnt.values()), sum(rcnt.values())
+    expect = {}
+    for i, t in raw.items():
+        gs = [_bucket(g, B) for g in grams(t)]
+        lw = sum(
+            math.log((tcnt[b] + 1.0) / (tn + B))
+            - math.log((rcnt[b] + 1.0) / (rn + B))
+            for b in gs
+        )
+        expect[i] = (len(gs), round(lw, 6))
+
+    tdf = spark.createDataFrame(list(target.items()), "doc_id long, text string")
+    rdf = spark.createDataFrame(list(raw.items()), "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_grams"], r["log_weight"])
+        for r in corpus_ops.dsir_weights(rdf, tdf, buckets=B).collect()
+    }
+    assert got == expect
+    # the raw doc that IS a target doc outscores the disjoint-vocab one
+    assert got[1][1] > got[2][1]
+
+
+def test_dsir_select_top_quantile(spark):
+    """Selection keeps exactly the weights at or above the rounded 1-q
+    quantile: every kept weight >= every dropped weight, and the target
+    doc's twin survives while the disjoint-vocab doc does not."""
+    target = [(10, "alpha beta gamma")]
+    raw = [
+        (1, "alpha beta gamma"),
+        (2, "delta epsilon zeta eta"),
+        (3, "alpha beta"),
+        (4, "theta iota kappa"),
+    ]
+    tdf = spark.createDataFrame(target, "doc_id long, text string")
+    rdf = spark.createDataFrame(raw, "doc_id long, text string")
+    all_w = {
+        r["doc_id"]: r["log_weight"]
+        for r in corpus_ops.dsir_weights(rdf, tdf, buckets=64).collect()
+    }
+    kept = {
+        r["doc_id"]: r["log_weight"]
+        for r in corpus_ops.dsir_select(
+            rdf, tdf, buckets=64, keep_frac=0.25
+        ).collect()
+    }
+    assert kept  # threshold is a quantile of the weights — never empty
+    assert set(kept) <= set(all_w)
+    dropped = {i: w for i, w in all_w.items() if i not in kept}
+    assert min(kept.values()) >= max(dropped.values())
+    assert 1 in kept and 2 not in kept
+
+
+def test_hashed_classifier_score_hand(spark):
+    """Explicit 2-row weight table, buckets=4: margin is the mean of
+    looked-up weights with absent buckets weighing 0, prob is the
+    sigmoid of the ROUNDED margin."""
+    import math
+
+    B = 4
+    wtab = {0: 0.5, 1: -0.25, 2: 0.125, 3: -0.75}
+    texts = {1: "a b c", 2: "x"}
+    covered = {0, 1}  # table rows actually provided
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    weights = spark.createDataFrame(
+        [(b, wtab[b]) for b in sorted(covered)], "bucket long, wt double"
+    )
+
+    def grams(text):
+        w = text.split()
+        return w + [f"{a} {b}" for a, b in zip(w, w[1:])]
+
+    expect = {}
+    for i, t in texts.items():
+        ws = [
+            wtab[_bucket(g, B)] if _bucket(g, B) in covered else 0.0
+            for g in grams(t)
+        ]
+        margin = round(sum(ws) / len(ws), 6)
+        expect[i] = (len(ws), margin, round(1.0 / (1.0 + math.exp(-margin)), 6))
+
+    got = {
+        r["doc_id"]: (r["n_grams"], r["margin"], r["prob"])
+        for r in corpus_ops.hashed_classifier_score(
+            df, weights, buckets=B
+        ).collect()
+    }
+    assert got == expect

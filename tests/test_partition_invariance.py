@@ -68,6 +68,12 @@ CASES = [
     "leakage_safe_split",
     "temperature_mixture_rates",
     "file_corpus_dedup",
+    # round 8 late: DSIR weight sums (float sum-order risk), quantile
+    # selection (threshold interpolation risk), classifier mean
+    # (left-join + avg order risk)
+    "dsir_weights",
+    "dsir_select",
+    "quality_classifier_score",
 ]
 
 

@@ -81,6 +81,12 @@ NESTED_LOOP_ALLOWED: dict[str, str] = {
     # vocabulary; the corpus-sized application join is equi (hash).
     "temperature_mixture_rates": "one-row (N, Z) totals crossed into strata counts",
     "temperature_mixture_sample": "one-row (N, Z) totals crossed into strata counts",
+    # DSIR: the two one-row gram-total aggregates (target N, raw N) cross
+    # into the <=10k-row bucket-ratio table — bounded build sides at any
+    # corpus size (the bucket space is the cap, that's the point of
+    # hashed features).
+    "dsir_weights": "one-row gram-total scalars crossed into bucket table",
+    "dsir_select": "one-row gram totals + one-row quantile threshold",
 }
 
 
