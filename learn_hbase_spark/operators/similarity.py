@@ -584,3 +584,57 @@ def within_cluster_pairs(
         .groupBy(cluster_col)
         .applyInPandas(_cell_pairs, "id_a long, id_b long, sim double")
     )
+
+
+def hard_negative_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    dup_threshold: float = 0.3,
+    floor: float = 0.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Contrastive hard-negative mining (the DPR / SimCSE training-data
+    prep step, Karpukhin et al. 2020 §4.2): for each anchor vector, the
+    top-k most similar corpus vectors that are NOT near-duplicates —
+    cosine strictly below ``dup_threshold`` (at or above it the pair is
+    a positive/duplicate, exactly the ``embedding_neardup_pairs`` band,
+    and training on it as a negative would be a false negative) and at
+    least ``floor`` (below that the negative is "easy" and carries no
+    gradient signal). Returns ``(query_id, neighbor_id, rank, sim)``.
+
+    Determinism: the similarity is ROUNDED to 6 before both band
+    comparisons and the ranking, so every engine makes identical
+    keep/drop and order calls (rank ties at equal rounded sim break by
+    ascending neighbor id).
+
+    Scale: same posture as :func:`cosine_topk` — the anchor side
+    broadcasts, dot products are JVM fold expressions, and the top-k is
+    a WindowGroupLimit per anchor. For corpus-sized anchor sets compose
+    the hyperplane-LSH or IVF prefilter first (the
+    ``embedding_neardup_lsh`` composition) so only bucket-mates score.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    scored = (
+        c.join(F.broadcast(q), how="cross")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", F.round(cosine(F.col("_qv"), F.col("_cv")), 6))
+        .filter(
+            (F.col("sim") >= F.lit(float(floor)))
+            & (F.col("sim") < F.lit(float(dup_threshold)))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )

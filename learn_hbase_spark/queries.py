@@ -373,6 +373,7 @@ _SWEEP_PRIORITY = [
     "dsir_weights",
     "dsir_select",
     "quality_classifier_score",
+    "hard_negative_topk",
 ]
 
 
@@ -8633,4 +8634,46 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return corpus_ops.hashed_classifier_score(
         docs, weights, "text", "doc_id", 10_000, bias=0.0
+    )
+
+
+@_register(
+    "hard_negative_topk",
+    """
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                    CAST(c.embedding AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(q.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                        CAST(c.embedding AS DOUBLE[])))),
+                   6) AS sim
+      FROM embeddings c, q
+      WHERE q.vec_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, rank, sim FROM (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id ASC) AS rank,
+             sim
+      FROM scored
+      WHERE sim >= 0.05 AND sim < 0.3
+    ) WHERE rank <= 5
+    """,
+)
+def hard_negative_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining
+    (operators.similarity.hard_negative_topk — DPR/SimCSE data prep):
+    per anchor (vec_id < 10), the top-5 most similar vectors in the
+    similar-but-NOT-near-duplicate band [0.05, 0.3) — above the band the
+    pair is a positive (the embedding_neardup threshold), below it the
+    negative is too easy to carry gradient. Rounded-6 similarity feeds
+    both band comparisons and the ranking so both engines make identical
+    calls; anchor side broadcast, JVM fold dot products."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    return similarity.hard_negative_topk(
+        q, emb, k=5, dup_threshold=0.3, floor=0.05
     )

@@ -699,3 +699,30 @@ def test_ngram_pair_caps_drop_hot_shingles(spark):
         assert (1, 2) in uncapped, fn.__name__
         assert not any(a <= 30 and b <= 30 for a, b in capped), fn.__name__
         assert (41, 42) in capped and (41, 42) in uncapped, fn.__name__
+
+
+def test_hard_negative_band_semantics(spark):
+    """Band edges pin the contract: a duplicate (sim 1.0) and a
+    boundary-exact sim 0.3 are excluded (strict <), sim 0.05 is kept
+    (>=), an easy negative below the floor is excluded, and rank ties
+    at equal rounded sim break by ascending neighbor id."""
+    import math
+
+    rows = [
+        (0, [1.0, 0.0]),                       # anchor
+        (1, [2.0, 0.0]),                       # dup: sim 1.0 -> out
+        (2, [0.3, math.sqrt(0.91)]),           # sim 0.3 exactly -> out (<)
+        (3, [0.2, math.sqrt(1 - 0.04)]),       # sim 0.2 -> kept
+        (4, [0.2, -math.sqrt(1 - 0.04)]),      # sim 0.2 tie -> kept, after 3
+        (5, [0.05, math.sqrt(1 - 0.0025)]),    # sim 0.05 boundary -> kept (>=)
+        (6, [0.01, math.sqrt(1 - 0.0001)]),    # below floor -> out
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") == 0)
+    got = [
+        (r["neighbor_id"], r["rank"], r["sim"])
+        for r in similarity.hard_negative_topk(
+            q, df, k=5, dup_threshold=0.3, floor=0.05
+        ).orderBy("rank").collect()
+    ]
+    assert got == [(3, 1, 0.2), (4, 2, 0.2), (5, 3, 0.05)]

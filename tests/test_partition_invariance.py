@@ -74,6 +74,8 @@ CASES = [
     "dsir_weights",
     "dsir_select",
     "quality_classifier_score",
+    # round 8 late II: rounded-sim band + rank (window order risk)
+    "hard_negative_topk",
 ]
 
 

@@ -87,6 +87,10 @@ NESTED_LOOP_ALLOWED: dict[str, str] = {
     # hashed features).
     "dsir_weights": "one-row gram-total scalars crossed into bucket table",
     "dsir_select": "one-row gram totals + one-row quantile threshold",
+    # Same bounded shape as ann_cosine_topk: the anchor set broadcasts,
+    # the corpus never shuffles; corpus-sized anchor sets compose the
+    # LSH/IVF prefilter first (documented in the operator).
+    "hard_negative_topk": "intentional bounded cross join (anchor set broadcast)",
 }
 
 
