@@ -282,3 +282,74 @@ def cluster_safe_split(
     if cluster_out is not None:
         out = out.withColumn(cluster_out, F.col("_skey"))
     return out.drop("_cid", "_cluster", "_skey")
+
+
+def unimax_rates(
+    df: DataFrame,
+    strata_col: str,
+    budget_frac: float = 0.5,
+    max_epochs: float = 2.0,
+) -> DataFrame:
+    """UniMax mixture allocation (Chung et al., ICLR 2023): distribute a
+    token/document budget across sources as UNIFORMLY as possible subject
+    to a per-source repetition cap — the principled successor to
+    temperature sampling (which over-repeats low-resource sources
+    unboundedly as alpha falls; UniMax caps every source at
+    ``max_epochs`` passes and waterfills the rest).
+
+    Closed-form waterfilling instead of the paper's sequential loop:
+    with sources sorted by ``cap_s = n_s * max_epochs`` ascending, every
+    source below the water level tau takes its full cap, every source
+    above takes tau, where ``sum_s min(cap_s, tau) = B`` and
+    ``B = floor(budget_frac * N)``. For each row the candidate level
+    assuming that row starts the uncapped suffix is
+    ``tau_i = (B - cum_caps_before_i) / (k - i + 1)``; candidates are
+    valid iff ``tau_i <= cap_i``, the valid rows always form a suffix
+    with decreasing candidates, so the true level is the MAX valid
+    candidate (no valid row means the whole corpus fits under its caps —
+    every source takes cap). Returns ``(stratum, n_docs, cap, alloc,
+    epochs)`` with ``epochs = alloc / n_s`` in ``[0, max_epochs]`` — the
+    per-source repetition factor a training-shard writer consumes.
+
+    Determinism: the running cap sum accumulates in the total order
+    ``(cap, stratum)``, identical in any engine, so every float is
+    bit-reproducible (outputs still round to 6). Scale: one
+    partial-aggregable count to |strata| rows, then windows over that
+    strata-sized frame (single-partition by construction — bounded by
+    the source vocabulary, never the corpus).
+    """
+    counts = df.groupBy(F.col(strata_col).alias("stratum")).agg(
+        F.count("*").alias("n_docs")
+    )
+    tots = counts.agg(
+        F.count("*").alias("_k"), F.sum("n_docs").alias("_N")
+    )
+    cap = F.col("n_docs") * F.lit(float(max_epochs))
+    order = Window.orderBy(cap.asc(), F.col("stratum").asc())
+    cumb = F.coalesce(
+        F.sum(cap).over(
+            order.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0.0),
+    )
+    b = F.floor(F.lit(float(budget_frac)) * F.col("_N")).cast("double")
+    idx = F.row_number().over(order)
+    tau_cand = (b - cumb) / (F.col("_k") - idx + 1)
+    frame = counts.crossJoin(F.broadcast(tots)).select(
+        "stratum",
+        "n_docs",
+        cap.alias("cap"),
+        tau_cand.alias("_tau_cand"),
+        (tau_cand <= cap).alias("_valid"),
+    )
+    tau = F.max(F.when(F.col("_valid"), F.col("_tau_cand"))).over(
+        Window.partitionBy()
+    )
+    alloc = F.least(F.col("cap"), F.coalesce(tau, F.col("cap")))
+    return frame.select(
+        "stratum",
+        "n_docs",
+        F.round("cap", 6).alias("cap"),
+        F.round(alloc, 6).alias("alloc"),
+        F.round(alloc / F.col("n_docs"), 6).alias("epochs"),
+    )

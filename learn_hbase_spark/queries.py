@@ -374,6 +374,7 @@ _SWEEP_PRIORITY = [
     "dsir_select",
     "quality_classifier_score",
     "hard_negative_topk",
+    "unimax_mixture_rates",
 ]
 
 
@@ -8676,4 +8677,55 @@ def hard_negative_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < 10)
     return similarity.hard_negative_topk(
         q, emb, k=5, dup_threshold=0.3, floor=0.05
+    )
+
+
+@_register(
+    "unimax_mixture_rates",
+    """
+    WITH counts AS (
+      SELECT source AS stratum, count(*) AS n_docs
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT count(*) AS k, sum(n_docs) AS nn FROM counts),
+    frame AS (
+      SELECT stratum, CAST(n_docs AS BIGINT) AS n_docs,
+             n_docs * 2.0 AS cap,
+             row_number() OVER (ORDER BY n_docs * 2.0 ASC, stratum ASC) AS idx,
+             coalesce(sum(n_docs * 2.0) OVER (
+                        ORDER BY n_docs * 2.0 ASC, stratum ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0.0) AS cumb,
+             (SELECT k FROM tot) AS k,
+             CAST(floor(0.5 * (SELECT nn FROM tot)) AS DOUBLE) AS b
+      FROM counts
+    ),
+    cand AS (
+      SELECT stratum, n_docs, cap,
+             (b - cumb) / (k - idx + 1) AS tau_cand,
+             ((b - cumb) / (k - idx + 1)) <= cap AS valid
+      FROM frame
+    ),
+    lvl AS (
+      SELECT *, max(CASE WHEN valid THEN tau_cand END) OVER () AS tau
+      FROM cand
+    )
+    SELECT stratum, n_docs, round(cap, 6) AS cap,
+           round(least(cap, coalesce(tau, cap)), 6) AS alloc,
+           round(least(cap, coalesce(tau, cap)) / n_docs, 6) AS epochs
+    FROM lvl
+    """,
+)
+def unimax_mixture_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax mixture allocation (operators.sampling.unimax_rates — Chung
+    et al. ICLR 2023): budget = half the corpus, repetition cap 2 epochs
+    per source; small sources take their full capped volume, large ones
+    split the waterfilled remainder. Closed-form level search instead of
+    the paper's loop: candidates over the cap-sorted strata frame, true
+    level = max valid candidate. Every float accumulates in the same
+    total order in both engines (running sum over ORDER BY cap,
+    stratum), so DuckDB replays the allocation bit-for-bit."""
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.unimax_rates(
+        docs, "source", budget_frac=0.5, max_epochs=2.0
     )

@@ -281,3 +281,43 @@ def test_cluster_safe_split_never_leaks_near_dups(spark):
     from collections import Counter
     c = Counter(out.values())
     assert c["train"] > c["val"] > 0 and c["test"] > 0
+
+
+def test_unimax_rates_waterfilling(spark):
+    """Closed-form level matches the hand-run waterfill: n=(10,100,1000),
+    E=2, budget=half of 1110 -> B=555: small sources take their full
+    2-epoch caps (20, 200), the big one takes the remaining 335."""
+    from learn_hbase_spark.operators.sampling import unimax_rates
+
+    rows = (
+        [(f"a{i}", "a") for i in range(10)]
+        + [(f"b{i}", "b") for i in range(100)]
+        + [(f"c{i}", "c") for i in range(1000)]
+    )
+    df = spark.createDataFrame(rows, "doc_id string, source string")
+    got = {
+        r["stratum"]: (r["n_docs"], r["cap"], r["alloc"], r["epochs"])
+        for r in unimax_rates(df, "source", 0.5, 2.0).collect()
+    }
+    assert got == {
+        "a": (10, 20.0, 20.0, 2.0),
+        "b": (100, 200.0, 200.0, 2.0),
+        "c": (1000, 2000.0, 335.0, 0.335),
+    }
+    # allocations exhaust the budget exactly
+    assert sum(v[2] for v in got.values()) == 555.0
+
+
+def test_unimax_rates_all_capped_when_budget_exceeds_caps(spark):
+    """budget > sum(caps): no valid level exists -> every source takes
+    its full cap (the corpus simply fits under the repetition limit)."""
+    from learn_hbase_spark.operators.sampling import unimax_rates
+
+    rows = [(f"a{i}", "a") for i in range(4)] + [(f"b{i}", "b") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id string, source string")
+    # E=1, budget_frac=2.0 -> B=20 > caps 4+6
+    got = {
+        r["stratum"]: (r["alloc"], r["epochs"])
+        for r in unimax_rates(df, "source", 2.0, 1.0).collect()
+    }
+    assert got == {"a": (4.0, 1.0), "b": (6.0, 1.0)}

@@ -74,8 +74,10 @@ CASES = [
     "dsir_weights",
     "dsir_select",
     "quality_classifier_score",
-    # round 8 late II: rounded-sim band + rank (window order risk)
+    # round 8 late II: rounded-sim band + rank (window order risk),
+    # waterfilling level search (running-sum order risk)
     "hard_negative_topk",
+    "unimax_mixture_rates",
 ]
 
 

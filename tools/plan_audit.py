@@ -91,6 +91,9 @@ NESTED_LOOP_ALLOWED: dict[str, str] = {
     # the corpus never shuffles; corpus-sized anchor sets compose the
     # LSH/IVF prefilter first (documented in the operator).
     "hard_negative_topk": "intentional bounded cross join (anchor set broadcast)",
+    # One-row (k, N) totals crossed into the |strata|-sized allocation
+    # frame — the temperature_mixture_rates class.
+    "unimax_mixture_rates": "one-row (k, N) totals crossed into strata frame",
 }
 
 
