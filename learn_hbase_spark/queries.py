@@ -195,6 +195,29 @@ _DRIVER_VERIFIED = [
     "semantic_decontaminate", "bpe_pair_counts", "bpe_pair_counts_round1",
     "bpe_apply_fixed", "substring_dup_spans", "winnow_fingerprints",
     "ngram_containment_pairs", "length_bucket_batching",
+    # round 8 (CORRECTNESS_r08.json: 46 green + 4 declared no_oracle; the
+    # sweep's green names in checked order — includes the 10 queries new or
+    # answer-changed in r8, which enter the verified list here for the
+    # first time: file_corpus_dedup, temperature_mixture_rates,
+    # temperature_mixture_sample, bigram_lm_score_frozen,
+    # leakage_safe_split, dsir_weights, dsir_select,
+    # quality_classifier_score, hard_negative_topk, unimax_mixture_rates)
+    "file_corpus_dedup", "curation_pipeline", "curation_audit",
+    "temperature_mixture_rates", "temperature_mixture_sample",
+    "bigram_lm_score_frozen", "leakage_safe_split", "dsir_weights",
+    "dsir_select", "quality_classifier_score", "hard_negative_topk",
+    "unimax_mixture_rates", "dedup_first_wins", "dedup_exact",
+    "minhash_signature", "minhash_lsh_pairs", "minhash_lsh_capped",
+    "ngram_jaccard_pairs", "neardup_clusters", "embedding_neardup",
+    "embedding_neardup_lsh", "simhash_hamming_pairs",
+    "simhash_fingerprints_md5", "hash_split", "vocab_topk",
+    "stratified_sample", "decontaminate", "tfidf_topk", "length_profile",
+    "column_profile", "multimodal_features", "multimodal_frame_plan",
+    "ann_cosine_topk", "kmeans_assign_iter1", "ann_lsh_topk",
+    "lsh_bucket_assign", "ivf_cell_assign", "chunk_documents",
+    "domain_mixture", "array_ops_surface", "lm_score", "bigram_lm_score",
+    "quality_band_sample", "source_overlap", "pagerank_iter1",
+    "line_dedup_boilerplate",
 ]
 
 def _keep_latest(names: list[str]) -> list[str]:
@@ -362,19 +385,17 @@ def _still_verified() -> tuple[str, ...]:
 # in r8) could wait a round behind answer-UNCHANGED queries whose
 # fingerprints moved only via a shared-module edit. Maintained per round;
 # stale names cost nothing (they sort first only while unverified).
-_SWEEP_PRIORITY = [
-    "file_corpus_dedup",
-    "curation_pipeline",
-    "curation_audit",
-    "temperature_mixture_rates",
-    "temperature_mixture_sample",
-    "bigram_lm_score_frozen",
-    "leakage_safe_split",
-    "dsir_weights",
-    "dsir_select",
-    "quality_classifier_score",
-    "hard_negative_topk",
-    "unimax_mixture_rates",
+_SWEEP_PRIORITY: list[str] = [
+    # round 9: new queries prepended as they are added this round; the
+    # tail is the 17 queries whose fingerprints moved under r8's module
+    # edits (winnow/BPE/semantic families) without an r8 sweep slot —
+    # the recorder kept them stale, so they re-verify first.
+    "semantic_dedup", "bpe_train_merges", "bpe_tokenize",
+    "winnow_match_pairs", "winnow_match_capped", "neardup_canonical",
+    "semantic_pairs_seeded", "graph_triangle_stats", "minhash_incremental",
+    "semantic_decontaminate", "bpe_pair_counts", "bpe_pair_counts_round1",
+    "bpe_apply_fixed", "substring_dup_spans", "winnow_fingerprints",
+    "ngram_containment_pairs", "length_bucket_batching",
 ]
 
 
