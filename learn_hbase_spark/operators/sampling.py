@@ -222,19 +222,26 @@ def temperature_sample(
     each row against its stratum's derived threshold (same stratum-salted
     hash primitive as :func:`stratified_sample`, same in-frame
     rate→hex-threshold bridge as :func:`mixture_sample`). The corpus never
-    shuffles — count aggregate broadcast onto a projection+filter."""
-    rates = temperature_rates(df, strata_col, alpha, target_frac)
+    shuffles — count aggregate broadcast onto a projection+filter.
+
+    The rates frame is re-aliased to underscore-prefixed internals
+    (``_stratum``/``_rate``, the :func:`mixture_sample` convention) before
+    the join, so an input that already carries a ``stratum``, ``n``, or
+    ``rate`` column is neither dropped nor made join-ambiguous."""
+    rates = temperature_rates(df, strata_col, alpha, target_frac).select(
+        F.col("stratum").alias("_stratum"), F.col("rate").alias("_rate")
+    )
     h = hash_hex(
         F.concat(F.col(id_col).cast("string"), F.lit(":"), F.col(strata_col))
     )
-    bucket = F.floor(F.col("rate") * _BUCKETS).cast("int")
+    bucket = F.floor(F.col("_rate") * _BUCKETS).cast("int")
     thr = F.when(bucket >= _BUCKETS, F.lit("g")).otherwise(
         F.lpad(F.conv(bucket.cast("string"), 10, 16), 4, "0")
     )
     return (
-        df.join(F.broadcast(rates), df[strata_col] == F.col("stratum"))
+        df.join(F.broadcast(rates), df[strata_col] == F.col("_stratum"))
         .filter(h < F.lower(thr))
-        .drop("stratum", "n", "rate")
+        .drop("_stratum", "_rate")
     )
 
 

@@ -367,10 +367,16 @@ def ivf_topk(
     cents2 = cents.copy()  # cells that lost all members keep their seed
     if len(parts):
         parts = parts.sort_values(["_cell", "_pid"], kind="stable")
+        touched = []
         for c, grp in parts.groupby("_cell", sort=True):
             s = np.stack([np.asarray(v) for v in grp["_s"]]).sum(axis=0)
             cents2[int(c)] = s / grp["_n"].sum()
-        cents2 = _norm_rows(cents2)  # seed rows are already unit-norm
+            touched.append(int(c))
+        # normalize ONLY the rows rebuilt from partial sums: member-less
+        # cells keep their seed row byte-identical (re-normalizing a
+        # ~unit-norm seed can shift it by an ulp and flip assignments at
+        # exact ties)
+        cents2[touched] = _norm_rows(cents2[touched])
 
     corpus_cells = prepped.mapInPandas(_assign(cents2, 1), schema=schema)
     q_prepped = queries.select(

@@ -34,6 +34,20 @@ from ..operators import dedup, packing, sampling
 from ..operators.corpus import bigram_lm_score
 
 
+def _require_scoreable(min_tokens: int, lm_quantile: float | None) -> None:
+    """The LM band keeps documents via a left_semi against the scored set,
+    and ``bigram_lm_score`` emits no row for a doc with zero bigrams — so
+    with ``min_tokens <= 1`` a one-token doc would be silently dropped as
+    ``low_quality`` despite never having been scored. Refuse that
+    configuration up front instead of mislabeling."""
+    if lm_quantile is not None and min_tokens < 2:
+        raise ValueError(
+            "lm_quantile requires min_tokens >= 2: the bigram-LM band can "
+            f"only judge documents with at least one bigram (got "
+            f"min_tokens={min_tokens})"
+        )
+
+
 def _lm_band_ids(clean: DataFrame, lm_quantile: float) -> DataFrame:
     """Key-only frame of documents at or above the ``lm_quantile``
     percentile of the corpus's own bigram-LM score — the CCNet-style
@@ -41,8 +55,9 @@ def _lm_band_ids(clean: DataFrame, lm_quantile: float) -> DataFrame:
     the low tail). Round-6 scores compared to a round-4 threshold so an
     external oracle makes identical keep/drop calls (same posture as
     ``quality_band_sample``). Every doc reaching this stage has passed
-    the token gate, so every doc has a score (``bigram_lm_score`` only
-    skips docs with zero real tokens)."""
+    the token gate, and the gate guarantees >= 2 tokens (enforced by
+    :func:`_require_scoreable`), so every doc has at least one bigram and
+    therefore a score — the left_semi below never drops an unscored doc."""
     scored = bigram_lm_score(clean, "text", "doc_id").select(
         "doc_id", F.col("avg_logprob").alias("_lm")
     )
@@ -70,7 +85,9 @@ def curate(
     ``(doc_id, pack_group, seq_id)`` for the surviving documents.
     ``lm_quantile`` (e.g. 0.10) enables the bigram-LM quality band:
     documents scoring under that percentile of the post-decontamination
-    corpus are dropped before mixing."""
+    corpus are dropped before mixing (requires ``min_tokens >= 2`` so
+    every banded document is scoreable)."""
+    _require_scoreable(min_tokens, lm_quantile)
     tokens = token_count if token_count is not None else T.token_count(F.col("text"))
 
     gated = docs.filter(tokens >= min_tokens)
@@ -107,7 +124,9 @@ def audit(
     so the audit can never disagree with the pipeline. Narrow left joins
     on doc_id (winner set, contaminated set, band set — all key-only
     frames); everything else is projection. ``low_quality`` appears only
-    when ``lm_quantile`` is set, mirroring :func:`curate`."""
+    when ``lm_quantile`` is set, mirroring :func:`curate` (including its
+    ``min_tokens >= 2`` requirement)."""
+    _require_scoreable(min_tokens, lm_quantile)
     tokens = token_count if token_count is not None else T.token_count(F.col("text"))
     base = docs.select("doc_id", "text", "source", tokens.alias("_n"))
     gated = base.filter(F.col("_n") >= min_tokens)

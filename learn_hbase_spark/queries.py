@@ -16,6 +16,7 @@ D=dedup/sort/limit, S=source/sink, X=scalar.
 from __future__ import annotations
 
 import functools
+import glob
 import hashlib
 import inspect
 import json
@@ -2578,7 +2579,16 @@ def file_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     dest = os.path.join(_SCRATCH_ROOT, "file_corpus")
     os.makedirs(dest, exist_ok=True)
-    for fname, text in _file_corpus():
+    corpus = _file_corpus()
+    # clear stale doc_*.txt leftovers first: if _file_corpus ever shrinks
+    # or renames files, a leftover from a prior run would be read by BOTH
+    # engines (parity still green) while silently diverging from the
+    # declared corpus
+    declared = {fname for fname, _ in corpus}
+    for existing in glob.glob(os.path.join(dest, "doc_*.txt")):
+        if os.path.basename(existing) not in declared:
+            os.remove(existing)
+    for fname, text in corpus:
         with open(os.path.join(dest, fname), "w") as fh:
             fh.write(text)
     docs = file_sources.read_text_docs(spark, dest, pattern="doc_*.txt")

@@ -112,3 +112,22 @@ def test_lm_band_drops_low_quality_before_mixing(spark):
     }
     kept_ids = {d for d, v in banded.items() if v == "kept"}
     assert kept_ids == packed_ids
+
+
+def test_lm_band_requires_scoreable_min_tokens(spark):
+    """The bigram-LM band can only judge docs with >= 1 bigram, so
+    lm_quantile with min_tokens < 2 is refused up front — otherwise a
+    one-token doc would be dropped as low_quality without ever being
+    scored."""
+    import pytest
+
+    from learn_hbase_spark.pipeline import curation
+
+    docs = spark.createDataFrame(
+        [(1, "one", "src0")], "doc_id long, text string, source string"
+    )
+    bench = spark.createDataFrame([("zzz yyy xxx www",)], "text string")
+    with pytest.raises(ValueError, match="min_tokens >= 2"):
+        curation.curate(docs, bench, min_tokens=1, lm_quantile=0.1)
+    with pytest.raises(ValueError, match="min_tokens >= 2"):
+        curation.audit(docs, bench, min_tokens=1, lm_quantile=0.1)

@@ -252,6 +252,34 @@ def test_temperature_rates_laws(spark):
         assert abs(by_src.get(s, 0) - exp) < 4 * (exp ** 0.5) + 3
 
 
+def test_temperature_sample_preserves_clashing_user_columns(spark):
+    """The rates frame joins under underscore-prefixed internal names, so
+    an input that already carries a column named ``rate``, ``n``, or
+    ``stratum`` keeps it (and the keep/drop calls are unchanged)."""
+    from learn_hbase_spark.operators.sampling import temperature_sample
+
+    rows = [(i, "s%d" % (i % 3), float(i), i * 2, "x%d" % i)
+            for i in range(300)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, rate double, n long, stratum string"
+    )
+    kept = temperature_sample(df, "doc_id", "source", alpha=0.5,
+                              target_frac=0.5)
+    assert set(kept.columns) == {"doc_id", "source", "rate", "n", "stratum"}
+    for r in kept.collect():
+        assert r["rate"] == float(r["doc_id"])
+        assert r["n"] == r["doc_id"] * 2
+        assert r["stratum"] == "x%d" % r["doc_id"]
+    # keep/drop decisions identical to the clash-free projection
+    plain = temperature_sample(
+        df.select("doc_id", "source"), "doc_id", "source",
+        alpha=0.5, target_frac=0.5,
+    )
+    assert {r["doc_id"] for r in kept.collect()} == {
+        r["doc_id"] for r in plain.collect()
+    }
+
+
 def test_cluster_safe_split_never_leaks_near_dups(spark):
     """The defining guarantee: every member of a cluster lands in the
     SAME split; singletons (absent from the cluster frame) split by
