@@ -394,6 +394,7 @@ def dsir_select(
     buckets: int = 10_000,
     k: float = 1.0,
     keep_frac: float = 0.25,
+    approx_threshold: bool = False,
 ) -> DataFrame:
     """The DSIR selection step: keep the top ``keep_frac`` of the raw
     pool by importance weight. The paper resamples with Gumbel noise;
@@ -407,12 +408,23 @@ def dsir_select(
 
     Scale: :func:`dsir_weights` plus one grouped-aggregate quantile over
     (weight) scalars and a one-row threshold broadcast — no new
-    corpus-sized state.
+    corpus-sized state. MEMORY BOUND of the default exact ``percentile``:
+    Spark buffers a (value -> count) map, so the final aggregation task
+    holds O(distinct scores) — bounded here because ``dsir_weights``
+    rounds to 6 BEFORE the quantile (<= 2e6 distinct values per unit of
+    score range; see SCALE.md "Exact-percentile thresholds"), NOT by row
+    count. ``approx_threshold=True`` switches to ``approx_percentile``
+    (KLL sketch, fixed ~10k-element state regardless of the score
+    distribution) for corpora whose score span makes even the rounded
+    grid large; the threshold then differs from exact by at most the
+    sketch's rank error, which only moves docs whose weight sits within
+    that band of the cut.
     """
     w = dsir_weights(raw, target, text_col, id_col, buckets, k)
+    fn = "approx_percentile" if approx_threshold else "percentile"
     thr = w.agg(
         F.round(
-            F.expr(f"percentile(log_weight, {1.0 - keep_frac})"), 4
+            F.expr(f"{fn}(log_weight, {1.0 - keep_frac})"), 4
         ).alias("_thr")
     )
     return (

@@ -48,7 +48,9 @@ def _require_scoreable(min_tokens: int, lm_quantile: float | None) -> None:
         )
 
 
-def _lm_band_ids(clean: DataFrame, lm_quantile: float) -> DataFrame:
+def _lm_band_ids(
+    clean: DataFrame, lm_quantile: float, approx_threshold: bool = False
+) -> DataFrame:
     """Key-only frame of documents at or above the ``lm_quantile``
     percentile of the corpus's own bigram-LM score — the CCNet-style
     quality band (score the corpus under a model trained on itself, drop
@@ -57,12 +59,20 @@ def _lm_band_ids(clean: DataFrame, lm_quantile: float) -> DataFrame:
     ``quality_band_sample``). Every doc reaching this stage has passed
     the token gate, and the gate guarantees >= 2 tokens (enforced by
     :func:`_require_scoreable`), so every doc has at least one bigram and
-    therefore a score — the left_semi below never drops an unscored doc."""
+    therefore a score — the left_semi below never drops an unscored doc.
+
+    The default exact ``percentile`` buffers a (value -> count) map:
+    final-task memory is O(distinct scores), bounded because
+    ``bigram_lm_score`` rounds to 6 before this aggregate — not by row
+    count (SCALE.md "Exact-percentile thresholds").
+    ``approx_threshold=True`` swaps in ``approx_percentile`` (fixed
+    sketch state) for production corpora with a very wide score span."""
     scored = bigram_lm_score(clean, "text", "doc_id").select(
         "doc_id", F.col("avg_logprob").alias("_lm")
     )
+    fn = "approx_percentile" if approx_threshold else "percentile"
     lo = scored.agg(
-        F.round(F.expr(f"percentile(_lm, {lm_quantile})"), 4).alias("_lo")
+        F.round(F.expr(f"{fn}(_lm, {lm_quantile})"), 4).alias("_lo")
     )
     return (
         scored.crossJoin(F.broadcast(lo))
@@ -80,13 +90,16 @@ def curate(
     budget: int = 64,
     token_count: Column | None = None,
     lm_quantile: float | None = None,
+    approx_threshold: bool = False,
 ) -> DataFrame:
     """Run the curation pipeline; returns packed training rows
     ``(doc_id, pack_group, seq_id)`` for the surviving documents.
     ``lm_quantile`` (e.g. 0.10) enables the bigram-LM quality band:
     documents scoring under that percentile of the post-decontamination
     corpus are dropped before mixing (requires ``min_tokens >= 2`` so
-    every banded document is scoreable)."""
+    every banded document is scoreable). ``approx_threshold`` switches
+    the band threshold to ``approx_percentile`` — fixed sketch memory
+    instead of the exact path's O(distinct rounded scores) state."""
     _require_scoreable(min_tokens, lm_quantile)
     tokens = token_count if token_count is not None else T.token_count(F.col("text"))
 
@@ -99,7 +112,11 @@ def curate(
     )
     clean = survivors.join(clean_ids, "doc_id", "left_semi")
     if lm_quantile is not None:
-        clean = clean.join(_lm_band_ids(clean, lm_quantile), "doc_id", "left_semi")
+        clean = clean.join(
+            _lm_band_ids(clean, lm_quantile, approx_threshold),
+            "doc_id",
+            "left_semi",
+        )
     mixed = sampling.stratified_sample(
         clean, "doc_id", "source", rates or {}, default=default_rate
     )
@@ -114,6 +131,7 @@ def audit(
     default_rate: float = 0.1,
     token_count: Column | None = None,
     lm_quantile: float | None = None,
+    approx_threshold: bool = False,
 ) -> DataFrame:
     """Per-document curation verdict — the debuggability complement to
     :func:`curate`: every doc gets the FIRST stage that dropped it
@@ -150,7 +168,7 @@ def audit(
         # survivors (the model is trained on the set it filters, so the
         # threshold matches curate()'s bit for bit)
         clean = survivors.join(cont.select("doc_id"), "doc_id", "left_anti")
-        band = _lm_band_ids(clean, lm_quantile).select(
+        band = _lm_band_ids(clean, lm_quantile, approx_threshold).select(
             "doc_id", F.lit(True).alias("_band")
         )
         out = out.join(band, "doc_id", "left")

@@ -4433,7 +4433,11 @@ def quality_band_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregable, broadcast back as a one-row frame) — deliberately not a
     global rank window, which would serialize 100 TB into one task. Band
     membership compares round-6 scores to round-4 thresholds so both
-    engines make identical keep/drop calls."""
+    engines make identical keep/drop calls. Exact ``percentile`` buffers
+    a (value -> count) map — final-task memory is O(distinct scores),
+    bounded ONLY because ``lm_score`` rounds to 6 first (SCALE.md
+    "Exact-percentile thresholds"; production wide-span corpora should
+    flip to approx_percentile, cf. ``dsir_select(approx_threshold=)``)."""
     scored = lm_score(spark, sf_dir).select(
         "doc_id", F.col("avg_logprob").alias("score")
     )

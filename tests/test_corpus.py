@@ -279,3 +279,80 @@ def test_hashed_classifier_score_hand(spark):
         ).collect()
     }
     assert got == expect
+
+
+def test_percentile_inputs_are_prerounded(spark):
+    """The memory invariant behind every exact-percentile threshold
+    (SCALE.md "Exact-percentile thresholds"): Spark's exact percentile
+    buffers O(distinct values), so each site MUST feed it round-6 scores.
+    Asserts the three threshold inputs — dsir_weights.log_weight, the
+    bigram-LM avg_logprob, and the unigram-LM avg_logprob — are fixed
+    points of round(., 6)."""
+    docs = [
+        (i, " ".join("w%d" % ((i * 7 + j) % 23) for j in range(12)))
+        for i in range(40)
+    ]
+    rdf = spark.createDataFrame(docs, "doc_id long, text string")
+    tdf = spark.createDataFrame(docs[:5], "doc_id long, text string")
+
+    dsir = [
+        r["log_weight"]
+        for r in corpus_ops.dsir_weights(rdf, tdf, buckets=64).collect()
+    ]
+    bigram = [
+        r["avg_logprob"]
+        for r in corpus_ops.bigram_lm_score(rdf, "text", "doc_id").collect()
+    ]
+    from learn_hbase_spark import queries as Q
+
+    unigram = [
+        r["avg_logprob"]
+        for r in Q._QUERIES["lm_score"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    ]
+    for name, vals in (("dsir", dsir), ("bigram", bigram), ("unigram", unigram)):
+        assert vals, name
+        for v in vals:
+            assert v == round(v, 6), (name, v)
+
+
+def test_dsir_select_approx_threshold_switch(spark):
+    """approx_threshold=True swaps the exact percentile for the
+    fixed-state approx_percentile sketch; on a corpus small enough for
+    the sketch to be exact the selection is identical, and the band
+    invariant (every kept weight >= every dropped weight) always holds."""
+    target = [(10, "alpha beta gamma")]
+    raw = [
+        (1, "alpha beta gamma"),
+        (2, "delta epsilon zeta eta"),
+        (3, "alpha beta"),
+        (4, "theta iota kappa"),
+    ]
+    tdf = spark.createDataFrame(target, "doc_id long, text string")
+    rdf = spark.createDataFrame(raw, "doc_id long, text string")
+    exact = {
+        r["doc_id"]
+        for r in corpus_ops.dsir_select(
+            rdf, tdf, buckets=64, keep_frac=0.25
+        ).collect()
+    }
+    approx = {
+        r["doc_id"]: r["log_weight"]
+        for r in corpus_ops.dsir_select(
+            rdf, tdf, buckets=64, keep_frac=0.25, approx_threshold=True
+        ).collect()
+    }
+    all_w = {
+        r["doc_id"]: r["log_weight"]
+        for r in corpus_ops.dsir_weights(rdf, tdf, buckets=64).collect()
+    }
+    assert approx
+    dropped = [w for i, w in all_w.items() if i not in approx]
+    if dropped:
+        assert min(approx.values()) >= max(dropped)
+    # 4 distinct weights: the sketch is exact at this size, but
+    # approx_percentile returns a DATA value where exact interpolates —
+    # both cut between the same neighbors, so the kept set can differ by
+    # at most the docs whose weight ties the cut
+    assert exact <= set(approx) or set(approx) <= exact
