@@ -434,6 +434,75 @@ def dsir_select(
     )
 
 
+def dsir_select_gumbel(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 10_000,
+    k: float = 1.0,
+    keep_frac: float = 0.25,
+    salt: str = "dsir",
+    beta: float = 1.0,
+) -> DataFrame:
+    """The PUBLISHED DSIR selection step (Xie et al. 2023 §3, importance
+    resampling): sample without replacement with probability proportional
+    to the importance weight via the Gumbel-top-k trick — perturb each
+    log-weight with an independent Gumbel(0, ``beta``) draw and take the
+    top ``keep_frac``; at ``beta=1`` the argmax distribution is exactly
+    weight-proportional sampling (Gumbel-max), at ``beta=0`` the noise
+    vanishes and the selection degenerates to :func:`dsir_select`'s
+    deterministic top-quantile (pinned by
+    ``test_dsir_gumbel_beta0_equals_deterministic``).
+
+    The noise is ENGINE-REPLAYABLE, not pseudo-random state: the uniform
+    is derived from ``md5(id || ':' || salt)`` (the
+    ``stratified_sample`` identity-hash posture) as
+    ``u = (hex32 + 0.5) / 2^32`` — strictly inside (0, 1), so
+    ``g = -ln(-ln(u))`` is always finite — and the perturbed key rounds
+    to 6 before the same quantile-threshold machinery as
+    :func:`dsir_select` (round-4 threshold, ``>=`` keeps boundary ties).
+    An external engine replays the whole selection bit-for-bit from the
+    same salt; changing ``salt`` draws a fresh resample, which is how
+    the paper's repeated-resampling variance estimates run on-engine.
+
+    Scale: :func:`dsir_weights` + a pure projection for the noise + the
+    same single quantile aggregate and one-row broadcast — no state
+    beyond the exact-percentile buffer (O(distinct rounded keys); see
+    SCALE.md "Exact-percentile thresholds"). Returns
+    ``(id, n_grams, log_weight, gumbel_key)``.
+    """
+    w = dsir_weights(raw, target, text_col, id_col, buckets, k)
+    h32 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col(id_col).cast("string"), F.lit(":" + salt)
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h32 + F.lit(0.5)) / F.lit(4294967296.0)
+    noisy = F.round(
+        F.col("log_weight") + F.lit(float(beta)) * (-F.log(-F.log(u))), 6
+    )
+    scored = w.withColumn("gumbel_key", noisy)
+    thr = scored.agg(
+        F.round(
+            F.expr(f"percentile(gumbel_key, {1.0 - keep_frac})"), 4
+        ).alias("_thr")
+    )
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .filter(F.col("gumbel_key") >= F.col("_thr"))
+        .select(id_col, "n_grams", "log_weight", "gumbel_key")
+    )
+
+
 def hashed_classifier_score(
     df: DataFrame,
     weights: DataFrame,

@@ -617,9 +617,10 @@ def hard_negative_topk(
 
     Scale: same posture as :func:`cosine_topk` — the anchor side
     broadcasts, dot products are JVM fold expressions, and the top-k is
-    a WindowGroupLimit per anchor. For corpus-sized anchor sets compose
-    the hyperplane-LSH or IVF prefilter first (the
-    ``embedding_neardup_lsh`` composition) so only bucket-mates score.
+    a WindowGroupLimit per anchor. For corpus-sized anchor sets use
+    :func:`hard_negative_topk_lsh` — the hyperplane-LSH-prefiltered
+    composition where only bucket-mates score and nothing corpus-sized
+    broadcasts.
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
@@ -641,6 +642,111 @@ def hard_negative_topk(
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
+def hard_negative_topk_lsh(
+    corpus: DataFrame,
+    planes: list[list[float]],
+    k: int = 5,
+    dup_threshold: float = 0.3,
+    floor: float = 0.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    blocks: int = 8,
+) -> DataFrame:
+    """Corpus-scale hard-negative mining — :func:`hard_negative_topk`
+    with EVERY corpus vector as an anchor, prefiltered by the same
+    deterministic hyperplane-LSH buckets as
+    :func:`embedding_neardup_pairs`: candidates are restricted to
+    same-sign-pattern bucket mates, so the pair space falls from O(N²)
+    to Σ n_bucket² and — the point of this variant — NO corpus-sized
+    side is ever broadcast. There is no join at all: the scorer is the
+    near-dup family's blocked Arrow/NumPy matmul (one ``applyInPandas``
+    task per (bucket, block-pair), per-task memory bounded by
+    ``blocks``), emitting only in-band pairs; a first JVM-join draft of
+    this operator spent 12.9 s at sf0.1 in interpreted fold-cosine
+    lambdas vs ~1 s for the matmul shape — the measured engine rule from
+    SCALE.md holds here too.
+
+    Semantics match :func:`hard_negative_topk` restricted to bucket
+    mates: keep ROUNDED-6 cosine in ``[floor, dup_threshold)`` — above
+    the band is a near-duplicate (false negative), below carries no
+    gradient — and take the top-k per anchor (ties break by ascending
+    neighbor id). LSH bias works FOR this miner: bucket mates are the
+    high-similarity region where hard negatives live; the recall loss is
+    confined to easier (cross-bucket) negatives, the ones top-k discards
+    anyway. Returns ``(query_id, neighbor_id, rank, sim)``.
+
+    Scale: one shuffle of (id, vector, ~blocks replicas) on the
+    (bucket, block-pair) key + the per-anchor WindowGroupLimit top-k
+    over in-band pairs only. Hot sign-patterns split across block pairs;
+    for skew beyond that add planes (buckets halve per plane) — the same
+    knob as the near-dup prefilter.
+    """
+    import numpy as np
+    import pandas as pd
+
+    prepped = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(blocks)).cast("int").alias("_b"),
+        hyperplane_bucket(F.col(vec_col), planes).alias("_bk"),
+    )
+    rep = prepped.select(
+        "_id", "_v", "_b", "_bk",
+        F.explode(F.sequence(F.lit(0), F.lit(blocks - 1))).alias("_o"),
+    ).select(
+        "_id", "_v", "_b", "_bk",
+        F.least("_b", "_o").alias("_p"),
+        F.greatest("_b", "_o").alias("_q"),
+    )
+
+    lo, hi = float(floor), float(dup_threshold)
+
+    def _banded(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        # each unordered bucket-mate pair reaches exactly one task (the
+        # neardup replication invariant); emit BOTH directions so every
+        # vector anchors its own top-k
+        p, q = key[-2], key[-1]
+        m_all = np.stack(pdf["_v"].to_numpy())
+        ids = pdf["_id"].to_numpy()
+        norms = np.linalg.norm(m_all, axis=1)
+        blk = pdf["_b"].to_numpy()
+        if p == q:
+            sims = np.round((m_all @ m_all.T) / np.outer(norms, norms), 6)
+            ia, ib = np.triu_indices(len(ids), k=1)
+            ids_a = ids_b = ids
+        else:
+            a_mask, b_mask = blk == p, blk == q
+            sims = np.round(
+                (m_all[a_mask] @ m_all[b_mask].T)
+                / np.outer(norms[a_mask], norms[b_mask]),
+                6,
+            )
+            ia, ib = np.indices(sims.shape).reshape(2, -1)
+            ids_a, ids_b = ids[a_mask], ids[b_mask]
+        s = sims[ia, ib]
+        keep = (s >= lo) & (s < hi)  # band on the ROUNDED sim
+        qa, nb, sv = ids_a[ia[keep]], ids_b[ib[keep]], s[keep]
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate([qa, nb]),
+                "neighbor_id": np.concatenate([nb, qa]),
+                "sim": np.concatenate([sv, sv]),
+            }
+        )
+
+    pairs = rep.groupBy("_bk", "_p", "_q").applyInPandas(
+        _banded, schema="query_id long, neighbor_id long, sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "sim")
     )

@@ -387,10 +387,16 @@ def _still_verified() -> tuple[str, ...]:
 # fingerprints moved only via a shared-module edit. Maintained per round;
 # stale names cost nothing (they sort first only while unverified).
 _SWEEP_PRIORITY: list[str] = [
-    # round 9: new queries prepended as they are added this round; the
-    # tail is the 17 queries whose fingerprints moved under r8's module
-    # edits (winnow/BPE/semantic families) without an r8 sweep slot —
-    # the recorder kept them stale, so they re-verify first.
+    # round 9: new queries first, then the queries whose answers could
+    # have been touched by this round's module edits (similarity/corpus/
+    # curation/sampling), then the 17 queries whose fingerprints moved
+    # under r8's module edits (winnow/BPE/semantic families) without an
+    # r8 sweep slot — the recorder kept them stale, so they re-verify
+    # first.
+    "hard_negative_topk_lsh", "dsir_select_gumbel",
+    "temperature_mixture_sample", "file_corpus_dedup",
+    "curation_pipeline", "curation_audit", "dsir_select", "dsir_weights",
+    "quality_band_sample", "hard_negative_topk",
     "semantic_dedup", "bpe_train_merges", "bpe_tokenize",
     "winnow_match_pairs", "winnow_match_capped", "neardup_canonical",
     "semantic_pairs_seeded", "graph_triangle_stats", "minhash_incremental",
@@ -8611,6 +8617,41 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "dsir_select_gumbel",
+    f"""
+    WITH {_DSIR_GRAMS},
+    keys AS (
+      SELECT doc_id, n_grams, log_weight,
+             round(log_weight + (-ln(-ln(
+               (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':dsir'),
+                                     1, 8)) AS BIGINT) + 0.5)
+               / 4294967296.0))), 6) AS gumbel_key
+      FROM wts
+    ),
+    thr AS (SELECT round(quantile_cont(gumbel_key, 0.75), 4) AS t FROM keys)
+    SELECT doc_id, n_grams, log_weight, gumbel_key FROM keys
+    WHERE gumbel_key >= (SELECT t FROM thr)
+    """,
+)
+def dsir_select_gumbel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PUBLISHED DSIR selection (operators.corpus.dsir_select_gumbel):
+    Gumbel-top-k importance RESAMPLING, not the deterministic
+    top-quantile limit — each log-weight is perturbed by a Gumbel draw
+    whose uniform comes from md5(doc_id || ':dsir'), so the noise is
+    engine-replayable and DuckDB reproduces every draw, the round-6
+    perturbed key, the round-4 quantile threshold, and therefore every
+    keep/drop call. beta=0 degenerates to dsir_select (pinned by
+    pytest); a different salt is a fresh resample."""
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("doc_id") % 7 == 0)
+    raw = docs.filter(F.col("doc_id") % 7 != 0)
+    return corpus_ops.dsir_select_gumbel(
+        raw, target, "text", "doc_id", 10_000, 1.0,
+        keep_frac=0.25, salt="dsir", beta=1.0,
+    )
+
+
+@_register(
     "quality_classifier_score",
     f"""
     WITH docs AS (
@@ -8712,6 +8753,48 @@ def hard_negative_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < 10)
     return similarity.hard_negative_topk(
         q, emb, k=5, dup_threshold=0.3, floor=0.05
+    )
+
+
+@_register(
+    "hard_negative_topk_lsh",
+    f"""
+    WITH n AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm,
+             {_planes_sql_bucket(_NEARDUP_PLANES)} AS bk
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS sim
+      FROM n a JOIN n b ON a.bk = b.bk AND a.vec_id <> b.vec_id
+    )
+    SELECT query_id, neighbor_id, rank, sim FROM (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id ASC) AS rank,
+             sim
+      FROM scored
+      WHERE sim >= 0.05 AND sim < 0.3
+    ) WHERE rank <= 3
+    """,
+)
+def hard_negative_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scale hard-negative mining with the hyperplane-LSH
+    prefilter (operators.similarity.hard_negative_topk_lsh — VERDICT r8
+    task 3): ANCHORS ARE THE WHOLE EMBEDDINGS TABLE, and candidates are
+    same-bucket mates under the same 4 fixed planes as
+    ``embedding_neardup_lsh``, so no corpus-sized side is ever broadcast
+    — the candidate join is a plain equi-join on the bucket id. Top-3
+    per anchor in the [0.05, 0.3) hard-negative band; deterministic
+    planes ⇒ the oracle replays the bucketing exactly.
+    ``test_hard_negative_lsh_no_corpus_broadcast`` pins the plan shape
+    (equi-join on the bucket, no nested loop, no forced broadcast)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.hard_negative_topk_lsh(
+        emb, _NEARDUP_PLANES, k=3, dup_threshold=0.3, floor=0.05
     )
 
 

@@ -356,3 +356,63 @@ def test_dsir_select_approx_threshold_switch(spark):
     # both cut between the same neighbors, so the kept set can differ by
     # at most the docs whose weight ties the cut
     assert exact <= set(approx) or set(approx) <= exact
+
+
+def test_dsir_gumbel_beta0_equals_deterministic(spark):
+    """beta=0 kills the noise term, so Gumbel selection must equal the
+    deterministic top-quantile dsir_select exactly — same kept ids, and
+    gumbel_key collapses to the unperturbed log_weight."""
+    target = [(10, "alpha beta gamma")]
+    raw = [
+        (1, "alpha beta gamma"),
+        (2, "delta epsilon zeta eta"),
+        (3, "alpha beta"),
+        (4, "theta iota kappa"),
+    ]
+    tdf = spark.createDataFrame(target, "doc_id long, text string")
+    rdf = spark.createDataFrame(raw, "doc_id long, text string")
+    det = {
+        r["doc_id"]: r["log_weight"]
+        for r in corpus_ops.dsir_select(
+            rdf, tdf, buckets=64, keep_frac=0.5
+        ).collect()
+    }
+    noise_free = {
+        r["doc_id"]: (r["log_weight"], r["gumbel_key"])
+        for r in corpus_ops.dsir_select_gumbel(
+            rdf, tdf, buckets=64, keep_frac=0.5, beta=0.0
+        ).collect()
+    }
+    assert set(noise_free) == set(det)
+    for i, (lw, gk) in noise_free.items():
+        assert gk == lw == det[i]
+
+
+def test_dsir_gumbel_salt_varies_and_is_replayable(spark):
+    """Same salt -> byte-identical resample; different salt -> a fresh
+    draw (perturbed keys differ). The keys themselves replay the
+    documented md5 construction."""
+    import hashlib
+    import math
+
+    target = [(10, "alpha beta gamma")]
+    raw = [(i, "alpha beta w%d" % i) for i in range(1, 9)]
+    tdf = spark.createDataFrame(target, "doc_id long, text string")
+    rdf = spark.createDataFrame(raw, "doc_id long, text string")
+
+    def run(salt):
+        return {
+            r["doc_id"]: (r["log_weight"], r["gumbel_key"])
+            for r in corpus_ops.dsir_select_gumbel(
+                rdf, tdf, buckets=64, keep_frac=1.0, salt=salt
+            ).collect()
+        }
+
+    a1, a2, b = run("s1"), run("s1"), ("s2" and run("s2"))
+    assert a1 == a2
+    assert any(a1[i][1] != b[i][1] for i in a1)
+    # replay one key by hand
+    i, (lw, gk) = sorted(a1.items())[0]
+    h = int(hashlib.md5(f"{i}:s1".encode()).hexdigest()[:8], 16)
+    u = (h + 0.5) / 4294967296.0
+    assert gk == round(lw + (-math.log(-math.log(u))), 6)

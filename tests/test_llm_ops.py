@@ -726,3 +726,44 @@ def test_hard_negative_band_semantics(spark):
         ).orderBy("rank").collect()
     ]
     assert got == [(3, 1, 0.2), (4, 2, 0.2), (5, 3, 0.05)]
+
+
+def test_hard_negative_lsh_matches_unbucketed_on_one_bucket(spark):
+    """With zero planes every vector shares bucket 0, so the LSH variant
+    must reproduce hard_negative_topk with the whole corpus as anchors —
+    same band calls, same ranks, same tie-breaks."""
+    random.seed(11)
+    rows = [
+        (i, [random.uniform(-1, 1) for _ in range(8)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    ref = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["sim"])
+        for r in similarity.hard_negative_topk(
+            df, df, k=4, dup_threshold=0.5, floor=0.05
+        ).collect()
+    }
+    got = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["sim"])
+        for r in similarity.hard_negative_topk_lsh(
+            df, planes=[], k=4, dup_threshold=0.5, floor=0.05, blocks=3
+        ).collect()
+    }
+    assert got == ref
+
+
+def test_hard_negative_lsh_scores_only_bucket_mates(spark):
+    """With one plane splitting the space, cross-bucket pairs must never
+    appear — the prefilter is the candidate generator, not a hint."""
+    rows = [
+        (1, [1.0, 0.1]), (2, [1.0, -0.1]),   # bucket: first-coord >= 0
+        (3, [-1.0, 0.1]), (4, [-1.0, -0.2]),  # opposite bucket
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = similarity.hard_negative_topk_lsh(
+        df, planes=[[1.0, 0.0]], k=5, dup_threshold=1.1, floor=-1.1
+    ).collect()
+    for r in got:
+        same_side = (r["query_id"] <= 2) == (r["neighbor_id"] <= 2)
+        assert same_side, r
+    assert {r["query_id"] for r in got} == {1, 2, 3, 4}

@@ -260,3 +260,18 @@ def test_hot_bucket_cap_reuses_signature_exchange(spark, qs):
         ex = df._jdf.queryExecution().executedPlan().toString()
         reused = [ln for ln in ex.splitlines() if "ReusedExchange" in ln]
         assert any("REPARTITION_BY_COL" in ln for ln in reused), (name, ex)
+
+
+def test_hard_negative_lsh_no_corpus_broadcast(spark, qs):
+    """The corpus-anchored hard-negative miner must never broadcast a
+    corpus-sized side or fall into a nested loop: there is no join at all
+    — candidates come from the (bucket, block-pair) applyInPandas scorer
+    (one hash exchange on the grouping key) and the only other exchange
+    is the per-anchor top-k window's."""
+    df = qs["hard_negative_topk_lsh"](spark, SF)
+    plan = _plan(df, "formatted")
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "BroadcastExchange" not in plan, "no corpus-sized broadcast"
+    assert "FlatMapGroupsInPandas" in plan  # the blocked matmul scorer
+    # grouping rides the bucket id — the LSH prefilter IS the shuffle key
+    assert "_bk" in plan

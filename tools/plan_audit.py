@@ -87,6 +87,10 @@ NESTED_LOOP_ALLOWED: dict[str, str] = {
     # hashed features).
     "dsir_weights": "one-row gram-total scalars crossed into bucket table",
     "dsir_select": "one-row gram totals + one-row quantile threshold",
+    # Same bounded class as dsir_select: the Gumbel perturbation is a pure
+    # projection, the three nested loops are the gram-total scalars and the
+    # one-row quantile threshold.
+    "dsir_select_gumbel": "one-row gram totals + one-row quantile threshold",
     # Same bounded shape as ann_cosine_topk: the anchor set broadcasts,
     # the corpus never shuffles; corpus-sized anchor sets compose the
     # LSH/IVF prefilter first (documented in the operator).
