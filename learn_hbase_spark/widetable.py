@@ -30,6 +30,7 @@ import time
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    IntegerType,
     LongType,
     StringType,
     StructField,
@@ -51,9 +52,14 @@ CELL_SCHEMA_NO_VERSION = StructType(
     [f for f in CELL_SCHEMA.fields if f.name != "version"]
 )
 
-# on-disk layout = cell schema + the derived partition column
+# on-disk layout = cell schema + the derived partition column(s)
 STORED_SCHEMA = StructType(
     list(CELL_SCHEMA.fields) + [StructField("prefix", StringType(), True)]
+)
+
+# sub-partitioned layout (n_subpartitions > 0): prefix/bucket two-level dirs
+STORED_SCHEMA_BUCKETED = StructType(
+    list(STORED_SCHEMA.fields) + [StructField("bucket", IntegerType(), True)]
 )
 
 PREFIX_LEN = 4  # the reference's grid-branch prefix width (YhCldETL.java:30)
@@ -100,15 +106,54 @@ class WideTable:
         families: list[str],
         ttl: dict[str, int] | None = None,
         counters: list[str] | None = None,
+        n_subpartitions: int = 0,
     ):
         self.spark = spark
         self.path = path
         self.families = list(families)
         self.ttl = dict(ttl) if ttl else {}
         self.counters = list(counters) if counters else []
+        self.n_subpartitions = int(n_subpartitions)
+        if self.n_subpartitions < 0:
+            raise ValueError("n_subpartitions must be >= 0")
         unknown = set(self.counters) - set(self.families)
         if unknown:
             raise ValueError(f"counter families not in families: {unknown}")
+
+    # -- partition layout ---------------------------------------------------
+    #
+    # Default: one level, prefix=<first 4 rowkey chars> — the reference's
+    # grid-branch region model. With ``n_subpartitions`` = N > 0 the layout
+    # is two-level, prefix=<p>/bucket=<hash(rowkey) % N> — SCALE.md's
+    # "Storage & layout" prescription for 100 TB, where a single hot prefix
+    # outgrows one directory's practical file count and compaction unit.
+    # The bucket hash is the repo's PORTABLE md5-hex family (not xxhash64)
+    # so the driver can compute a point-get's bucket in pure Python and the
+    # read prunes to ONE sub-directory without an extra Spark job.
+
+    @property
+    def _part_cols(self) -> list[str]:
+        return ["prefix", "bucket"] if self.n_subpartitions else ["prefix"]
+
+    def _bucket_expr(self, rowkey: Column) -> Column:
+        return F.pmod(
+            F.conv(F.substring(F.md5(rowkey), 1, 8), 16, 10).cast("long"),
+            F.lit(self.n_subpartitions),
+        ).cast("int")
+
+    def _py_bucket(self, rowkey: str) -> int:
+        import hashlib
+
+        h = int(hashlib.md5(rowkey.encode("utf-8")).hexdigest()[:8], 16)
+        return h % self.n_subpartitions
+
+    def _stamp_partitions(self, df: DataFrame) -> DataFrame:
+        out = df.withColumn(
+            "prefix", F.substring("rowkey", 1, PREFIX_LEN)
+        )
+        if self.n_subpartitions:
+            out = out.withColumn("bucket", self._bucket_expr(F.col("rowkey")))
+        return out
 
     # -- filesystem plumbing (portable across file:/hdfs:/s3a: schemes) -----
 
@@ -141,14 +186,39 @@ class WideTable:
                 dst = self._hpath(self.path + "/" + name)
                 if not fs.exists(dst):
                     fs.rename(st.getPath(), dst)
+                    continue
+                # main prefix dir exists. A BUCKET-level park (sub-
+                # partitioned compaction) nests bucket=<b> dirs inside the
+                # parked prefix dir; heal those bucket-by-bucket — deleting
+                # the parked prefix wholesale would drop a bucket whose
+                # main copy vanished mid-swap.
+                bucket_parks = [
+                    b
+                    for b in fs.listStatus(st.getPath())
+                    if b.getPath().getName().startswith("bucket=")
+                ]
+                if bucket_parks:
+                    for b in bucket_parks:
+                        bdst = self._hpath(
+                            self.path + "/" + name + "/" + b.getPath().getName()
+                        )
+                        if not fs.exists(bdst):
+                            fs.rename(b.getPath(), bdst)
+                        else:
+                            fs.delete(b.getPath(), True)
+                    if len(fs.listStatus(st.getPath())) == 0:
+                        fs.delete(st.getPath(), True)
                 else:
                     # crash AFTER install but before aside cleanup: the main
                     # copy is the freshly-compacted partition and the parked
                     # dir is its stale pre-compaction copy — drop it, or it
                     # lingers until the prefix is recompacted
                     fs.delete(st.getPath(), True)
-            if len(fs.listStatus(prefix_aside)) == 0:
-                fs.delete(prefix_aside, True)
+            self._sweep_empty_aside(fs, prefix_aside)
+
+    def _sweep_empty_aside(self, fs, aside_root) -> None:
+        if fs.exists(aside_root) and len(fs.listStatus(aside_root)) == 0:
+            fs.delete(aside_root, True)
 
     # -- table descriptor (HTableDescriptor analogue) -----------------------
 
@@ -163,6 +233,7 @@ class WideTable:
                     "families": self.families,
                     "ttl": self.ttl,
                     "counters": self.counters,
+                    "n_subpartitions": self.n_subpartitions,
                 },
                 sort_keys=True,
             )
@@ -202,15 +273,23 @@ class WideTable:
         ttl: dict[str, int] | None = None,
         counters: list[str] | None = None,
         overwrite: bool = False,
+        n_subpartitions: int = 0,
     ) -> "WideTable":
         """Create-if-not-exists (HBaseClient.java:80-93 semantics). The
-        family list, per-family TTL, and counter-family set persist in the
-        table descriptor, so ``open()`` recovers them without the caller
-        re-stating schema — HBase's create(HTableDescriptor) +
-        admin.getDescriptor parity. ``overwrite=True`` is the
-        disable-and-drop-then-create admin flow: the table dir AND its
-        secondary indexes are removed first."""
-        table = cls(spark, path, families, ttl=ttl, counters=counters)
+        family list, per-family TTL, counter-family set, and partition
+        layout persist in the table descriptor, so ``open()`` recovers
+        them without the caller re-stating schema — HBase's
+        create(HTableDescriptor) + admin.getDescriptor parity.
+        ``overwrite=True`` is the disable-and-drop-then-create admin flow:
+        the table dir AND its secondary indexes are removed first.
+        ``n_subpartitions`` > 0 selects the two-level
+        ``prefix=<p>/bucket=<hash(rowkey) % N>`` layout (100 TB hot-prefix
+        posture; see the partition-layout note above) — a per-table DDL
+        choice fixed at create time, like HBase's split policy."""
+        table = cls(
+            spark, path, families, ttl=ttl, counters=counters,
+            n_subpartitions=n_subpartitions,
+        )
         if overwrite:
             fs = table._fs()
             fs.delete(table._hpath(path), True)
@@ -218,8 +297,8 @@ class WideTable:
         if not table.exists():
             empty = spark.createDataFrame([], CELL_SCHEMA)
             (
-                empty.withColumn("prefix", F.substring("rowkey", 1, PREFIX_LEN))
-                .write.partitionBy("prefix")
+                table._stamp_partitions(empty)
+                .write.partitionBy(*table._part_cols)
                 .mode("overwrite")
                 .parquet(path)
             )
@@ -236,6 +315,7 @@ class WideTable:
             desc["families"],
             ttl=desc.get("ttl") or None,
             counters=desc.get("counters") or None,
+            n_subpartitions=desc.get("n_subpartitions") or 0,
         )
 
     def exists(self) -> bool:
@@ -272,16 +352,19 @@ class WideTable:
                 )
             )
         )
-        stamped = cells.select(
-            "rowkey",
-            family_checked.alias("family"),
-            "qualifier",
-            "value",
-            F.lit(self._next_version()).alias("version"),
-            F.substring("rowkey", 1, PREFIX_LEN).alias("prefix"),
+        stamped = self._stamp_partitions(
+            cells.select(
+                "rowkey",
+                family_checked.alias("family"),
+                "qualifier",
+                "value",
+                F.lit(self._next_version()).alias("version"),
+            )
         )
         try:
-            stamped.write.partitionBy("prefix").mode("append").parquet(self.path)
+            stamped.write.partitionBy(*self._part_cols).mode("append").parquet(
+                self.path
+            )
         except Exception as exc:  # surface the guard as the typed API error
             if "unknown column family" in str(exc):
                 raise ValueError(str(exc)) from exc
@@ -412,8 +495,13 @@ class WideTable:
     def _cells(self) -> DataFrame:
         self._recover()
         # explicit schema: a freshly created table has zero data files (schema
-        # inference would fail), and at scale it skips footer-sampling I/O
-        return self.spark.read.schema(STORED_SCHEMA).parquet(self.path)
+        # inference would fail), and at scale it skips footer-sampling I/O.
+        # The bucket partition column must be IN the schema to be readable
+        # (and prunable) under an explicit schema.
+        schema = (
+            STORED_SCHEMA_BUCKETED if self.n_subpartitions else STORED_SCHEMA
+        )
+        return self.spark.read.schema(schema).parquet(self.path)
 
     def _latest(
         self, cells: DataFrame, keep_version: bool = False
@@ -549,12 +637,17 @@ class WideTable:
         qualifier: str | None = None,
         now_ns: int | None = None,
     ) -> DataFrame:
-        """Point get (HBaseClient.getData, HBaseClient.java:149-158)."""
+        """Point get (HBaseClient.getData, HBaseClient.java:149-158).
+        On sub-partitioned tables the bucket literal (computed driver-side
+        from the portable md5 hash — no extra Spark job) prunes the read
+        to ONE ``prefix=<p>/bucket=<b>`` directory."""
         df = (
             self._ttl_live(self._cells(), now_ns)
             .filter(F.col("prefix") == rowkey[:PREFIX_LEN])
             .filter(F.col("rowkey") == rowkey)
         )
+        if self.n_subpartitions:
+            df = df.filter(F.col("bucket") == self._py_bucket(rowkey))
         if family:
             df = df.filter(F.col("family") == family)
         if qualifier:
@@ -711,39 +804,65 @@ class WideTable:
             )
         )
 
-    def compact_prefixes(self, prefixes: list[str]) -> None:
+    def compact_prefixes(
+        self, prefixes: list[str], buckets: list[int] | None = None
+    ) -> None:
         """Targeted compaction: rewrite ONLY the given prefix partitions to
         latest-wins, leaving the rest of the table untouched. This is the
         100 TB operating mode — feed it the prefixes ``partition_stats``
         flags (high version count / low live fraction) instead of rewriting
         the whole table (SCALE.md: per-prefix compaction schedule).
 
-        Per-prefix swap protocol (same crash-safety as ``compact``): write
-        the compacted copy under ``<path>__compact/prefix=<p>``, park the
+        On a sub-partitioned table ``buckets`` narrows the unit further to
+        the listed ``prefix=<p>/bucket=<b>`` cells — the compaction unit a
+        hot prefix needs at 100 TB, where one prefix holds N sub-dirs and
+        rewriting all of them for one hot bucket is N× write amplification.
+        ``buckets=None`` compacts whole prefixes on either layout.
+
+        Per-partition swap protocol (same crash-safety as ``compact``):
+        write the compacted copy under ``<path>__compact/<part>``, park the
         live partition dir under ``<path>__aside/``, rename the copy in,
         delete the parked dir. A crash mid-swap leaves the partition parked;
-        ``_recover`` renames it back on the next read. SINGLE-WRITER, like
-        ``compact``.
+        ``_recover`` renames it back on the next read (bucket-level parks
+        heal bucket-by-bucket). SINGLE-WRITER, like ``compact``.
         """
         if not prefixes:
             return
+        if buckets is not None and not self.n_subpartitions:
+            raise ValueError(
+                "buckets= requires a table created with n_subpartitions"
+            )
         fs = self._fs()
         self._recover(fs)
         tmp_root = self.path + "__compact"
         aside_root = self._hpath(self.path + "__aside")
         fs.delete(self._hpath(tmp_root), True)
-        resolved = self._compaction_resolve(
-            self._cells().filter(F.col("prefix").isin(prefixes))
-        ).withColumn("prefix", F.substring("rowkey", 1, PREFIX_LEN))
-        resolved.write.partitionBy("prefix").mode("overwrite").parquet(tmp_root)
+        cells = self._cells().filter(F.col("prefix").isin(prefixes))
+        if buckets is not None:
+            cells = cells.filter(F.col("bucket").isin([int(b) for b in buckets]))
+        resolved = self._stamp_partitions(
+            self._compaction_resolve(cells).drop(*self._part_cols)
+        )
+        resolved.write.partitionBy(*self._part_cols).mode("overwrite").parquet(
+            tmp_root
+        )
+        if buckets is None:
+            parts = [f"prefix={_escape_partition_value(p)}" for p in prefixes]
+        else:
+            parts = [
+                f"prefix={_escape_partition_value(p)}/bucket={int(b)}"
+                for p in prefixes
+                for b in buckets
+            ]
         fs.mkdirs(aside_root)
-        for p in prefixes:
-            part = f"prefix={_escape_partition_value(p)}"
+        for part in parts:
             main_p = self._hpath(f"{self.path}/{part}")
             tmp_p = self._hpath(f"{tmp_root}/{part}")
             aside_p = self._hpath(f"{self.path}__aside/{part}")
             fs.delete(aside_p, True)
-            has_tmp = fs.exists(tmp_p)  # a fully-tombstoned prefix writes 0 rows
+            if "/" in part:  # bucket-level park needs its prefix parent dir
+                fs.mkdirs(self._hpath(f"{self.path}__aside/{part.rsplit('/', 1)[0]}"))
+            has_tmp = fs.exists(tmp_p)  # a fully-tombstoned part writes 0 rows
             if fs.exists(main_p):
                 if not fs.rename(main_p, aside_p):
                     raise IOError(
@@ -761,8 +880,7 @@ class WideTable:
                 )
             fs.delete(aside_p, True)
         fs.delete(self._hpath(tmp_root), True)
-        if fs.exists(aside_root) and len(fs.listStatus(aside_root)) == 0:
-            fs.delete(aside_root, True)
+        self._sweep_empty_aside(fs, aside_root)
 
     def compact(self) -> None:
         """Rewrite to latest-wins only. Idempotent; per-partition rewrite.
@@ -790,8 +908,8 @@ class WideTable:
 
         resolved = self._compaction_resolve(self._cells())
         (
-            resolved.withColumn("prefix", F.substring("rowkey", 1, PREFIX_LEN))
-            .write.partitionBy("prefix")
+            self._stamp_partitions(resolved.drop(*self._part_cols))
+            .write.partitionBy(*self._part_cols)
             .mode("overwrite")
             .parquet(tmp_path)
         )

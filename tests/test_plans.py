@@ -275,3 +275,34 @@ def test_hard_negative_lsh_no_corpus_broadcast(spark, qs):
     assert "FlatMapGroupsInPandas" in plan  # the blocked matmul scorer
     # grouping rides the bucket id — the LSH prefilter IS the shuffle key
     assert "_bk" in plan
+
+
+def test_widetable_scan_prunes_subpartitioned_layout(spark, tmp_path):
+    """The two-level prefix/bucket layout keeps prefix pruning intact for
+    range scans, and a point get prunes on BOTH partition columns — the
+    bucket literal computed driver-side from the portable md5 hash."""
+    from learn_hbase_spark.widetable import WideTable
+
+    t = WideTable.create(
+        spark, str(tmp_path / "wtb"), ["info"], n_subpartitions=4
+    )
+    rows = [
+        (f"{p:04d}_{i:03d}", "info", "q", "v")
+        for p in (1, 2, 3)
+        for i in range(8)
+    ]
+    t.put(spark.createDataFrame(
+        rows, "rowkey string, family string, qualifier string, value string"
+    ))
+    # range scan: prefix pruning exactly as on the flat layout
+    plan = _plan(t.scan(start="0002", stop="0003"), "formatted")
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln][0]
+    assert "prefix" in pf
+    assert t.scan(start="0002", stop="0003").count() == 8
+    # point get: bucket joins the partition filter with its literal value
+    rk = "0002_003"
+    gplan = _plan(t.get(rk), "formatted")
+    gpf = [ln for ln in gplan.splitlines() if "PartitionFilters" in ln][0]
+    assert "bucket" in gpf and str(t._py_bucket(rk)) in gpf
+    got = t.get(rk).collect()
+    assert [(r["rowkey"], r["value"]) for r in got] == [(rk, "v")]

@@ -674,3 +674,71 @@ def test_index_files_prune_on_value_stats(spark, table):
     # and the probe still answers correctly through the index
     got = table.lookup_by_value("info", "yhbh", probe).collect()
     assert [r["rowkey"] for r in got] == ["0413_M42"]
+
+
+def test_subpartitioned_compact_one_bucket(spark, tmp_path):
+    """Bucket-granular compaction on the two-level layout: only the named
+    (prefix, bucket) cell is rewritten; sibling buckets keep their append
+    batches; the resolved view is unchanged; the layout round-trips
+    through open()."""
+    from learn_hbase_spark.widetable import WideTable
+
+    t = WideTable.create(
+        spark, str(tmp_path / "wtc"), ["info"], n_subpartitions=4
+    )
+    # spread rows over one prefix; find two rowkeys in DIFFERENT buckets
+    keys = [f"0401_{i:03d}" for i in range(16)]
+    by_bucket = {}
+    for k in keys:
+        by_bucket.setdefault(t._py_bucket(k), []).append(k)
+    (hot_b, hot_keys), (cold_b, cold_keys) = sorted(by_bucket.items())[:2]
+    for v in ("U1", "U2", "U3"):  # 3 append batches -> compaction debt
+        t.put(_cells(
+            spark,
+            [(k, "info", "q", v) for k in hot_keys + cold_keys],
+        ))
+    before = sorted(map(tuple, t.scan().collect()))
+
+    t.compact_prefixes(["0401"], buckets=[hot_b])
+
+    # resolved view unchanged
+    assert sorted(map(tuple, t.scan().collect())) == before
+    # hot bucket collapsed to one version; cold bucket keeps its 3
+    import collections
+    vers = collections.defaultdict(set)
+    for r in t._cells().collect():
+        vers[r["bucket"]].add(r["version"])
+    assert len(vers[hot_b]) == 1
+    assert len(vers[cold_b]) == 3
+    # descriptor round-trip: open() recovers the layout and still reads
+    t2 = WideTable.open(spark, str(tmp_path / "wtc"))
+    assert t2.n_subpartitions == 4
+    assert t2.get(hot_keys[0], "info", "q").collect()[0]["value"] == "U3"
+
+
+def test_subpartitioned_bucket_park_heals(spark, tmp_path):
+    """A bucket-level park (crash between the two renames) must heal
+    bucket-by-bucket: the parked bucket is renamed back even though the
+    main prefix dir still exists."""
+    import shutil
+    from pathlib import Path
+
+    from learn_hbase_spark.widetable import WideTable
+
+    t = WideTable.create(
+        spark, str(tmp_path / "wtp"), ["info"], n_subpartitions=4
+    )
+    keys = [f"0401_{i:03d}" for i in range(16)]
+    t.put(_cells(spark, [(k, "info", "q", "v") for k in keys]))
+    buckets = sorted({t._py_bucket(k) for k in keys})
+    assert len(buckets) >= 2
+    b = buckets[0]
+    before = sorted(map(tuple, t.scan().collect()))
+    # simulate: park bucket b under __aside, main bucket dir gone
+    root = Path(str(tmp_path / "wtp"))
+    src = root / "prefix=0401" / f"bucket={b}"
+    aside = Path(str(tmp_path / "wtp") + "__aside") / "prefix=0401"
+    aside.mkdir(parents=True)
+    shutil.move(str(src), str(aside / f"bucket={b}"))
+    assert sorted(map(tuple, t.scan().collect())) == before  # healed
+    assert not (aside / f"bucket={b}").exists()
