@@ -545,6 +545,121 @@ def neardup_ingest_file_stream(
     q.awaitTermination()
 
 
+def curation_ingest_file_stream(
+    spark: SparkSession,
+    input_dir: str,
+    index_dir: str,
+    curated_dir: str,
+    checkpoint_dir: str,
+    pattern: str = "*.txt",
+    max_files_per_trigger: int | None = None,
+    min_tokens: int = 5,
+    lm_quantile: float | None = None,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> None:
+    """The full CCNet loop at the streaming edge (VERDICT r8 task 5):
+    a growing crawl drop zone is CURATED incrementally, not just
+    near-dup-filtered — each drain runs quality gate → LSH near-dup gate
+    against the persisted index → (optional) bigram-LM quality band over
+    the batch's survivors, landing only curated documents.
+
+    Reader contract is :func:`neardup_ingest_file_stream`'s: checkpointed
+    file listing (only new files per drain), ``wholetext`` one-doc-per-
+    file, ``pathGlobFilter`` listing-level pruning, ``maxFilesPerTrigger``
+    backpressure, ``doc_id = md5(path)``. The per-batch body is
+    :func:`curation_ingest_batch` (module-level, replay-testable).
+
+    The LM threshold is BATCH-LOCAL: the ``lm_quantile`` percentile of
+    the batch's own survivor scores (CCNet's corpus-level threshold,
+    approximated per micro-batch — the right trade at a streaming edge,
+    where a corpus-level quantile would re-scan history every drain; a
+    nightly batch re-curation with the corpus-level threshold is the
+    compaction-style complement). Requires ``min_tokens >= 2`` when the
+    band is on (every banded doc must be scoreable) — enforced by the
+    pipeline's own guard.
+    """
+    from ..pipeline.curation import _require_scoreable
+
+    _require_scoreable(min_tokens, lm_quantile)
+    reader = (
+        spark.readStream.format("text")
+        .option("wholetext", "true")
+        .option("pathGlobFilter", pattern)
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.load(input_dir)
+    pathcol = F.input_file_name()
+    docs = raw.select(
+        F.md5(pathcol.cast("binary")).alias("doc_id"),
+        F.col("value").alias("text"),
+        pathcol.alias("path"),
+    )
+    q = (
+        docs.writeStream.foreachBatch(
+            lambda batch, batch_id: curation_ingest_batch(
+                batch, batch_id, index_dir, curated_dir,
+                min_tokens=min_tokens, lm_quantile=lm_quantile,
+                num_hashes=num_hashes, bands=bands,
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def curation_ingest_batch(
+    batch: DataFrame,
+    batch_id: int,
+    index_dir: str,
+    curated_dir: str,
+    min_tokens: int = 5,
+    lm_quantile: float | None = None,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> None:
+    """One micro-batch of :func:`curation_ingest_file_stream`: quality
+    gate → shared LSH gate (:func:`_neardup_gate`) → optional batch-local
+    LM band → land curated rows and extend the band index, both as
+    dynamic ``_batch``-partition overwrites (replay-idempotent under
+    foreachBatch's at-least-once contract, same argument as
+    :func:`neardup_ingest_batch`).
+
+    The index records EVERY quality-gated non-duplicate — including docs
+    the LM band then drops — so a future near-duplicate of an LM-rejected
+    document is still rejected as a duplicate rather than re-curated:
+    dedup identity is content-level and must not depend on the quality
+    verdict in force when the content first appeared."""
+    from ..functions import text as T
+    from ..pipeline.curation import _lm_band_ids
+
+    gated = batch.filter(T.token_count(F.col("text")) >= min_tokens)
+    accepted, bands_kept = _neardup_gate(
+        gated, batch_id, index_dir, num_hashes, bands, id_type="string"
+    )
+    curated = accepted
+    if lm_quantile is not None:
+        curated = accepted.join(
+            _lm_band_ids(accepted, lm_quantile), "doc_id", "left_semi"
+        )
+    (
+        curated.withColumn("_batch", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch")
+        .parquet(curated_dir)
+    )
+    (
+        bands_kept.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch")
+        .parquet(index_dir)
+    )
+
+
 # Band-index layout on disk: parquet partitioned by the writing batch id.
 # The data columns are minhash_bands' output; _batch is the partition key.
 # The id column's type follows the ingest edge: long for parquet-shaped
@@ -584,6 +699,38 @@ def neardup_ingest_batch(
     replay-idempotent under foreachBatch's at-least-once contract.
     ``id_type`` matches the ingest edge's doc_id type (long for
     parquet-shaped batches, string for the md5(path) file edge)."""
+    accepted, bands_kept = _neardup_gate(
+        batch, batch_id, index_dir, num_hashes, bands, id_type
+    )
+    (
+        accepted.withColumn("_batch", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch")
+        .parquet(accepted_dir)
+    )
+    (
+        bands_kept.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch")
+        .parquet(index_dir)
+    )
+
+
+def _neardup_gate(
+    batch: DataFrame,
+    batch_id: int,
+    index_dir: str,
+    num_hashes: int,
+    bands: int,
+    id_type: str,
+) -> tuple[DataFrame, DataFrame]:
+    """The shared LSH gate of the streaming ingest bodies: check ``batch``
+    against the persisted band index (same-batch partitions pruned out, so
+    a replay cannot reject itself) and against itself (min id per
+    colliding bucket wins). Returns ``(accepted, bands_kept)`` — the
+    non-duplicate rows and their ``_batch``-tagged band rows for the index
+    extension. Pure lineage, no writes: the callers own landing."""
     from ..operators import dedup as D
 
     s = batch.sparkSession
@@ -614,19 +761,7 @@ def neardup_ingest_batch(
     ).select(F.col("id_b").alias("doc_id")).distinct()
     rejected = hist_hits.union(intra).distinct()
     accepted = batch.join(rejected, "doc_id", "left_anti")
-    (
-        accepted.withColumn("_batch", F.lit(batch_id))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("_batch")
-        .parquet(accepted_dir)
+    bands_kept = bands_new.join(
+        rejected.withColumnRenamed("doc_id", "_id"), "_id", "left_anti"
     )
-    (
-        bands_new.join(
-            rejected.withColumnRenamed("doc_id", "_id"), "_id", "left_anti"
-        )
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("_batch")
-        .parquet(index_dir)
-    )
+    return accepted, bands_kept

@@ -764,3 +764,51 @@ def test_neardup_file_stream_ingests_only_new_files(spark, tmp_path):
     assert {r["path"].rsplit("/", 1)[-1]
             for r in spark.read.parquet(acc).collect()} == {
         "a.txt", "b.txt", "d.txt"}
+
+
+def test_curation_file_stream_curates_incrementally(spark, tmp_path):
+    """The CCNet loop at the streaming edge: each drain of the drop zone
+    runs quality gate -> LSH near-dup gate vs the persisted index ->
+    batch-local LM band; the checkpoint makes the second drain process
+    only new files; and the band index records LM-DROPPED non-duplicates
+    so their later near-dups are rejected as duplicates, not re-curated."""
+    from learn_hbase_spark.streaming.events import curation_ingest_file_stream
+
+    inp = tmp_path / "drop"
+    inp.mkdir()
+    idx = str(tmp_path / "index")
+    cur = str(tmp_path / "curated")
+    ckpt = str(tmp_path / "ckpt")
+
+    # self-repetitive docs score HIGH under the batch-trained bigram LM
+    # (their own bigrams dominate the counts); disjoint vocabularies keep
+    # them out of each other's LSH buckets
+    (inp / "a.txt").write_text("one two " * 5)
+    (inp / "b.txt").write_text("red blue " * 5)
+    # unique-token soup: every bigram seen once -> lowest LM score
+    (inp / "c.txt").write_text("zq wx kv jn pm yt rb lc df gh")
+    (inp / "short.txt").write_text("tiny doc")
+
+    kw = dict(pattern="*.txt", min_tokens=5, lm_quantile=0.3)
+    curation_ingest_file_stream(spark, str(inp), idx, cur, ckpt, **kw)
+
+    names = lambda d: {  # noqa: E731
+        r["path"].rsplit("/", 1)[-1] for r in spark.read.parquet(d).collect()
+    }
+    assert names(cur) == {"a.txt", "b.txt"}  # c low-quality, short gated
+    # the index holds every quality-gated NON-DUPLICATE, incl. LM-dropped c
+    idx_rows = spark.read.parquet(idx)
+    n_docs_indexed = idx_rows.select("_id").distinct().count()
+    assert n_docs_indexed == 3
+
+    # drop 2: near-dup of the LM-dropped c must be rejected as DUPLICATE
+    # (content identity outlives the quality verdict); d is fresh and good
+    (inp / "c2.txt").write_text("ZQ  wx kv jn pm yt rb lc df gh")
+    (inp / "d.txt").write_text("lime teal " * 5)
+    curation_ingest_file_stream(spark, str(inp), idx, cur, ckpt, **kw)
+    assert names(cur) == {"a.txt", "b.txt", "d.txt"}
+    assert spark.read.parquet(idx).select("_id").distinct().count() == 4
+
+    # third drain with nothing new: checkpointed listing -> no-op
+    curation_ingest_file_stream(spark, str(inp), idx, cur, ckpt, **kw)
+    assert names(cur) == {"a.txt", "b.txt", "d.txt"}
