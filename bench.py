@@ -81,6 +81,26 @@ def main() -> None:
         qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         return round(time.time() - t0, 3)
 
+    # Host-speed sentinel (VERDICT r8 #8): a FIXED-COST, I/O-free pure-JVM
+    # job — 30M-row range -> modular arithmetic -> sum, no scan, no
+    # shuffle — timed at the start and end of the run. Its end/start ratio
+    # measures how much the host slowed DURING the bench, so a
+    # round-over-round inflation can be attributed to the machine instead
+    # of inferred from same-plan re-runs (the r8 drift forensics). Three
+    # runs, min of the last two: the first JIT-compiles the plan.
+    def _sentinel() -> float:
+        def one() -> float:
+            t0 = time.time()
+            spark.range(0, 30_000_000, 1, 32).selectExpr(
+                "sum(id * 2654435761 % 1000003) AS s"
+            ).write.mode("overwrite").format("noop").save()
+            return round(time.time() - t0, 3)
+
+        one()
+        return min(one(), one())
+
+    sentinel_start = _sentinel()
+
     for name in BENCH_QUERIES:
         timings[name] = _timed(name)
     for name in BENCH_QUERIES:
@@ -89,6 +109,13 @@ def main() -> None:
         if best > 0.15 and abs(timings[name] - t2) / best > 0.30:
             best = min(best, _timed(name))
         timings[name] = best
+
+    sentinel_end = _sentinel()
+    sentinel = {
+        "start_sec": sentinel_start,
+        "end_sec": sentinel_end,
+        "ratio": round(sentinel_end / sentinel_start, 3),
+    }
 
     total = round(sum(timings.values()), 3)
     # The driver captures only ~2 KB of stdout (BENCH_r03 was parsed:null
@@ -107,6 +134,7 @@ def main() -> None:
                 "unit": "sec",
                 "sf": float(sf),
                 "n_queries": len(timings),
+                "sentinel": sentinel,
                 "queries": timings,
             },
             fh,
@@ -124,6 +152,7 @@ def main() -> None:
             "unit": "sec",
             "sf": float(sf),
             "n_queries": len(timings),
+            "sentinel_ratio": sentinel["ratio"],
             "queries": slowest,
             "detail": "BENCH_DETAIL.json",
         }
