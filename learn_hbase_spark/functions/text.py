@@ -160,6 +160,174 @@ def rolling_hash(col: Column, base: int = 131, mod: int = 2147483647) -> Column:
     )
 
 
+# The Gopher rule-set's stopword list (Rae et al. 2021, §A1.1): a document
+# must contain at least `min_stopwords` DISTINCT words from this list.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """The Gopher rule-based quality filter (Rae et al. 2021 §A1.1 — the
+    rule set MassiveWeb/Gopher applied before any model-based scoring,
+    reused by RedPajama-v2 and FineWeb as "gopher rules"): per document,
+    the seven published rules as explicit metrics + per-rule booleans +
+    the overall ``pass`` conjunction, so the same output serves filtering
+    (``filter("pass")``) and drop-reason audits. Defaults are the paper's
+    thresholds; every one is a parameter because the published values
+    assume web pages (50+ words, bulleted boilerplate), not short-form
+    corpora.
+
+    Rules: word count in [min,max]; mean word length in [min,max];
+    symbol-to-word ratio ('#' or '...') <= max; fraction of lines
+    starting with a bullet <= max; fraction of lines ending in an
+    ellipsis <= max; fraction of words containing an alphabetic char >=
+    min; >= ``min_stopwords`` DISTINCT Gopher stopwords present.
+
+    Scale: ONE codegen'd map stage over the scan — word/line arrays are
+    materialized once per row as projection attributes (the
+    :func:`repetition_from_words` lesson: lambdas re-evaluate argument
+    expressions per element), metrics are JVM fold/filter expressions,
+    and no shuffle or Python appears anywhere. Float metrics are rounded
+    to 6 BEFORE threshold comparison so an external engine makes
+    identical pass/fail calls. Booleans for degenerate inputs (0 words,
+    0 lines) fail the word-count rule and pass the ratio rules (0-valued
+    numerators), matching the oracle's coalesce conventions.
+    """
+    t = F.col(text_col)
+    base = df.select(
+        F.col(id_col),
+        t.alias("_t"),
+        F.filter(F.split(t, r"\s+"), lambda w: w != "").alias("_w"),
+        F.split(t, "\n").alias("_l"),
+    )
+    nw = F.size("_w").cast("double")
+    nl = F.size("_l").cast("double")
+    hashes = F.length("_t") - F.length(F.replace(F.col("_t"), F.lit("#"), F.lit("")))
+    ellipses = (
+        F.length("_t") - F.length(F.replace(F.col("_t"), F.lit("..."), F.lit("")))
+    ) / 3
+    stop = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    m = base.select(
+        id_col,
+        F.size("_w").alias("n_words"),
+        F.round(
+            F.when(nw == 0, 0.0).otherwise(
+                F.aggregate(
+                    "_w", F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+                ).cast("double")
+                / nw
+            ),
+            6,
+        ).alias("mean_word_len"),
+        F.round(
+            F.when(nw == 0, 0.0).otherwise((hashes + ellipses) / nw), 6
+        ).alias("symbol_ratio"),
+        F.round(
+            F.size(
+                F.filter(F.col("_l"), lambda l: F.ltrim(l).rlike(r"^[-*•]"))
+            )
+            / nl,
+            6,
+        ).alias("bullet_frac"),
+        F.round(
+            F.size(F.filter(F.col("_l"), lambda l: F.rtrim(l).endswith("...")))
+            / nl,
+            6,
+        ).alias("ellipsis_frac"),
+        F.round(
+            F.when(nw == 0, 0.0).otherwise(
+                F.size(F.filter("_w", lambda w: w.rlike("[A-Za-z]"))) / nw
+            ),
+            6,
+        ).alias("alpha_word_frac"),
+        F.size(
+            F.array_intersect(F.transform("_w", F.lower), stop)
+        ).alias("n_stopwords"),
+    )
+    ok = {
+        "ok_words": (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words),
+        "ok_word_len": (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len),
+        "ok_symbol": F.col("symbol_ratio") <= max_symbol_word_ratio,
+        "ok_bullet": F.col("bullet_frac") <= max_bullet_frac,
+        "ok_ellipsis": F.col("ellipsis_frac") <= max_ellipsis_frac,
+        "ok_alpha": F.col("alpha_word_frac") >= min_alpha_word_frac,
+        "ok_stop": F.col("n_stopwords") >= min_stopwords,
+    }
+    out = m
+    for name, expr in ok.items():
+        out = out.withColumn(name, expr)
+    all_ok = F.lit(True)
+    for name in ok:
+        all_ok = all_ok & F.col(name)
+    return out.withColumn("pass", all_ok)
+
+
+def c4_line_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words_per_line: int = 5,
+    min_lines: int = 3,
+) -> DataFrame:
+    """The C4 line-level cleaning rules (Raffel et al. 2020 §2.2): C4
+    REWRITES pages where Gopher judges them — per document, keep only
+    lines that end in terminal punctuation (``. ! ? "``) AND have at
+    least ``min_words_per_line`` words, then flag the page: drop it
+    entirely if it contains "lorem ipsum" or a curly brace (the paper's
+    code/boilerplate tells), or if fewer than ``min_lines`` lines
+    survive. Returns ``(id, clean_text, n_lines_kept, n_lines_dropped,
+    has_lorem, has_brace, keep)`` — the cleaned text for the keepers and
+    the drop-reason columns for the audit, complementing
+    :func:`gopher_quality_flags` (which scores but never rewrites).
+
+    Scale: one codegen'd map stage — line array materialized once as a
+    projection attribute, both line predicates are JVM lambda filters,
+    the page flags are plain string predicates; no shuffle, no Python.
+    """
+    t = F.col(text_col)
+    base = df.select(
+        F.col(id_col),
+        t.alias("_t"),
+        F.split(t, "\n").alias("_l"),
+    )
+    kept = F.filter(
+        F.col("_l"),
+        lambda l: F.rtrim(l).rlike(r'[.!?"]$')
+        & (
+            F.size(F.filter(F.split(F.trim(l), r"\s+"), lambda w: w != ""))
+            >= min_words_per_line
+        ),
+    )
+    out = base.select(
+        id_col,
+        F.array_join(kept, "\n").alias("clean_text"),
+        F.size(kept).cast("long").alias("n_lines_kept"),
+        (F.size("_l") - F.size(kept)).cast("long").alias("n_lines_dropped"),
+        F.lower(F.col("_t")).contains("lorem ipsum").alias("has_lorem"),
+        F.col("_t").contains("{").alias("has_brace"),
+    )
+    return out.withColumn(
+        "keep",
+        (~F.col("has_lorem"))
+        & (~F.col("has_brace"))
+        & (F.col("n_lines_kept") >= min_lines),
+    )
+
+
 def profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One-pass text profile: all metrics as a single projection."""
     t = F.col(text_col)

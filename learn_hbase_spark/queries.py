@@ -393,7 +393,8 @@ _SWEEP_PRIORITY: list[str] = [
     # under r8's module edits (winnow/BPE/semantic families) without an
     # r8 sweep slot — the recorder kept them stale, so they re-verify
     # first.
-    "hard_negative_topk_lsh", "dsir_select_gumbel",
+    "hard_negative_topk_lsh", "dsir_select_gumbel", "gopher_quality_flags",
+    "c4_line_filter",
     "temperature_mixture_sample", "file_corpus_dedup",
     "curation_pipeline", "curation_audit", "dsir_select", "dsir_weights",
     "quality_band_sample", "hard_negative_topk",
@@ -8649,6 +8650,120 @@ def dsir_select_gumbel(spark: SparkSession, sf_dir: str) -> DataFrame:
         raw, target, "text", "doc_id", 10_000, 1.0,
         keep_frac=0.25, salt="dsir", beta=1.0,
     )
+
+
+@_register(
+    "gopher_quality_flags",
+    """
+    WITH base AS (
+      SELECT doc_id, text AS t,
+             list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS w,
+             string_split(text, chr(10)) AS l
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+        CAST(len(w) AS BIGINT) AS n_words,
+        round(CASE WHEN len(w) = 0 THEN 0.0 ELSE
+          CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w)
+        END, 6) AS mean_word_len,
+        round(CASE WHEN len(w) = 0 THEN 0.0 ELSE
+          ((length(t) - length(replace(t, '#', '')))
+           + (length(t) - length(replace(t, '...', ''))) / 3) / len(w)
+        END, 6) AS symbol_ratio,
+        round(CAST(len(list_filter(l,
+          x -> regexp_matches(ltrim(x), '^[-*•]'))) AS DOUBLE) / len(l), 6)
+          AS bullet_frac,
+        round(CAST(len(list_filter(l,
+          x -> rtrim(x) LIKE '%...')) AS DOUBLE) / len(l), 6)
+          AS ellipsis_frac,
+        round(CASE WHEN len(w) = 0 THEN 0.0 ELSE
+          CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+               AS DOUBLE) / len(w)
+        END, 6) AS alpha_word_frac,
+        CAST(len(list_filter(
+          ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'],
+          s -> list_contains(list_transform(w, x -> lower(x)), s)))
+          AS BIGINT) AS n_stopwords
+      FROM base
+    )
+    SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+           ellipsis_frac, alpha_word_frac, n_stopwords,
+           n_words >= 50 AND n_words <= 100000 AS ok_words,
+           mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS ok_word_len,
+           symbol_ratio <= 0.1 AS ok_symbol,
+           bullet_frac <= 0.9 AS ok_bullet,
+           ellipsis_frac <= 0.3 AS ok_ellipsis,
+           alpha_word_frac >= 0.8 AS ok_alpha,
+           n_stopwords >= 1 AS ok_stop,
+           (n_words >= 50 AND n_words <= 100000
+            AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+            AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+            AND ellipsis_frac <= 0.3 AND alpha_word_frac >= 0.8
+            AND n_stopwords >= 1) AS pass
+    FROM m
+    """,
+)
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher rule-based quality filter (Rae et al. 2021 §A1.1,
+    functions.text.gopher_quality_flags — the rule set RedPajama-v2 and
+    FineWeb reuse as "gopher rules"): all seven published rules as
+    metrics + per-rule booleans + the overall pass, one codegen'd map
+    stage over the documents scan. ``min_stopwords=1`` (vs the paper's
+    web-page 2) because the synthetic corpus draws from a vocabulary
+    containing only one listed stopword — the threshold is the
+    deployment knob, the rule mechanics are the paper's."""
+    docs = _t(spark, sf_dir, "documents")
+    out = T.gopher_quality_flags(docs, "text", "doc_id", min_stopwords=1)
+    return out.withColumn(
+        "n_words", F.col("n_words").cast("long")
+    ).withColumn("n_stopwords", F.col("n_stopwords").cast("long"))
+
+
+@_register(
+    "c4_line_filter",
+    """
+    WITH lined AS (
+      SELECT doc_id, replace(text, ' table ', '.' || chr(10)) AS t
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id, t, string_split(t, chr(10)) AS l FROM lined
+    ),
+    m AS (
+      SELECT doc_id, t,
+        list_filter(l, x -> regexp_matches(rtrim(x), '[.!?"]$')
+          AND len(list_filter(string_split_regex(trim(x), '\\s+'),
+                              w -> w <> '')) >= 5) AS kept,
+        len(l) AS n_lines
+      FROM base
+    )
+    SELECT doc_id,
+           coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+           CAST(len(kept) AS BIGINT) AS n_lines_kept,
+           CAST(n_lines - len(kept) AS BIGINT) AS n_lines_dropped,
+           contains(lower(t), 'lorem ipsum') AS has_lorem,
+           contains(t, '{') AS has_brace,
+           (NOT contains(lower(t), 'lorem ipsum')) AND (NOT contains(t, '{'))
+             AND len(kept) >= 2 AS keep
+    FROM m
+    """,
+)
+def c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 line-level cleaner (Raffel et al. 2020 §2.2,
+    functions.text.c4_line_clean): keep lines ending in terminal
+    punctuation with >= 5 words, flag lorem-ipsum/brace pages, drop
+    pages with < 2 surviving lines. The corpus has no newlines, so the
+    query first derives a line-structured variant deterministically
+    (every ' table ' becomes sentence-end + newline) — both engines
+    replay the construction, and the filters then bite differently per
+    document (docs without the marker word collapse to one terminal-less
+    line and are dropped)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.replace(F.col("text"), F.lit(" table "), F.lit(".\n")).alias("text"),
+    )
+    return T.c4_line_clean(docs, "text", "doc_id", 5, min_lines=2)
 
 
 @_register(

@@ -767,3 +767,85 @@ def test_hard_negative_lsh_scores_only_bucket_mates(spark):
         same_side = (r["query_id"] <= 2) == (r["neighbor_id"] <= 2)
         assert same_side, r
     assert {r["query_id"] for r in got} == {1, 2, 3, 4}
+
+
+def test_gopher_quality_flags_each_rule(spark):
+    """One crafted document per Gopher rule, asserting exactly the
+    intended flag fails (thresholds loosened so the control doc passes
+    everything)."""
+    from learn_hbase_spark.functions.text import gopher_quality_flags
+
+    good = "the words flow with plain prose that have decent length here"
+    docs = [
+        (0, good),                                             # passes all
+        (1, "the of gone"),                                    # n_words
+        (2, "of to " + "aa " * 9),                             # mean len < 3
+        (3, "the office with general #### words appear"),      # symbol ratio
+        (4, "- the window\n- of curtain\n- with drapery\n- have blankets"),
+        (5, "the first...\nof the second...\nwith x"),         # ellipsis
+        (6, "the of 1234 5678 9012 1123 2234 3344 4455 5566"), # alpha frac
+        (7, "plain words but zero stop list hits here"),       # stopwords
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in gopher_quality_flags(
+            df, min_words=5, max_words=100, min_mean_word_len=3.0,
+            max_mean_word_len=10.0, max_symbol_word_ratio=0.3,
+            max_bullet_frac=0.5, max_ellipsis_frac=0.5,
+            min_alpha_word_frac=0.5, min_stopwords=2,
+        ).collect()
+    }
+    assert got[0]["pass"]
+    expect_fail = {
+        1: "ok_words", 2: "ok_word_len", 3: "ok_symbol", 4: "ok_bullet",
+        5: "ok_ellipsis", 6: "ok_alpha", 7: "ok_stop",
+    }
+    rules = list(expect_fail.values())
+    for doc, bad in expect_fail.items():
+        assert not got[doc]["pass"], doc
+        assert not got[doc][bad], (doc, bad, dict(got[doc].asDict()))
+        for other in rules:
+            if other != bad:
+                assert got[doc][other], (doc, other, dict(got[doc].asDict()))
+    # spot-check the metrics behind three of the flags
+    assert got[2]["mean_word_len"] == 2.0
+    assert got[4]["bullet_frac"] == 1.0
+    assert got[6]["alpha_word_frac"] == 0.2
+
+
+def test_c4_line_clean_rules(spark):
+    """C4 line rules on crafted pages: terminal-punctuation + min-words
+    line filters, lorem-ipsum and brace page drops, min-lines page drop,
+    and the cleaned text is exactly the surviving lines joined."""
+    from learn_hbase_spark.functions.text import c4_line_clean
+
+    page = (
+        "this line has enough words and ends well.\n"
+        "short line.\n"                      # < 5 words -> dropped
+        "no terminal punctuation on this line\n"   # dropped
+        'a quoted ending line with five words?"\n'
+        "and a third proper sentence survives here!"
+    )
+    docs = [
+        (0, page),                                   # keep: 3 lines survive
+        (1, page + "\nLorem Ipsum dolor sit."),      # lorem -> page dropped
+        (2, page + "\nvar x = { a: 1 };"),           # brace -> page dropped
+        (3, "only one good line survives today.\nnope\nalso nope"),  # < min
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in c4_line_clean(df, min_words_per_line=5, min_lines=2).collect()
+    }
+    assert got[0]["keep"] and got[0]["n_lines_kept"] == 3
+    assert got[0]["n_lines_dropped"] == 2
+    assert got[0]["clean_text"].split("\n") == [
+        "this line has enough words and ends well.",
+        'a quoted ending line with five words?"',
+        "and a third proper sentence survives here!",
+    ]
+    assert not got[1]["keep"] and got[1]["has_lorem"]
+    assert not got[2]["keep"] and got[2]["has_brace"]
+    assert not got[3]["keep"] and got[3]["n_lines_kept"] == 1
+    assert not (got[3]["has_lorem"] or got[3]["has_brace"])
