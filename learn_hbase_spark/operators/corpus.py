@@ -434,6 +434,155 @@ def dsir_select(
     )
 
 
+# Gopher §A1.1 repetition thresholds (Rae et al. 2021, Table A1): the
+# maximum fraction of characters allowed in the single most frequent
+# n-gram (n=2..4) and in ALL duplicated n-grams (n=5..10).
+GOPHER_REP_THRESHOLDS = {
+    ("top", 2): 0.20, ("top", 3): 0.18, ("top", 4): 0.16,
+    ("dup", 5): 0.15, ("dup", 6): 0.14, ("dup", 7): 0.13,
+    ("dup", 8): 0.12, ("dup", 9): 0.11, ("dup", 10): 0.10,
+}
+
+
+def gopher_repetition_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    thresholds: dict[tuple[str, int], float] | None = None,
+) -> DataFrame:
+    """The Gopher repetition rules (Rae et al. 2021 §A1.1, Table A1) —
+    the second half of the published rule set,
+    ``functions.text.gopher_quality_flags`` being the first: per
+    document, the fraction of characters covered by (a) the single most
+    frequent word n-gram for n = 2..4 and (b) all DUPLICATED word
+    n-grams (count > 1) for n = 5..10, each compared to the paper's
+    threshold. Character coverage is computed as
+    ``count x len(gram) / total word chars`` (occurrence-weighted, the
+    NeMo-Curator/DataTrove convention; overlapping occurrences are not
+    de-overlapped, so pathological self-overlap can exceed 1 — documents
+    that degenerate are exactly the ones the rule exists to drop).
+    Returns the 9 metrics (round-6), 9 per-rule booleans, and ``pass``.
+    Ties for the most frequent n-gram break toward the lexicographically
+    smallest gram — irrelevant to the metric (tied grams share a count
+    and, for fixed n, nearly always a length) but pinned for
+    engine-replayability.
+
+    Scale: ONE explode of word positions (the round-8 winnow lesson:
+    explode ints and build grams post-explode, never materialized gram
+    arrays), grams for all 9 n values built in the same pass, then one
+    (id, n, gram)-keyed partial-aggregable count and one |id|x9-row
+    window for the top gram. Shuffle rows are gram-keyed counts — Zipf-
+    truncated like every other gram pipeline here, never document
+    bodies. Docs with fewer than n+1 words have no n-gram rows and
+    coalesce to 0.0 (no repetition possible).
+    """
+    thr = dict(GOPHER_REP_THRESHOLDS)
+    if thresholds:
+        thr.update(thresholds)
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.filter(
+            F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: w != ""
+        ).alias("_w"),
+    ).withColumn(
+        "_chars",
+        F.aggregate(
+            "_w", F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+        ),
+    )
+    pos = base.filter(F.size("_w") >= 2).select(
+        "_id",
+        "_chars",
+        "_w",
+        F.explode(F.sequence(F.lit(1), F.size("_w") - 1)).alias("_i"),
+    )
+    # all 9 gram widths from one position row; slice length rides the
+    # lambda variable (Column form), invalid tails filtered before explode
+    gram_structs = F.filter(
+        F.transform(
+            F.sequence(F.lit(2), F.lit(10)),
+            lambda n: F.struct(
+                n.cast("int").alias("n"),
+                F.when(
+                    F.col("_i") + n - 1 <= F.size("_w"),
+                    F.array_join(F.slice("_w", F.col("_i"), n), " "),
+                ).alias("gram"),
+            ),
+        ),
+        lambda s: s["gram"].isNotNull(),
+    )
+    grams = pos.select(
+        "_id", "_chars", F.explode(gram_structs).alias("_g")
+    ).select(
+        "_id", "_chars", F.col("_g.n").alias("_n"), F.col("_g.gram").alias("_gram")
+    )
+    counts = grams.groupBy("_id", "_chars", "_n", "_gram").agg(
+        F.count("*").alias("_c")
+    )
+    w = Window.partitionBy("_id", "_n").orderBy(
+        F.col("_c").desc(), F.col("_gram").asc()
+    )
+    stats = (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .groupBy("_id", "_chars", "_n")
+        .agg(
+            # gram char count = length minus the n-1 join spaces, so the
+            # numerator and the word-chars denominator share a unit
+            F.max(
+                F.when(
+                    F.col("_rn") == 1,
+                    F.col("_c") * (F.length("_gram") - (F.col("_n") - 1)),
+                )
+            ).alias("_topchars"),
+            F.sum(
+                F.when(
+                    F.col("_c") > 1,
+                    F.col("_c") * (F.length("_gram") - (F.col("_n") - 1)),
+                )
+            ).alias("_dupchars"),
+        )
+        .select(
+            "_id",
+            "_n",
+            F.round(F.col("_topchars") / F.col("_chars"), 6).alias("_top"),
+            F.round(
+                F.coalesce(F.col("_dupchars"), F.lit(0)) / F.col("_chars"), 6
+            ).alias("_dup"),
+        )
+    )
+    aggs = []
+    for n in (2, 3, 4):
+        aggs.append(
+            F.coalesce(
+                F.max(F.when(F.col("_n") == n, F.col("_top"))), F.lit(0.0)
+            ).alias(f"top{n}_char_frac")
+        )
+    for n in range(5, 11):
+        aggs.append(
+            F.coalesce(
+                F.max(F.when(F.col("_n") == n, F.col("_dup"))), F.lit(0.0)
+            ).alias(f"dup{n}_char_frac")
+        )
+    ids = df.select(F.col(id_col).alias("_id"))
+    out = ids.join(stats, "_id", "left").groupBy("_id").agg(*aggs)
+    flags = {
+        f"ok_top{n}": F.col(f"top{n}_char_frac") <= thr[("top", n)]
+        for n in (2, 3, 4)
+    }
+    flags.update(
+        {
+            f"ok_dup{n}": F.col(f"dup{n}_char_frac") <= thr[("dup", n)]
+            for n in range(5, 11)
+        }
+    )
+    for name, expr in flags.items():
+        out = out.withColumn(name, expr)
+    all_ok = F.lit(True)
+    for name in flags:
+        all_ok = all_ok & F.col(name)
+    return out.withColumn("pass", all_ok).withColumnRenamed("_id", id_col)
+
+
 def dsir_select_gumbel(
     raw: DataFrame,
     target: DataFrame,

@@ -394,7 +394,7 @@ _SWEEP_PRIORITY: list[str] = [
     # r8 sweep slot — the recorder kept them stale, so they re-verify
     # first.
     "hard_negative_topk_lsh", "dsir_select_gumbel", "gopher_quality_flags",
-    "c4_line_filter",
+    "c4_line_filter", "gopher_repetition_flags",
     "temperature_mixture_sample", "file_corpus_dedup",
     "curation_pipeline", "curation_audit", "dsir_select", "dsir_weights",
     "quality_band_sample", "hard_negative_topk",
@@ -8764,6 +8764,94 @@ def c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.replace(F.col("text"), F.lit(" table "), F.lit(".\n")).alias("text"),
     )
     return T.c4_line_clean(docs, "text", "doc_id", 5, min_lines=2)
+
+
+@_register(
+    "gopher_repetition_flags",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                         w -> w <> '') AS w
+      FROM documents
+    ),
+    withc AS (
+      SELECT doc_id, w,
+             coalesce(list_sum(list_transform(w, x -> length(x))), 0) AS total
+      FROM base
+    ),
+    grams AS (
+      SELECT doc_id, total, n,
+             array_to_string(w[i:i+n-1], ' ') AS g
+      FROM withc,
+           unnest(generate_series(1, len(w) - 1)) AS tp(i),
+           unnest(generate_series(2, 10)) AS tn(n)
+      WHERE i + n - 1 <= len(w)
+    ),
+    counts AS (
+      SELECT doc_id, total, n, g, count(*) AS c
+      FROM grams GROUP BY doc_id, total, n, g
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id, n
+                                   ORDER BY c DESC, g ASC) AS rn
+      FROM counts
+    ),
+    stats AS (
+      SELECT doc_id, n,
+        round(CAST(max(CASE WHEN rn = 1
+              THEN c * (length(g) - (n - 1)) END) AS DOUBLE) / total, 6)
+          AS topf,
+        round(CAST(coalesce(sum(CASE WHEN c > 1
+              THEN c * (length(g) - (n - 1)) END), 0) AS DOUBLE) / total, 6)
+          AS dupf
+      FROM ranked GROUP BY doc_id, n, total
+    ),
+    m AS (
+      SELECT b.doc_id,
+        coalesce(max(CASE WHEN n = 2 THEN topf END), 0.0) AS top2_char_frac,
+        coalesce(max(CASE WHEN n = 3 THEN topf END), 0.0) AS top3_char_frac,
+        coalesce(max(CASE WHEN n = 4 THEN topf END), 0.0) AS top4_char_frac,
+        coalesce(max(CASE WHEN n = 5 THEN dupf END), 0.0) AS dup5_char_frac,
+        coalesce(max(CASE WHEN n = 6 THEN dupf END), 0.0) AS dup6_char_frac,
+        coalesce(max(CASE WHEN n = 7 THEN dupf END), 0.0) AS dup7_char_frac,
+        coalesce(max(CASE WHEN n = 8 THEN dupf END), 0.0) AS dup8_char_frac,
+        coalesce(max(CASE WHEN n = 9 THEN dupf END), 0.0) AS dup9_char_frac,
+        coalesce(max(CASE WHEN n = 10 THEN dupf END), 0.0) AS dup10_char_frac
+      FROM base b LEFT JOIN stats s ON b.doc_id = s.doc_id
+      GROUP BY b.doc_id
+    )
+    SELECT doc_id, top2_char_frac, top3_char_frac, top4_char_frac,
+           dup5_char_frac, dup6_char_frac, dup7_char_frac, dup8_char_frac,
+           dup9_char_frac, dup10_char_frac,
+           top2_char_frac <= 0.20 AS ok_top2,
+           top3_char_frac <= 0.18 AS ok_top3,
+           top4_char_frac <= 0.16 AS ok_top4,
+           dup5_char_frac <= 0.15 AS ok_dup5,
+           dup6_char_frac <= 0.14 AS ok_dup6,
+           dup7_char_frac <= 0.13 AS ok_dup7,
+           dup8_char_frac <= 0.12 AS ok_dup8,
+           dup9_char_frac <= 0.11 AS ok_dup9,
+           dup10_char_frac <= 0.10 AS ok_dup10,
+           (top2_char_frac <= 0.20 AND top3_char_frac <= 0.18
+            AND top4_char_frac <= 0.16 AND dup5_char_frac <= 0.15
+            AND dup6_char_frac <= 0.14 AND dup7_char_frac <= 0.13
+            AND dup8_char_frac <= 0.12 AND dup9_char_frac <= 0.11
+            AND dup10_char_frac <= 0.10) AS pass
+    FROM m
+    """,
+)
+def gopher_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher repetition rules (Rae et al. 2021 §A1.1 Table A1,
+    operators.corpus.gopher_repetition_flags): per document, character
+    fractions of the most frequent 2/3/4-gram and of all duplicated
+    5..10-grams, each against the paper's threshold — the second half
+    of the Gopher rule set (``gopher_quality_flags`` is the first).
+    One position explode builds all nine gram widths; DuckDB replays
+    the same grams positionally, the same (count desc, gram asc) top
+    tie-break, and the same round-6 fractions."""
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_ops.gopher_repetition_flags(docs, "text", "doc_id")
 
 
 @_register(

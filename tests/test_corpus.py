@@ -416,3 +416,57 @@ def test_dsir_gumbel_salt_varies_and_is_replayable(spark):
     h = int(hashlib.md5(f"{i}:s1".encode()).hexdigest()[:8], 16)
     u = (h + 0.5) / 4294967296.0
     assert gk == round(lw + (-math.log(-math.log(u))), 6)
+
+
+def test_gopher_repetition_flags_hand_computation(spark):
+    """Gopher repetition metrics against a pure-Python replay: top
+    2/3/4-gram char fractions (count x word-chars of the gram / total
+    word chars, lexicographic tie-break) and duplicated 5..10-gram
+    fractions; a one-word doc is all zeros and passes."""
+    from collections import Counter
+
+    texts = {
+        0: "a b a b a b a b",
+        1: "one two three four five six seven eight",
+        2: "x",
+    }
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+
+    def replay(text):
+        w = text.split()
+        total = sum(len(x) for x in w)
+        out = {}
+        for n in range(2, 11):
+            grams = [w[i:i + n] for i in range(len(w) - n + 1)]
+            cnt = Counter(" ".join(g) for g in grams)
+            if cnt:
+                top_g, top_c = sorted(
+                    cnt.items(), key=lambda kv: (-kv[1], kv[0])
+                )[0]
+                chars = lambda g: len(g) - g.count(" ")  # noqa: E731
+                top = round(top_c * chars(top_g) / total, 6)
+                dup = round(
+                    sum(c * chars(g) for g, c in cnt.items() if c > 1)
+                    / total, 6,
+                )
+            else:
+                top = dup = 0.0
+            if n <= 4:
+                out[f"top{n}_char_frac"] = top
+            if n >= 5:
+                out[f"dup{n}_char_frac"] = dup
+        return out
+
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in corpus_ops.gopher_repetition_flags(df).collect()
+    }
+    for i, text in texts.items():
+        want = replay(text)
+        for k, v in want.items():
+            assert got[i][k] == v, (i, k, got[i][k], v)
+    # doc 0 trips every rule with gram rows; doc 2 (one word) passes all
+    assert not got[0]["pass"] and got[2]["pass"]
+    assert got[0]["top2_char_frac"] == round(4 * 2 / 8, 6)  # "a b" x4
