@@ -652,6 +652,52 @@ def dsir_select_gumbel(
     )
 
 
+def perplexity_buckets(
+    scored: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "avg_logprob",
+    strata_col: str = "source",
+    lo: float = 0.333333,
+    hi: float = 0.666667,
+) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020 §4.3 — the
+    published OUTPUT shape of the CCNet pipeline: each language's
+    documents are divided into three equal buckets by reference-LM
+    perplexity, and downstream consumers pick head, head+middle, or
+    all): bucket every document against ITS OWN STRATUM's score
+    tertiles, so a low-resource stratum is judged against itself, never
+    against the dominant stratum's distribution. ``head`` is the BEST
+    bucket (highest mean log-prob = lowest perplexity); boundaries use
+    ``>=``, so boundary ties land in the better bucket.
+
+    Feed any per-doc score frame — the registered query feeds the
+    unigram LM, the CCNet-faithful composition feeds
+    :func:`bigram_lm_score_frozen`. Thresholds are exact per-stratum
+    percentiles (round-4) of round-6 scores — the
+    quality_band_sample engine-parity posture, and the same
+    O(distinct rounded scores) exact-percentile memory bound documented
+    in SCALE.md "Exact-percentile thresholds" (one buffer per stratum).
+
+    Scale: one partial-aggregable grouped percentile (|strata| rows
+    out), broadcast back onto a pure projection — the corpus never
+    shuffles. Returns the input plus ``ppl_bucket``.
+    """
+    thr = scored.groupBy(strata_col).agg(
+        F.round(F.expr(f"percentile({score_col}, {lo})"), 4).alias("_t1"),
+        F.round(F.expr(f"percentile({score_col}, {hi})"), 4).alias("_t2"),
+    )
+    bucket = (
+        F.when(F.col(score_col) >= F.col("_t2"), "head")
+        .when(F.col(score_col) >= F.col("_t1"), "middle")
+        .otherwise("tail")
+    )
+    return (
+        scored.join(F.broadcast(thr), strata_col)
+        .withColumn("ppl_bucket", bucket)
+        .drop("_t1", "_t2")
+    )
+
+
 def hashed_classifier_score(
     df: DataFrame,
     weights: DataFrame,

@@ -394,7 +394,7 @@ _SWEEP_PRIORITY: list[str] = [
     # r8 sweep slot — the recorder kept them stale, so they re-verify
     # first.
     "hard_negative_topk_lsh", "dsir_select_gumbel", "gopher_quality_flags",
-    "c4_line_filter", "gopher_repetition_flags",
+    "c4_line_filter", "gopher_repetition_flags", "ccnet_perplexity_buckets",
     "temperature_mixture_sample", "file_corpus_dedup",
     "curation_pipeline", "curation_audit", "dsir_select", "dsir_weights",
     "quality_band_sample", "hard_negative_topk",
@@ -8852,6 +8852,55 @@ def gopher_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break, and the same round-6 fractions."""
     docs = _t(spark, sf_dir, "documents")
     return corpus_ops.gopher_repetition_flags(docs, "text", "doc_id")
+
+
+@_register(
+    "ccnet_perplexity_buckets",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS w FROM documents
+    ),
+    vocab AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+    total AS (SELECT sum(c) AS t FROM vocab),
+    scored AS (
+      SELECT doc_id, round(avg(ln(c / (SELECT t FROM total))), 6) AS score
+      FROM toks JOIN vocab USING (w) GROUP BY doc_id
+    ),
+    with_src AS (
+      SELECT s.doc_id, d.source, s.score
+      FROM scored s JOIN documents d USING (doc_id)
+    ),
+    thr AS (
+      SELECT source,
+             round(quantile_cont(score, 0.333333), 4) AS t1,
+             round(quantile_cont(score, 0.666667), 4) AS t2
+      FROM with_src GROUP BY source
+    )
+    SELECT w.doc_id, w.source, w.score,
+           CASE WHEN w.score >= t.t2 THEN 'head'
+                WHEN w.score >= t.t1 THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM with_src w JOIN thr t USING (source)
+    """,
+)
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail corpus split (Wenzek et al. 2020 §4.3,
+    operators.corpus.perplexity_buckets): every document bucketed
+    against its own SOURCE stratum's LM-score tertiles — the published
+    CCNet output shape, with the cheap unigram LM standing in for the
+    reference model (the frozen-bigram composition is one argument
+    swap). Per-stratum exact percentiles of round-6 scores, round-4
+    thresholds, >= keeps boundary docs in the better bucket."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = lm_score(spark, sf_dir).select(
+        "doc_id", F.col("avg_logprob").alias("score")
+    )
+    with_src = scored.join(docs.select("doc_id", "source"), "doc_id").select(
+        "doc_id", "source", "score"
+    )
+    return corpus_ops.perplexity_buckets(
+        with_src, "doc_id", "score", "source"
+    )
 
 
 @_register(

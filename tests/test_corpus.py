@@ -470,3 +470,28 @@ def test_gopher_repetition_flags_hand_computation(spark):
     # doc 0 trips every rule with gram rows; doc 2 (one word) passes all
     assert not got[0]["pass"] and got[2]["pass"]
     assert got[0]["top2_char_frac"] == round(4 * 2 / 8, 6)  # "a b" x4
+
+
+def test_perplexity_buckets_per_stratum_tertiles(spark):
+    """Head/middle/tail are assigned against each stratum's OWN
+    tertiles: a score that is 'head' in a weak stratum can be 'tail' in
+    a strong one; >= keeps boundary docs in the better bucket; every
+    stratum splits ~equally."""
+    rows = (
+        [(i, "A", float(i)) for i in range(9)]          # A scores 0..8
+        + [(100 + i, "B", 100.0 + i) for i in range(9)]  # B scores 100..108
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string, score double")
+    got = {
+        r["doc_id"]: r["ppl_bucket"]
+        for r in corpus_ops.perplexity_buckets(
+            df, "doc_id", "score", "source"
+        ).collect()
+    }
+    for base in (0, 100):
+        ids = [base + i for i in range(9)]
+        assert [got[i] for i in ids] == (
+            ["tail"] * 3 + ["middle"] * 3 + ["head"] * 3
+        ), [got[i] for i in ids]
+    # A's best (8.0) is far below B's worst (100.0) yet still 'head' in A
+    assert got[8] == "head"
