@@ -750,3 +750,172 @@ def hard_negative_topk_lsh(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "sim")
     )
+
+
+def _pq_seeds(corpus: DataFrame, k_codes: int, id_col: str, vec_col: str):
+    """Seed codebook source: the ``k_codes`` lowest-id corpus vectors,
+    RAW (PQ quantizes in L2 space — normalizing would distort subvector
+    distances). Bounded driver pull (k rows), the ``ivf_seed_cells``
+    class. Per-subspace codewords are these vectors' subvector slices —
+    the same seeds-then-refine posture as IVF; a Lloyd-refined codebook
+    drops in without touching the encode/ADC shape (refined means are
+    summation-order-sensitive across engines, so the seeded form is the
+    oracle-twinned one)."""
+    import numpy as np
+
+    rows = (
+        corpus.orderBy(F.col(id_col).asc()).limit(k_codes)
+        .select(vec_col).toPandas()[vec_col]
+    )
+    return np.stack([np.asarray(v, dtype=np.float64) for v in rows])
+
+
+def pq_codes(
+    corpus: DataFrame,
+    m: int = 4,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization encoding (Jégou, Douze & Schmid 2011, "Product
+    Quantization for Nearest Neighbor Search" — the FAISS IVF-PQ building
+    block): split each vector into ``m`` equal subvectors and store, per
+    subspace, the id of the nearest codeword (L2, ties to the lowest
+    code — numpy argmin's first-occurrence rule). A 64-dim float64
+    vector becomes m=4 small ints: the 100 TB memory story — the
+    scored-against representation shrinks ~128x, and at search time the
+    corpus side of ADC carries ONLY these ints, never raw vectors.
+
+    Returns LONG format ``(id, subspace, code)`` — m rows per vector:
+    the join-ready shape for :func:`pq_adc_topk`'s broadcast
+    lookup-table join (a wide per-vector row would need an unpivot
+    before every search anyway; the ``pq_encode`` query pivots wide for
+    its integer-exact oracle compare).
+
+    Scale: one Arrow-batched NumPy pass over the corpus (the
+    ``_cell_assigner`` posture); per-task state is the (k_codes x dim)
+    codebook.
+    """
+    import numpy as np
+    import pandas as pd
+
+    seeds = _pq_seeds(corpus, k_codes, id_col, vec_col)
+    dim = seeds.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+
+    def _enc(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
+            frames = []
+            for j in range(m):
+                Xs = X[:, j * sub:(j + 1) * sub]
+                Ss = seeds[:, j * sub:(j + 1) * sub]
+                d = ((Xs[:, None, :] - Ss[None, :, :]) ** 2).sum(axis=-1)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "_id": pdf["_id"],
+                            "subspace": np.int32(j),
+                            "code": d.argmin(axis=1).astype("int32"),
+                        }
+                    )
+                )
+            yield pd.concat(frames)
+
+    prepped = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    )
+    return prepped.mapInPandas(
+        _enc, schema="_id long, subspace int, code int"
+    ).select(F.col("_id").alias(id_col), "subspace", "code")
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    m: int = 4,
+    k_codes: int = 16,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric distance computation (ADC) top-k over PQ codes (Jégou
+    2011 §III.B): each query precomputes its distance TABLE — squared L2
+    from its m subvectors to every codeword, nq x m x k_codes bounded
+    rows — and a corpus vector's approximate distance is the sum of m
+    table lookups on its codes. Smaller distance = nearer; ties break by
+    ascending neighbor id; partial distances and the final sum round to
+    6 so an external engine makes identical ranking calls.
+
+    Scale — the reason PQ exists: the corpus side of the search is the
+    ``(id, subspace, code)`` int table from :func:`pq_codes` (never raw
+    vectors), the distance table BROADCASTS (nq x m x k_codes rows —
+    query-set-sized, the `ann_cosine_topk` bounded class), the lookup is
+    a broadcast hash join on (subspace, code), and the per-(query,
+    vector) sum is partial-aggregable. At 100 TB the codes table is
+    ~m bytes/vector and the only corpus-sized work is one scan + one
+    map-side join + one grouped sum.
+    """
+    import numpy as np
+    import pandas as pd
+
+    seeds = _pq_seeds(corpus, k_codes, id_col, vec_col)
+    dim = seeds.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    codes = pq_codes(corpus, m, k_codes, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), "subspace", "code"
+    )
+
+    def _tab(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
+            frames = []
+            for j in range(m):
+                Qs = Q[:, j * sub:(j + 1) * sub]
+                Ss = seeds[:, j * sub:(j + 1) * sub]
+                d = np.round(
+                    ((Qs[:, None, :] - Ss[None, :, :]) ** 2).sum(axis=-1), 6
+                )
+                for c in range(seeds.shape[0]):
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": pdf["_id"],
+                                "subspace": np.int32(j),
+                                "code": np.int32(c),
+                                "pdist": d[:, c],
+                            }
+                        )
+                    )
+            yield pd.concat(frames)
+
+    q_prepped = queries.select(
+        F.col(id_col).alias("_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    )
+    table = q_prepped.mapInPandas(
+        _tab, schema="query_id long, subspace int, code int, pdist double"
+    )
+    scored = (
+        codes.join(F.broadcast(table), ["subspace", "code"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("pdist"), 6).alias("dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "dist")
+    )

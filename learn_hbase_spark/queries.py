@@ -395,6 +395,7 @@ _SWEEP_PRIORITY: list[str] = [
     # first.
     "hard_negative_topk_lsh", "dsir_select_gumbel", "gopher_quality_flags",
     "c4_line_filter", "gopher_repetition_flags", "ccnet_perplexity_buckets",
+    "pq_encode", "pq_ann_topk",
     "temperature_mixture_sample", "file_corpus_dedup",
     "curation_pipeline", "curation_audit", "dsir_select", "dsir_weights",
     "quality_band_sample", "hard_negative_topk",
@@ -3921,6 +3922,121 @@ def ivf_cell_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     are separated far beyond the ~1e-15 relative error of a 64-term dot."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.ivf_seed_cells(emb, nlist=16)
+
+
+# shared PQ oracle CTEs: seed codebooks = the 16 lowest-id RAW vectors'
+# subvector slices (m=4 subspaces x 16 dims over the 64-dim column);
+# codes = per (vector, subspace) argmin squared-L2 codeword, ties to the
+# lowest code — operators.similarity.pq_codes' numpy-argmin rule.
+_PQ_CTES = """
+    seeds AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS code, v
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings ORDER BY vec_id LIMIT 16)
+    ),
+    subseeds AS (
+      SELECT code, j, v[j * 16 + 1 : j * 16 + 16] AS sv
+      FROM seeds, unnest(generate_series(0, 3)) AS tj(j)
+    ),
+    sub AS (
+      SELECT vec_id, j,
+             (CAST(embedding AS DOUBLE[]))[j * 16 + 1 : j * 16 + 16] AS sv
+      FROM embeddings, unnest(generate_series(0, 3)) AS tj(j)
+    ),
+    dists AS (
+      SELECT s.vec_id, s.j, ss.code,
+             list_sum(list_transform(generate_series(1, 16),
+                      i -> (s.sv[i] - ss.sv[i]) ^ 2)) AS d
+      FROM sub s JOIN subseeds ss ON s.j = ss.j
+    ),
+    codes AS (
+      SELECT vec_id, j, code FROM (
+        SELECT vec_id, j, code,
+               row_number() OVER (PARTITION BY vec_id, j
+                                  ORDER BY d ASC, code ASC) AS rn
+        FROM dists
+      ) WHERE rn = 1
+    )
+"""
+
+
+@_register(
+    "pq_encode",
+    f"""
+    WITH {_PQ_CTES}
+    SELECT vec_id,
+           max(CASE WHEN j = 0 THEN code END) AS code_0,
+           max(CASE WHEN j = 1 THEN code END) AS code_1,
+           max(CASE WHEN j = 2 THEN code END) AS code_2,
+           max(CASE WHEN j = 3 THEN code END) AS code_3
+    FROM codes GROUP BY vec_id
+    """,
+)
+def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (Jégou et al. 2011,
+    operators.similarity.pq_codes): every 64-dim vector becomes 4
+    subspace codes — nearest seed codeword per 16-dim slice, L2, ties
+    to the lowest code. The 128x-smaller representation ADC searches
+    against; integer output ⇒ exact driver hash compare (the
+    ``ivf_cell_assign`` partial-oracle posture — a Lloyd-refined
+    codebook stays rows-only, the encode/search mechanics are pinned
+    here)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    long = similarity.pq_codes(emb, m=4, k_codes=16)
+    return long.groupBy("vec_id").agg(
+        *[
+            F.max(
+                F.when(F.col("subspace") == j, F.col("code"))
+            ).alias(f"code_{j}")
+            for j in range(4)
+        ]
+    )
+
+
+@_register(
+    "pq_ann_topk",
+    f"""
+    WITH {_PQ_CTES},
+    qsub AS (
+      SELECT vec_id AS query_id, j,
+             (CAST(embedding AS DOUBLE[]))[j * 16 + 1 : j * 16 + 16] AS sv
+      FROM embeddings, unnest(generate_series(0, 3)) AS tj(j)
+      WHERE vec_id < 10
+    ),
+    tab AS (
+      SELECT q.query_id, q.j, ss.code,
+             round(list_sum(list_transform(generate_series(1, 16),
+                            i -> (q.sv[i] - ss.sv[i]) ^ 2)), 6) AS pd
+      FROM qsub q JOIN subseeds ss ON q.j = ss.j
+    ),
+    scored AS (
+      SELECT t.query_id, c.vec_id AS neighbor_id,
+             round(sum(t.pd), 6) AS dist
+      FROM codes c JOIN tab t ON c.j = t.j AND c.code = t.code
+      WHERE c.vec_id <> t.query_id
+      GROUP BY t.query_id, c.vec_id
+    )
+    SELECT query_id, neighbor_id, rank, dist FROM (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY dist ASC, neighbor_id ASC) AS rank,
+             dist
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-k (Jégou et al. 2011 §III.B,
+    operators.similarity.pq_adc_topk): queries (vec_id < 10) precompute
+    their subvector-to-codeword distance tables (bounded, broadcast);
+    corpus distance is the sum of 4 table lookups on the int codes from
+    ``pq_encode`` — the corpus side of the search never touches raw
+    vectors. Round-6 partials and sums; ties break by ascending
+    neighbor id; DuckDB replays codebooks, codes, tables, and ranking
+    exactly."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    return similarity.pq_adc_topk(q, emb, m=4, k_codes=16, k=5)
 
 
 # ---------------------------------------------------------------------------

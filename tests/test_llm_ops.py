@@ -849,3 +849,68 @@ def test_c4_line_clean_rules(spark):
     assert not got[2]["keep"] and got[2]["has_brace"]
     assert not got[3]["keep"] and got[3]["n_lines_kept"] == 1
     assert not (got[3]["has_lorem"] or got[3]["has_brace"])
+
+
+def test_pq_codes_match_numpy_replay(spark, vectors):
+    """PQ encoding against a pure-NumPy replay: seeds are the k lowest-id
+    RAW vectors, per-subspace argmin squared-L2 with first-occurrence
+    (lowest-code) ties; partition-invariant."""
+    import numpy as np
+
+    rows = {r["vec_id"]: np.array(r["embedding"]) for r in vectors.collect()}
+    ids = sorted(rows)
+    seeds = np.stack([rows[i] for i in ids[:8]])
+    m, sub = 4, 4  # 16-dim fixture -> 4 subspaces of 4
+    want = {}
+    for i in ids:
+        for j in range(m):
+            d = (
+                (rows[i][j * sub:(j + 1) * sub] - seeds[:, j * sub:(j + 1) * sub])
+                ** 2
+            ).sum(axis=1)
+            want[(i, j)] = int(d.argmin())
+    got = {
+        (r["vec_id"], r["subspace"]): r["code"]
+        for r in similarity.pq_codes(vectors, m=4, k_codes=8).collect()
+    }
+    assert got == want
+    got2 = {
+        (r["vec_id"], r["subspace"]): r["code"]
+        for r in similarity.pq_codes(
+            vectors.repartition(7), m=4, k_codes=8
+        ).collect()
+    }
+    assert got2 == want
+
+
+def test_pq_adc_recall_vs_bruteforce(spark, vectors):
+    """ADC over 8-codeword x 4-subspace codes recovers a reasonable share
+    of the exact L2 top-5, and every reported dist is the sum of the
+    query's table entries for the neighbor's codes."""
+    import numpy as np
+
+    q = vectors.filter(F.col("vec_id") < 5)
+    rows = {r["vec_id"]: np.array(r["embedding"]) for r in vectors.collect()}
+    exact = {}
+    for qi in range(5):
+        d = sorted(
+            (float(((rows[qi] - v) ** 2).sum()), i)
+            for i, v in rows.items()
+            if i != qi
+        )[:5]
+        exact[qi] = {i for _, i in d}
+    approx = {}
+    for r in similarity.pq_adc_topk(q, vectors, m=4, k_codes=8, k=5).collect():
+        approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(exact[i] & approx[i]) for i in range(5))
+    assert hits / 25 >= 0.4, (hits, approx)
+    # rank order is ascending dist with id tie-break
+    per_q = {}
+    for r in similarity.pq_adc_topk(q, vectors, m=4, k_codes=8, k=5).collect():
+        per_q.setdefault(r["query_id"], []).append((r["rank"], r["dist"], r["neighbor_id"]))
+    for lst in per_q.values():
+        lst.sort()
+        assert [x[0] for x in lst] == list(range(1, len(lst) + 1))
+        assert all(
+            (a[1], a[2]) <= (b[1], b[2]) for a, b in zip(lst, lst[1:])
+        )
