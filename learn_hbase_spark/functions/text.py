@@ -276,6 +276,67 @@ def gopher_quality_flags(
     return out.withColumn("pass", all_ok)
 
 
+def gopher_dupline_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    max_dup_frac: float = 0.30,
+    max_dup_char_frac: float = 0.20,
+) -> DataFrame:
+    """The remaining four Gopher §A1.1 rules (Rae et al. 2021, Table A1):
+    duplicate LINE fraction and duplicate-line CHARACTER fraction —
+    ``sep="\\n"`` gives the line rules (thresholds 0.30 / 0.20),
+    ``sep="\\n\\n"`` the paragraph rules (0.30 / 0.20) — completing the
+    published rule set next to :func:`gopher_quality_flags` (quality) and
+    ``operators.corpus.gopher_repetition_flags`` (n-gram repetition).
+
+    A "duplicate" occurrence is any repeat of a segment already seen in
+    the SAME document: with n non-blank segments of which d are
+    distinct, ``dup_frac = (n - d) / n`` and ``dup_char_frac = (total
+    chars - chars of one copy of each distinct segment) / total chars``
+    — each metric 0.0 for segment-less docs. Blank/whitespace-only
+    segments are excluded (an empty line repeating is formatting, not
+    content duplication).
+
+    Scale: NO shuffle at all — both metrics are per-row array
+    expressions (`array_distinct` + two fold sums) inside one codegen'd
+    projection; cost is O(segments) per row.
+    """
+    t = F.col(text_col)
+    base = df.select(
+        F.col(id_col),
+        F.filter(
+            F.split(t, sep), lambda s: F.trim(s) != ""
+        ).alias("_s"),
+    ).withColumn("_d", F.array_distinct("_s"))
+
+    def _chars(col_name: str) -> Column:
+        return F.aggregate(
+            col_name, F.lit(0).cast("long"), lambda a, s: a + F.length(s)
+        )
+
+    n, d = F.size("_s"), F.size("_d")
+    out = base.select(
+        id_col,
+        n.cast("long").alias("n_segments"),
+        F.round(
+            F.when(n == 0, 0.0).otherwise((n - d) / n.cast("double")), 6
+        ).alias("dup_frac"),
+        F.round(
+            F.when(n == 0, 0.0).otherwise(
+                (_chars("_s") - _chars("_d")) / _chars("_s").cast("double")
+            ),
+            6,
+        ).alias("dup_char_frac"),
+    )
+    return (
+        out.withColumn("ok_dup", F.col("dup_frac") <= max_dup_frac)
+        .withColumn("ok_dup_chars", F.col("dup_char_frac") <= max_dup_char_frac)
+        .withColumn("pass", F.col("ok_dup") & F.col("ok_dup_chars"))
+    )
+
+
 def c4_line_clean(
     df: DataFrame,
     text_col: str = "text",

@@ -395,7 +395,7 @@ _SWEEP_PRIORITY: list[str] = [
     # first.
     "hard_negative_topk_lsh", "dsir_select_gumbel", "gopher_quality_flags",
     "c4_line_filter", "gopher_repetition_flags", "ccnet_perplexity_buckets",
-    "pq_encode", "pq_ann_topk",
+    "pq_encode", "pq_ann_topk", "gopher_dupline_flags",
     "temperature_mixture_sample", "file_corpus_dedup",
     "curation_pipeline", "curation_audit", "dsir_select", "dsir_weights",
     "quality_band_sample", "hard_negative_topk",
@@ -8880,6 +8880,61 @@ def c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.replace(F.col("text"), F.lit(" table "), F.lit(".\n")).alias("text"),
     )
     return T.c4_line_clean(docs, "text", "doc_id", 5, min_lines=2)
+
+
+@_register(
+    "gopher_dupline_flags",
+    """
+    WITH lined AS (
+      SELECT doc_id, replace(text, ' table ', '.' || chr(10)) AS t
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id,
+             list_filter(string_split(t, chr(10)), s -> trim(s) <> '') AS s
+      FROM lined
+    ),
+    m AS (SELECT doc_id, s, list_distinct(s) AS d FROM base)
+    SELECT doc_id,
+      CAST(len(s) AS BIGINT) AS n_segments,
+      round(CASE WHEN len(s) = 0 THEN 0.0
+            ELSE (len(s) - len(d)) / CAST(len(s) AS DOUBLE) END, 6)
+        AS dup_frac,
+      round(CASE WHEN len(s) = 0 THEN 0.0 ELSE
+        (list_sum(list_transform(s, x -> length(x)))
+         - list_sum(list_transform(d, x -> length(x))))
+        / CAST(list_sum(list_transform(s, x -> length(x))) AS DOUBLE)
+      END, 6) AS dup_char_frac,
+      round(CASE WHEN len(s) = 0 THEN 0.0
+            ELSE (len(s) - len(d)) / CAST(len(s) AS DOUBLE) END, 6) <= 0.30
+        AS ok_dup,
+      round(CASE WHEN len(s) = 0 THEN 0.0 ELSE
+        (list_sum(list_transform(s, x -> length(x)))
+         - list_sum(list_transform(d, x -> length(x))))
+        / CAST(list_sum(list_transform(s, x -> length(x))) AS DOUBLE)
+      END, 6) <= 0.20 AS ok_dup_chars,
+      (round(CASE WHEN len(s) = 0 THEN 0.0
+             ELSE (len(s) - len(d)) / CAST(len(s) AS DOUBLE) END, 6) <= 0.30
+       AND round(CASE WHEN len(s) = 0 THEN 0.0 ELSE
+         (list_sum(list_transform(s, x -> length(x)))
+          - list_sum(list_transform(d, x -> length(x))))
+         / CAST(list_sum(list_transform(s, x -> length(x))) AS DOUBLE)
+       END, 6) <= 0.20) AS pass
+    FROM m
+    """,
+)
+def gopher_dupline_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The last four Gopher §A1.1 rules (functions.text.
+    gopher_dupline_flags): within-document duplicate-line fraction and
+    duplicate-line character fraction against the paper's 0.30 / 0.20
+    thresholds, over the same deterministically line-structured corpus
+    as ``c4_line_filter``. Pure per-row array expressions — the plan has
+    no exchange at all."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.replace(F.col("text"), F.lit(" table "), F.lit(".\n")).alias("text"),
+    )
+    return T.gopher_dupline_flags(docs, "text", "doc_id")
 
 
 @_register(

@@ -914,3 +914,39 @@ def test_pq_adc_recall_vs_bruteforce(spark, vectors):
         assert all(
             (a[1], a[2]) <= (b[1], b[2]) for a, b in zip(lst, lst[1:])
         )
+
+
+def test_gopher_dupline_flags_hand_computation(spark):
+    """Duplicate-line metrics on crafted pages: (n - distinct)/n line
+    fraction, extra-occurrence character fraction, blank lines excluded,
+    paragraph granularity via sep; zero-segment doc passes with zeros."""
+    from learn_hbase_spark.functions.text import gopher_dupline_flags
+
+    docs = [
+        (0, "aaa\nbbb\naaa\n\nccc"),   # 4 non-blank lines, 'aaa' repeats
+        (1, "unique one\nunique two"),
+        (2, "   \n\n  "),              # blanks only -> 0 segments
+        (3, "x\nx\nx\nx"),             # 4 copies of one line
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in gopher_dupline_flags(df).collect()
+    }
+    # doc 0: n=4 d=3 -> dup 0.25; chars 3+3+3+3=12, distinct 9 -> 0.25
+    assert got[0]["n_segments"] == 4
+    assert got[0]["dup_frac"] == 0.25 and got[0]["dup_char_frac"] == 0.25
+    assert got[0]["ok_dup"] and not got[0]["ok_dup_chars"]  # 0.25 > 0.20
+    assert not got[0]["pass"]
+    assert got[1] == dict(doc_id=1, n_segments=2, dup_frac=0.0,
+                          dup_char_frac=0.0, ok_dup=True, ok_dup_chars=True,
+                          **{"pass": True})
+    assert got[2]["n_segments"] == 0 and got[2]["pass"]
+    assert got[3]["dup_frac"] == 0.75 and got[3]["dup_char_frac"] == 0.75
+    assert not got[3]["pass"]
+    # paragraph granularity: same function, sep="\n\n"
+    para = {
+        r["doc_id"]: r["n_segments"]
+        for r in gopher_dupline_flags(df, sep="\n\n").collect()
+    }
+    assert para[0] == 2  # "aaa\nbbb\naaa" and "ccc"
