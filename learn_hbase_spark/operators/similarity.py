@@ -919,3 +919,120 @@ def pq_adc_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "dist")
     )
+
+
+def ivf_pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    nlist: int = 16,
+    nprobe: int = 4,
+    m: int = 4,
+    k_codes: int = 16,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ — the FAISS-standard composition of the two index halves
+    this library ships separately (Jégou 2011 §V): the IVF coarse
+    quantizer restricts candidates to each query's ``nprobe`` nearest
+    cells, and ADC over PQ codes scores ONLY those candidates. Fully
+    deterministic in its seeded form (seed cells = `ivf_seed_cells`'s
+    lowest-id normalized vectors, seed codebooks = :func:`_pq_seeds`'s
+    raw slices), so the whole composition is oracle-twinnable end to
+    end, unlike the Lloyd-refined `ivf_topk`.
+
+    Scale — what each half buys at 100 TB: IVF cuts the scored set by
+    ~nlist/nprobe and makes the cell id the storage partition key
+    (probing prunes partitions); PQ makes the scored representation m
+    ints so the candidate join moves code rows, never raw vectors. The
+    query side (cells + distance tables) is bounded (nq x nprobe +
+    nq x m x k_codes rows) and broadcasts; the per-candidate sum is
+    partial-aggregable. Ranking: ascending ADC distance, ties by
+    ascending neighbor id, round-6 — the `pq_adc_topk` contract.
+    """
+    import numpy as np
+    import pandas as pd
+
+    # coarse quantizer: corpus cells (1 probe) + query cells (nprobe)
+    cell_seeds = (
+        corpus.orderBy(F.col(id_col).asc()).limit(nlist)
+        .select(vec_col).toPandas()[vec_col]
+    )
+    cents = _np_norm_rows(
+        np.stack([np.asarray(v, dtype=np.float64) for v in cell_seeds])
+    )
+    corpus_cells = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    ).mapInPandas(
+        _cell_assigner(cents, 1), schema="_id long, _v array<double>, _cell int"
+    ).select(F.col("_id").alias("neighbor_id"), F.col("_cell").alias("cell"))
+    q_cells = queries.select(
+        F.col(id_col).alias("_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    ).mapInPandas(
+        _cell_assigner(cents, min(nprobe, nlist)),
+        schema="_id long, _v array<double>, _cell int",
+    ).select(F.col("_id").alias("query_id"), F.col("_cell").alias("cell"))
+
+    # candidate set: corpus members of each query's probed cells
+    cand = corpus_cells.join(F.broadcast(q_cells), "cell").select(
+        "query_id", "neighbor_id"
+    )
+
+    # ADC scoring restricted to candidates
+    seeds = _pq_seeds(corpus, k_codes, id_col, vec_col)
+    dim = seeds.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    codes = pq_codes(corpus, m, k_codes, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), "subspace", "code"
+    )
+
+    def _tab(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
+            frames = []
+            for j in range(m):
+                Qs = Q[:, j * sub:(j + 1) * sub]
+                Ss = seeds[:, j * sub:(j + 1) * sub]
+                d = np.round(
+                    ((Qs[:, None, :] - Ss[None, :, :]) ** 2).sum(axis=-1), 6
+                )
+                for c in range(seeds.shape[0]):
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": pdf["_id"],
+                                "subspace": np.int32(j),
+                                "code": np.int32(c),
+                                "pdist": d[:, c],
+                            }
+                        )
+                    )
+            yield pd.concat(frames)
+
+    table = queries.select(
+        F.col(id_col).alias("_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    ).mapInPandas(
+        _tab, schema="query_id long, subspace int, code int, pdist double"
+    )
+    scored = (
+        cand.join(codes, "neighbor_id")
+        .join(F.broadcast(table), ["query_id", "subspace", "code"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("pdist"), 6).alias("dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "dist")
+    )

@@ -395,7 +395,7 @@ _SWEEP_PRIORITY: list[str] = [
     # first.
     "hard_negative_topk_lsh", "dsir_select_gumbel", "gopher_quality_flags",
     "c4_line_filter", "gopher_repetition_flags", "ccnet_perplexity_buckets",
-    "pq_encode", "pq_ann_topk", "gopher_dupline_flags",
+    "pq_encode", "pq_ann_topk", "ivf_pq_topk", "gopher_dupline_flags",
     "temperature_mixture_sample", "file_corpus_dedup",
     "curation_pipeline", "curation_audit", "dsir_select", "dsir_weights",
     "quality_band_sample", "hard_negative_topk",
@@ -4037,6 +4037,89 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
     return similarity.pq_adc_topk(q, emb, m=4, k_codes=16, k=5)
+
+
+@_register(
+    "ivf_pq_topk",
+    f"""
+    WITH {_PQ_CTES},
+    iseeds AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cell, c
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS c
+            FROM embeddings ORDER BY vec_id LIMIT 16)
+    ),
+    iscored AS (
+      SELECT e.vec_id, s.cell,
+             list_dot_product(CAST(e.embedding AS DOUBLE[]), s.c)
+               / sqrt(list_dot_product(s.c, s.c))
+               / sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                       CAST(e.embedding AS DOUBLE[]))) AS sc
+      FROM embeddings e CROSS JOIN iseeds s
+    ),
+    ccells AS (
+      SELECT vec_id AS neighbor_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sc DESC, cell ASC) AS rn
+        FROM iscored
+      ) WHERE rn = 1
+    ),
+    qcells AS (
+      SELECT vec_id AS query_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sc DESC, cell ASC) AS rn
+        FROM iscored WHERE vec_id < 10
+      ) WHERE rn <= 4
+    ),
+    cand AS (
+      SELECT q.query_id, c.neighbor_id
+      FROM ccells c JOIN qcells q USING (cell)
+    ),
+    qsub AS (
+      SELECT vec_id AS query_id, j,
+             (CAST(embedding AS DOUBLE[]))[j * 16 + 1 : j * 16 + 16] AS sv
+      FROM embeddings, unnest(generate_series(0, 3)) AS tj(j)
+      WHERE vec_id < 10
+    ),
+    tab AS (
+      SELECT q.query_id, q.j, ss.code,
+             round(list_sum(list_transform(generate_series(1, 16),
+                            i -> (q.sv[i] - ss.sv[i]) ^ 2)), 6) AS pd
+      FROM qsub q JOIN subseeds ss ON q.j = ss.j
+    ),
+    scored AS (
+      SELECT cd.query_id, cd.neighbor_id, round(sum(t.pd), 6) AS dist
+      FROM cand cd
+      JOIN codes c ON c.vec_id = cd.neighbor_id
+      JOIN tab t ON t.query_id = cd.query_id AND t.j = c.j
+                AND t.code = c.code
+      WHERE cd.neighbor_id <> cd.query_id
+      GROUP BY cd.query_id, cd.neighbor_id
+    )
+    SELECT query_id, neighbor_id, rank, dist FROM (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY dist ASC, neighbor_id ASC) AS rank,
+             dist
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ, the FAISS-standard composition
+    (operators.similarity.ivf_pq_topk): the seeded IVF coarse quantizer
+    restricts each query (vec_id < 10) to its 4 probed cells' members,
+    and ADC over the ``pq_encode`` codes scores only those candidates —
+    both halves in their deterministic seeded forms, so the WHOLE
+    composition is oracle-twinned end to end (coarse cells, probe
+    lists, codebooks, codes, distance tables, ranking), unlike the
+    Lloyd-refined ``ann_ivf_topk`` whose refinement stays rows-only."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivf_pq_topk(
+        q, emb, nlist=16, nprobe=4, m=4, k_codes=16, k=5
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -950,3 +950,40 @@ def test_gopher_dupline_flags_hand_computation(spark):
         for r in gopher_dupline_flags(df, sep="\n\n").collect()
     }
     assert para[0] == 2  # "aaa\nbbb\naaa" and "ccc"
+
+
+def test_ivf_pq_composition_consistent_with_adc(spark, vectors):
+    """IVF-PQ = ADC restricted to probed cells: every reported distance
+    equals pq_adc_topk's for the same pair, every neighbor lies in one
+    of the query's probed cells, and recall vs exact L2 stays useful."""
+    import numpy as np
+
+    q = vectors.filter(F.col("vec_id") < 5)
+    full_adc = {
+        (r["query_id"], r["neighbor_id"]): r["dist"]
+        for r in similarity.pq_adc_topk(
+            q, vectors, m=4, k_codes=8, k=100
+        ).collect()
+    }
+    got = similarity.ivf_pq_topk(
+        q, vectors, nlist=8, nprobe=4, m=4, k_codes=8, k=5
+    ).collect()
+    assert got
+    for r in got:
+        key = (r["query_id"], r["neighbor_id"])
+        assert key in full_adc and full_adc[key] == r["dist"], key
+    # recall vs exact L2 top-5 (generous: PQ at 8 codewords is coarse)
+    rows = {r["vec_id"]: np.array(r["embedding"]) for r in vectors.collect()}
+    hits = total = 0
+    approx = {}
+    for r in got:
+        approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for qi in range(5):
+        d = sorted(
+            (float(((rows[qi] - v) ** 2).sum()), i)
+            for i, v in rows.items() if i != qi
+        )[:5]
+        exact = {i for _, i in d}
+        hits += len(exact & approx.get(qi, set()))
+        total += 5
+    assert hits / total >= 0.3, (hits, total)
