@@ -462,19 +462,19 @@ def gopher_repetition_flags(
     de-overlapped, so pathological self-overlap can exceed 1 — documents
     that degenerate are exactly the ones the rule exists to drop).
     Returns the 9 metrics (round-6), 9 per-rule booleans, and ``pass``.
-    Ties for the most frequent n-gram break toward the lexicographically
-    smallest gram — irrelevant to the metric (tied grams share a count
-    and, for fixed n, nearly always a length) but pinned for
-    engine-replayability.
+    Ties for the most frequent n-gram break toward the LONGEST tied gram
+    (the largest char fraction — conservative toward dropping), a rule
+    both engines apply to the same (count, chars) pairs.
 
     Scale: ONE explode of word positions (the round-8 winnow lesson:
     explode ints and build grams post-explode, never materialized gram
-    arrays), grams for all 9 n values built in the same pass, then one
-    (id, n, gram)-keyed partial-aggregable count and one |id|x9-row
-    window for the top gram. Shuffle rows are gram-keyed counts — Zipf-
-    truncated like every other gram pipeline here, never document
-    bodies. Docs with fewer than n+1 words have no n-gram rows and
-    coalesce to 0.0 (no repetition possible).
+    arrays), grams for all 9 n values built as O(1)-offset substrings of
+    the once-joined text in the same pass, then hash-keyed
+    partial-aggregable counts — the shuffle carries (id, n, hash, chars)
+    int rows, never gram strings — and a second partial-aggregable
+    max/sum per (id, n); no window anywhere. Docs with fewer than n+1
+    words have no n-gram rows and coalesce to 0.0 (no repetition
+    possible).
     """
     thr = dict(GOPHER_REP_THRESHOLDS)
     if thresholds:
@@ -484,67 +484,101 @@ def gopher_repetition_flags(
         F.filter(
             F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: w != ""
         ).alias("_w"),
-    ).withColumn(
-        "_chars",
+    ).select(
+        "_id",
         F.aggregate(
             "_w", F.lit(0).cast("long"), lambda a, w: a + F.length(w)
-        ),
+        ).alias("_chars"),
+        # grams are SUBSTRINGS of the once-joined text, located by a
+        # once-per-doc cumulative offsets array — the first draft rebuilt
+        # every gram with slice+array_join (O(gram) array churn x 9 widths
+        # per position; measured 11.0 s at sf0.1); with O(1) offset
+        # lookups the only per-gram work is the one substring copy
+        F.array_join("_w", " ").alias("_j"),
+        # _ends[k] = 1-based char position of the separator AFTER word k
+        # in _j (cumulative word lens + spaces)
+        F.aggregate(
+            F.transform("_w", F.length),
+            F.array().cast("array<int>"),
+            lambda acc, x: F.array_append(
+                # try_element_at: ANSI element_at throws on the empty
+                # accumulator at the fold's first step
+                acc, F.coalesce(F.try_element_at(acc, F.lit(-1)), F.lit(0)) + x + 1
+            ),
+        ).alias("_ends"),
+        F.size("_w").alias("_nw"),
     )
-    pos = base.filter(F.size("_w") >= 2).select(
+    pos = base.filter(F.col("_nw") >= 2).select(
         "_id",
         "_chars",
-        "_w",
-        F.explode(F.sequence(F.lit(1), F.size("_w") - 1)).alias("_i"),
+        "_j",
+        "_ends",
+        "_nw",
+        F.explode(F.sequence(F.lit(1), F.col("_nw") - 1)).alias("_i"),
+    ).withColumn(
+        # separator position before word _i (0 for the first word)
+        "_prev",
+        F.when(F.col("_i") == 1, F.lit(0)).otherwise(
+            F.element_at("_ends", F.col("_i") - 1)
+        ),
     )
-    # all 9 gram widths from one position row; slice length rides the
-    # lambda variable (Column form), invalid tails filtered before explode
+    # all 9 gram widths from one position row; per width: two O(1)
+    # offset lookups + one substring
     gram_structs = F.filter(
         F.transform(
             F.sequence(F.lit(2), F.lit(10)),
             lambda n: F.struct(
                 n.cast("int").alias("n"),
                 F.when(
-                    F.col("_i") + n - 1 <= F.size("_w"),
-                    F.array_join(F.slice("_w", F.col("_i"), n), " "),
+                    F.col("_i") + n - 1 <= F.col("_nw"),
+                    F.substring(
+                        F.col("_j"),
+                        F.col("_prev") + 1,
+                        F.element_at("_ends", F.col("_i") + n - 1)
+                        - F.col("_prev")
+                        - 1,
+                    ),
                 ).alias("gram"),
             ),
         ),
         lambda s: s["gram"].isNotNull(),
     )
+    # Shuffle HASHES, not gram strings: the metrics need only each gram
+    # group's count and char length (length minus the n-1 join spaces, so
+    # numerator and denominator share a unit), never the gram identity —
+    # so grouping rides xxhash64(gram) (8 bytes vs ~30-char strings; the
+    # oracle groups by the gram text itself, which partitions grams
+    # IDENTICALLY, making the hash choice engine-local) and the top gram
+    # is the partial-aggregable max of (count, chars) — no row_number
+    # window, no gram bytes past the projection. Tie rule, pinned in both
+    # engines: among count-tied grams take the LONGEST (the largest char
+    # fraction — conservative toward dropping).
     grams = pos.select(
         "_id", "_chars", F.explode(gram_structs).alias("_g")
     ).select(
-        "_id", "_chars", F.col("_g.n").alias("_n"), F.col("_g.gram").alias("_gram")
+        "_id",
+        "_chars",
+        F.col("_g.n").alias("_n"),
+        F.xxhash64("_g.gram").alias("_h"),
+        (F.length("_g.gram") - (F.col("_g.n") - 1)).alias("_glen"),
     )
-    counts = grams.groupBy("_id", "_chars", "_n", "_gram").agg(
+    counts = grams.groupBy("_id", "_chars", "_n", "_h", "_glen").agg(
         F.count("*").alias("_c")
     )
-    w = Window.partitionBy("_id", "_n").orderBy(
-        F.col("_c").desc(), F.col("_gram").asc()
-    )
     stats = (
-        counts.withColumn("_rn", F.row_number().over(w))
-        .groupBy("_id", "_chars", "_n")
+        counts.groupBy("_id", "_chars", "_n")
         .agg(
-            # gram char count = length minus the n-1 join spaces, so the
-            # numerator and the word-chars denominator share a unit
-            F.max(
-                F.when(
-                    F.col("_rn") == 1,
-                    F.col("_c") * (F.length("_gram") - (F.col("_n") - 1)),
-                )
-            ).alias("_topchars"),
+            F.max(F.struct("_c", "_glen")).alias("_t"),
             F.sum(
-                F.when(
-                    F.col("_c") > 1,
-                    F.col("_c") * (F.length("_gram") - (F.col("_n") - 1)),
-                )
+                F.when(F.col("_c") > 1, F.col("_c") * F.col("_glen"))
             ).alias("_dupchars"),
         )
         .select(
             "_id",
             "_n",
-            F.round(F.col("_topchars") / F.col("_chars"), 6).alias("_top"),
+            F.round(
+                (F.col("_t._c") * F.col("_t._glen")) / F.col("_chars"), 6
+            ).alias("_top"),
             F.round(
                 F.coalesce(F.col("_dupchars"), F.lit(0)) / F.col("_chars"), 6
             ).alias("_dup"),

@@ -9043,23 +9043,17 @@ def gopher_dupline_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE i + n - 1 <= len(w)
     ),
     counts AS (
-      SELECT doc_id, total, n, g, count(*) AS c
+      SELECT doc_id, total, n, length(g) - (n - 1) AS glen, count(*) AS c
       FROM grams GROUP BY doc_id, total, n, g
-    ),
-    ranked AS (
-      SELECT *, row_number() OVER (PARTITION BY doc_id, n
-                                   ORDER BY c DESC, g ASC) AS rn
-      FROM counts
     ),
     stats AS (
       SELECT doc_id, n,
-        round(CAST(max(CASE WHEN rn = 1
-              THEN c * (length(g) - (n - 1)) END) AS DOUBLE) / total, 6)
-          AS topf,
-        round(CAST(coalesce(sum(CASE WHEN c > 1
-              THEN c * (length(g) - (n - 1)) END), 0) AS DOUBLE) / total, 6)
-          AS dupf
-      FROM ranked GROUP BY doc_id, n, total
+        round(CAST((max(struct_pack(c := c, glen := glen))).c
+                   * (max(struct_pack(c := c, glen := glen))).glen
+                   AS DOUBLE) / total, 6) AS topf,
+        round(CAST(coalesce(sum(CASE WHEN c > 1 THEN c * glen END), 0)
+                   AS DOUBLE) / total, 6) AS dupf
+      FROM counts GROUP BY doc_id, n, total
     ),
     m AS (
       SELECT b.doc_id,

@@ -421,8 +421,8 @@ def test_dsir_gumbel_salt_varies_and_is_replayable(spark):
 def test_gopher_repetition_flags_hand_computation(spark):
     """Gopher repetition metrics against a pure-Python replay: top
     2/3/4-gram char fractions (count x word-chars of the gram / total
-    word chars, lexicographic tie-break) and duplicated 5..10-gram
-    fractions; a one-word doc is all zeros and passes."""
+    word chars; count ties break to the longest gram) and duplicated
+    5..10-gram fractions; a one-word doc is all zeros and passes."""
     from collections import Counter
 
     texts = {
@@ -442,11 +442,11 @@ def test_gopher_repetition_flags_hand_computation(spark):
             grams = [w[i:i + n] for i in range(len(w) - n + 1)]
             cnt = Counter(" ".join(g) for g in grams)
             if cnt:
-                top_g, top_c = sorted(
-                    cnt.items(), key=lambda kv: (-kv[1], kv[0])
-                )[0]
                 chars = lambda g: len(g) - g.count(" ")  # noqa: E731
-                top = round(top_c * chars(top_g) / total, 6)
+                top_c, top_chars = max(
+                    (c, chars(g)) for g, c in cnt.items()
+                )
+                top = round(top_c * top_chars / total, 6)
                 dup = round(
                     sum(c * chars(g) for g, c in cnt.items() if c > 1)
                     / total, 6,
