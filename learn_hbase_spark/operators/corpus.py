@@ -434,6 +434,64 @@ def dsir_select(
     )
 
 
+def dsir_weights_frozen(
+    new: DataFrame,
+    target: DataFrame,
+    raw_ref: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 10_000,
+    k: float = 1.0,
+) -> DataFrame:
+    """DSIR importance weights in the FROZEN-distribution deployment
+    form — the :func:`bigram_lm_score_frozen` posture applied to DSIR:
+    both hashed-ngram distributions are fitted ONCE, on a frozen target
+    reference and a frozen raw-pool reference, and each NEW crawl batch
+    is scored against them without refitting. :func:`dsir_weights` (the
+    paper's one-shot form) fits the raw distribution on the very pool it
+    scores — right for a single selection pass, wrong for an ingest
+    pipeline where weights must be stable across batches and scoring
+    must be O(new), never O(corpus).
+
+    Because the scored stream is no longer the fit corpus, buckets can
+    be absent from EITHER reference: both sides take the add-``k``
+    smoothing floor via LEFT joins with ``coalesce(c, 0)`` (a bucket
+    unseen in both references contributes the constant
+    ``ln((rn+kB)/(tn+kB))`` per occurrence — no information either way).
+
+    Scale: the two reference fits are one-time ``buckets``-bounded
+    counts; per batch, BOTH count tables broadcast (<= ``buckets`` rows
+    each) onto the new batch's gram stream and the only shuffle is the
+    per-doc sum — O(new) per batch at any corpus size. Returns
+    ``(id, n_grams, log_weight)``, round-6 like :func:`dsir_weights`.
+    """
+    tg = hashed_gram_buckets(target, text_col, id_col, buckets)
+    rg = hashed_gram_buckets(raw_ref, text_col, id_col, buckets)
+    ng = hashed_gram_buckets(new, text_col, id_col, buckets)
+    tc = tg.groupBy("bucket").agg(F.count("*").alias("_tc"))
+    rc = rg.groupBy("bucket").agg(F.count("*").alias("_rc"))
+    tn = tg.agg(F.count("*").alias("_tn"))
+    rn = rg.agg(F.count("*").alias("_rn"))
+    kk = F.lit(float(k))
+    kb = F.lit(float(k) * buckets)
+    lr = F.log(
+        (F.coalesce(F.col("_tc"), F.lit(0)) + kk) / (F.col("_tn") + kb)
+    ) - F.log(
+        (F.coalesce(F.col("_rc"), F.lit(0)) + kk) / (F.col("_rn") + kb)
+    )
+    return (
+        ng.join(F.broadcast(tc), "bucket", "left")
+        .join(F.broadcast(rc), "bucket", "left")
+        .crossJoin(F.broadcast(tn))
+        .crossJoin(F.broadcast(rn))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.round(F.sum(lr), 6).alias("log_weight"),
+        )
+    )
+
+
 # Gopher §A1.1 repetition thresholds (Rae et al. 2021, Table A1): the
 # maximum fraction of characters allowed in the single most frequent
 # n-gram (n=2..4) and in ALL duplicated n-grams (n=5..10).

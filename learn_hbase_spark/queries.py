@@ -396,6 +396,7 @@ _SWEEP_PRIORITY: list[str] = [
     "hard_negative_topk_lsh", "dsir_select_gumbel", "gopher_quality_flags",
     "c4_line_filter", "gopher_repetition_flags", "ccnet_perplexity_buckets",
     "pq_encode", "pq_ann_topk", "ivf_pq_topk", "gopher_dupline_flags",
+    "dsir_weights_frozen",
     "temperature_mixture_sample", "file_corpus_dedup",
     "curation_pipeline", "curation_audit", "dsir_select", "dsir_weights",
     "quality_band_sample", "hard_negative_topk",
@@ -8813,6 +8814,87 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = docs.filter(F.col("doc_id") % 7 != 0)
     return corpus_ops.dsir_select(
         raw, target, "text", "doc_id", 10_000, 1.0, keep_frac=0.25
+    )
+
+
+@_register(
+    "dsir_weights_frozen",
+    f"""
+    WITH tdocs AS (
+      SELECT doc_id, list_filter(string_split({_NORM}, ' '), x -> x <> '') AS a
+      FROM documents WHERE doc_id % 7 = 0
+    ),
+    rdocs AS (
+      SELECT doc_id, list_filter(string_split({_NORM}, ' '), x -> x <> '') AS a
+      FROM documents WHERE doc_id % 7 IN (1, 2, 3)
+    ),
+    ndocs AS (
+      SELECT doc_id, list_filter(string_split({_NORM}, ' '), x -> x <> '') AS a
+      FROM documents WHERE doc_id % 7 IN (4, 5, 6)
+    ),
+    tgram AS (
+      SELECT CAST(('0x' || substr(md5(g), 1, 6)) AS BIGINT) % 10000 AS bucket
+      FROM (
+        SELECT unnest(a) AS g FROM tdocs
+        UNION ALL
+        SELECT a[i] || ' ' || a[i + 1] AS g
+        FROM tdocs, unnest(generate_series(1, len(a) - 1)) AS t(i)
+        WHERE len(a) >= 2
+      )
+    ),
+    rgram AS (
+      SELECT CAST(('0x' || substr(md5(g), 1, 6)) AS BIGINT) % 10000 AS bucket
+      FROM (
+        SELECT unnest(a) AS g FROM rdocs
+        UNION ALL
+        SELECT a[i] || ' ' || a[i + 1] AS g
+        FROM rdocs, unnest(generate_series(1, len(a) - 1)) AS t(i)
+        WHERE len(a) >= 2
+      )
+    ),
+    ngram AS (
+      SELECT doc_id, CAST(('0x' || substr(md5(g), 1, 6)) AS BIGINT) % 10000 AS bucket
+      FROM (
+        SELECT doc_id, unnest(a) AS g FROM ndocs
+        UNION ALL
+        SELECT doc_id, a[i] || ' ' || a[i + 1] AS g
+        FROM ndocs, unnest(generate_series(1, len(a) - 1)) AS t(i)
+        WHERE len(a) >= 2
+      )
+    ),
+    tc AS (SELECT bucket, count(*) AS tc FROM tgram GROUP BY bucket),
+    rc AS (SELECT bucket, count(*) AS rc FROM rgram GROUP BY bucket),
+    tn AS (SELECT count(*) AS tn FROM tgram),
+    rn AS (SELECT count(*) AS rn FROM rgram)
+    SELECT g.doc_id, count(*) AS n_grams,
+           round(sum(ln((coalesce(tc.tc, 0) + 1.0)
+                        / ((SELECT tn FROM tn) + 1.0 * 10000))
+                   - ln((coalesce(rc.rc, 0) + 1.0)
+                        / ((SELECT rn FROM rn) + 1.0 * 10000))), 6)
+             AS log_weight
+    FROM ngram g
+    LEFT JOIN tc USING (bucket)
+    LEFT JOIN rc USING (bucket)
+    GROUP BY g.doc_id
+    """,
+)
+def dsir_weights_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR in the frozen-distribution deployment form
+    (operators.corpus.dsir_weights_frozen): target (doc_id % 7 == 0)
+    and raw-pool (% 7 in 1..3) distributions are fitted once; the NEW
+    crawl slice (% 7 in 4..6) is scored against them with double-LEFT
+    smoothing floors — O(new) per batch, weights stable across batches.
+    DuckDB replays both frozen fits and every fallback branch."""
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 7
+    return corpus_ops.dsir_weights_frozen(
+        docs.filter(m.isin(4, 5, 6)),
+        docs.filter(m == 0),
+        docs.filter(m.isin(1, 2, 3)),
+        "text",
+        "doc_id",
+        10_000,
+        1.0,
     )
 
 

@@ -495,3 +495,48 @@ def test_perplexity_buckets_per_stratum_tertiles(spark):
         ), [got[i] for i in ids]
     # A's best (8.0) is far below B's worst (100.0) yet still 'head' in A
     assert got[8] == "head"
+
+
+def test_dsir_weights_frozen_hand_computation(spark):
+    """Frozen-distribution DSIR against a pure-Python replay, covering
+    all three bucket branches for a scored gram: seen in both
+    references, seen in only one (either side), and unseen in both
+    (the constant ln((rn+kB)/(tn+kB)) floor)."""
+    import math
+    from collections import Counter
+
+    B = 64
+    target = {10: "alpha beta"}
+    raw_ref = {20: "alpha delta epsilon"}
+    new = {1: "alpha beta", 2: "zeta eta", 3: "delta"}
+
+    def grams(text):
+        w = text.split()
+        return w + [f"{a} {b}" for a, b in zip(w, w[1:])]
+
+    tcnt = Counter(_bucket(g, B) for t in target.values() for g in grams(t))
+    rcnt = Counter(_bucket(g, B) for t in raw_ref.values() for g in grams(t))
+    tn, rn = sum(tcnt.values()), sum(rcnt.values())
+    expect = {}
+    for i, t in new.items():
+        gs = [_bucket(g, B) for g in grams(t)]
+        lw = sum(
+            math.log((tcnt.get(b, 0) + 1.0) / (tn + B))
+            - math.log((rcnt.get(b, 0) + 1.0) / (rn + B))
+            for b in gs
+        )
+        expect[i] = (len(gs), round(lw, 6))
+
+    tdf = spark.createDataFrame(list(target.items()), "doc_id long, text string")
+    rdf = spark.createDataFrame(list(raw_ref.items()), "doc_id long, text string")
+    ndf = spark.createDataFrame(list(new.items()), "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_grams"], r["log_weight"])
+        for r in corpus_ops.dsir_weights_frozen(
+            ndf, tdf, rdf, buckets=B
+        ).collect()
+    }
+    assert got == expect
+    # the raw-ref-only gram ('delta', rc=2) scores BELOW the
+    # unseen-in-both floor per gram: doc 3 is one such gram
+    assert got[3][1] < got[2][1] / got[2][0]

@@ -86,6 +86,9 @@ NESTED_LOOP_ALLOWED: dict[str, str] = {
     # corpus size (the bucket space is the cap, that's the point of
     # hashed features).
     "dsir_weights": "one-row gram-total scalars crossed into bucket table",
+    # Same bounded class, frozen-distribution variant: the two nested
+    # loops are the one-row tn/rn reference-total scalars.
+    "dsir_weights_frozen": "one-row gram-total scalars crossed into stream",
     "dsir_select": "one-row gram totals + one-row quantile threshold",
     # Same bounded class as dsir_select: the Gumbel perturbation is a pure
     # projection, the three nested loops are the gram-total scalars and the
