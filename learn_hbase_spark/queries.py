@@ -219,6 +219,28 @@ _DRIVER_VERIFIED = [
     "domain_mixture", "array_ops_surface", "lm_score", "bigram_lm_score",
     "quality_band_sample", "source_overlap", "pagerank_iter1",
     "line_dedup_boilerplate",
+    # round 9 (CORRECTNESS_r09.json: 47 green + 3 declared no_oracle; the
+    # sweep's green names in checked order — includes the 11 queries new
+    # in r9, which enter the verified list here for the first time:
+    # hard_negative_topk_lsh, dsir_select_gumbel, gopher_quality_flags,
+    # c4_line_filter, gopher_repetition_flags, ccnet_perplexity_buckets,
+    # pq_encode, pq_ann_topk, ivf_pq_topk, gopher_dupline_flags,
+    # dsir_weights_frozen)
+    "hard_negative_topk_lsh", "dsir_select_gumbel", "gopher_quality_flags",
+    "c4_line_filter", "gopher_repetition_flags", "ccnet_perplexity_buckets",
+    "pq_encode", "pq_ann_topk", "ivf_pq_topk", "gopher_dupline_flags",
+    "dsir_weights_frozen", "temperature_mixture_sample", "file_corpus_dedup",
+    "curation_pipeline", "curation_audit", "dsir_select", "dsir_weights",
+    "quality_band_sample", "hard_negative_topk", "winnow_match_pairs",
+    "winnow_match_capped", "neardup_canonical", "semantic_pairs_seeded",
+    "graph_triangle_stats", "minhash_incremental", "semantic_decontaminate",
+    "bpe_pair_counts", "bpe_pair_counts_round1", "bpe_apply_fixed",
+    "substring_dup_spans", "winnow_fingerprints", "ngram_containment_pairs",
+    "length_bucket_batching", "leakage_safe_split", "embedding_neardup",
+    "embedding_neardup_lsh", "text_profile", "language_id",
+    "rolling_fingerprint", "quality_score", "hash_split",
+    "stratified_sample", "pack_sequences", "redact_pii", "repetition_score",
+    "tfidf_topk", "length_profile",
 ]
 
 def _keep_latest(names: list[str]) -> list[str]:
@@ -387,25 +409,16 @@ def _still_verified() -> tuple[str, ...]:
 # fingerprints moved only via a shared-module edit. Maintained per round;
 # stale names cost nothing (they sort first only while unverified).
 _SWEEP_PRIORITY: list[str] = [
-    # round 9: new queries first, then the queries whose answers could
-    # have been touched by this round's module edits (similarity/corpus/
-    # curation/sampling), then the 17 queries whose fingerprints moved
-    # under r8's module edits (winnow/BPE/semantic families) without an
-    # r8 sweep slot — the recorder kept them stale, so they re-verify
-    # first.
-    "hard_negative_topk_lsh", "dsir_select_gumbel", "gopher_quality_flags",
-    "c4_line_filter", "gopher_repetition_flags", "ccnet_perplexity_buckets",
-    "pq_encode", "pq_ann_topk", "ivf_pq_topk", "gopher_dupline_flags",
-    "dsir_weights_frozen",
-    "temperature_mixture_sample", "file_corpus_dedup",
-    "curation_pipeline", "curation_audit", "dsir_select", "dsir_weights",
-    "quality_band_sample", "hard_negative_topk",
-    "semantic_dedup", "bpe_train_merges", "bpe_tokenize",
-    "winnow_match_pairs", "winnow_match_capped", "neardup_canonical",
-    "semantic_pairs_seeded", "graph_triangle_stats", "minhash_incremental",
-    "semantic_decontaminate", "bpe_pair_counts", "bpe_pair_counts_round1",
-    "bpe_apply_fixed", "substring_dup_spans", "winnow_fingerprints",
-    "ngram_containment_pairs", "length_bucket_batching",
+    # round 10: new/answer-changed queries first (filled in as the round
+    # adds them), then the 15 queries whose fingerprints moved under r9's
+    # module edits (similarity/corpus/sampling) without an r9 sweep slot —
+    # the recorder kept them stale, so they re-verify first.
+    "ann_ivf_topk", "weighted_sample", "embedding_kmeans",
+    "temperature_mixture_rates", "bigram_lm_score_frozen",
+    "quality_classifier_score", "unimax_mixture_rates", "column_profile",
+    "ann_cosine_topk", "kmeans_assign_iter1", "ann_lsh_topk",
+    "lsh_bucket_assign", "ivf_cell_assign", "domain_mixture",
+    "bigram_lm_score",
 ]
 
 
