@@ -178,6 +178,7 @@ def gopher_quality_flags(
     max_ellipsis_frac: float = 0.3,
     min_alpha_word_frac: float = 0.8,
     min_stopwords: int = 2,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """The Gopher rule-based quality filter (Rae et al. 2021 §A1.1 — the
     rule set MassiveWeb/Gopher applied before any model-based scoring,
@@ -204,10 +205,15 @@ def gopher_quality_flags(
     identical pass/fail calls. Booleans for degenerate inputs (0 words,
     0 lines) fail the word-count rule and pass the ratio rules (0-valued
     numerators), matching the oracle's coalesce conventions.
+
+    ``passthrough`` columns ride along unchanged — still ONE projection,
+    no join — so a pipeline (``pipeline.curation.curate``) can gate on
+    ``pass`` and keep its working columns without a doc_id self-join.
     """
     t = F.col(text_col)
     base = df.select(
         F.col(id_col),
+        *passthrough,
         t.alias("_t"),
         F.filter(F.split(t, r"\s+"), lambda w: w != "").alias("_w"),
         F.split(t, "\n").alias("_l"),
@@ -221,6 +227,7 @@ def gopher_quality_flags(
     stop = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
     m = base.select(
         id_col,
+        *passthrough,
         F.size("_w").alias("n_words"),
         F.round(
             F.when(nw == 0, 0.0).otherwise(
@@ -343,6 +350,7 @@ def c4_line_clean(
     id_col: str = "doc_id",
     min_words_per_line: int = 5,
     min_lines: int = 3,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """The C4 line-level cleaning rules (Raffel et al. 2020 §2.2): C4
     REWRITES pages where Gopher judges them — per document, keep only
@@ -358,10 +366,14 @@ def c4_line_clean(
     Scale: one codegen'd map stage — line array materialized once as a
     projection attribute, both line predicates are JVM lambda filters,
     the page flags are plain string predicates; no shuffle, no Python.
+    ``passthrough`` columns ride the projection unchanged (the
+    :func:`gopher_quality_flags` convention) so the curation pipeline
+    can rewrite text in place without a doc_id self-join.
     """
     t = F.col(text_col)
     base = df.select(
         F.col(id_col),
+        *passthrough,
         t.alias("_t"),
         F.split(t, "\n").alias("_l"),
     )
@@ -375,6 +387,7 @@ def c4_line_clean(
     )
     out = base.select(
         id_col,
+        *passthrough,
         F.array_join(kept, "\n").alias("clean_text"),
         F.size(kept).cast("long").alias("n_lines_kept"),
         (F.size("_l") - F.size(kept)).cast("long").alias("n_lines_dropped"),

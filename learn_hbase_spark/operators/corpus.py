@@ -507,6 +507,7 @@ def gopher_repetition_flags(
     text_col: str = "text",
     id_col: str = "doc_id",
     thresholds: dict[tuple[str, int], float] | None = None,
+    widths: tuple[int, ...] = (2, 3, 4, 5, 6, 7, 8, 9, 10),
 ) -> DataFrame:
     """The Gopher repetition rules (Rae et al. 2021 §A1.1, Table A1) —
     the second half of the published rule set,
@@ -526,14 +527,27 @@ def gopher_repetition_flags(
 
     Scale: ONE explode of word positions (the round-8 winnow lesson:
     explode ints and build grams post-explode, never materialized gram
-    arrays), grams for all 9 n values built as O(1)-offset substrings of
-    the once-joined text in the same pass, then hash-keyed
+    arrays), grams for all selected n values built as O(1)-offset
+    substrings of the once-joined text in the same pass, then hash-keyed
     partial-aggregable counts — the shuffle carries (id, n, hash, chars)
     int rows, never gram strings — and a second partial-aggregable
     max/sum per (id, n); no window anywhere. Docs with fewer than n+1
     words have no n-gram rows and coalesce to 0.0 (no repetition
     possible).
+
+    ``widths`` selects which gram widths to audit (default: the paper's
+    full 2..10). Cost is linear in emitted gram volume (~4 µs/gram on
+    this engine), so the production sampling knob for a 100 TB run is a
+    reduced set such as ``(2, 3, 4, 9)`` — the three top-gram rules plus
+    one representative duplicated-gram width — cutting gram volume ~2.2×
+    while keeping the rules that fire most often; output columns and the
+    ``pass`` conjunction cover only the selected widths.
     """
+    if not widths or any(n < 2 or n > 10 for n in widths):
+        raise ValueError(f"widths must be a non-empty subset of 2..10: {widths}")
+    widths = tuple(sorted(set(widths)))
+    top_widths = [n for n in widths if n <= 4]
+    dup_widths = [n for n in widths if n >= 5]
     thr = dict(GOPHER_REP_THRESHOLDS)
     if thresholds:
         thr.update(thresholds)
@@ -584,7 +598,7 @@ def gopher_repetition_flags(
     # offset lookups + one substring
     gram_structs = F.filter(
         F.transform(
-            F.sequence(F.lit(2), F.lit(10)),
+            F.array(*[F.lit(n) for n in widths]),
             lambda n: F.struct(
                 n.cast("int").alias("n"),
                 F.when(
@@ -605,8 +619,10 @@ def gopher_repetition_flags(
     # group's count and char length (length minus the n-1 join spaces, so
     # numerator and denominator share a unit), never the gram identity —
     # so grouping rides xxhash64(gram) (8 bytes vs ~30-char strings; the
-    # oracle groups by the gram text itself, which partitions grams
-    # IDENTICALLY, making the hash choice engine-local) and the top gram
+    # oracle groups by the gram text itself — equivalent up to same-length
+    # 64-bit collisions WITHIN one document, which would merge two distinct
+    # grams and overstate repetition; at ~1e-19 per doc-gram pair that is
+    # accepted, and any false merge errs toward dropping) and the top gram
     # is the partial-aggregable max of (count, chars) — no row_number
     # window, no gram bytes past the projection. Tie rule, pinned in both
     # engines: among count-tied grams take the LONGEST (the largest char
@@ -643,13 +659,13 @@ def gopher_repetition_flags(
         )
     )
     aggs = []
-    for n in (2, 3, 4):
+    for n in top_widths:
         aggs.append(
             F.coalesce(
                 F.max(F.when(F.col("_n") == n, F.col("_top"))), F.lit(0.0)
             ).alias(f"top{n}_char_frac")
         )
-    for n in range(5, 11):
+    for n in dup_widths:
         aggs.append(
             F.coalesce(
                 F.max(F.when(F.col("_n") == n, F.col("_dup"))), F.lit(0.0)
@@ -659,12 +675,12 @@ def gopher_repetition_flags(
     out = ids.join(stats, "_id", "left").groupBy("_id").agg(*aggs)
     flags = {
         f"ok_top{n}": F.col(f"top{n}_char_frac") <= thr[("top", n)]
-        for n in (2, 3, 4)
+        for n in top_widths
     }
     flags.update(
         {
             f"ok_dup{n}": F.col(f"dup{n}_char_frac") <= thr[("dup", n)]
-            for n in range(5, 11)
+            for n in dup_widths
         }
     )
     for name, expr in flags.items():
@@ -714,6 +730,30 @@ def dsir_select_gumbel(
     ``(id, n_grams, log_weight, gumbel_key)``.
     """
     w = dsir_weights(raw, target, text_col, id_col, buckets, k)
+    return gumbel_topk(w, id_col, keep_frac, salt, beta)
+
+
+def gumbel_topk(
+    weights: DataFrame,
+    id_col: str = "doc_id",
+    keep_frac: float = 0.25,
+    salt: str = "dsir",
+    beta: float = 1.0,
+    weight_col: str = "log_weight",
+) -> DataFrame:
+    """The Gumbel-top-k resampling step alone, over ANY per-document
+    weight frame — factored out of :func:`dsir_select_gumbel` so the
+    frozen-distribution deployment composes it directly
+    (``gumbel_topk(dsir_weights_frozen(...))`` — the incremental-crawl
+    shape: frozen references score each new batch, Gumbel resampling
+    selects within it). Same engine-replayable noise (md5-derived
+    uniform, always in (0, 1)), round-6 perturbed key, round-4 exact
+    quantile threshold, ``>=`` keeps boundary ties. Returns the input
+    columns plus ``gumbel_key``, filtered to the kept top fraction.
+
+    Scale: a pure projection for the noise plus one percentile
+    aggregate broadcast back as a one-row frame — no state beyond the
+    exact-percentile buffer (O(distinct rounded keys))."""
     h32 = F.conv(
         F.substring(
             F.md5(
@@ -729,9 +769,9 @@ def dsir_select_gumbel(
     ).cast("long")
     u = (h32 + F.lit(0.5)) / F.lit(4294967296.0)
     noisy = F.round(
-        F.col("log_weight") + F.lit(float(beta)) * (-F.log(-F.log(u))), 6
+        F.col(weight_col) + F.lit(float(beta)) * (-F.log(-F.log(u))), 6
     )
-    scored = w.withColumn("gumbel_key", noisy)
+    scored = weights.withColumn("gumbel_key", noisy)
     thr = scored.agg(
         F.round(
             F.expr(f"percentile(gumbel_key, {1.0 - keep_frac})"), 4
@@ -740,7 +780,7 @@ def dsir_select_gumbel(
     return (
         scored.crossJoin(F.broadcast(thr))
         .filter(F.col("gumbel_key") >= F.col("_thr"))
-        .select(id_col, "n_grams", "log_weight", "gumbel_key")
+        .select(*weights.columns, "gumbel_key")
     )
 
 
@@ -772,19 +812,28 @@ def perplexity_buckets(
 
     Scale: one partial-aggregable grouped percentile (|strata| rows
     out), broadcast back onto a pure projection — the corpus never
-    shuffles. Returns the input plus ``ppl_bucket``.
+    shuffles. Returns the input plus ``ppl_bucket``; documents whose
+    stratum is NULL (no equi-match against the threshold frame) come
+    back with the sentinel bucket ``unbucketed`` rather than being
+    dropped.
     """
     thr = scored.groupBy(strata_col).agg(
         F.round(F.expr(f"percentile({score_col}, {lo})"), 4).alias("_t1"),
         F.round(F.expr(f"percentile({score_col}, {hi})"), 4).alias("_t2"),
     )
     bucket = (
-        F.when(F.col(score_col) >= F.col("_t2"), "head")
+        # LEFT join below: a NULL stratum never equi-matches its own
+        # threshold row (null-unsafe join keys), and an inner join would
+        # silently drop such documents from the output — surface them as
+        # the sentinel 'unbucketed' instead so downstream consumers see
+        # every input row exactly once.
+        F.when(F.col("_t1").isNull(), "unbucketed")
+        .when(F.col(score_col) >= F.col("_t2"), "head")
         .when(F.col(score_col) >= F.col("_t1"), "middle")
         .otherwise("tail")
     )
     return (
-        scored.join(F.broadcast(thr), strata_col)
+        scored.join(F.broadcast(thr), strata_col, "left")
         .withColumn("ppl_bucket", bucket)
         .drop("_t1", "_t2")
     )

@@ -770,12 +770,51 @@ def _pq_seeds(corpus: DataFrame, k_codes: int, id_col: str, vec_col: str):
     return np.stack([np.asarray(v, dtype=np.float64) for v in rows])
 
 
+def _adc_table(seeds, m: int, sub: int):
+    """Shared ADC distance-table kernel for :func:`pq_adc_topk` and
+    :func:`ivf_pq_topk` (extracted so the two search paths cannot
+    drift): a ``mapInPandas`` generator that, per query vector, emits
+    the round-6 squared-L2 partial distance from each of its ``m``
+    subvectors to every codeword — the nq x m x k_codes bounded table
+    that broadcasts to the corpus-side code join."""
+    import numpy as np
+    import pandas as pd
+
+    def _tab(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
+            frames = []
+            for j in range(m):
+                Qs = Q[:, j * sub:(j + 1) * sub]
+                Ss = seeds[:, j * sub:(j + 1) * sub]
+                d = np.round(
+                    ((Qs[:, None, :] - Ss[None, :, :]) ** 2).sum(axis=-1), 6
+                )
+                for c in range(seeds.shape[0]):
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": pdf["_id"],
+                                "subspace": np.int32(j),
+                                "code": np.int32(c),
+                                "pdist": d[:, c],
+                            }
+                        )
+                    )
+            yield pd.concat(frames)
+
+    return _tab
+
+
 def pq_codes(
     corpus: DataFrame,
     m: int = 4,
     k_codes: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    seeds=None,
 ) -> DataFrame:
     """Product-quantization encoding (Jégou, Douze & Schmid 2011, "Product
     Quantization for Nearest Neighbor Search" — the FAISS IVF-PQ building
@@ -799,7 +838,8 @@ def pq_codes(
     import numpy as np
     import pandas as pd
 
-    seeds = _pq_seeds(corpus, k_codes, id_col, vec_col)
+    if seeds is None:
+        seeds = _pq_seeds(corpus, k_codes, id_col, vec_col)
     dim = seeds.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -861,49 +901,22 @@ def pq_adc_topk(
     ~m bytes/vector and the only corpus-sized work is one scan + one
     map-side join + one grouped sum.
     """
-    import numpy as np
-    import pandas as pd
-
     seeds = _pq_seeds(corpus, k_codes, id_col, vec_col)
     dim = seeds.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
-    codes = pq_codes(corpus, m, k_codes, id_col, vec_col).select(
+    codes = pq_codes(corpus, m, k_codes, id_col, vec_col, seeds=seeds).select(
         F.col(id_col).alias("neighbor_id"), "subspace", "code"
     )
-
-    def _tab(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            Q = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
-            frames = []
-            for j in range(m):
-                Qs = Q[:, j * sub:(j + 1) * sub]
-                Ss = seeds[:, j * sub:(j + 1) * sub]
-                d = np.round(
-                    ((Qs[:, None, :] - Ss[None, :, :]) ** 2).sum(axis=-1), 6
-                )
-                for c in range(seeds.shape[0]):
-                    frames.append(
-                        pd.DataFrame(
-                            {
-                                "query_id": pdf["_id"],
-                                "subspace": np.int32(j),
-                                "code": np.int32(c),
-                                "pdist": d[:, c],
-                            }
-                        )
-                    )
-            yield pd.concat(frames)
 
     q_prepped = queries.select(
         F.col(id_col).alias("_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
     )
     table = q_prepped.mapInPandas(
-        _tab, schema="query_id long, subspace int, code int, pdist double"
+        _adc_table(seeds, m, sub),
+        schema="query_id long, subspace int, code int, pdist double",
     )
     scored = (
         codes.join(F.broadcast(table), ["subspace", "code"])
@@ -951,7 +964,6 @@ def ivf_pq_topk(
     ascending neighbor id, round-6 — the `pq_adc_topk` contract.
     """
     import numpy as np
-    import pandas as pd
 
     # coarse quantizer: corpus cells (1 probe) + query cells (nprobe)
     cell_seeds = (
@@ -986,40 +998,16 @@ def ivf_pq_topk(
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
-    codes = pq_codes(corpus, m, k_codes, id_col, vec_col).select(
+    codes = pq_codes(corpus, m, k_codes, id_col, vec_col, seeds=seeds).select(
         F.col(id_col).alias("neighbor_id"), "subspace", "code"
     )
-
-    def _tab(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            Q = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
-            frames = []
-            for j in range(m):
-                Qs = Q[:, j * sub:(j + 1) * sub]
-                Ss = seeds[:, j * sub:(j + 1) * sub]
-                d = np.round(
-                    ((Qs[:, None, :] - Ss[None, :, :]) ** 2).sum(axis=-1), 6
-                )
-                for c in range(seeds.shape[0]):
-                    frames.append(
-                        pd.DataFrame(
-                            {
-                                "query_id": pdf["_id"],
-                                "subspace": np.int32(j),
-                                "code": np.int32(c),
-                                "pdist": d[:, c],
-                            }
-                        )
-                    )
-            yield pd.concat(frames)
 
     table = queries.select(
         F.col(id_col).alias("_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
     ).mapInPandas(
-        _tab, schema="query_id long, subspace int, code int, pdist double"
+        _adc_table(seeds, m, sub),
+        schema="query_id long, subspace int, code int, pdist double",
     )
     scored = (
         cand.join(codes, "neighbor_id")

@@ -1,27 +1,48 @@
 """End-to-end training-data curation pipeline — the LLM-era analog of the
 reference's 3-stage meter pipeline (``pipeline/rdl.py``): several operators
-composed into ONE declarative lineage that Catalyst plans as a whole.
+composed into ONE declarative lineage that Catalyst plans as a whole (the
+reference analogue: every stage of ``RdlETL2.java:34-141`` composes into a
+single pass).
 
-Stages (each is an operator from this library, each individually oracled):
+Stages (each is an operator from this library, each individually oracled;
+every stage between the scan and packing is optional and independently
+switchable):
 
-1. quality gate     — drop docs under a minimum token count
-2. exact dedup      — first-wins by content fingerprint (min doc_id)
-3. decontamination  — drop docs sharing 3-grams with the held-out set
-4. LM quality band  — optional: drop docs under a bigram-LM score
-                      percentile (the CCNet recipe, Wenzek 2020: filter
-                      on model score BEFORE mixing)
-5. mixture sampling — per-source keep rates (salted identity hash)
-6. sequence packing — token-budget bins in hash-sharded streams
+1. C4 line cleaning   — optional: rewrite each page keeping only terminal-
+                        punctuated lines with enough words; drop pages with
+                        lorem-ipsum/brace tells or too few surviving lines
+                        (Raffel 2020 §2.2). Runs FIRST because later stages
+                        must judge the text that will actually be trained on.
+2. quality gate       — drop docs under a minimum token count
+3. Gopher quality     — optional: the seven rule-based document filters of
+                        Rae 2021 §A1.1 (word count, mean word length,
+                        symbol/bullet/ellipsis ratios, alpha fraction,
+                        stopwords)
+4. Gopher repetition  — optional: top-n-gram and duplicated-n-gram character
+                        fractions (Rae 2021 Table A1), width-selectable
+5. exact dedup        — first-wins by content fingerprint (min doc_id)
+6. decontamination    — drop docs sharing 3-grams with the held-out set
+7. LM quality band    — optional: drop docs under a bigram-LM score
+                        percentile (the CCNet recipe, Wenzek 2020: filter
+                        on model score BEFORE mixing)
+8. CCNet buckets      — optional: bucket docs against their own stratum's
+                        LM-score tertiles and keep only the configured
+                        buckets (Wenzek 2020 §4.3 head/middle/tail)
+9. mixture sampling   — per-source keep rates (salted identity hash)
+10. sequence packing  — token-budget bins in hash-sharded streams
 
-Scale posture: stages 1, 3 (probe side), and 5 are projection+filter and
-fuse into the scan; the corpus-wide shuffles are the dedup digest
+Scale posture: stages 1-3 are projection+filter and fuse into the scan
+(no join — the rule operators pass working columns through their own
+projection); stage 4's shuffle carries hashed int gram rows sized by the
+selected widths; the corpus-wide shuffles are the dedup digest
 aggregation, the (optional) bigram count/score shuffles — Zipf-truncated
 (token-pair, count) rows, never bodies — and the final packing window.
-The LM threshold is an exact interpolated percentile computed by
-AGGREGATION and broadcast back as a one-row frame, deliberately not a
-global rank window (which would serialize 100 TB into one task).
-Composing lazily (no materialization between stages) lets Catalyst push
-the cheap filters below the expensive joins where legal.
+LM thresholds (band percentile, per-stratum tertiles) are exact
+interpolated percentiles computed by AGGREGATION and broadcast back as
+tiny frames, deliberately not global rank windows (which would serialize
+100 TB into one task). Composing lazily (no materialization between
+stages) lets Catalyst push the cheap filters below the expensive joins
+where legal.
 """
 
 from __future__ import annotations
@@ -31,20 +52,41 @@ from pyspark.sql import functions as F
 
 from ..functions import text as T
 from ..operators import dedup, packing, sampling
-from ..operators.corpus import bigram_lm_score
+from ..operators.corpus import bigram_lm_score, perplexity_buckets
+from ..operators.corpus import gopher_repetition_flags as _gopher_rep
+
+#: pipeline stage order — the audit's verdict precedence and the pytest's
+#: pinned contract. A document's verdict is the FIRST stage that dropped it.
+STAGE_ORDER = (
+    "c4_dropped",      # stage 1: C4 page drop (rewrite happens here too)
+    "short",           # stage 2: token-count gate
+    "gopher_quality",  # stage 3: Gopher rule-based quality filter
+    "gopher_repetition",  # stage 4: Gopher repetition filter
+    "duplicate",       # stage 5: exact dedup, first-wins
+    "contaminated",    # stage 6: benchmark decontamination
+    "low_quality",     # stage 7: bigram-LM percentile band
+    "ppl_tail",        # stage 8: CCNet bucket keep-set
+    "sampled_out",     # stage 9: mixture sampling
+    "kept",
+)
 
 
-def _require_scoreable(min_tokens: int, lm_quantile: float | None) -> None:
-    """The LM band keeps documents via a left_semi against the scored set,
-    and ``bigram_lm_score`` emits no row for a doc with zero bigrams — so
-    with ``min_tokens <= 1`` a one-token doc would be silently dropped as
-    ``low_quality`` despite never having been scored. Refuse that
-    configuration up front instead of mislabeling."""
-    if lm_quantile is not None and min_tokens < 2:
+def _require_scoreable(
+    min_tokens: int,
+    lm_quantile: float | None,
+    ccnet_keep: tuple[str, ...] | None = None,
+) -> None:
+    """The LM band and the CCNet buckets keep documents via a left_semi
+    against the scored set, and ``bigram_lm_score`` emits no row for a doc
+    with zero bigrams — so with ``min_tokens <= 1`` a one-token doc would
+    be silently dropped as ``low_quality``/``ppl_tail`` despite never
+    having been scored. Refuse that configuration up front instead of
+    mislabeling."""
+    if (lm_quantile is not None or ccnet_keep is not None) and min_tokens < 2:
         raise ValueError(
-            "lm_quantile requires min_tokens >= 2: the bigram-LM band can "
-            f"only judge documents with at least one bigram (got "
-            f"min_tokens={min_tokens})"
+            "lm_quantile / ccnet_keep require min_tokens >= 2: the "
+            "bigram-LM stages can only judge documents with at least one "
+            f"bigram (got min_tokens={min_tokens})"
         )
 
 
@@ -81,6 +123,77 @@ def _lm_band_ids(
     )
 
 
+def _ccnet_band_ids(
+    clean: DataFrame, ccnet_keep: tuple[str, ...], strata_col: str = "source"
+) -> DataFrame:
+    """Key-only frame of documents whose CCNet bucket (per-stratum
+    tertiles of the corpus's own bigram-LM score, Wenzek 2020 §4.3) is in
+    ``ccnet_keep`` — e.g. ``("head", "middle")`` drops each stratum's
+    worst third. Same self-trained-model posture and round-6/round-4
+    parity rules as :func:`_lm_band_ids`; thresholds are per-stratum
+    exact percentiles (|strata| rows, broadcast back)."""
+    scored = bigram_lm_score(clean, "text", "doc_id").select(
+        "doc_id", F.col("avg_logprob").alias("_lm")
+    )
+    with_src = scored.join(clean.select("doc_id", strata_col), "doc_id")
+    bucketed = perplexity_buckets(with_src, "doc_id", "_lm", strata_col)
+    return bucketed.filter(
+        F.col("ppl_bucket").isin(*ccnet_keep)
+    ).select("doc_id")
+
+
+def _apply_rule_gates(
+    work: DataFrame,
+    min_tokens: int,
+    tokens: Column,
+    c4_clean: bool,
+    c4_kwargs: dict | None,
+    gopher_quality: bool,
+    gopher_quality_kwargs: dict | None,
+    gopher_repetition: bool,
+    gopher_repetition_kwargs: dict | None,
+) -> DataFrame:
+    """Stages 1-4 of :data:`STAGE_ORDER`, shared verbatim by
+    :func:`curate` and :func:`audit` (the audit filters the same frames
+    instead of re-deriving predicates, so the two can never disagree).
+    C4 rewrites ``text`` IN PLACE (downstream stages — token gate, rule
+    filters, dedup, LM scoring, packing — all judge the cleaned text, the
+    text that would actually be trained on); the Gopher gates are
+    projection-fused filters (quality) or a key-only semi-join
+    (repetition, whose metric aggregation shuffles regardless)."""
+    if c4_clean:
+        others = [c for c in work.columns if c not in ("doc_id", "text")]
+        work = (
+            T.c4_line_clean(
+                work, "text", "doc_id",
+                passthrough=tuple(others), **(c4_kwargs or {}),
+            )
+            .filter("keep")
+            .select("doc_id", F.col("clean_text").alias("text"), *others)
+        )
+    gated = work.filter(tokens >= min_tokens)
+    if gopher_quality:
+        others = [c for c in gated.columns if c != "doc_id"]
+        gated = (
+            T.gopher_quality_flags(
+                gated, "text", "doc_id",
+                passthrough=tuple(others), **(gopher_quality_kwargs or {}),
+            )
+            .filter("pass")
+            .select("doc_id", *others)
+        )
+    if gopher_repetition:
+        rep_ok = (
+            _gopher_rep(
+                gated, "text", "doc_id", **(gopher_repetition_kwargs or {})
+            )
+            .filter("pass")
+            .select("doc_id")
+        )
+        gated = gated.join(rep_ok, "doc_id", "left_semi")
+    return gated
+
+
 def curate(
     docs: DataFrame,
     benchmark: DataFrame,
@@ -91,19 +204,44 @@ def curate(
     token_count: Column | None = None,
     lm_quantile: float | None = None,
     approx_threshold: bool = False,
+    c4_clean: bool = False,
+    c4_kwargs: dict | None = None,
+    gopher_quality: bool = False,
+    gopher_quality_kwargs: dict | None = None,
+    gopher_repetition: bool = False,
+    gopher_repetition_kwargs: dict | None = None,
+    ccnet_keep: tuple[str, ...] | None = None,
+    strata_col: str = "source",
 ) -> DataFrame:
     """Run the curation pipeline; returns packed training rows
     ``(doc_id, pack_group, seq_id)`` for the surviving documents.
-    ``lm_quantile`` (e.g. 0.10) enables the bigram-LM quality band:
-    documents scoring under that percentile of the post-decontamination
-    corpus are dropped before mixing (requires ``min_tokens >= 2`` so
-    every banded document is scoreable). ``approx_threshold`` switches
-    the band threshold to ``approx_percentile`` — fixed sketch memory
-    instead of the exact path's O(distinct rounded scores) state."""
-    _require_scoreable(min_tokens, lm_quantile)
+    Optional stages (see module docstring for the full order):
+
+    - ``c4_clean`` rewrites pages line-by-line and drops boilerplate
+      pages BEFORE everything else (``c4_kwargs`` forwards to
+      ``functions.text.c4_line_clean``, e.g. ``min_lines``).
+    - ``gopher_quality`` / ``gopher_repetition`` gate on the Gopher rule
+      sets after the token gate (kwargs dicts forward thresholds /
+      ``widths`` — a production run samples repetition widths, e.g.
+      ``{"widths": (2, 3, 4, 9)}``).
+    - ``lm_quantile`` (e.g. 0.10) enables the bigram-LM quality band:
+      documents scoring under that percentile of the
+      post-decontamination corpus are dropped before mixing.
+    - ``ccnet_keep`` (e.g. ``("head", "middle")``) enables the CCNet
+      per-stratum tertile buckets and keeps only the listed buckets.
+      Both LM stages require ``min_tokens >= 2`` so every banded
+      document is scoreable. ``approx_threshold`` switches the band
+      threshold to ``approx_percentile`` — fixed sketch memory instead
+      of the exact path's O(distinct rounded scores) state."""
+    _require_scoreable(min_tokens, lm_quantile, ccnet_keep)
     tokens = token_count if token_count is not None else T.token_count(F.col("text"))
 
-    gated = docs.filter(tokens >= min_tokens)
+    gated = _apply_rule_gates(
+        docs, min_tokens, tokens,
+        c4_clean, c4_kwargs,
+        gopher_quality, gopher_quality_kwargs,
+        gopher_repetition, gopher_repetition_kwargs,
+    )
     survivors = dedup.exact_dedup(gated, "text", "doc_id")
     clean_ids = (
         dedup.decontaminate(survivors, benchmark, "text", "doc_id", n=3)
@@ -114,6 +252,12 @@ def curate(
     if lm_quantile is not None:
         clean = clean.join(
             _lm_band_ids(clean, lm_quantile, approx_threshold),
+            "doc_id",
+            "left_semi",
+        )
+    if ccnet_keep is not None:
+        clean = clean.join(
+            _ccnet_band_ids(clean, ccnet_keep, strata_col),
             "doc_id",
             "left_semi",
         )
@@ -132,22 +276,74 @@ def audit(
     token_count: Column | None = None,
     lm_quantile: float | None = None,
     approx_threshold: bool = False,
+    c4_clean: bool = False,
+    c4_kwargs: dict | None = None,
+    gopher_quality: bool = False,
+    gopher_quality_kwargs: dict | None = None,
+    gopher_repetition: bool = False,
+    gopher_repetition_kwargs: dict | None = None,
+    ccnet_keep: tuple[str, ...] | None = None,
+    strata_col: str = "source",
 ) -> DataFrame:
     """Per-document curation verdict — the debuggability complement to
-    :func:`curate`: every doc gets the FIRST stage that dropped it
-    (``short`` → ``duplicate`` → ``contaminated`` → ``low_quality`` →
-    ``sampled_out``) or ``kept``. Stage decisions are the same operator
-    expressions the pipeline runs (dedup winners, decontamination flags,
-    the :func:`_lm_band_ids` threshold, ``sampling.stratified_keep_expr``),
-    so the audit can never disagree with the pipeline. Narrow left joins
-    on doc_id (winner set, contaminated set, band set — all key-only
-    frames); everything else is projection. ``low_quality`` appears only
-    when ``lm_quantile`` is set, mirroring :func:`curate` (including its
-    ``min_tokens >= 2`` requirement)."""
-    _require_scoreable(min_tokens, lm_quantile)
+    :func:`curate`: every doc gets the FIRST stage that dropped it, in
+    :data:`STAGE_ORDER` (``c4_dropped`` → ``short`` → ``gopher_quality``
+    → ``gopher_repetition`` → ``duplicate`` → ``contaminated`` →
+    ``low_quality`` → ``ppl_tail`` → ``sampled_out``) or ``kept``. Stage
+    decisions are the same operator expressions the pipeline runs (the
+    rule flags, dedup winners, decontamination flags, the
+    :func:`_lm_band_ids` / :func:`_ccnet_band_ids` thresholds,
+    ``sampling.stratified_keep_expr``), computed over the same stage
+    input sets, so the audit can never disagree with the pipeline.
+    Narrow left joins on doc_id (rule/winner/contaminated/band sets —
+    all key-only frames); the per-doc rule flags are pure projections so
+    evaluating them on the full corpus (every doc needs a row here)
+    yields the same per-doc values the pipeline computes on its gated
+    subsets. Verdict names appear only for enabled stages, mirroring
+    :func:`curate` (including the LM stages' ``min_tokens >= 2``
+    requirement); with ``c4_clean`` every downstream stage judges the
+    REWRITTEN text, exactly as the pipeline does."""
+    _require_scoreable(min_tokens, lm_quantile, ccnet_keep)
     tokens = token_count if token_count is not None else T.token_count(F.col("text"))
-    base = docs.select("doc_id", "text", "source", tokens.alias("_n"))
-    gated = base.filter(F.col("_n") >= min_tokens)
+    if c4_clean:
+        base = T.c4_line_clean(
+            docs, "text", "doc_id",
+            passthrough=("source",), **(c4_kwargs or {}),
+        ).select(
+            "doc_id",
+            F.col("clean_text").alias("text"),
+            "source",
+            F.col("keep").alias("_c4"),
+        )
+    else:
+        base = docs.select(
+            "doc_id", "text", "source", F.lit(True).alias("_c4")
+        )
+    base = base.select("doc_id", "text", "source", "_c4", tokens.alias("_n"))
+    work = base
+    if gopher_quality:
+        work = T.gopher_quality_flags(
+            work, "text", "doc_id",
+            passthrough=("text", "source", "_c4", "_n"),
+            **(gopher_quality_kwargs or {}),
+        ).select(
+            "doc_id", "text", "source", "_c4", "_n",
+            F.col("pass").alias("_gq"),
+        )
+    else:
+        work = work.withColumn("_gq", F.lit(True))
+    if gopher_repetition:
+        rep = _gopher_rep(
+            work, "text", "doc_id", **(gopher_repetition_kwargs or {})
+        ).select("doc_id", F.col("pass").alias("_gr"))
+        work = work.join(rep, "doc_id", "left")
+    else:
+        work = work.withColumn("_gr", F.lit(True))
+
+    gated = work.filter(
+        F.col("_c4") & (F.col("_n") >= min_tokens)
+        & F.col("_gq") & F.col("_gr")
+    )
     winners = dedup.exact_fingerprints(gated, "text", "doc_id").select(
         "doc_id", F.lit(True).alias("_win")
     )
@@ -157,22 +353,32 @@ def audit(
         .filter(F.col("contaminated"))
         .select("doc_id", F.lit(True).alias("_cont"))
     )
-    out = base.join(winners, "doc_id", "left").join(cont, "doc_id", "left")
+    out = work.join(winners, "doc_id", "left").join(cont, "doc_id", "left")
     verdict = (
-        F.when(F.col("_n") < min_tokens, "short")
+        F.when(~F.col("_c4"), "c4_dropped")
+        .when(F.col("_n") < min_tokens, "short")
+        .when(~F.col("_gq"), "gopher_quality")
+        .when(~F.col("_gr"), "gopher_repetition")
         .when(F.col("_win").isNull(), "duplicate")
         .when(F.col("_cont").isNotNull(), "contaminated")
     )
+    # score the SAME corpus the pipeline scores: post-decontamination
+    # survivors (the model is trained on the set it filters, so the
+    # thresholds match curate()'s bit for bit)
+    clean = survivors.join(cont.select("doc_id"), "doc_id", "left_anti")
     if lm_quantile is not None:
-        # score the SAME corpus the pipeline scores: post-decontamination
-        # survivors (the model is trained on the set it filters, so the
-        # threshold matches curate()'s bit for bit)
-        clean = survivors.join(cont.select("doc_id"), "doc_id", "left_anti")
         band = _lm_band_ids(clean, lm_quantile, approx_threshold).select(
             "doc_id", F.lit(True).alias("_band")
         )
         out = out.join(band, "doc_id", "left")
         verdict = verdict.when(F.col("_band").isNull(), "low_quality")
+        clean = clean.join(band.select("doc_id"), "doc_id", "left_semi")
+    if ccnet_keep is not None:
+        cc = _ccnet_band_ids(clean, ccnet_keep, strata_col).select(
+            "doc_id", F.lit(True).alias("_cc")
+        )
+        out = out.join(cc, "doc_id", "left")
+        verdict = verdict.when(F.col("_cc").isNull(), "ppl_tail")
     keep = sampling.stratified_keep_expr(
         "doc_id", "source", rates or {}, default_rate
     )

@@ -409,10 +409,19 @@ def _still_verified() -> tuple[str, ...]:
 # fingerprints moved only via a shared-module edit. Maintained per round;
 # stale names cost nothing (they sort first only while unverified).
 _SWEEP_PRIORITY: list[str] = [
-    # round 10: new/answer-changed queries first (filled in as the round
-    # adds them), then the 15 queries whose fingerprints moved under r9's
-    # module edits (similarity/corpus/sampling) without an r9 sweep slot —
-    # the recorder kept them stale, so they re-verify first.
+    # round 10: new queries first (rules-composed curation, sampled
+    # repetition, DSIR deployment composition), then the queries whose
+    # modules were edited this round (curation/corpus/similarity/text
+    # refactors — answers unchanged by design, fingerprints moved), then
+    # the 15 queries whose fingerprints moved under r9's module edits
+    # without an r9 sweep slot — the recorder kept them stale, so they
+    # re-verify first.
+    "curation_pipeline_rules", "curation_audit_rules",
+    "gopher_repetition_sampled", "dsir_frozen_gumbel", "ivf_lloyd_update",
+    "curation_pipeline", "curation_audit", "ccnet_perplexity_buckets",
+    "dsir_select_gumbel", "gopher_repetition_flags",
+    "gopher_quality_flags", "c4_line_filter", "gopher_dupline_flags",
+    "pq_encode", "pq_ann_topk", "ivf_pq_topk",
     "ann_ivf_topk", "weighted_sample", "embedding_kmeans",
     "temperature_mixture_rates", "bigram_lm_score_frozen",
     "quality_classifier_score", "unimax_mixture_rates", "column_profile",
@@ -3936,6 +3945,82 @@ def ivf_cell_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     are separated far beyond the ~1e-15 relative error of a 64-term dot."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.ivf_seed_cells(emb, nlist=16)
+
+
+@_register(
+    "ivf_lloyd_update",
+    """
+    WITH seeds AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cell, c
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS c
+            FROM embeddings ORDER BY vec_id LIMIT 16)
+    ),
+    scored AS (
+      SELECT e.vec_id, s.cell,
+             list_dot_product(CAST(e.embedding AS DOUBLE[]), s.c)
+               / sqrt(list_dot_product(s.c, s.c))
+               / sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                       CAST(e.embedding AS DOUBLE[]))) AS sc
+      FROM embeddings e CROSS JOIN seeds s
+    ),
+    assigned AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sc DESC, cell ASC) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ),
+    comps AS (
+      SELECT a.cell, i - 1 AS dim,
+             CAST((CAST(e.embedding AS DOUBLE[]))[i] AS DECIMAL(18,6)) AS c
+      FROM assigned a
+      JOIN embeddings e USING (vec_id),
+           unnest(generate_series(1, len(e.embedding))) AS t(i)
+    )
+    SELECT cell, CAST(dim AS INT) AS dim,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(c) AS DOUBLE) AS comp_sum,
+           round(CAST(sum(c) AS DOUBLE) / count(*), 6) AS mean_c
+    FROM comps GROUP BY cell, dim
+    """,
+)
+def ivf_lloyd_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF quantizer's single Lloyd update, oracle-twinned — the
+    partial oracle shrinking ``ann_ivf_topk``'s rows-only surface
+    (VERDICT r9 #4): over the pinned seed assignment (``ivf_cell_assign``,
+    the same max-cosine/lowest-cell rule), each cell's refined centroid
+    is the per-dimension MEAN of its members — computed here through
+    exact DECIMAL(18,6) component sums (associative: any
+    partial-aggregation order gives the same bits — the
+    ``linear_fit_by_type`` posture), so both engines produce identical
+    sums without replaying the production kernel's float fold order.
+    Double→decimal rounding is engine-safe because no binary double sits
+    exactly on a decimal half-tie at scale 6. Production ``ivf_topk``
+    additionally samples members (engine-local xxhash64 gate) and
+    re-normalizes touched rows — those stay under the recall pytest; the
+    membership and mean math are what this query pins."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cells = similarity.ivf_seed_cells(emb, nlist=16)
+    ex = cells.join(emb, "vec_id").select(
+        "cell",
+        F.posexplode(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("dim", "c"),
+    )
+    agg = ex.groupBy("cell", "dim").agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.sum(F.col("c").cast("decimal(18,6)")).alias("_s"),
+    )
+    return agg.select(
+        "cell",
+        F.col("dim").cast("int").alias("dim"),
+        "n_members",
+        F.col("_s").cast("double").alias("comp_sum"),
+        F.round(F.col("_s").cast("double") / F.col("n_members"), 6).alias(
+            "mean_c"
+        ),
+    )
 
 
 # shared PQ oracle CTEs: seed codebooks = the 16 lowest-id RAW vectors'
@@ -8629,6 +8714,456 @@ def curation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         rates={"src0": 1.0, "src1": 0.5, "src2": 0.25},
         default_rate=0.1,
         lm_quantile=0.10,
+    )
+
+
+# Shared CTE prefix for the rules-composed curation queries: C4 line clean
+# (over the deterministically line-structured corpus — every ' table '
+# becomes sentence-end + newline, the c4_line_filter construction) → token
+# gate → Gopher quality (min_words=10 / min_stopwords=1, the cleaned-text
+# deployment knobs) → Gopher repetition at production-sampled widths
+# (2, 3, 4, 9) → exact dedup → decontamination → CCNet head+middle keep.
+# Both the pipeline and the audit oracle build on the same prefix so their
+# stage decisions cannot drift.
+_RULES_PREFIX = f"""
+    lined AS (
+      SELECT doc_id, source, replace(text, ' table ', '.' || chr(10)) AS t
+      FROM documents
+    ),
+    b0 AS (
+      SELECT doc_id, source, t, string_split(t, chr(10)) AS l FROM lined
+    ),
+    c4m AS (
+      SELECT doc_id, source, t,
+        list_filter(l, x -> regexp_matches(rtrim(x), '[.!?"]$')
+          AND len(list_filter(string_split_regex(trim(x), '\\s+'),
+                              w -> w <> '')) >= 5) AS kl
+      FROM b0
+    ),
+    c4 AS (
+      SELECT doc_id, source,
+             coalesce(array_to_string(kl, chr(10)), '') AS text,
+             (NOT contains(lower(t), 'lorem ipsum'))
+               AND (NOT contains(t, '{{')) AND len(kl) >= 2 AS c4keep
+      FROM c4m
+    ),
+    tok AS (
+      SELECT doc_id, text, source, c4keep,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS n
+      FROM c4
+    ),
+    gqm AS (
+      SELECT doc_id, text, source, c4keep, n,
+        list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS w,
+        string_split(text, chr(10)) AS l
+      FROM tok
+    ),
+    gq AS (
+      SELECT doc_id, text, source, c4keep, n,
+        (len(w) >= 10 AND len(w) <= 100000
+         AND round(CASE WHEN len(w) = 0 THEN 0.0 ELSE
+               CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+               / len(w) END, 6) BETWEEN 3.0 AND 10.0
+         AND round(CASE WHEN len(w) = 0 THEN 0.0 ELSE
+               ((length(text) - length(replace(text, '#', '')))
+                + (length(text) - length(replace(text, '...', ''))) / 3)
+               / len(w) END, 6) <= 0.1
+         AND round(CAST(len(list_filter(l,
+               x -> regexp_matches(ltrim(x), '^[-*•]'))) AS DOUBLE)
+               / len(l), 6) <= 0.9
+         AND round(CAST(len(list_filter(l,
+               x -> rtrim(x) LIKE '%...')) AS DOUBLE) / len(l), 6) <= 0.3
+         AND round(CASE WHEN len(w) = 0 THEN 0.0 ELSE
+               CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+                    AS DOUBLE) / len(w) END, 6) >= 0.8
+         AND len(list_filter(['the', 'be', 'to', 'of', 'and', 'that',
+                              'have', 'with'],
+               s -> list_contains(list_transform(w, x -> lower(x)), s))) >= 1
+        ) AS gqok
+      FROM gqm
+    ),
+    pre AS (
+      SELECT doc_id, text, source, n FROM gq
+      WHERE c4keep AND n >= 5 AND gqok
+    ),
+    repc AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                         w -> w <> '') AS w,
+             coalesce(list_sum(list_transform(
+               list_filter(string_split_regex(trim(text), '\\s+'),
+                           w -> w <> ''), x -> length(x))), 0) AS total
+      FROM pre
+    ),
+    repg AS (
+      SELECT doc_id, total, n, array_to_string(w[i:i+n-1], ' ') AS g
+      FROM repc,
+           unnest(generate_series(1, len(w) - 1)) AS tp(i),
+           unnest([2, 3, 4, 9]) AS tn(n)
+      WHERE i + n - 1 <= len(w)
+    ),
+    repcounts AS (
+      SELECT doc_id, total, n, length(g) - (n - 1) AS glen, count(*) AS c
+      FROM repg GROUP BY doc_id, total, n, g
+    ),
+    repstats AS (
+      SELECT doc_id, n,
+        round(CAST((max(struct_pack(c := c, glen := glen))).c
+                   * (max(struct_pack(c := c, glen := glen))).glen
+                   AS DOUBLE) / total, 6) AS topf,
+        round(CAST(coalesce(sum(CASE WHEN c > 1 THEN c * glen END), 0)
+                   AS DOUBLE) / total, 6) AS dupf
+      FROM repcounts GROUP BY doc_id, n, total
+    ),
+    rep AS (
+      SELECT r.doc_id,
+        (coalesce(max(CASE WHEN n = 2 THEN topf END), 0.0) <= 0.20
+         AND coalesce(max(CASE WHEN n = 3 THEN topf END), 0.0) <= 0.18
+         AND coalesce(max(CASE WHEN n = 4 THEN topf END), 0.0) <= 0.16
+         AND coalesce(max(CASE WHEN n = 9 THEN dupf END), 0.0) <= 0.11
+        ) AS grok
+      FROM repc r LEFT JOIN repstats s ON r.doc_id = s.doc_id
+      GROUP BY r.doc_id
+    ),
+    gated AS (
+      SELECT p.* FROM pre p JOIN rep USING (doc_id) WHERE grok
+    ),
+    winners AS (
+      SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5({_NORM})
+    ),
+    surv AS (SELECT g.* FROM gated g JOIN winners w ON g.doc_id = w.doc_id),
+    bench AS (
+      SELECT DISTINCT unnest({_SHINGLES}) AS s
+      FROM documents WHERE doc_id % 97 = 0
+    ),
+    contaminated AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_id, unnest({_SHINGLES}) AS s FROM surv
+      ) WHERE s IN (SELECT s FROM bench)
+    ),
+    clean AS (
+      SELECT * FROM surv
+      WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    lmdocs AS (
+      SELECT doc_id, list_prepend('<s>', list_filter(
+               string_split({_NORM}, ' '), x -> x <> '')) AS a
+      FROM clean
+    ),
+    lmpairs AS (
+      SELECT doc_id, a[i] AS w1, a[i + 1] AS w2
+      FROM lmdocs, unnest(generate_series(1, len(a) - 1)) AS t(i)
+      WHERE len(a) >= 2
+    ),
+    lmc2 AS (SELECT w1, w2, count(*) AS c2 FROM lmpairs GROUP BY w1, w2),
+    lmc1 AS (SELECT w1, count(*) AS c1 FROM lmpairs GROUP BY w1),
+    lmv AS (SELECT count(DISTINCT w2) AS v FROM lmpairs),
+    lmscore AS (
+      SELECT p.doc_id,
+             round(avg(ln((c2 + 1.0) / (c1 + 1.0 * (SELECT v FROM lmv)))),
+                   6) AS s
+      FROM lmpairs p
+      JOIN lmc2 ON lmc2.w1 = p.w1 AND lmc2.w2 = p.w2
+      JOIN lmc1 ON lmc1.w1 = p.w1
+      GROUP BY p.doc_id
+    ),
+    wsrc AS (
+      SELECT ls.doc_id, c.source, ls.s
+      FROM lmscore ls JOIN clean c USING (doc_id)
+    ),
+    ccthr AS (
+      SELECT source, round(quantile_cont(s, 0.333333), 4) AS t1
+      FROM wsrc GROUP BY source
+    ),
+    band AS (
+      SELECT w.doc_id FROM wsrc w
+      JOIN ccthr t ON t.source = w.source AND w.s >= t.t1
+    )
+"""
+
+_RULES_MIX = f"""
+      substr(md5(CAST(doc_id AS VARCHAR) || ':' || source), 1, 4) <
+        CASE source
+          WHEN 'src0' THEN '{sampling.threshold(1.0)}'
+          WHEN 'src1' THEN '{sampling.threshold(0.5)}'
+          WHEN 'src2' THEN '{sampling.threshold(0.25)}'
+          ELSE '{sampling.threshold(0.1)}' END
+"""
+
+
+@_register(
+    "curation_pipeline_rules",
+    f"""
+    WITH {_RULES_PREFIX},
+    banded AS (SELECT c.* FROM clean c JOIN band USING (doc_id)),
+    mixed AS (
+      SELECT * FROM banded WHERE {_RULES_MIX}
+    )
+    SELECT doc_id,
+           substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS pack_group,
+           CAST(floor(COALESCE(SUM(n) OVER (
+                  PARTITION BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                  ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                / 64.0) AS BIGINT) AS seq_id
+    FROM mixed
+    """,
+)
+def curation_pipeline_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline with the FULL quality-rule surface composed
+    into one lazy lineage (pipeline/curation.py — the reference analogue
+    is the single-pass stage composition of its 3-stage ETL): C4 line
+    cleaning REWRITES each page first (later stages judge the text that
+    would be trained on), then token gate → Gopher quality rules →
+    Gopher repetition at production-sampled widths (2, 3, 4, 9) → exact
+    dedup → decontamination → CCNet per-source head+middle keep →
+    mixture sampling → sequence packing. Every stage is an individually
+    oracled operator; this query oracles their composition end to end."""
+    raw = _t(spark, sf_dir, "documents")
+    docs = raw.select(
+        "doc_id",
+        F.replace(F.col("text"), F.lit(" table "), F.lit(".\n")).alias("text"),
+        "source",
+    )
+    bench = raw.filter(F.col("doc_id") % 97 == 0)
+    return curation.curate(
+        docs,
+        bench,
+        min_tokens=5,
+        rates={"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        default_rate=0.1,
+        budget=64,
+        c4_clean=True,
+        c4_kwargs={"min_words_per_line": 5, "min_lines": 2},
+        gopher_quality=True,
+        gopher_quality_kwargs={"min_words": 10, "min_stopwords": 1},
+        gopher_repetition=True,
+        gopher_repetition_kwargs={"widths": (2, 3, 4, 9)},
+        ccnet_keep=("head", "middle"),
+    )
+
+
+@_register(
+    "curation_audit_rules",
+    f"""
+    WITH {_RULES_PREFIX}
+    SELECT t.doc_id,
+           CASE WHEN NOT t.c4keep THEN 'c4_dropped'
+                WHEN t.n < 5 THEN 'short'
+                WHEN NOT t.gqok THEN 'gopher_quality'
+                WHEN NOT r.grok THEN 'gopher_repetition'
+                WHEN w.doc_id IS NULL THEN 'duplicate'
+                WHEN c.doc_id IS NOT NULL THEN 'contaminated'
+                WHEN b.doc_id IS NULL THEN 'ppl_tail'
+                WHEN NOT ({_RULES_MIX.replace("doc_id", "t.doc_id").replace("source", "t.source")})
+                THEN 'sampled_out'
+                ELSE 'kept' END AS verdict
+    FROM gq t
+    LEFT JOIN rep r ON t.doc_id = r.doc_id
+    LEFT JOIN winners w ON t.doc_id = w.doc_id
+    LEFT JOIN contaminated c ON t.doc_id = c.doc_id
+    LEFT JOIN band b ON t.doc_id = b.doc_id
+    """,
+)
+def curation_audit_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document verdict for the rules-composed pipeline
+    (pipeline/curation.py audit, STAGE_ORDER): the FIRST stage that
+    dropped each doc — c4_dropped → short → gopher_quality →
+    gopher_repetition → duplicate → contaminated → ppl_tail →
+    sampled_out — or 'kept'. Same parameters as curation_pipeline_rules;
+    verdicts derive from the SAME operator expressions over the SAME
+    stage input sets, so audit and pipeline cannot disagree (the kept
+    set here == curation_pipeline_rules' input to packing)."""
+    raw = _t(spark, sf_dir, "documents")
+    docs = raw.select(
+        "doc_id",
+        F.replace(F.col("text"), F.lit(" table "), F.lit(".\n")).alias("text"),
+        "source",
+    )
+    bench = raw.filter(F.col("doc_id") % 97 == 0)
+    return curation.audit(
+        docs,
+        bench,
+        min_tokens=5,
+        rates={"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        default_rate=0.1,
+        c4_clean=True,
+        c4_kwargs={"min_words_per_line": 5, "min_lines": 2},
+        gopher_quality=True,
+        gopher_quality_kwargs={"min_words": 10, "min_stopwords": 1},
+        gopher_repetition=True,
+        gopher_repetition_kwargs={"widths": (2, 3, 4, 9)},
+        ccnet_keep=("head", "middle"),
+    )
+
+
+@_register(
+    "gopher_repetition_sampled",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                         w -> w <> '') AS w
+      FROM documents
+    ),
+    withc AS (
+      SELECT doc_id, w,
+             coalesce(list_sum(list_transform(w, x -> length(x))), 0) AS total
+      FROM base
+    ),
+    grams AS (
+      SELECT doc_id, total, n,
+             array_to_string(w[i:i+n-1], ' ') AS g
+      FROM withc,
+           unnest(generate_series(1, len(w) - 1)) AS tp(i),
+           unnest([2, 3, 4, 9]) AS tn(n)
+      WHERE i + n - 1 <= len(w)
+    ),
+    counts AS (
+      SELECT doc_id, total, n, length(g) - (n - 1) AS glen, count(*) AS c
+      FROM grams GROUP BY doc_id, total, n, g
+    ),
+    stats AS (
+      SELECT doc_id, n,
+        round(CAST((max(struct_pack(c := c, glen := glen))).c
+                   * (max(struct_pack(c := c, glen := glen))).glen
+                   AS DOUBLE) / total, 6) AS topf,
+        round(CAST(coalesce(sum(CASE WHEN c > 1 THEN c * glen END), 0)
+                   AS DOUBLE) / total, 6) AS dupf
+      FROM counts GROUP BY doc_id, n, total
+    ),
+    m AS (
+      SELECT b.doc_id,
+        coalesce(max(CASE WHEN n = 2 THEN topf END), 0.0) AS top2_char_frac,
+        coalesce(max(CASE WHEN n = 3 THEN topf END), 0.0) AS top3_char_frac,
+        coalesce(max(CASE WHEN n = 4 THEN topf END), 0.0) AS top4_char_frac,
+        coalesce(max(CASE WHEN n = 9 THEN dupf END), 0.0) AS dup9_char_frac
+      FROM base b LEFT JOIN stats s ON b.doc_id = s.doc_id
+      GROUP BY b.doc_id
+    )
+    SELECT doc_id, top2_char_frac, top3_char_frac, top4_char_frac,
+           dup9_char_frac,
+           top2_char_frac <= 0.20 AS ok_top2,
+           top3_char_frac <= 0.18 AS ok_top3,
+           top4_char_frac <= 0.16 AS ok_top4,
+           dup9_char_frac <= 0.11 AS ok_dup9,
+           (top2_char_frac <= 0.20 AND top3_char_frac <= 0.18
+            AND top4_char_frac <= 0.16 AND dup9_char_frac <= 0.11) AS pass
+    FROM m
+    """,
+)
+def gopher_repetition_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production-sampling variant of the Gopher repetition audit
+    (operators.corpus.gopher_repetition_flags with widths=(2, 3, 4, 9)):
+    the three top-gram rules plus ONE representative duplicated-gram
+    width instead of all six — the knob a 100 TB run would actually turn,
+    cutting emitted gram volume ~2.2x (the full audit's cost is linear
+    in gram count at ~4 µs/gram). Same explode/hash/partial-agg plan as
+    the full-width query; only the width array shrinks."""
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_ops.gopher_repetition_flags(
+        docs, "text", "doc_id", widths=(2, 3, 4, 9)
+    )
+
+
+@_register(
+    "dsir_frozen_gumbel",
+    f"""
+    WITH tdocs AS (
+      SELECT doc_id, list_filter(string_split({_NORM}, ' '), x -> x <> '') AS a
+      FROM documents WHERE doc_id % 7 = 0
+    ),
+    rdocs AS (
+      SELECT doc_id, list_filter(string_split({_NORM}, ' '), x -> x <> '') AS a
+      FROM documents WHERE doc_id % 7 IN (1, 2, 3)
+    ),
+    ndocs AS (
+      SELECT doc_id, list_filter(string_split({_NORM}, ' '), x -> x <> '') AS a
+      FROM documents WHERE doc_id % 7 IN (4, 5, 6)
+    ),
+    tgram AS (
+      SELECT CAST(('0x' || substr(md5(g), 1, 6)) AS BIGINT) % 10000 AS bucket
+      FROM (
+        SELECT unnest(a) AS g FROM tdocs
+        UNION ALL
+        SELECT a[i] || ' ' || a[i + 1] AS g
+        FROM tdocs, unnest(generate_series(1, len(a) - 1)) AS t(i)
+        WHERE len(a) >= 2
+      )
+    ),
+    rgram AS (
+      SELECT CAST(('0x' || substr(md5(g), 1, 6)) AS BIGINT) % 10000 AS bucket
+      FROM (
+        SELECT unnest(a) AS g FROM rdocs
+        UNION ALL
+        SELECT a[i] || ' ' || a[i + 1] AS g
+        FROM rdocs, unnest(generate_series(1, len(a) - 1)) AS t(i)
+        WHERE len(a) >= 2
+      )
+    ),
+    ngram AS (
+      SELECT doc_id, CAST(('0x' || substr(md5(g), 1, 6)) AS BIGINT) % 10000 AS bucket
+      FROM (
+        SELECT doc_id, unnest(a) AS g FROM ndocs
+        UNION ALL
+        SELECT doc_id, a[i] || ' ' || a[i + 1] AS g
+        FROM ndocs, unnest(generate_series(1, len(a) - 1)) AS t(i)
+        WHERE len(a) >= 2
+      )
+    ),
+    tc AS (SELECT bucket, count(*) AS tc FROM tgram GROUP BY bucket),
+    rc AS (SELECT bucket, count(*) AS rc FROM rgram GROUP BY bucket),
+    tn AS (SELECT count(*) AS tn FROM tgram),
+    rn AS (SELECT count(*) AS rn FROM rgram),
+    wts AS (
+      SELECT g.doc_id, count(*) AS n_grams,
+             round(sum(ln((coalesce(tc.tc, 0) + 1.0)
+                          / ((SELECT tn FROM tn) + 1.0 * 10000))
+                     - ln((coalesce(rc.rc, 0) + 1.0)
+                          / ((SELECT rn FROM rn) + 1.0 * 10000))), 6)
+               AS log_weight
+      FROM ngram g
+      LEFT JOIN tc USING (bucket)
+      LEFT JOIN rc USING (bucket)
+      GROUP BY g.doc_id
+    ),
+    keys AS (
+      SELECT doc_id, n_grams, log_weight,
+             round(log_weight + (-ln(-ln(
+               (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':crawl'),
+                                     1, 8)) AS BIGINT) + 0.5)
+               / 4294967296.0))), 6) AS gumbel_key
+      FROM wts
+    ),
+    thr AS (SELECT round(quantile_cont(gumbel_key, 0.75), 4) AS t FROM keys)
+    SELECT doc_id, n_grams, log_weight, gumbel_key FROM keys
+    WHERE gumbel_key >= (SELECT t FROM thr)
+    """,
+)
+def dsir_frozen_gumbel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DSIR incremental-crawl DEPLOYMENT composition
+    (operators.corpus.dsir_weights_frozen + gumbel_topk): frozen target
+    (doc_id % 7 == 0) and raw-pool (% 7 in 1..3) reference distributions
+    score the new crawl slice (% 7 in 4..6) — O(new) per batch, weights
+    stable across batches — and the published Gumbel-top-k resampling
+    (Xie 2023 §3) selects the kept quarter within the batch, salt
+    'crawl' so a rerun replays bit-for-bit. The two halves shipped (and
+    were verified) separately in round 9; this query oracles the shape a
+    production ingest pipeline actually runs."""
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 7
+    w = corpus_ops.dsir_weights_frozen(
+        docs.filter(m.isin(4, 5, 6)),
+        docs.filter(m == 0),
+        docs.filter(m.isin(1, 2, 3)),
+        "text",
+        "doc_id",
+        10_000,
+        1.0,
+    )
+    return corpus_ops.gumbel_topk(
+        w, "doc_id", keep_frac=0.25, salt="crawl", beta=1.0
     )
 
 

@@ -168,12 +168,58 @@ class WideTable:
         hconf = self.spark._jsc.hadoopConfiguration()
         return self._hpath(self.path).getFileSystem(hconf)
 
+    _ASIDE_MANIFEST = "_manifest.json"
+
+    def _aside_manifest_path(self):
+        return self._hpath(self.path + "__aside/" + self._ASIDE_MANIFEST)
+
+    def _write_aside_manifest(
+        self, fs, written: dict[str, list[str]], tombstoned: list[str]
+    ) -> None:
+        """Record what a targeted compaction is about to install BEFORE any
+        partition swap: ``written`` maps each part it produced output for to
+        the bucket children of that output (empty list when the part IS a
+        bucket or the layout is flat); ``tombstoned`` lists parts the
+        compaction legitimately resolved to zero rows. Without this record,
+        ``_recover`` cannot tell a bucket lost mid-swap (must restore) from
+        one compaction tombstoned away (must NOT resurrect)."""
+        import json
+
+        out = fs.create(self._aside_manifest_path(), True)
+        try:
+            payload = json.dumps(
+                {"written": written, "tombstoned": tombstoned},
+                sort_keys=True,
+            )
+            out.write(bytearray(payload.encode("utf-8")))
+        finally:
+            out.close()
+
+    def _read_aside_manifest(self, fs) -> dict | None:
+        import json
+
+        mpath = self._aside_manifest_path()
+        if not fs.exists(mpath):
+            return None
+        stream = fs.open(mpath)
+        try:
+            text = self.spark._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+        return json.loads(text)
+
     def _recover(self, fs=None) -> None:
         """Heal a crash between ``compact()``'s two renames: if the main path
         is gone but the aside copy survives, rename it back. Also heals
-        per-prefix compaction (``compact(prefixes=...)``): any partition dir
+        per-prefix compaction (``compact_prefixes``): any partition dir
         parked under ``<path>__aside`` whose main copy vanished is renamed
-        back. Idempotent."""
+        back — unless the aside manifest says the compaction tombstoned that
+        unit away, in which case the parked copy is physically deleted
+        rather than resurrected (compaction is the table's physical purge
+        mechanism; restoring a tombstoned-away partition would silently
+        undo it). Idempotent."""
         fs = fs or self._fs()
         main = self._hpath(self.path)
         aside = self._hpath(self.path + "__old")
@@ -181,22 +227,70 @@ class WideTable:
             fs.rename(aside, main)
         prefix_aside = self._hpath(self.path + "__aside")
         if fs.exists(prefix_aside):
+            manifest = self._read_aside_manifest(fs)
+            written = (manifest or {}).get("written", {})
+            tombstoned = set((manifest or {}).get("tombstoned", []))
             for st in fs.listStatus(prefix_aside):
                 name = st.getPath().getName()
+                if name == self._ASIDE_MANIFEST:
+                    continue
                 dst = self._hpath(self.path + "/" + name)
+                bucket_parks = (
+                    [
+                        b
+                        for b in fs.listStatus(st.getPath())
+                        if b.getPath().getName().startswith("bucket=")
+                    ]
+                    if st.isDirectory()
+                    else []
+                )
+                if manifest is not None and (
+                    name in written or name in tombstoned
+                ):
+                    # whole-prefix unit with a manifest record
+                    if name in tombstoned:
+                        fs.delete(st.getPath(), True)
+                        continue
+                    if not fs.exists(dst):
+                        fs.rename(st.getPath(), dst)
+                        continue
+                    # install happened; heal bucket-by-bucket against the
+                    # written-children record — a parked bucket ABSENT from
+                    # the record was tombstoned away by the compaction, so
+                    # delete it instead of renaming the stale copy back
+                    wrote = set(written.get(name, []))
+                    for b in bucket_parks:
+                        bname = b.getPath().getName()
+                        bdst = self._hpath(
+                            self.path + "/" + name + "/" + bname
+                        )
+                        if bname in wrote and not fs.exists(bdst):
+                            fs.rename(b.getPath(), bdst)
+                        else:
+                            fs.delete(b.getPath(), True)
+                    if len(fs.listStatus(st.getPath())) == 0:
+                        fs.delete(st.getPath(), True)
+                    continue
+                if manifest is not None and bucket_parks:
+                    # bucket-level units: manifest keys are "prefix/bucket"
+                    for b in bucket_parks:
+                        unit = name + "/" + b.getPath().getName()
+                        bdst = self._hpath(self.path + "/" + unit)
+                        if unit in tombstoned:
+                            fs.delete(b.getPath(), True)
+                        elif unit in written and not fs.exists(bdst):
+                            fs.rename(b.getPath(), bdst)
+                        else:
+                            fs.delete(b.getPath(), True)
+                    if len(fs.listStatus(st.getPath())) == 0:
+                        fs.delete(st.getPath(), True)
+                    continue
+                # no manifest (pre-manifest park, or an unrelated leftover):
+                # conservative legacy heal — restore anything whose main
+                # copy is missing
                 if not fs.exists(dst):
                     fs.rename(st.getPath(), dst)
                     continue
-                # main prefix dir exists. A BUCKET-level park (sub-
-                # partitioned compaction) nests bucket=<b> dirs inside the
-                # parked prefix dir; heal those bucket-by-bucket — deleting
-                # the parked prefix wholesale would drop a bucket whose
-                # main copy vanished mid-swap.
-                bucket_parks = [
-                    b
-                    for b in fs.listStatus(st.getPath())
-                    if b.getPath().getName().startswith("bucket=")
-                ]
                 if bucket_parks:
                     for b in bucket_parks:
                         bdst = self._hpath(
@@ -214,6 +308,9 @@ class WideTable:
                     # dir is its stale pre-compaction copy — drop it, or it
                     # lingers until the prefix is recompacted
                     fs.delete(st.getPath(), True)
+            # every parked unit above is healed, so the record is consumed
+            if manifest is not None:
+                fs.delete(self._aside_manifest_path(), False)
             self._sweep_empty_aside(fs, prefix_aside)
 
     def _sweep_empty_aside(self, fs, aside_root) -> None:
@@ -855,6 +952,29 @@ class WideTable:
                 for b in buckets
             ]
         fs.mkdirs(aside_root)
+        # manifest BEFORE any swap: which parts have compacted output (and
+        # which bucket children that output contains, for whole-prefix units
+        # on a sub-partitioned layout) vs which resolved to zero rows —
+        # _recover's only way to tell mid-swap loss from legitimate
+        # tombstoning after a crash
+        written: dict[str, list[str]] = {}
+        tombstoned: list[str] = []
+        for part in parts:
+            tmp_probe = self._hpath(f"{tmp_root}/{part}")
+            if fs.exists(tmp_probe):
+                children = (
+                    [
+                        c.getPath().getName()
+                        for c in fs.listStatus(tmp_probe)
+                        if c.getPath().getName().startswith("bucket=")
+                    ]
+                    if (buckets is None and self.n_subpartitions)
+                    else []
+                )
+                written[part] = children
+            else:
+                tombstoned.append(part)
+        self._write_aside_manifest(fs, written, tombstoned)
         for part in parts:
             main_p = self._hpath(f"{self.path}/{part}")
             tmp_p = self._hpath(f"{tmp_root}/{part}")
@@ -880,6 +1000,7 @@ class WideTable:
                 )
             fs.delete(aside_p, True)
         fs.delete(self._hpath(tmp_root), True)
+        fs.delete(self._aside_manifest_path(), False)
         self._sweep_empty_aside(fs, aside_root)
 
     def compact(self) -> None:

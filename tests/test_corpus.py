@@ -540,3 +540,37 @@ def test_dsir_weights_frozen_hand_computation(spark):
     # the raw-ref-only gram ('delta', rc=2) scores BELOW the
     # unseen-in-both floor per gram: doc 3 is one such gram
     assert got[3][1] < got[2][1] / got[2][0]
+
+
+def test_gopher_repetition_widths_knob(spark):
+    """widths=(2,3,4,9) — the production sampling knob — emits metrics,
+    flags, and the pass conjunction for ONLY the selected widths, agrees
+    with the full-width run on the shared columns, and rejects widths
+    outside the paper's 2..10 range."""
+    import pytest
+
+    from learn_hbase_spark.operators import corpus
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat the cat sat again now ok"),
+         (2, "alpha bravo charlie delta echo foxtrot golf hotel india")],
+        "doc_id long, text string",
+    )
+    sampled = corpus.gopher_repetition_flags(
+        docs, "text", "doc_id", widths=(2, 3, 4, 9)
+    )
+    assert set(sampled.columns) == {
+        "doc_id", "top2_char_frac", "top3_char_frac", "top4_char_frac",
+        "dup9_char_frac", "ok_top2", "ok_top3", "ok_top4", "ok_dup9",
+        "pass",
+    }
+    full = corpus.gopher_repetition_flags(docs, "text", "doc_id")
+    shared = ["doc_id", "top2_char_frac", "top3_char_frac",
+              "top4_char_frac", "dup9_char_frac"]
+    assert sorted(map(tuple, sampled.select(*shared).collect())) == sorted(
+        map(tuple, full.select(*shared).collect())
+    )
+    with pytest.raises(ValueError, match="widths"):
+        corpus.gopher_repetition_flags(docs, widths=(1, 2))
+    with pytest.raises(ValueError, match="widths"):
+        corpus.gopher_repetition_flags(docs, widths=())

@@ -131,3 +131,119 @@ def test_lm_band_requires_scoreable_min_tokens(spark):
         curation.curate(docs, bench, min_tokens=1, lm_quantile=0.1)
     with pytest.raises(ValueError, match="min_tokens >= 2"):
         curation.audit(docs, bench, min_tokens=1, lm_quantile=0.1)
+
+
+def test_rule_stages_first_drop_order(spark):
+    """The composed quality-rule stages (C4 -> short -> gopher_quality ->
+    gopher_repetition -> duplicate -> contaminated -> sampled_out) drop
+    each crafted doc at its designed stage, the verdict is the FIRST
+    failing stage in STAGE_ORDER (docB fails C4 *and* the token gate but
+    reports c4_dropped), and curate()/audit() kept sets agree."""
+    from learn_hbase_spark.pipeline import curation
+
+    def long_doc(tag: str, lines: int = 6, first: str | None = None) -> str:
+        # ~48 unique-ish words so the Gopher top-n-gram rules (which a
+        # genuinely short doc cannot pass: one 4-gram is >16% of its
+        # chars) judge a realistic page
+        built = [
+            "the " + " ".join(f"{tag}{k}w{j}" for j in range(7)) + "."
+            for k in range(lines)
+        ]
+        if first is not None:
+            built[0] = first
+        return "\n".join(built)
+
+    rep_line = "the abc def abc def abc def abc def abc def abc def ok."
+    noswd = "zebra quagga okapi lemur tapir runs fast today."
+    noswd2 = "bison gaur saola addax turns left quite quickly."
+    cont1 = "the held out secret phrase appears right here today."
+    doc1 = long_doc("a")
+    docs = spark.createDataFrame(
+        [
+            (1, doc1, "src0"),                                   # kept
+            (2, "{ tiny }", "src0"),                             # c4_dropped
+            (3, "the small cat sat.\nthe big dog ran.", "src0"), # short (8 < 12)
+            (4, f"{noswd}\n{noswd2}", "src0"),                   # gopher_quality
+            (5, f"{rep_line}\n{rep_line}", "src0"),              # gopher_repetition
+            (6, doc1.upper(), "src0"),                           # duplicate of 1
+            (7, long_doc("c", first=cont1), "src0"),             # contaminated
+            (8, long_doc("m"), "srcX"),                          # sampled_out
+        ],
+        "doc_id long, text string, source string",
+    )
+    bench = spark.createDataFrame(
+        [(99, "contains the held out secret phrase indeed", "src0")],
+        "doc_id long, text string, source string",
+    )
+    kw = dict(
+        min_tokens=12,
+        rates={"src0": 1.0},
+        default_rate=0.0,
+        c4_clean=True,
+        c4_kwargs={"min_words_per_line": 4, "min_lines": 2},
+        gopher_quality=True,
+        gopher_quality_kwargs={"min_words": 8, "min_stopwords": 1},
+        gopher_repetition=True,
+        gopher_repetition_kwargs={"widths": (2, 3, 4, 9)},
+    )
+    verdicts = {
+        r["doc_id"]: r["verdict"]
+        for r in curation.audit(docs, bench, **kw).collect()
+    }
+    assert verdicts == {
+        1: "kept",
+        2: "c4_dropped",
+        3: "short",
+        4: "gopher_quality",
+        5: "gopher_repetition",
+        6: "duplicate",
+        7: "contaminated",
+        8: "sampled_out",
+    }
+    packed = {
+        r["doc_id"] for r in curation.curate(docs, bench, budget=64, **kw).collect()
+    }
+    assert packed == {1}
+    # the verdict precedence is the pinned pipeline stage order
+    assert curation.STAGE_ORDER == (
+        "c4_dropped", "short", "gopher_quality", "gopher_repetition",
+        "duplicate", "contaminated", "low_quality", "ppl_tail",
+        "sampled_out", "kept",
+    )
+
+
+def test_ccnet_bucket_stage(spark):
+    """With ccnet_keep=('head','middle') each source's worst LM tertile
+    drops as ppl_tail; earlier-stage verdicts are untouched; curate() and
+    audit() kept sets agree."""
+    from pyspark.sql import functions as F
+
+    from learn_hbase_spark import tables
+    from learn_hbase_spark.pipeline import curation
+
+    docs = tables.load_table(spark, "/root/testdata/sf0.001", "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    kw = dict(
+        min_tokens=5,
+        rates={"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        default_rate=0.1,
+    )
+    base = {r["doc_id"]: r["verdict"]
+            for r in curation.audit(docs, bench, **kw).collect()}
+    assert "ppl_tail" not in set(base.values())
+    banded = {r["doc_id"]: r["verdict"]
+              for r in curation.audit(docs, bench,
+                                      ccnet_keep=("head", "middle"),
+                                      **kw).collect()}
+    tail = {d for d, v in banded.items() if v == "ppl_tail"}
+    assert tail
+    assert all(base[d] in ("kept", "sampled_out") for d in tail)
+    for d, v in base.items():
+        if v in ("short", "duplicate", "contaminated"):
+            assert banded[d] == v
+    packed = {
+        r["doc_id"]
+        for r in curation.curate(docs, bench, ccnet_keep=("head", "middle"),
+                                 **kw).collect()
+    }
+    assert packed == {d for d, v in banded.items() if v == "kept"}

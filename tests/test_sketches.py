@@ -59,3 +59,33 @@ def test_hll_rollup_tolerance_and_merge_consistency(spark):
     # union-of-sketches vs direct sketching can differ by representation
     # promotion (coupon-list vs dense) — equal within sketch error
     assert abs(got["ALL"] - direct) / direct < 0.01
+
+
+def test_hll_merge_law_partitioning_invariant(spark):
+    """The DataSketches HLL merge law, pinned at the right strength: the
+    REGISTER state is a per-slot max (associative/commutative/idempotent),
+    but the library's estimate is path-dependent — a sketch built in one
+    partition reports through the HIP estimator while merged partials
+    report through the composite estimator — so the law shows up as (a)
+    estimates invariant within sketch error under ANY partitioning /
+    duplication of the input, and (b) the same lineage re-collected is
+    bit-identical (determinism)."""
+    from pyspark.sql import functions as F
+
+    from learn_hbase_spark.operators.sketches import hll_rollup
+
+    df = spark.range(4000).select(
+        (F.col("id") % 5).alias("g"), (F.col("id") % 997).alias("v")
+    )
+    one = dict(map(tuple, hll_rollup(df.repartition(1), "g", "v").collect()))
+    many = dict(map(tuple, hll_rollup(df.repartition(13), "g", "v").collect()))
+    # idempotence: duplicating every input row adds no distinct items
+    dup = dict(map(tuple, hll_rollup(df.union(df).repartition(7),
+                                     "g", "v").collect()))
+    assert one.keys() == many.keys() == dup.keys()
+    for k in one:
+        assert abs(many[k] - one[k]) <= 0.02 * one[k], (k, one[k], many[k])
+        assert abs(dup[k] - one[k]) <= 0.02 * one[k], (k, one[k], dup[k])
+    # determinism: the same merge tree re-executed is bit-identical
+    again = dict(map(tuple, hll_rollup(df.repartition(13), "g", "v").collect()))
+    assert again == many

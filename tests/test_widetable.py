@@ -742,3 +742,93 @@ def test_subpartitioned_bucket_park_heals(spark, tmp_path):
     shutil.move(str(src), str(aside / f"bucket={b}"))
     assert sorted(map(tuple, t.scan().collect())) == before  # healed
     assert not (aside / f"bucket={b}").exists()
+
+
+def test_recover_does_not_resurrect_tombstoned_bucket(spark, tmp_path):
+    """Crash between install and aside-cleanup of a WHOLE-PREFIX compaction
+    on a sub-partitioned table: the parked pre-compaction prefix dir holds a
+    bucket the compaction legitimately tombstoned away (absent from the
+    freshly-installed main dir). The aside manifest records which buckets
+    the compaction wrote, so _recover must DELETE the stale parked bucket —
+    not rename it back and resurrect physically-purged data."""
+    import shutil
+    from pathlib import Path
+
+    from learn_hbase_spark.widetable import WideTable
+
+    t = WideTable.create(
+        spark, str(tmp_path / "wtm"), ["info"], n_subpartitions=4
+    )
+    keys = [f"0401_{i:03d}" for i in range(16)]
+    by_bucket = {}
+    for k in keys:
+        by_bucket.setdefault(t._py_bucket(k), []).append(k)
+    (dead_b, dead_keys), (live_b, live_keys) = sorted(by_bucket.items())[:2]
+    t.put(_cells(
+        spark, [(k, "info", "q", "v") for k in dead_keys + live_keys]
+    ))
+    for k in dead_keys:  # tombstone the whole dead bucket
+        t.delete(k, "info", "q")
+    root = Path(str(tmp_path / "wtm"))
+    saved = tmp_path / "pre_compaction_copy"
+    shutil.copytree(root / "prefix=0401", saved)
+
+    t.compact_prefixes(["0401"])  # dead bucket physically purged
+    assert not (root / "prefix=0401" / f"bucket={dead_b}").exists()
+    after = sorted(map(tuple, t.scan().collect()))
+    assert {r[0] for r in after} == set(live_keys)
+
+    # simulate the crash aftermath: stale pre-compaction copy still parked,
+    # manifest (written before any swap) still present
+    aside = Path(str(root) + "__aside")
+    aside.mkdir()
+    shutil.move(str(saved), str(aside / "prefix=0401"))
+    t._write_aside_manifest(
+        t._fs(), {"prefix=0401": [f"bucket={live_b}"]}, []
+    )
+
+    assert sorted(map(tuple, t.scan().collect())) == after  # _recover ran
+    # the tombstoned bucket stays purged; the park and manifest are consumed
+    assert not (root / "prefix=0401" / f"bucket={dead_b}").exists()
+    assert not aside.exists()
+
+
+def test_recover_manifest_tombstoned_bucket_unit(spark, tmp_path):
+    """Same crash window for a BUCKET-level compaction unit that resolved to
+    zero rows: the manifest lists 'prefix/bucket' under tombstoned, so
+    _recover deletes the parked bucket instead of restoring it."""
+    import shutil
+    from pathlib import Path
+
+    from learn_hbase_spark.widetable import WideTable
+
+    t = WideTable.create(
+        spark, str(tmp_path / "wtn"), ["info"], n_subpartitions=4
+    )
+    keys = [f"0401_{i:03d}" for i in range(16)]
+    by_bucket = {}
+    for k in keys:
+        by_bucket.setdefault(t._py_bucket(k), []).append(k)
+    (dead_b, dead_keys), (live_b, live_keys) = sorted(by_bucket.items())[:2]
+    t.put(_cells(
+        spark, [(k, "info", "q", "v") for k in dead_keys + live_keys]
+    ))
+    for k in dead_keys:
+        t.delete(k, "info", "q")
+    root = Path(str(tmp_path / "wtn"))
+    # simulate the crash: compaction parked the dead bucket (its tmp output
+    # was empty -> unit tombstoned in the manifest) and died before the
+    # aside cleanup
+    aside = Path(str(root) + "__aside") / "prefix=0401"
+    aside.mkdir(parents=True)
+    shutil.move(
+        str(root / "prefix=0401" / f"bucket={dead_b}"),
+        str(aside / f"bucket={dead_b}"),
+    )
+    t._write_aside_manifest(
+        t._fs(), {}, [f"prefix=0401/bucket={dead_b}"]
+    )
+    rows = sorted(r["rowkey"] for r in t.scan().collect())
+    assert rows == sorted(live_keys)  # dead bucket NOT restored
+    assert not (root / "prefix=0401" / f"bucket={dead_b}").exists()
+    assert not Path(str(root) + "__aside").exists()

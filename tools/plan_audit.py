@@ -76,6 +76,12 @@ NESTED_LOOP_ALLOWED: dict[str, str] = {
     # (quality_band_sample). Every corpus-sized join in the lineage is equi.
     "curation_pipeline": "one-row vocab-size + percentile-threshold broadcasts",
     "curation_audit": "one-row vocab-size + percentile-threshold broadcasts",
+    # Same bounded class as curation_pipeline/audit: the rules-composed
+    # variants add no new cross-join shape — the bigram-LM vocab-size
+    # scalar (one row) feeding the CCNet per-stratum tertile thresholds
+    # (|strata| rows, broadcast).
+    "curation_pipeline_rules": "one-row vocab-size + per-stratum threshold broadcasts",
+    "curation_audit_rules": "one-row vocab-size + per-stratum threshold broadcasts",
     # Temperature mixture: the ONE-ROW (N, Z) totals aggregate crossed into
     # the |strata|-row counts frame — both sides bounded by the source
     # vocabulary; the corpus-sized application join is equi (hash).
@@ -94,6 +100,9 @@ NESTED_LOOP_ALLOWED: dict[str, str] = {
     # projection, the three nested loops are the gram-total scalars and the
     # one-row quantile threshold.
     "dsir_select_gumbel": "one-row gram totals + one-row quantile threshold",
+    # Frozen-weights + Gumbel composition: same one-row frames (two frozen
+    # gram totals, one quantile threshold) broadcast onto the new batch.
+    "dsir_frozen_gumbel": "one-row gram totals + one-row quantile threshold",
     # Same bounded shape as ann_cosine_topk: the anchor set broadcasts,
     # the corpus never shuffles; corpus-sized anchor sets compose the
     # LSH/IVF prefilter first (documented in the operator).
