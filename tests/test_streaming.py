@@ -812,3 +812,95 @@ def test_curation_file_stream_curates_incrementally(spark, tmp_path):
     # third drain with nothing new: checkpointed listing -> no-op
     curation_ingest_file_stream(spark, str(inp), idx, cur, ckpt, **kw)
     assert names(cur) == {"a.txt", "b.txt", "d.txt"}
+
+
+def test_stream_upsert_into_subpartitioned_widetable(spark, tmp_path):
+    """VERDICT r9 #6: the r8 foreachBatch upsert and the r8/r9 two-level
+    (prefix, bucket) layout COMPOSE — drain the event stream into a
+    bucketed WideTable, replay with a fresh checkpoint (the reference's
+    'rerun the day' recovery: latest-wins keeps reads identical), then
+    compact one (prefix, bucket) cell and verify the resolved view and
+    point-get pruning still hold."""
+    from pyspark.sql import functions as F
+
+    from learn_hbase_spark.streaming.events import (
+        event_day_cells,
+        upsert_stream_to_widetable,
+    )
+    from learn_hbase_spark.widetable import WideTable
+
+    src = str(tmp_path / "src")
+    ev = load_table(spark, SF, "events")
+    ev.write.parquet(src)
+    table = WideTable.create(
+        spark, str(tmp_path / "wt"), ["bmz"], n_subpartitions=4
+    )
+
+    upsert_stream_to_widetable(
+        read_event_stream(spark, src), table, str(tmp_path / "ckpt1")
+    )
+    want = {
+        (r["rowkey"], r["qualifier"]): r["value"]
+        for r in event_day_cells(ev).collect()
+    }
+    got = {
+        (r["rowkey"], r["qualifier"]): r["value"]
+        for r in table.scan(families=["bmz"]).collect()
+    }
+    assert got == want and len(got) > 0
+    # rows really landed across multiple buckets of the two-level layout
+    buckets = {r["bucket"] for r in table._cells().select("bucket").collect()}
+    assert len(buckets) > 1
+
+    # restart/replay with a fresh checkpoint: newer versions, same reads
+    upsert_stream_to_widetable(
+        read_event_stream(spark, src), table, str(tmp_path / "ckpt2")
+    )
+    again = {
+        (r["rowkey"], r["qualifier"]): r["value"]
+        for r in table.scan(families=["bmz"]).collect()
+    }
+    assert again == want
+
+    # per-bucket compaction of the replay debt: pick the hottest
+    # (prefix, bucket) cell, compact ONLY it, reads unchanged, its
+    # version debt collapsed while a sibling bucket keeps 2 versions
+    cells = (
+        table._cells()
+        .groupBy("prefix", "bucket")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "prefix", "bucket")
+        .collect()
+    )
+    hot_prefix, hot_bucket = cells[0]["prefix"], cells[0]["bucket"]
+    table.compact_prefixes([hot_prefix], buckets=[hot_bucket])
+    after = {
+        (r["rowkey"], r["qualifier"]): r["value"]
+        for r in table.scan(families=["bmz"]).collect()
+    }
+    assert after == want
+    vers = {
+        (r["prefix"], r["bucket"]): r["nv"]
+        for r in table._cells()
+        .groupBy("prefix", "bucket")
+        .agg(F.countDistinct("version").alias("nv"))
+        .collect()
+    }
+    assert vers[(hot_prefix, hot_bucket)] == 1
+    assert max(vers.values()) > 1  # siblings keep their replay versions
+    # point get on the compacted bucket still resolves (and prunes to one
+    # sub-directory via the driver-side md5 bucket literal)
+    some_key = next(
+        r["rowkey"]
+        for r in table._cells()
+        .filter(
+            (F.col("prefix") == hot_prefix) & (F.col("bucket") == hot_bucket)
+        )
+        .select("rowkey")
+        .limit(1)
+        .collect()
+    )
+    day, val = next((q, v) for (k, q), v in want.items() if k == some_key)
+    assert (
+        table.get(some_key, "bmz", day).collect()[0]["value"] == val
+    )
