@@ -331,6 +331,90 @@ def decontaminate(
     )
 
 
+def decontaminate_bloom(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_hits: int = 1,
+    expected_items: int = 1_000_000,
+    num_bits: int = 8_388_608,
+) -> DataFrame:
+    """Two-phase decontamination — the shape a 100 TB corpus actually
+    runs when even the benchmark's DISTINCT-gram set is too large to
+    broadcast as strings: phase 1 broadcasts a Bloom bitmap of the
+    benchmark grams (``num_bits`` bits ≈ 1 MiB per 2^23, vs tens of
+    bytes per gram string — a 100M-gram eval suite fits in ~120 MiB as
+    bits) and drops the overwhelming majority of corpus grams map-side;
+    phase 2 exactly confirms the surviving candidates with the string
+    semi-join, which now only sees ~hits + fpp·volume rows. A Bloom
+    bitmap has NO false negatives, so the output is bit-identical to
+    :func:`decontaminate` — the probabilistic structure is a pushed
+    prefilter, not an approximation, and the query stays fully
+    oracle-twinnable (the oracle replays the exact semantics).
+
+    The bitmap is built from PUBLIC primitives (Spark's
+    ``bloom_filter_agg`` is an internal-registry function): bucket =
+    ``xxhash64(gram) mod num_bits``, packed into 64-bit words by a
+    partial-aggregable ``bit_or`` — ≤ ``num_bits``/64 ``(word, bits)``
+    long rows, the k=1 Bloom construction. The probe is a broadcast
+    hash join on the word index plus one AND — scan-fused, map-side.
+    ``expected_items`` documents the sizing contract (choose
+    ``num_bits`` ≳ 20× the expected distinct grams for ~5% fpp at k=1);
+    the only corpus-sized exchange left is the per-doc hit count, same
+    as the exact operator.
+    """
+    bench_grams = (
+        shingle_rows(benchmark, text_col, id_col, n).select("_sh").distinct()
+    )
+    if num_bits < 20 * expected_items:
+        raise ValueError(
+            f"num_bits={num_bits} under-sized for expected_items="
+            f"{expected_items}: k=1 Bloom wants >= 20 bits/item"
+        )
+
+    # bucket = xxhash64(gram) mod num_bits; word index = bucket >> 6,
+    # in-word mask = 1L << (bucket & 63). PySpark's shiftleft() only takes
+    # a literal shift amount, so the mask goes through expr().
+    _bucket_sql = f"pmod(xxhash64(_sh), cast({num_bits} as bigint))"
+    _word = F.expr(f"shiftright({_bucket_sql}, 6)")
+    _mask = F.expr(
+        f"shiftleft(cast(1 as bigint), cast({_bucket_sql} & 63 as int))"
+    )
+
+    bits = (
+        bench_grams.select(_word.alias("_w"), _mask.alias("_m"))
+        .groupBy("_w")
+        .agg(F.bit_or("_m").alias("_bits"))
+    )
+    probe = shingle_rows(corpus, text_col, id_col, n).select(
+        "_id", "_sh", _word.alias("_pw"), _mask.alias("_pm")
+    )
+    cand = (
+        probe.join(F.broadcast(bits), probe["_pw"] == bits["_w"])
+        .filter(F.col("_bits").bitwiseAND(F.col("_pm")) != 0)
+        .select("_id", "_sh")
+    )
+    hits = (
+        cand.join(F.broadcast(bench_grams), "_sh", "left_semi")
+        .groupBy("_id")
+        .agg(F.count("*").alias("n_hits"))
+        .withColumnRenamed("_id", id_col)
+    )
+    return (
+        corpus.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) >= min_hits).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
 def minhash_signature(
     df: DataFrame,
     text_col: str = "text",

@@ -418,6 +418,7 @@ _SWEEP_PRIORITY: list[str] = [
     # re-verify first.
     "curation_pipeline_rules", "curation_audit_rules",
     "gopher_repetition_sampled", "dsir_frozen_gumbel", "ivf_lloyd_update",
+    "decontaminate_bloom", "gopher_dupparagraph_flags",
     "curation_pipeline", "curation_audit", "ccnet_perplexity_buckets",
     "dsir_select_gumbel", "gopher_repetition_flags",
     "gopher_quality_flags", "c4_line_filter", "gopher_dupline_flags",
@@ -3356,6 +3357,45 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     corpus = docs.filter(F.col("doc_id") % 97 != 0)
     return dedup.decontaminate(corpus, bench, "text", "doc_id", n=3)
+
+
+@_register(
+    "decontaminate_bloom",
+    f"""
+    WITH bench AS (
+      SELECT DISTINCT unnest({_SHINGLES}) AS s
+      FROM documents WHERE doc_id % 97 = 0
+    ),
+    corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
+    sh AS (SELECT doc_id, unnest({_SHINGLES}) AS s FROM corpus),
+    hits AS (
+      SELECT doc_id, count(*) AS n_hits
+      FROM sh WHERE s IN (SELECT s FROM bench) GROUP BY doc_id
+    )
+    SELECT c.doc_id,
+           COALESCE(h.n_hits, 0) AS n_hits,
+           COALESCE(h.n_hits, 0) >= 1 AS contaminated
+    FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id
+    """,
+)
+def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase Bloom decontamination (operators.dedup.decontaminate_bloom):
+    phase 1 broadcasts a k=1 Bloom bitmap of the benchmark's gram hashes
+    (bit_or-packed 64-bit words, ≤ num_bits/64 long rows ≈ bits not
+    strings) and prefilters corpus grams map-side with one AND; phase 2
+    exactly confirms survivors with the string semi-join. Bloom bitmaps
+    admit no false negatives, so the output — and therefore the oracle —
+    is IDENTICAL to `decontaminate`: the probabilistic structure is a
+    pushed prefilter, not an approximation. This is the decontamination
+    shape for eval suites whose distinct-gram set outgrows a comfortable
+    string broadcast."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return dedup.decontaminate_bloom(
+        corpus, bench, "text", "doc_id", n=3,
+        expected_items=50_000, num_bits=1_048_576,
+    )
 
 
 @_register(
@@ -9648,6 +9688,69 @@ def gopher_dupline_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.replace(F.col("text"), F.lit(" table "), F.lit(".\n")).alias("text"),
     )
     return T.gopher_dupline_flags(docs, "text", "doc_id")
+
+
+@_register(
+    "gopher_dupparagraph_flags",
+    """
+    WITH lined AS (
+      SELECT doc_id,
+             replace(replace(text, ' data ', '.' || chr(10) || chr(10)),
+                     ' table ', '.' || chr(10)) AS t
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id,
+             list_filter(string_split(t, chr(10) || chr(10)),
+                         s -> trim(s) <> '') AS s
+      FROM lined
+    ),
+    m AS (SELECT doc_id, s, list_distinct(s) AS d FROM base)
+    SELECT doc_id,
+      CAST(len(s) AS BIGINT) AS n_segments,
+      round(CASE WHEN len(s) = 0 THEN 0.0
+            ELSE (len(s) - len(d)) / CAST(len(s) AS DOUBLE) END, 6)
+        AS dup_frac,
+      round(CASE WHEN len(s) = 0 THEN 0.0 ELSE
+        (list_sum(list_transform(s, x -> length(x)))
+         - list_sum(list_transform(d, x -> length(x))))
+        / CAST(list_sum(list_transform(s, x -> length(x))) AS DOUBLE)
+      END, 6) AS dup_char_frac,
+      round(CASE WHEN len(s) = 0 THEN 0.0
+            ELSE (len(s) - len(d)) / CAST(len(s) AS DOUBLE) END, 6) <= 0.30
+        AS ok_dup,
+      round(CASE WHEN len(s) = 0 THEN 0.0 ELSE
+        (list_sum(list_transform(s, x -> length(x)))
+         - list_sum(list_transform(d, x -> length(x))))
+        / CAST(list_sum(list_transform(s, x -> length(x))) AS DOUBLE)
+      END, 6) <= 0.20 AS ok_dup_chars,
+      (round(CASE WHEN len(s) = 0 THEN 0.0
+             ELSE (len(s) - len(d)) / CAST(len(s) AS DOUBLE) END, 6) <= 0.30
+       AND round(CASE WHEN len(s) = 0 THEN 0.0 ELSE
+         (list_sum(list_transform(s, x -> length(x)))
+          - list_sum(list_transform(d, x -> length(x))))
+         / CAST(list_sum(list_transform(s, x -> length(x))) AS DOUBLE)
+       END, 6) <= 0.20) AS pass
+    FROM m
+    """,
+)
+def gopher_dupparagraph_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher §A1.1 PARAGRAPH duplicate rules — the ``sep="\\n\\n"``
+    half of functions.text.gopher_dupline_flags (Rae 2021 Table A1 lists
+    line and paragraph variants at the same 0.30 / 0.20 thresholds) —
+    over a corpus given two-level structure deterministically: every
+    ' data ' becomes a paragraph break, every ' table ' a line break,
+    both engines replaying the same construction in the same order.
+    Same no-exchange per-row array plan as the line variant."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.replace(
+            F.replace(F.col("text"), F.lit(" data "), F.lit(".\n\n")),
+            F.lit(" table "),
+            F.lit(".\n"),
+        ).alias("text"),
+    )
+    return T.gopher_dupline_flags(docs, "text", "doc_id", sep="\n\n")
 
 
 @_register(

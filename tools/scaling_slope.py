@@ -1,0 +1,157 @@
+"""Measure the empirical scaling exponent of the most expensive bench
+queries (VERDICT r9 task 5): build a K× corpus from sf0.1 by replicating
+documents/embeddings with DISTRIBUTION-PRESERVING perturbation, time each
+query at both scales, and report exponent = ln(t_K / t_1) / ln(K).
+
+Perturbation matters more than volume here: a naive self-union makes every
+row an exact near-duplicate of its K-1 replicas, multiplying LSH/semantic
+PAIR volume by ~K² and measuring a data distribution no real corpus has.
+Instead each replica r > 0:
+- documents: every word gets a replica suffix (``w`` → ``w·r``), so
+  replicas share no shingles/grams — near-dup and gram statistics scale
+  as K independent shards of the original density;
+- embeddings: the vector is cyclically shifted by 13·r positions (norms
+  and within-replica geometry preserved; cross-replica cosine decorrelated);
+- ids are remapped to ``id + r · (max_id + 1)`` so uniqueness invariants
+  hold.
+
+Timing follows the bench protocol (construction included, sf0.001 warmup,
+min-of-N) — run in a quiet window, never concurrently with pytest or
+another Spark job.
+
+Usage: python tools/scaling_slope.py [K] [reps]   (defaults: K=5, reps=2)
+Prints one JSON line per query and a summary line; paste the table into
+SCALE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE = "/root/testdata/sf0.1"
+WARM = "/root/testdata/sf0.001"
+TOP_QUERIES = [
+    "gopher_repetition_flags",
+    "semantic_dedup",
+    "neardup_canonical",
+    "leakage_safe_split",
+    "curation_pipeline",
+]
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def build_scaled(spark, k: int, out_dir: str) -> None:
+    from pyspark.sql import functions as F
+
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir)
+    # untouched tables ride along as copies so any query can run
+    for t in TABLES:
+        if t not in ("documents", "embeddings"):
+            shutil.copy(f"{BASE}/{t}.parquet", f"{out_dir}/{t}.parquet")
+
+    docs = spark.read.parquet(f"{BASE}/documents.parquet")
+    max_doc = docs.agg(F.max("doc_id")).collect()[0][0]
+    parts = []
+    for r in range(k):
+        d = docs
+        if r:
+            d = d.withColumn(
+                "text",
+                F.array_join(
+                    F.transform(
+                        F.split(F.col("text"), " "),
+                        lambda w: F.concat(w, F.lit(str(r))),
+                    ),
+                    " ",
+                ),
+            )
+        parts.append(
+            d.withColumn(
+                "doc_id", F.col("doc_id") + F.lit(r * (max_doc + 1))
+            )
+        )
+    scaled_docs = parts[0]
+    for p in parts[1:]:
+        scaled_docs = scaled_docs.unionByName(p)
+    scaled_docs.write.parquet(f"{out_dir}/documents.parquet")
+
+    emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
+    max_vec = emb.agg(F.max("vec_id")).collect()[0][0]
+    dim = len(emb.select("embedding").first()[0])
+    parts = []
+    for r in range(k):
+        e = emb
+        s = (13 * r) % dim
+        if s:
+            e = e.withColumn(
+                "embedding",
+                F.concat(
+                    F.slice(F.col("embedding"), s + 1, dim - s),
+                    F.slice(F.col("embedding"), 1, s),
+                ),
+            )
+        parts.append(
+            e.withColumn(
+                "vec_id", F.col("vec_id") + F.lit(r * (max_vec + 1))
+            )
+        )
+    scaled_emb = parts[0]
+    for p in parts[1:]:
+        scaled_emb = scaled_emb.unionByName(p)
+    scaled_emb.write.parquet(f"{out_dir}/embeddings.parquet")
+
+
+def main() -> int:
+    import math
+
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    out_dir = f"/tmp/spark_graft_scaled_x{k}"
+
+    import __spark_entry__ as entrymod
+    from learn_hbase_spark import session
+
+    spark = session.get_session()
+    build_scaled(spark, k, out_dir)
+    qs = entrymod.queries()
+
+    results = {}
+    for name in TOP_QUERIES:
+        fn = qs[name]
+        fn(spark, WARM).toPandas()  # warmup (plan + python paths hot)
+        t1 = min(
+            _timed(fn, spark, BASE) for _ in range(reps)
+        )
+        tk = min(
+            _timed(fn, spark, out_dir) for _ in range(reps)
+        )
+        exponent = math.log(tk / t1) / math.log(k)
+        results[name] = {
+            "t_sf0.1_sec": round(t1, 3),
+            f"t_x{k}_sec": round(tk, 3),
+            "exponent": round(exponent, 3),
+        }
+        print(json.dumps({"query": name, **results[name]}), flush=True)
+    print(json.dumps({"k": k, "reps": reps, "results": results}))
+    return 0
+
+
+def _timed(fn, spark, sf_dir) -> float:
+    t0 = time.time()
+    fn(spark, sf_dir).toPandas()
+    return time.time() - t0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
