@@ -791,6 +791,7 @@ def perplexity_buckets(
     strata_col: str = "source",
     lo: float = 0.333333,
     hi: float = 0.666667,
+    approx_threshold: bool = False,
 ) -> DataFrame:
     """CCNet's head/middle/tail split (Wenzek et al. 2020 §4.3 — the
     published OUTPUT shape of the CCNet pipeline: each language's
@@ -808,7 +809,10 @@ def perplexity_buckets(
     percentiles (round-4) of round-6 scores — the
     quality_band_sample engine-parity posture, and the same
     O(distinct rounded scores) exact-percentile memory bound documented
-    in SCALE.md "Exact-percentile thresholds" (one buffer per stratum).
+    in SCALE.md "Exact-percentile thresholds" (one buffer per stratum);
+    ``approx_threshold=True`` swaps in ``approx_percentile`` (fixed
+    sketch state per stratum) for production corpora with a very wide
+    score span — the ``_lm_band_ids`` switch, here per stratum.
 
     Scale: one partial-aggregable grouped percentile (|strata| rows
     out), broadcast back onto a pure projection — the corpus never
@@ -817,9 +821,10 @@ def perplexity_buckets(
     back with the sentinel bucket ``unbucketed`` rather than being
     dropped.
     """
+    fn = "approx_percentile" if approx_threshold else "percentile"
     thr = scored.groupBy(strata_col).agg(
-        F.round(F.expr(f"percentile({score_col}, {lo})"), 4).alias("_t1"),
-        F.round(F.expr(f"percentile({score_col}, {hi})"), 4).alias("_t2"),
+        F.round(F.expr(f"{fn}({score_col}, {lo})"), 4).alias("_t1"),
+        F.round(F.expr(f"{fn}({score_col}, {hi})"), 4).alias("_t2"),
     )
     bucket = (
         # LEFT join below: a NULL stratum never equi-matches its own

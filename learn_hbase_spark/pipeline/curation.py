@@ -296,10 +296,12 @@ def audit(
     ``sampling.stratified_keep_expr``), computed over the same stage
     input sets, so the audit can never disagree with the pipeline.
     Narrow left joins on doc_id (rule/winner/contaminated/band sets —
-    all key-only frames); the per-doc rule flags are pure projections so
-    evaluating them on the full corpus (every doc needs a row here)
-    yields the same per-doc values the pipeline computes on its gated
-    subsets. Verdict names appear only for enabled stages, mirroring
+    all key-only frames); the projection-pure rule flags (C4, Gopher
+    quality) are evaluated on the full corpus (every doc needs a row
+    here) and give the same per-doc values the pipeline computes on its
+    gated subsets, while the shuffling repetition metric is fed only the
+    pipeline's own stage input — docs dropped earlier never consult its
+    flag, so the smaller input is unobservable. Verdict names appear only for enabled stages, mirroring
     :func:`curate` (including the LM stages' ``min_tokens >= 2``
     requirement); with ``c4_clean`` every downstream stage judges the
     REWRITTEN text, exactly as the pipeline does."""
@@ -333,8 +335,16 @@ def audit(
     else:
         work = work.withColumn("_gq", F.lit(True))
     if gopher_repetition:
+        # metric aggregation shuffles, so feed it only the docs that
+        # survive the earlier gates (the pipeline's own input to this
+        # stage): a doc dropped earlier never consults _gr — its verdict
+        # fired on a prior WHEN — so the missing rows (NULL _gr) are
+        # unobservable and the gram volume halves
+        pre = work.filter(
+            F.col("_c4") & (F.col("_n") >= min_tokens) & F.col("_gq")
+        )
         rep = _gopher_rep(
-            work, "text", "doc_id", **(gopher_repetition_kwargs or {})
+            pre, "text", "doc_id", **(gopher_repetition_kwargs or {})
         ).select("doc_id", F.col("pass").alias("_gr"))
         work = work.join(rep, "doc_id", "left")
     else:
@@ -342,7 +352,7 @@ def audit(
 
     gated = work.filter(
         F.col("_c4") & (F.col("_n") >= min_tokens)
-        & F.col("_gq") & F.col("_gr")
+        & F.col("_gq") & (F.col("_gr") == F.lit(True))
     )
     winners = dedup.exact_fingerprints(gated, "text", "doc_id").select(
         "doc_id", F.lit(True).alias("_win")

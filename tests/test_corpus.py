@@ -596,3 +596,30 @@ def test_decontaminate_bloom_equals_exact(spark):
         expected_items=5_000, num_bits=131_072).collect()))
     assert bloom == exact
     assert any(r[2] for r in bloom)  # hits exist on this data
+
+
+def test_perplexity_buckets_approx_and_null_stratum(spark):
+    """approx_threshold buckets agree with exact on well-separated scores,
+    and a NULL-stratum doc surfaces as 'unbucketed' instead of vanishing."""
+    from learn_hbase_spark.operators import corpus
+
+    rows = [(i, "s%d" % (i % 2), float(i)) for i in range(1, 31)]
+    rows.append((99, None, 5.0))
+    scored = spark.createDataFrame(
+        rows, "doc_id long, source string, score double"
+    )
+    exact = {r["doc_id"]: r["ppl_bucket"]
+             for r in corpus.perplexity_buckets(
+                 scored, "doc_id", "score", "source").collect()}
+    approx = {r["doc_id"]: r["ppl_bucket"]
+              for r in corpus.perplexity_buckets(
+                  scored, "doc_id", "score", "source",
+                  approx_threshold=True).collect()}
+    assert len(exact) == 31  # every input row, including the NULL stratum
+    assert exact[99] == "unbucketed" and approx[99] == "unbucketed"
+    assert set(exact.values()) == {"head", "middle", "tail", "unbucketed"}
+    assert set(approx.values()) == {"head", "middle", "tail", "unbucketed"}
+    # approx_percentile is discrete (returns member values) while the exact
+    # path interpolates, so only BOUNDARY docs may move one bucket
+    diff = [d for d in exact if exact[d] != approx[d]]
+    assert len(diff) <= 4, (diff, exact, approx)
