@@ -419,6 +419,7 @@ _SWEEP_PRIORITY: list[str] = [
     "curation_pipeline_rules", "curation_audit_rules",
     "gopher_repetition_sampled", "dsir_frozen_gumbel", "ivf_lloyd_update",
     "decontaminate_bloom", "gopher_dupparagraph_flags",
+    "kmeans_update_iter1",
     "curation_pipeline", "curation_audit", "ccnet_perplexity_buckets",
     "dsir_select_gumbel", "gopher_repetition_flags",
     "gopher_quality_flags", "c4_line_filter", "gopher_dupline_flags",
@@ -3845,6 +3846,80 @@ def kmeans_assign_iter1(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.kmeans_clusters(emb, k=8, n_iter=0).select(
         "vec_id", F.col("cluster_id").cast("int").alias("cluster_id")
+    )
+
+
+@_register(
+    "kmeans_update_iter1",
+    """
+    WITH seeds AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cell, c
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS c
+            FROM embeddings ORDER BY vec_id LIMIT 8)
+    ),
+    scored AS (
+      SELECT e.vec_id, s.cell,
+             list_dot_product(CAST(e.embedding AS DOUBLE[]), s.c)
+               / sqrt(list_dot_product(s.c, s.c))
+               / sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                       CAST(e.embedding AS DOUBLE[]))) AS sc
+      FROM embeddings e CROSS JOIN seeds s
+    ),
+    assigned AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sc DESC, cell ASC) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ),
+    comps AS (
+      SELECT a.cell AS cluster_id, i - 1 AS dim,
+             CAST((CAST(e.embedding AS DOUBLE[]))[i] AS DECIMAL(18,6)) AS c
+      FROM assigned a
+      JOIN embeddings e USING (vec_id),
+           unnest(generate_series(1, len(e.embedding))) AS t(i)
+    )
+    SELECT cluster_id, CAST(dim AS INT) AS dim,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(c) AS DOUBLE) AS comp_sum,
+           round(CAST(sum(c) AS DOUBLE) / count(*), 6) AS mean_c
+    FROM comps GROUP BY cluster_id, dim
+    """,
+)
+def kmeans_update_iter1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first k-means Lloyd UPDATE, oracle-twinned — the second partial
+    oracle for ``embedding_kmeans`` next to ``kmeans_assign_iter1``
+    (VERDICT r9 #4's `ivf_lloyd_update` posture applied to the k-means
+    family): over the pinned seed assignment, each cluster's next
+    centroid is the per-dimension mean of its members, computed through
+    exact DECIMAL(18,6) component sums — associative, so both engines
+    produce identical bits without replaying the production kernel's
+    float fold order. Production `kmeans_clusters` additionally
+    re-normalizes the refined rows; that stays under the NumPy-reference
+    pytest; membership × mean math is what this pins."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cells = similarity.kmeans_clusters(emb, k=8, n_iter=0).select(
+        "vec_id", F.col("cluster_id").cast("int").alias("cluster_id")
+    )
+    ex = cells.join(emb, "vec_id").select(
+        "cluster_id",
+        F.posexplode(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("dim", "c"),
+    )
+    agg = ex.groupBy("cluster_id", "dim").agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.sum(F.col("c").cast("decimal(18,6)")).alias("_s"),
+    )
+    return agg.select(
+        "cluster_id",
+        F.col("dim").cast("int").alias("dim"),
+        "n_members",
+        F.col("_s").cast("double").alias("comp_sum"),
+        F.round(F.col("_s").cast("double") / F.col("n_members"), 6).alias(
+            "mean_c"
+        ),
     )
 
 
