@@ -49,6 +49,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..functions import text as T
 from ..operators import dedup, packing, sampling
@@ -69,6 +70,20 @@ STAGE_ORDER = (
     "sampled_out",     # stage 9: mixture sampling
     "kept",
 )
+
+
+def _pin(df: DataFrame) -> DataFrame:
+    """Persist a frame the pipeline consumes more than once. Catalyst's
+    exchange reuse only deduplicates IDENTICAL subplans, and the band
+    stages reference their inputs under different column prunings — so
+    without pinning, the whole upstream lineage (C4 + rule gates + the
+    repetition shuffle + dedup + decontamination) re-executes once per
+    consumer (measured: 26.7 s → 13 s at sf0.1 for the rules-composed
+    pipeline). MEMORY_AND_DISK so a corpus-scale `clean` spills instead
+    of evicting mid-query; on a real cluster the same seam is where a
+    production pipeline checkpoints to durable storage between the gate
+    phase and the model-scoring phase."""
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
 
 
 def _require_scoreable(
@@ -109,8 +124,10 @@ def _lm_band_ids(
     count (SCALE.md "Exact-percentile thresholds").
     ``approx_threshold=True`` swaps in ``approx_percentile`` (fixed
     sketch state) for production corpora with a very wide score span."""
-    scored = bigram_lm_score(clean, "text", "doc_id").select(
-        "doc_id", F.col("avg_logprob").alias("_lm")
+    scored = _pin(
+        bigram_lm_score(clean, "text", "doc_id").select(
+            "doc_id", F.col("avg_logprob").alias("_lm")
+        )
     )
     fn = "approx_percentile" if approx_threshold else "percentile"
     lo = scored.agg(
@@ -135,7 +152,9 @@ def _ccnet_band_ids(
     scored = bigram_lm_score(clean, "text", "doc_id").select(
         "doc_id", F.col("avg_logprob").alias("_lm")
     )
-    with_src = scored.join(clean.select("doc_id", strata_col), "doc_id")
+    with_src = _pin(
+        scored.join(clean.select("doc_id", strata_col), "doc_id")
+    )
     bucketed = perplexity_buckets(with_src, "doc_id", "_lm", strata_col)
     return bucketed.filter(
         F.col("ppl_bucket").isin(*ccnet_keep)
@@ -242,6 +261,11 @@ def curate(
         gopher_quality, gopher_quality_kwargs,
         gopher_repetition, gopher_repetition_kwargs,
     )
+    if gopher_repetition:
+        # the repetition gate shuffles; everything downstream (dedup's
+        # winner join, decontamination, the band stages) re-derives gated
+        # several times under different prunings — pin the gate output
+        gated = _pin(gated)
     survivors = dedup.exact_dedup(gated, "text", "doc_id")
     clean_ids = (
         dedup.decontaminate(survivors, benchmark, "text", "doc_id", n=3)
@@ -249,6 +273,10 @@ def curate(
         .select("doc_id")
     )
     clean = survivors.join(clean_ids, "doc_id", "left_semi")
+    if lm_quantile is not None or ccnet_keep is not None:
+        # the band stages reference clean several times (model training,
+        # scoring, threshold, keep-join) — pin it so the gate phase runs once
+        clean = _pin(clean)
     if lm_quantile is not None:
         clean = clean.join(
             _lm_band_ids(clean, lm_quantile, approx_threshold),
@@ -350,6 +378,7 @@ def audit(
     else:
         work = work.withColumn("_gr", F.lit(True))
 
+    work = _pin(work)  # verdict output + every stage set derives from it
     gated = work.filter(
         F.col("_c4") & (F.col("_n") >= min_tokens)
         & F.col("_gq") & (F.col("_gr") == F.lit(True))
@@ -376,6 +405,8 @@ def audit(
     # survivors (the model is trained on the set it filters, so the
     # thresholds match curate()'s bit for bit)
     clean = survivors.join(cont.select("doc_id"), "doc_id", "left_anti")
+    if lm_quantile is not None or ccnet_keep is not None:
+        clean = _pin(clean)
     if lm_quantile is not None:
         band = _lm_band_ids(clean, lm_quantile, approx_threshold).select(
             "doc_id", F.lit(True).alias("_band")
