@@ -557,6 +557,8 @@ def curation_ingest_file_stream(
     lm_quantile: float | None = None,
     num_hashes: int = 8,
     bands: int = 4,
+    gopher_quality: bool = False,
+    gopher_quality_kwargs: dict | None = None,
 ) -> None:
     """The full CCNet loop at the streaming edge (VERDICT r8 task 5):
     a growing crawl drop zone is CURATED incrementally, not just
@@ -578,6 +580,12 @@ def curation_ingest_file_stream(
     compaction-style complement). Requires ``min_tokens >= 2`` when the
     band is on (every banded doc must be scoreable) — enforced by the
     pipeline's own guard.
+
+    ``gopher_quality`` adds the Gopher rule gate (Rae 2021 §A1.1)
+    between the token gate and the LSH gate — a pure per-row projection,
+    so it streams for free; a doc failing the rules is a deterministic
+    content property (a future copy fails identically), so rule-dropped
+    docs never need to enter the dedup index.
     """
     from ..pipeline.curation import _require_scoreable
 
@@ -602,6 +610,8 @@ def curation_ingest_file_stream(
                 batch, batch_id, index_dir, curated_dir,
                 min_tokens=min_tokens, lm_quantile=lm_quantile,
                 num_hashes=num_hashes, bands=bands,
+                gopher_quality=gopher_quality,
+                gopher_quality_kwargs=gopher_quality_kwargs,
             )
         )
         .option("checkpointLocation", checkpoint_dir)
@@ -620,10 +630,12 @@ def curation_ingest_batch(
     lm_quantile: float | None = None,
     num_hashes: int = 8,
     bands: int = 4,
+    gopher_quality: bool = False,
+    gopher_quality_kwargs: dict | None = None,
 ) -> None:
     """One micro-batch of :func:`curation_ingest_file_stream`: quality
-    gate → shared LSH gate (:func:`_neardup_gate`) → optional batch-local
-    LM band → land curated rows and extend the band index, both as
+    gate → optional Gopher rule gate (scan-fused projection) → shared
+    LSH gate (:func:`_neardup_gate`) → optional batch-local LM band → land curated rows and extend the band index, both as
     dynamic ``_batch``-partition overwrites (replay-idempotent under
     foreachBatch's at-least-once contract, same argument as
     :func:`neardup_ingest_batch`).
@@ -637,6 +649,16 @@ def curation_ingest_batch(
     from ..pipeline.curation import _lm_band_ids
 
     gated = batch.filter(T.token_count(F.col("text")) >= min_tokens)
+    if gopher_quality:
+        others = [c for c in gated.columns if c != "doc_id"]
+        gated = (
+            T.gopher_quality_flags(
+                gated, "text", "doc_id",
+                passthrough=tuple(others), **(gopher_quality_kwargs or {}),
+            )
+            .filter("pass")
+            .select("doc_id", *others)
+        )
     accepted, bands_kept = _neardup_gate(
         gated, batch_id, index_dir, num_hashes, bands, id_type="string"
     )

@@ -904,3 +904,34 @@ def test_stream_upsert_into_subpartitioned_widetable(spark, tmp_path):
     assert (
         table.get(some_key, "bmz", day).collect()[0]["value"] == val
     )
+
+
+def test_curation_file_stream_gopher_gate(spark, tmp_path):
+    """The optional Gopher rule gate at the streaming edge: a doc failing
+    the rules (no stopwords) is dropped BEFORE the dedup index — rule
+    failure is a deterministic content property, so it never needs a
+    content-identity record — while rule-passing docs land as before."""
+    from learn_hbase_spark.streaming.events import curation_ingest_file_stream
+
+    inp = tmp_path / "drop"
+    inp.mkdir()
+    idx = str(tmp_path / "index")
+    cur = str(tmp_path / "curated")
+    ckpt = str(tmp_path / "ckpt")
+
+    good = "the " + " ".join(f"g{j}w" for j in range(11))  # stopword 'the'
+    no_stop = " ".join(f"q{j}z" for j in range(12))        # zero stopwords
+    (inp / "good.txt").write_text(good)
+    (inp / "nostop.txt").write_text(no_stop)
+    (inp / "short.txt").write_text("tiny doc")
+
+    curation_ingest_file_stream(
+        spark, str(inp), idx, cur, ckpt, pattern="*.txt", min_tokens=5,
+        gopher_quality=True,
+        gopher_quality_kwargs={"min_words": 8, "min_stopwords": 1},
+    )
+    names = {r["path"].rsplit("/", 1)[-1]
+             for r in spark.read.parquet(cur).collect()}
+    assert names == {"good.txt"}
+    # only the rule-passing doc reached the index
+    assert spark.read.parquet(idx).select("_id").distinct().count() == 1
