@@ -120,11 +120,62 @@ def plan_text(df, mode: str = "formatted") -> str:
     return buf.getvalue()
 
 
+def _dedup_cached(text: str) -> str:
+    """Collapse repeated InMemoryRelation subtrees to their first
+    occurrence: explain() re-prints a cached frame's ENTIRE child plan at
+    every InMemoryTableScan site, so a pipeline that persists a
+    multiply-referenced frame would be charged its upstream exchanges
+    once per REFERENCE even though they execute once (the pin exists
+    precisely to stop re-execution). Subtree extent is by indentation
+    (first letter column); the dedup key strips tree art so the same
+    cached plan matches at different nesting depths."""
+    lines = text.splitlines()
+    out: list[str] = []
+    seen: set[str] = set()
+
+    def col(line: str) -> int:
+        m = re.search(r"[A-Za-z]", line)
+        return m.start() if m else 10**9
+
+    i = 0
+    while i < len(lines):
+        line = lines[i]
+        if "InMemoryRelation" in line:
+            d = col(line)
+            j = i + 1
+            while j < len(lines) and (
+                not lines[j].strip() or col(lines[j]) > d
+            ):
+                j += 1
+            # normalize per-reference renumbering: InMemoryRelation output
+            # attributes get fresh expression ids (#N) at every reference
+            # to the same cached plan, and tree art differs by nesting
+            key = "\n".join(
+                re.sub(r"#\d+", "#", re.sub(r"^[\s:+*()\d-]*", "", s))
+                for s in lines[i:j]
+                if s.strip()  # blank lines swallowed at block edges
+            )
+            if key in seen:
+                i = j  # whole repeated subtree dropped
+            else:
+                seen.add(key)
+                # emit only the header and KEEP SCANNING inside the block:
+                # pinned frames nest (clean's cached plan embeds gated's),
+                # so inner cached subtrees must be deduped independently
+                # or each outer block re-counts them
+                out.append(line)
+                i += 1
+        else:
+            out.append(line)
+            i += 1
+    return "\n".join(out)
+
+
 def audit(df) -> dict:
     # operator counts from the simple plan (one line per operator); pushdown
     # detail only exists in formatted mode, where the tree and the numbered
     # details section would otherwise double-count every operator.
-    simple = plan_text(df, "simple")
+    simple = _dedup_cached(plan_text(df, "simple"))
     formatted = plan_text(df, "formatted")
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", formatted)
     return {
