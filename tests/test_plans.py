@@ -306,3 +306,14 @@ def test_widetable_scan_prunes_subpartitioned_layout(spark, tmp_path):
     assert "bucket" in gpf and str(t._py_bucket(rk)) in gpf
     got = t.get(rk).collect()
     assert [(r["rowkey"], r["value"]) for r in got] == [(rk, "v")]
+
+
+def test_decontaminate_bloom_probe_is_broadcast_and_mapside(spark, qs):
+    """Both phases keep the corpus stream-side: the bit-word table joins
+    as a BroadcastHashJoin (probe = one AND, map-side) and the exact
+    confirm is a broadcast LeftSemi; the corpus never shuffles before the
+    per-doc hit count."""
+    plan = _plan(qs["decontaminate_bloom"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "LeftSemi" in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
