@@ -890,3 +890,96 @@ def hashed_classifier_score(
             ),
         )
     )
+
+
+def hashed_classifier_train(
+    df: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 10_000,
+    lr: float = 1.0,
+    rounds: int = 1,
+) -> DataFrame:
+    """TRAIN the hashed-gram quality classifier — the missing half of the
+    fastText deployment next to :func:`hashed_classifier_score`'s
+    inference (Joulin et al. 2017; the GPT-3 §A curated-vs-crawl recipe
+    trains exactly this: a linear model over hashed text features where
+    label 1 is the curated reference and 0 the raw crawl): distributed
+    batch gradient descent on the log loss of
+    ``p = sigmoid(mean feature weight)``.
+
+    Per round: current weights broadcast onto the (doc, bucket, count)
+    feature table, per-doc margin/probability by one partial-aggregable
+    sum, per-bucket gradient ``Σ_docs (p_d − y_d)·c_db / n_d`` by a
+    second, the ≤ ``buckets``-row gradient pulled to the driver and
+    applied — driver state is the weight vector, the k-means/IVF bounded
+    class, never corpus-sized. The feature table is localCheckpointed
+    once (every round reads it; the gram explode never re-runs).
+
+    Round-1 from zero weights is engine-exact and fully oracle-twinnable:
+    ``p_d = 0.5`` identically, per-(doc, bucket) contributions are single
+    IEEE expressions both engines evaluate bit-identically, and the
+    per-bucket sum goes through DECIMAL(28,12) (associative — any
+    partial-agg order gives the same bits; double→decimal is safe off
+    binary-representable half-ties). Later rounds' margins are
+    shuffle-order float sums — rows-only territory, pinned by the NumPy
+    reference pytest. Returns ``(bucket, wt)`` with round-6 weights
+    (+0.0 so a −0.0 never leaks into a value hash); feed it straight to
+    :func:`hashed_classifier_score`.
+    """
+    spark = df.sparkSession
+    g = hashed_gram_buckets(df, text_col, id_col, buckets)
+    labels = df.select(
+        F.col(id_col), F.col(label_col).cast("double").alias("_y")
+    )
+    counts = g.groupBy(id_col, "bucket").agg(F.count("*").alias("_c"))
+    nd = g.groupBy(id_col).agg(F.count("*").alias("_n"))
+    feats = (
+        counts.join(nd, id_col)
+        .join(labels, id_col)
+        .select(id_col, "bucket", "_c", "_n", "_y")
+        .localCheckpoint()
+    )
+    n_docs = feats.select(id_col).distinct().count()
+    if not n_docs:
+        return spark.createDataFrame([], "bucket long, wt double")
+    w: dict[int, float] = {}
+    for _ in range(int(rounds)):
+        if w:
+            wdf = spark.createDataFrame(
+                sorted(w.items()), "bucket long, wt double"
+            )
+            joined = feats.join(F.broadcast(wdf), "bucket", "left")
+        else:
+            joined = feats.withColumn("wt", F.lit(None).cast("double"))
+        dm = joined.groupBy(id_col, "_y", "_n").agg(
+            F.sum(F.col("_c") * F.coalesce(F.col("wt"), F.lit(0.0))).alias(
+                "_s"
+            )
+        )
+        resid = dm.select(
+            id_col,
+            (
+                F.lit(1.0)
+                / (F.lit(1.0) + F.exp(-(F.col("_s") / F.col("_n"))))
+                - F.col("_y")
+            ).alias("_r"),
+        )
+        grad = (
+            feats.join(resid, id_col)
+            .select(
+                "bucket",
+                (F.col("_r") * F.col("_c") / F.col("_n")).alias("_gc"),
+            )
+            .groupBy("bucket")
+            .agg(F.sum(F.col("_gc").cast("decimal(28,12)")).alias("_g"))
+            .collect()
+        )
+        for row in grad:
+            b = int(row["bucket"])
+            w[b] = w.get(b, 0.0) - lr * (float(row["_g"]) / n_docs)
+    return spark.createDataFrame(
+        [(b, round(v, 6) + 0.0) for b, v in sorted(w.items())],
+        "bucket long, wt double",
+    )

@@ -419,7 +419,7 @@ _SWEEP_PRIORITY: list[str] = [
     "curation_pipeline_rules", "curation_audit_rules",
     "gopher_repetition_sampled", "dsir_frozen_gumbel", "ivf_lloyd_update",
     "decontaminate_bloom", "gopher_dupparagraph_flags",
-    "kmeans_update_iter1",
+    "kmeans_update_iter1", "classifier_train_round1",
     "curation_pipeline", "curation_audit", "ccnet_perplexity_buckets",
     "dsir_select_gumbel", "gopher_repetition_flags",
     "gopher_quality_flags", "c4_line_filter", "gopher_dupline_flags",
@@ -10019,6 +10019,62 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return corpus_ops.hashed_classifier_score(
         docs, weights, "text", "doc_id", 10_000, bias=0.0
+    )
+
+
+@_register(
+    "classifier_train_round1",
+    f"""
+    WITH docs AS (
+      SELECT doc_id,
+             CASE WHEN source = 'src0' THEN 1.0 ELSE 0.0 END AS y,
+             list_filter(string_split({_NORM}, ' '), x -> x <> '') AS a
+      FROM documents
+    ),
+    gram AS (
+      SELECT doc_id, y,
+             CAST(('0x' || substr(md5(g), 1, 6)) AS BIGINT) % 10000 AS bucket
+      FROM (
+        SELECT doc_id, y, unnest(a) AS g FROM docs
+        UNION ALL
+        SELECT doc_id, y, a[i] || ' ' || a[i + 1] AS g
+        FROM docs, unnest(generate_series(1, len(a) - 1)) AS t(i)
+        WHERE len(a) >= 2
+      )
+    ),
+    nd AS (SELECT doc_id, count(*) AS n FROM gram GROUP BY doc_id),
+    ndocs AS (SELECT count(*) AS m FROM nd),
+    counts AS (
+      SELECT doc_id, y, bucket, count(*) AS c
+      FROM gram GROUP BY doc_id, y, bucket
+    ),
+    grad AS (
+      SELECT bucket,
+             sum(CAST((0.5 - y) * c / n AS DECIMAL(28,12))) AS gsum
+      FROM counts JOIN nd USING (doc_id) GROUP BY bucket
+    )
+    SELECT bucket,
+           round(-1.0 * (CAST(gsum AS DOUBLE) / (SELECT m FROM ndocs)), 6)
+             + 0.0 AS wt
+    FROM grad
+    """,
+)
+def classifier_train_round1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE gradient-descent round of the hashed-gram quality-classifier
+    TRAINER (operators.corpus.hashed_classifier_train) — the
+    curated-vs-crawl recipe with 'src0' playing the curated reference:
+    from zero weights, p = sigmoid(0) = 0.5 identically, so the round-1
+    weight table is engine-exact — per-(doc, bucket) contributions are
+    single IEEE expressions, the per-bucket sum runs in DECIMAL(28,12)
+    (associative), and the driver-side update is the same float ops in
+    both engines. Later rounds' margins are shuffle-order float sums and
+    stay under the NumPy-reference pytest, the k-means/IVF posture."""
+    docs = _t(spark, sf_dir, "documents")
+    labeled = docs.withColumn(
+        "label", F.when(F.col("source") == "src0", 1.0).otherwise(0.0)
+    )
+    return corpus_ops.hashed_classifier_train(
+        labeled, "label", "text", "doc_id", 10_000, lr=1.0, rounds=1
     )
 
 

@@ -623,3 +623,75 @@ def test_perplexity_buckets_approx_and_null_stratum(spark):
     # path interpolates, so only BOUNDARY docs may move one bucket
     diff = [d for d in exact if exact[d] != approx[d]]
     assert len(diff) <= 4, (diff, exact, approx)
+
+
+def test_classifier_train_matches_numpy_reference(spark):
+    """Multi-round distributed training equals a single-node NumPy replica
+    of the same math (hashed features, mean-weight margin, log-loss batch
+    GD), and the trained weights separate the labeled classes when fed to
+    the inference operator."""
+    import hashlib
+    import math
+    import re as _re
+
+    from learn_hbase_spark.operators import corpus
+
+    texts = {
+        1: ("the curated corpus reads cleanly and cites sources", 1.0),
+        2: ("the curated text explains the method with care", 1.0),
+        3: ("click here buy now win big prizes fast", 0.0),
+        4: ("random spam spam words click click offer", 0.0),
+        5: ("the curated essay reviews prior work properly", 1.0),
+        6: ("buy cheap offer now limited deal spam", 0.0),
+    }
+    docs = spark.createDataFrame(
+        [(i, t, y) for i, (t, y) in texts.items()],
+        "doc_id long, text string, label double",
+    )
+    B, LR, R = 1000, 1.0, 3
+    got = {
+        r["bucket"]: r["wt"]
+        for r in corpus.hashed_classifier_train(
+            docs, "label", "text", "doc_id", B, lr=LR, rounds=R
+        ).collect()
+    }
+
+    def buckets(text):
+        words = [w for w in _re.sub(r"\s+", " ", text.lower()).strip().split(" ")
+                 if w]
+        grams = words + [f"{a} {b}" for a, b in zip(words, words[1:])]
+        return [int(hashlib.md5(g.encode()).hexdigest()[:6], 16) % B
+                for g in grams]
+
+    feats = {i: buckets(t) for i, (t, y) in texts.items()}
+    w = {}
+    m = len(texts)
+    for _ in range(R):
+        grad = {}
+        for i, (t, y) in texts.items():
+            bs = feats[i]
+            n = len(bs)
+            margin = sum(w.get(b, 0.0) for b in bs) / n
+            p = 1.0 / (1.0 + math.exp(-margin))
+            for b in bs:
+                grad[b] = grad.get(b, 0.0) + (p - y) / n
+        for b, g in grad.items():
+            w[b] = w.get(b, 0.0) - LR * g / m
+    want = {b: round(v, 6) + 0.0 for b, v in w.items()}
+    assert set(got) == set(want)
+    for b in want:
+        assert abs(got[b] - want[b]) <= 2e-6, (b, got[b], want[b])
+
+    # the trained table separates the classes through the inference op
+    weights = spark.createDataFrame(
+        sorted(got.items()), "bucket long, wt double"
+    )
+    probs = {
+        r["doc_id"]: r["prob"]
+        for r in corpus.hashed_classifier_score(
+            docs, weights, "text", "doc_id", B
+        ).collect()
+    }
+    pos = [probs[i] for i, (t, y) in texts.items() if y == 1.0]
+    neg = [probs[i] for i, (t, y) in texts.items() if y == 0.0]
+    assert min(pos) > max(neg)
