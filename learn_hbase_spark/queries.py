@@ -419,7 +419,7 @@ _SWEEP_PRIORITY: list[str] = [
     "curation_pipeline_rules", "curation_audit_rules",
     "gopher_repetition_sampled", "dsir_frozen_gumbel", "ivf_lloyd_update",
     "decontaminate_bloom", "gopher_dupparagraph_flags",
-    "kmeans_update_iter1", "classifier_train_round1",
+    "kmeans_update_iter1", "classifier_train_round1", "quality_signals",
     "curation_pipeline", "curation_audit", "ccnet_perplexity_buckets",
     "dsir_select_gumbel", "gopher_repetition_flags",
     "gopher_quality_flags", "c4_line_filter", "gopher_dupline_flags",
@@ -10075,6 +10075,259 @@ def classifier_train_round1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return corpus_ops.hashed_classifier_train(
         labeled, "label", "text", "doc_id", 10_000, lr=1.0, rounds=1
+    )
+
+
+@_register(
+    "quality_signals",
+    f"""
+    WITH lined AS (
+      SELECT doc_id, replace(text, ' table ', '.' || chr(10)) AS t
+      FROM documents
+    ),
+    qbase AS (
+      SELECT doc_id, source,
+        CASE
+          WHEN {_HITS['en']} = 0 AND {_HITS['de']} = 0
+           AND {_HITS['fr']} = 0 AND {_HITS['es']} = 0 THEN 'und'
+          WHEN {_HITS['fr']} >= {_HITS['es']} AND {_HITS['fr']} >= {_HITS['en']}
+           AND {_HITS['fr']} >= {_HITS['de']} THEN 'fr'
+          WHEN {_HITS['es']} >= {_HITS['en']} AND {_HITS['es']} >= {_HITS['de']}
+           THEN 'es'
+          WHEN {_HITS['en']} >= {_HITS['de']} THEN 'en'
+          ELSE 'de'
+        END AS lang_pred,
+        round((
+          CASE WHEN (CASE WHEN trim(text) = '' THEN 0
+                          ELSE len({_DUCK_TOKENS}) END) BETWEEN 10 AND 1000
+               THEN 1.0 ELSE 0.0 END
+          + CASE WHEN (CASE WHEN len(text) = 0 THEN 0.0
+                       ELSE CAST(len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                                 AS DOUBLE) / len(text) END) <= 0.2
+                 THEN 1.0 ELSE 0.0 END
+          + CASE WHEN (CASE WHEN trim(text) = '' THEN 0.0
+                       ELSE CAST({_HITS['en']} AS DOUBLE) / len({_DUCK_TOKENS}) END)
+                      >= 0.05
+                 THEN 1.0 ELSE 0.0 END
+        ) / 3.0, 6) AS quality
+      FROM documents
+    ),
+    gqm AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS w,
+             string_split(text, chr(10)) AS l, text AS t
+      FROM documents
+    ),
+    gq AS (
+      SELECT doc_id,
+        CAST(len(w) AS BIGINT) AS n_words,
+        round(CASE WHEN len(w) = 0 THEN 0.0 ELSE
+          CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w)
+        END, 6) AS mean_word_len,
+        (len(w) >= 50 AND len(w) <= 100000
+         AND round(CASE WHEN len(w) = 0 THEN 0.0 ELSE
+           CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w)
+         END, 6) BETWEEN 3.0 AND 10.0
+         AND round(CASE WHEN len(w) = 0 THEN 0.0 ELSE
+           ((length(t) - length(replace(t, '#', '')))
+            + (length(t) - length(replace(t, '...', ''))) / 3) / len(w)
+         END, 6) <= 0.1
+         AND round(CAST(len(list_filter(l,
+           x -> regexp_matches(ltrim(x), '^[-*•]'))) AS DOUBLE) / len(l), 6)
+           <= 0.9
+         AND round(CAST(len(list_filter(l,
+           x -> rtrim(x) LIKE '%...')) AS DOUBLE) / len(l), 6) <= 0.3
+         AND round(CASE WHEN len(w) = 0 THEN 0.0 ELSE
+           CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+                AS DOUBLE) / len(w) END, 6) >= 0.8
+         AND len(list_filter(['the', 'be', 'to', 'of', 'and', 'that',
+                              'have', 'with'],
+           s -> list_contains(list_transform(w, x -> lower(x)), s))) >= 1
+        ) AS gopher_pass
+      FROM gqm
+    ),
+    repw AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                         w -> w <> '') AS w
+      FROM documents
+    ),
+    repc AS (
+      SELECT doc_id, w,
+             coalesce(list_sum(list_transform(w, x -> length(x))), 0) AS total
+      FROM repw
+    ),
+    repg AS (
+      SELECT doc_id, total, n, array_to_string(w[i:i+n-1], ' ') AS g
+      FROM repc,
+           unnest(generate_series(1, len(w) - 1)) AS tp(i),
+           unnest([2, 9]) AS tn(n)
+      WHERE i + n - 1 <= len(w)
+    ),
+    repcounts AS (
+      SELECT doc_id, total, n, length(g) - (n - 1) AS glen, count(*) AS c
+      FROM repg GROUP BY doc_id, total, n, g
+    ),
+    repstats AS (
+      SELECT doc_id, n,
+        round(CAST((max(struct_pack(c := c, glen := glen))).c
+                   * (max(struct_pack(c := c, glen := glen))).glen
+                   AS DOUBLE) / total, 6) AS topf,
+        round(CAST(coalesce(sum(CASE WHEN c > 1 THEN c * glen END), 0)
+                   AS DOUBLE) / total, 6) AS dupf
+      FROM repcounts GROUP BY doc_id, n, total
+    ),
+    rep AS (
+      SELECT r.doc_id,
+        coalesce(max(CASE WHEN n = 2 THEN topf END), 0.0) AS rep_top2,
+        coalesce(max(CASE WHEN n = 9 THEN dupf END), 0.0) AS rep_dup9,
+        (coalesce(max(CASE WHEN n = 2 THEN topf END), 0.0) <= 0.20
+         AND coalesce(max(CASE WHEN n = 9 THEN dupf END), 0.0) <= 0.11
+        ) AS rep_pass
+      FROM repc r LEFT JOIN repstats s ON r.doc_id = s.doc_id
+      GROUP BY r.doc_id
+    ),
+    c4m AS (
+      SELECT doc_id, t,
+        list_filter(string_split(t, chr(10)),
+          x -> regexp_matches(rtrim(x), '[.!?"]$')
+            AND len(list_filter(string_split_regex(trim(x), '\\s+'),
+                                w -> w <> '')) >= 5) AS kept,
+        string_split(t, chr(10)) AS l
+      FROM lined
+    ),
+    c4 AS (
+      SELECT doc_id,
+             CAST(len(kept) AS BIGINT) AS c4_lines_kept,
+             ((NOT contains(lower(t), 'lorem ipsum'))
+              AND (NOT contains(t, '{{')) AND len(kept) >= 2) AS c4_keep
+      FROM c4m
+    ),
+    dupl AS (
+      SELECT doc_id,
+             list_filter(string_split(t, chr(10)), s -> trim(s) <> '') AS s
+      FROM lined
+    ),
+    dup AS (
+      SELECT doc_id,
+        round(CASE WHEN len(s) = 0 THEN 0.0
+              ELSE (len(s) - len(list_distinct(s)))
+                   / CAST(len(s) AS DOUBLE) END, 6) AS dup_line_frac
+      FROM dupl
+    ),
+    toks AS (
+      SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS w FROM documents
+    ),
+    vocab AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+    total AS (SELECT sum(c) AS t FROM vocab),
+    lm AS (
+      SELECT doc_id, round(avg(ln(c / (SELECT t FROM total))), 6)
+               AS lm_avg_logprob
+      FROM toks JOIN vocab USING (w) GROUP BY doc_id
+    ),
+    clsdocs AS (
+      SELECT doc_id, list_filter(string_split({_NORM}, ' '), x -> x <> '') AS a
+      FROM documents
+    ),
+    gram AS (
+      SELECT doc_id, CAST(('0x' || substr(md5(g), 1, 6)) AS BIGINT) % 10000 AS bucket
+      FROM (
+        SELECT doc_id, unnest(a) AS g FROM clsdocs
+        UNION ALL
+        SELECT doc_id, a[i] || ' ' || a[i + 1] AS g
+        FROM clsdocs, unnest(generate_series(1, len(a) - 1)) AS t(i)
+        WHERE len(a) >= 2
+      )
+    ),
+    wts AS (
+      SELECT j AS bucket,
+             (CAST(('0x' || substr(md5('w:' || CAST(j AS VARCHAR)), 1, 4)) AS INT)
+              - 32768) / 32768.0 AS wt
+      FROM generate_series(0, 9999) AS t(j)
+    ),
+    cls AS (
+      SELECT g.doc_id,
+             round(1.0 / (1.0 + exp(-(0.0
+               + round(avg(coalesce(wts.wt, 0.0)), 6)))), 6) AS cls_prob
+      FROM gram g LEFT JOIN wts USING (bucket) GROUP BY g.doc_id
+    )
+    SELECT b.doc_id, b.source, b.lang_pred, b.quality,
+           gq.n_words, gq.mean_word_len, gq.gopher_pass,
+           rep.rep_top2, rep.rep_dup9, rep.rep_pass,
+           c4.c4_lines_kept, c4.c4_keep,
+           dup.dup_line_frac,
+           lm.lm_avg_logprob,
+           cls.cls_prob
+    FROM qbase b
+    JOIN gq USING (doc_id)
+    JOIN rep USING (doc_id)
+    JOIN c4 USING (doc_id)
+    JOIN dup USING (doc_id)
+    LEFT JOIN lm USING (doc_id)
+    LEFT JOIN cls USING (doc_id)
+    """,
+)
+def quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RedPajama-v2-style per-document QUALITY SIGNALS table: one wide
+    row per document carrying every rule/model signal this library
+    computes — language guess, composite quality score, Gopher quality
+    metrics + verdict, sampled-width repetition fractions (top-2-gram and
+    dup-9-gram — the `widths` production knob at its narrowest useful
+    setting), C4 line survival + page keep, duplicate-line fraction (over
+    the deterministic line construction), unigram-LM score, and the
+    hashed-classifier probability. This is the artifact a data team
+    PUBLISHES next to a corpus (filter thresholds stay downstream
+    decisions); each signal is an individually-oracled operator and this
+    query oracles the composed join. Scale: every signal is per-doc —
+    the joins are doc_id-partitioned with no fan-out, and the expensive
+    members (repetition grams, LM counts, classifier grams) keep their
+    own bounded-shuffle plans."""
+    docs = _t(spark, sf_dir, "documents")
+    lined = docs.select(
+        "doc_id",
+        F.replace(F.col("text"), F.lit(" table "), F.lit(".\n")).alias("text"),
+    )
+    base = docs.select(
+        "doc_id",
+        "source",
+        T.language_id(F.col("text")).alias("lang_pred"),
+        T.quality_score(F.col("text")).alias("quality"),
+    )
+    gq = T.gopher_quality_flags(docs, "text", "doc_id", min_stopwords=1).select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        "mean_word_len",
+        F.col("pass").alias("gopher_pass"),
+    )
+    rep = corpus_ops.gopher_repetition_flags(
+        docs, "text", "doc_id", widths=(2, 9)
+    ).select(
+        "doc_id",
+        F.col("top2_char_frac").alias("rep_top2"),
+        F.col("dup9_char_frac").alias("rep_dup9"),
+        F.col("pass").alias("rep_pass"),
+    )
+    c4 = T.c4_line_clean(lined, "text", "doc_id", 5, min_lines=2).select(
+        "doc_id",
+        F.col("n_lines_kept").alias("c4_lines_kept"),
+        F.col("keep").alias("c4_keep"),
+    )
+    dup = T.gopher_dupline_flags(lined, "text", "doc_id").select(
+        "doc_id", F.col("dup_frac").alias("dup_line_frac")
+    )
+    lm = lm_score(spark, sf_dir).select(
+        "doc_id", F.col("avg_logprob").alias("lm_avg_logprob")
+    )
+    cls = quality_classifier_score(spark, sf_dir).select(
+        "doc_id", F.col("prob").alias("cls_prob")
+    )
+    return (
+        base.join(gq, "doc_id")
+        .join(rep, "doc_id")
+        .join(c4, "doc_id")
+        .join(dup, "doc_id")
+        .join(lm, "doc_id", "left")
+        .join(cls, "doc_id", "left")
     )
 
 
