@@ -941,7 +941,11 @@ def hashed_classifier_train(
         .select(id_col, "bucket", "_c", "_n", "_y")
         .localCheckpoint()
     )
-    n_docs = feats.select(id_col).distinct().count()
+    # the batch-GD divisor counts EVERY labeled document, including ones
+    # whose text tokenizes to zero grams (they contribute zero gradient —
+    # no features — but they are still training examples in the stated
+    # (1/m)·Σ_docs math)
+    n_docs = df.select(id_col).distinct().count()
     if not n_docs:
         return spark.createDataFrame([], "bucket long, wt double")
     w: dict[int, float] = {}

@@ -347,8 +347,10 @@ def decontaminate_bloom(
     benchmark grams (``num_bits`` bits ≈ 1 MiB per 2^23, vs tens of
     bytes per gram string — a 100M-gram eval suite fits in ~120 MiB as
     bits) and drops the overwhelming majority of corpus grams map-side;
-    phase 2 exactly confirms the surviving candidates with the string
-    semi-join, which now only sees ~hits + fpp·volume rows. A Bloom
+    phase 2 exactly confirms the surviving candidates with a string
+    semi-join that only sees ~hits + fpp·volume candidate rows — and is
+    NOT forced to broadcast, so an over-broadcast-sized gram set
+    shuffles instead of OOMing the driver. A Bloom
     bitmap has NO false negatives, so the output is bit-identical to
     :func:`decontaminate` — the probabilistic structure is a pushed
     prefilter, not an approximation, and the query stays fully
@@ -396,8 +398,12 @@ def decontaminate_bloom(
         .filter(F.col("_bits").bitwiseAND(F.col("_pm")) != 0)
         .select("_id", "_sh")
     )
+    # no forced broadcast: the premise of this operator is that the
+    # benchmark's STRING set may be too large to broadcast — the confirm
+    # join keys on _sh over the (already tiny) candidate stream, and
+    # Catalyst/AQE picks broadcast only when the gram set actually fits
     hits = (
-        cand.join(F.broadcast(bench_grams), "_sh", "left_semi")
+        cand.join(bench_grams, "_sh", "left_semi")
         .groupBy("_id")
         .agg(F.count("*").alias("n_hits"))
         .withColumnRenamed("_id", id_col)

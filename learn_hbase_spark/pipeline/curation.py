@@ -82,7 +82,15 @@ def _pin(df: DataFrame) -> DataFrame:
     pipeline). MEMORY_AND_DISK so a corpus-scale `clean` spills instead
     of evicting mid-query; on a real cluster the same seam is where a
     production pipeline checkpoints to durable storage between the gate
-    phase and the model-scoring phase."""
+    phase and the model-scoring phase.
+
+    Cache lifetime: entries live until the session ends (Spark's
+    CacheManager holds persisted plans strongly — they are NOT
+    GC-collected), which is the right trade for the batch pipeline (a
+    handful of entries per curate()/audit() call). Repeated small-batch
+    callers must opt out — the streaming micro-batch path passes
+    ``pin=False`` to the band helpers precisely so a long-running stream
+    does not accumulate one cache entry per drain."""
     return df.persist(StorageLevel.MEMORY_AND_DISK)
 
 
@@ -106,7 +114,10 @@ def _require_scoreable(
 
 
 def _lm_band_ids(
-    clean: DataFrame, lm_quantile: float, approx_threshold: bool = False
+    clean: DataFrame,
+    lm_quantile: float,
+    approx_threshold: bool = False,
+    pin: bool = True,
 ) -> DataFrame:
     """Key-only frame of documents at or above the ``lm_quantile``
     percentile of the corpus's own bigram-LM score — the CCNet-style
@@ -123,12 +134,15 @@ def _lm_band_ids(
     ``bigram_lm_score`` rounds to 6 before this aggregate — not by row
     count (SCALE.md "Exact-percentile thresholds").
     ``approx_threshold=True`` swaps in ``approx_percentile`` (fixed
-    sketch state) for production corpora with a very wide score span."""
-    scored = _pin(
-        bigram_lm_score(clean, "text", "doc_id").select(
-            "doc_id", F.col("avg_logprob").alias("_lm")
-        )
+    sketch state) for production corpora with a very wide score span.
+    ``pin=False`` skips the scored-frame persist — for repeated callers
+    (the streaming micro-batch path) where per-call cache entries would
+    accumulate in the session's CacheManager (see :func:`_pin`)."""
+    scored = bigram_lm_score(clean, "text", "doc_id").select(
+        "doc_id", F.col("avg_logprob").alias("_lm")
     )
+    if pin:
+        scored = _pin(scored)
     fn = "approx_percentile" if approx_threshold else "percentile"
     lo = scored.agg(
         F.round(F.expr(f"{fn}(_lm, {lm_quantile})"), 4).alias("_lo")
@@ -141,21 +155,32 @@ def _lm_band_ids(
 
 
 def _ccnet_band_ids(
-    clean: DataFrame, ccnet_keep: tuple[str, ...], strata_col: str = "source"
+    clean: DataFrame,
+    ccnet_keep: tuple[str, ...],
+    strata_col: str = "source",
+    approx_threshold: bool = False,
+    pin: bool = True,
 ) -> DataFrame:
     """Key-only frame of documents whose CCNet bucket (per-stratum
     tertiles of the corpus's own bigram-LM score, Wenzek 2020 §4.3) is in
     ``ccnet_keep`` — e.g. ``("head", "middle")`` drops each stratum's
     worst third. Same self-trained-model posture and round-6/round-4
     parity rules as :func:`_lm_band_ids`; thresholds are per-stratum
-    exact percentiles (|strata| rows, broadcast back)."""
+    exact percentiles (|strata| rows, broadcast back), or
+    ``approx_percentile`` sketches per stratum under
+    ``approx_threshold`` — the same production switch as the LM band.
+    ``pin=False`` skips the scored-frame persist for callers that invoke
+    this repeatedly in one session (see :func:`_pin`)."""
     scored = bigram_lm_score(clean, "text", "doc_id").select(
         "doc_id", F.col("avg_logprob").alias("_lm")
     )
-    with_src = _pin(
-        scored.join(clean.select("doc_id", strata_col), "doc_id")
+    with_src = scored.join(clean.select("doc_id", strata_col), "doc_id")
+    if pin:
+        with_src = _pin(with_src)
+    bucketed = perplexity_buckets(
+        with_src, "doc_id", "_lm", strata_col,
+        approx_threshold=approx_threshold,
     )
-    bucketed = perplexity_buckets(with_src, "doc_id", "_lm", strata_col)
     return bucketed.filter(
         F.col("ppl_bucket").isin(*ccnet_keep)
     ).select("doc_id")
@@ -172,10 +197,12 @@ def _apply_rule_gates(
     gopher_repetition: bool,
     gopher_repetition_kwargs: dict | None,
 ) -> DataFrame:
-    """Stages 1-4 of :data:`STAGE_ORDER`, shared verbatim by
-    :func:`curate` and :func:`audit` (the audit filters the same frames
-    instead of re-deriving predicates, so the two can never disagree).
-    C4 rewrites ``text`` IN PLACE (downstream stages — token gate, rule
+    """Stages 1-4 of :data:`STAGE_ORDER` as :func:`curate` runs them.
+    :func:`audit` mirrors these stages with flag columns instead of
+    filters (it must emit a verdict for DROPPED docs too) — the two
+    bodies are kept in lockstep by the stage-order pytest, which pins
+    per-stage curate/audit agreement on a corpus crafted to drop one doc
+    at every stage. C4 rewrites ``text`` IN PLACE (downstream stages — token gate, rule
     filters, dedup, LM scoring, packing — all judge the cleaned text, the
     text that would actually be trained on); the Gopher gates are
     projection-fused filters (quality) or a key-only semi-join
@@ -285,7 +312,7 @@ def curate(
         )
     if ccnet_keep is not None:
         clean = clean.join(
-            _ccnet_band_ids(clean, ccnet_keep, strata_col),
+            _ccnet_band_ids(clean, ccnet_keep, strata_col, approx_threshold),
             "doc_id",
             "left_semi",
         )
@@ -415,9 +442,9 @@ def audit(
         verdict = verdict.when(F.col("_band").isNull(), "low_quality")
         clean = clean.join(band.select("doc_id"), "doc_id", "left_semi")
     if ccnet_keep is not None:
-        cc = _ccnet_band_ids(clean, ccnet_keep, strata_col).select(
-            "doc_id", F.lit(True).alias("_cc")
-        )
+        cc = _ccnet_band_ids(
+            clean, ccnet_keep, strata_col, approx_threshold
+        ).select("doc_id", F.lit(True).alias("_cc"))
         out = out.join(cc, "doc_id", "left")
         verdict = verdict.when(F.col("_cc").isNull(), "ppl_tail")
     keep = sampling.stratified_keep_expr(

@@ -10043,7 +10043,7 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
       )
     ),
     nd AS (SELECT doc_id, count(*) AS n FROM gram GROUP BY doc_id),
-    ndocs AS (SELECT count(*) AS m FROM nd),
+    ndocs AS (SELECT count(DISTINCT doc_id) AS m FROM documents),
     counts AS (
       SELECT doc_id, y, bucket, count(*) AS c
       FROM gram GROUP BY doc_id, y, bucket

@@ -664,8 +664,14 @@ def curation_ingest_batch(
     )
     curated = accepted
     if lm_quantile is not None:
+        # pin=False: a long-running stream calls this every drain, and a
+        # per-batch persist would accumulate one CacheManager entry per
+        # micro-batch for the life of the session; batches are small, so
+        # the band's double reference just recomputes
         curated = accepted.join(
-            _lm_band_ids(accepted, lm_quantile), "doc_id", "left_semi"
+            _lm_band_ids(accepted, lm_quantile, pin=False),
+            "doc_id",
+            "left_semi",
         )
     (
         curated.withColumn("_batch", F.lit(batch_id))

@@ -259,6 +259,12 @@ class WideTable:
                     # the record was tombstoned away by the compaction, so
                     # delete it instead of renaming the stale copy back
                     wrote = set(written.get(name, []))
+                    if not bucket_parks:
+                        # flat layout (no bucket children): the installed
+                        # main copy is the compacted partition and the park
+                        # is its stale pre-compaction copy — delete it
+                        fs.delete(st.getPath(), True)
+                        continue
                     for b in bucket_parks:
                         bname = b.getPath().getName()
                         bdst = self._hpath(

@@ -643,6 +643,9 @@ def test_classifier_train_matches_numpy_reference(spark):
         4: ("random spam spam words click click offer", 0.0),
         5: ("the curated essay reviews prior work properly", 1.0),
         6: ("buy cheap offer now limited deal spam", 0.0),
+        # zero-gram doc: contributes NO gradient (no features) but still
+        # counts in the 1/m batch divisor — pins the stated GD math
+        7: ("   ", 1.0),
     }
     docs = spark.createDataFrame(
         [(i, t, y) for i, (t, y) in texts.items()],
@@ -665,11 +668,13 @@ def test_classifier_train_matches_numpy_reference(spark):
 
     feats = {i: buckets(t) for i, (t, y) in texts.items()}
     w = {}
-    m = len(texts)
+    m = len(texts)  # ALL labeled docs, including the gram-less one
     for _ in range(R):
         grad = {}
         for i, (t, y) in texts.items():
             bs = feats[i]
+            if not bs:
+                continue  # no features -> no gradient contribution
             n = len(bs)
             margin = sum(w.get(b, 0.0) for b in bs) / n
             p = 1.0 / (1.0 + math.exp(-margin))
@@ -692,6 +697,6 @@ def test_classifier_train_matches_numpy_reference(spark):
             docs, weights, "text", "doc_id", B
         ).collect()
     }
-    pos = [probs[i] for i, (t, y) in texts.items() if y == 1.0]
+    pos = [probs[i] for i, (t, y) in texts.items() if y == 1.0 and i in probs]
     neg = [probs[i] for i, (t, y) in texts.items() if y == 0.0]
     assert min(pos) > max(neg)

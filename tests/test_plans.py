@@ -309,11 +309,12 @@ def test_widetable_scan_prunes_subpartitioned_layout(spark, tmp_path):
 
 
 def test_decontaminate_bloom_probe_is_broadcast_and_mapside(spark, qs):
-    """Both phases keep the corpus stream-side: the bit-word table joins
-    as a BroadcastHashJoin (probe = one AND, map-side) and the exact
-    confirm is a broadcast LeftSemi; the corpus never shuffles before the
-    per-doc hit count."""
+    """The bit-word table joins as a BroadcastHashJoin (probe = one AND,
+    map-side) and the exact confirm is a LeftSemi on the candidate stream
+    — deliberately NOT forced to broadcast (the operator exists for gram
+    sets too big to broadcast as strings; Catalyst may still choose
+    broadcast when they fit). No never-at-scale join shapes."""
     plan = _plan(qs["decontaminate_bloom"](spark, SF))
-    assert plan.count("BroadcastHashJoin") >= 2
+    assert plan.count("BroadcastHashJoin") >= 1
     assert "LeftSemi" in plan
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
