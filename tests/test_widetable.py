@@ -832,3 +832,32 @@ def test_recover_manifest_tombstoned_bucket_unit(spark, tmp_path):
     assert rows == sorted(live_keys)  # dead bucket NOT restored
     assert not (root / "prefix=0401" / f"bucket={dead_b}").exists()
     assert not Path(str(root) + "__aside").exists()
+
+
+def test_recover_manifest_deletes_flat_stale_park(spark, tmp_path):
+    """Flat layout (no buckets), crash after install but before aside
+    cleanup: the parked dir is the stale pre-compaction copy of a WRITTEN
+    unit whose install completed — _recover must delete it (and consume
+    the manifest), not leave it under __aside forever."""
+    import shutil
+    from pathlib import Path
+
+    from learn_hbase_spark.widetable import WideTable
+
+    t = WideTable.create(spark, str(tmp_path / "wtf"), ["info"])
+    for v in ("U1", "U2"):
+        t.put(_cells(spark, [("0401_M1", "info", "q", v)]))
+    root = Path(str(tmp_path / "wtf"))
+    saved = tmp_path / "stale_copy"
+    shutil.copytree(root / "prefix=0401", saved)
+
+    t.compact_prefixes(["0401"])
+    after = sorted(map(tuple, t.scan().collect()))
+
+    aside = Path(str(root) + "__aside")
+    aside.mkdir()
+    shutil.move(str(saved), str(aside / "prefix=0401"))
+    t._write_aside_manifest(t._fs(), {"prefix=0401": []}, [])
+
+    assert sorted(map(tuple, t.scan().collect())) == after  # _recover ran
+    assert not aside.exists()  # stale park AND manifest consumed
