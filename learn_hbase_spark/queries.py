@@ -241,6 +241,30 @@ _DRIVER_VERIFIED = [
     "rolling_fingerprint", "quality_score", "hash_split",
     "stratified_sample", "pack_sequences", "redact_pii", "repetition_score",
     "tfidf_topk", "length_profile",
+    # round 10 (CORRECTNESS_r10.json: 47 green + 3 declared no_oracle; the
+    # sweep's green names in checked order — includes the 10 queries new
+    # in r10, which enter the verified list here for the first time:
+    # curation_pipeline_rules, curation_audit_rules,
+    # gopher_repetition_sampled, dsir_frozen_gumbel, ivf_lloyd_update,
+    # decontaminate_bloom, gopher_dupparagraph_flags, kmeans_update_iter1,
+    # classifier_train_round1, quality_signals)
+    "curation_pipeline_rules", "curation_audit_rules",
+    "gopher_repetition_sampled", "dsir_frozen_gumbel", "ivf_lloyd_update",
+    "decontaminate_bloom", "gopher_dupparagraph_flags",
+    "kmeans_update_iter1", "classifier_train_round1", "quality_signals",
+    "curation_pipeline", "curation_audit", "ccnet_perplexity_buckets",
+    "dsir_select_gumbel", "gopher_repetition_flags",
+    "gopher_quality_flags", "c4_line_filter", "gopher_dupline_flags",
+    "pq_encode", "pq_ann_topk", "ivf_pq_topk", "weighted_sample",
+    "temperature_mixture_rates", "bigram_lm_score_frozen",
+    "quality_classifier_score", "unimax_mixture_rates", "column_profile",
+    "ann_cosine_topk", "kmeans_assign_iter1", "ann_lsh_topk",
+    "lsh_bucket_assign", "ivf_cell_assign", "domain_mixture",
+    "bigram_lm_score", "dedup_first_wins", "dedup_exact",
+    "file_corpus_dedup", "minhash_signature", "minhash_lsh_pairs",
+    "minhash_lsh_capped", "ngram_jaccard_pairs", "neardup_clusters",
+    "leakage_safe_split", "embedding_neardup", "embedding_neardup_lsh",
+    "simhash_hamming_pairs", "simhash_fingerprints_md5",
 ]
 
 def _keep_latest(names: list[str]) -> list[str]:
@@ -409,27 +433,24 @@ def _still_verified() -> tuple[str, ...]:
 # fingerprints moved only via a shared-module edit. Maintained per round;
 # stale names cost nothing (they sort first only while unverified).
 _SWEEP_PRIORITY: list[str] = [
-    # round 10: new queries first (rules-composed curation, sampled
-    # repetition, DSIR deployment composition), then the queries whose
-    # modules were edited this round (curation/corpus/similarity/text
-    # refactors — answers unchanged by design, fingerprints moved), then
-    # the 15 queries whose fingerprints moved under r9's module edits
-    # without an r9 sweep slot — the recorder kept them stale, so they
-    # re-verify first.
-    "curation_pipeline_rules", "curation_audit_rules",
-    "gopher_repetition_sampled", "dsir_frozen_gumbel", "ivf_lloyd_update",
-    "decontaminate_bloom", "gopher_dupparagraph_flags",
-    "kmeans_update_iter1", "classifier_train_round1", "quality_signals",
-    "curation_pipeline", "curation_audit", "ccnet_perplexity_buckets",
-    "dsir_select_gumbel", "gopher_repetition_flags",
-    "gopher_quality_flags", "c4_line_filter", "gopher_dupline_flags",
-    "pq_encode", "pq_ann_topk", "ivf_pq_topk",
-    "ann_ivf_topk", "weighted_sample", "embedding_kmeans",
-    "temperature_mixture_rates", "bigram_lm_score_frozen",
-    "quality_classifier_score", "unimax_mixture_rates", "column_profile",
-    "ann_cosine_topk", "kmeans_assign_iter1", "ann_lsh_topk",
-    "lsh_bucket_assign", "ivf_cell_assign", "domain_mixture",
-    "bigram_lm_score",
+    # round 11: new/answer-changed queries first (added as this round's
+    # work lands), then the 41 queries whose fingerprints moved under
+    # r10's module edits without an r10 sweep slot — the recorder kept
+    # them stale, so they re-verify first.
+    "skew_report",
+    "semantic_dedup", "pagerank_neardup", "bpe_train_merges",
+    "bpe_tokenize", "vocab_topk", "decontaminate", "chunk_documents",
+    "array_ops_surface", "lm_score", "source_overlap", "pagerank_iter1",
+    "line_dedup_boilerplate", "hard_negative_topk_lsh",
+    "dsir_weights_frozen", "dsir_select", "dsir_weights",
+    "quality_band_sample", "hard_negative_topk", "winnow_match_pairs",
+    "winnow_match_capped", "neardup_canonical", "semantic_pairs_seeded",
+    "graph_triangle_stats", "minhash_incremental", "semantic_decontaminate",
+    "bpe_pair_counts", "bpe_pair_counts_round1", "bpe_apply_fixed",
+    "substring_dup_spans", "winnow_fingerprints", "ngram_containment_pairs",
+    "length_bucket_batching", "text_profile", "language_id",
+    "rolling_fingerprint", "quality_score", "pack_sequences",
+    "redact_pii", "repetition_score", "tfidf_topk", "length_profile",
 ]
 
 
