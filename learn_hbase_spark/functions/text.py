@@ -263,7 +263,47 @@ def gopher_quality_flags(
             F.array_intersect(F.transform("_w", F.lower), stop)
         ).alias("n_stopwords"),
     )
-    ok = {
+    ok = gopher_quality_rules(
+        min_words=min_words,
+        max_words=max_words,
+        min_mean_word_len=min_mean_word_len,
+        max_mean_word_len=max_mean_word_len,
+        max_symbol_word_ratio=max_symbol_word_ratio,
+        max_bullet_frac=max_bullet_frac,
+        max_ellipsis_frac=max_ellipsis_frac,
+        min_alpha_word_frac=min_alpha_word_frac,
+        min_stopwords=min_stopwords,
+    )
+    out = m
+    for name, expr in ok.items():
+        out = out.withColumn(name, expr)
+    all_ok = F.lit(True)
+    for name in ok:
+        all_ok = all_ok & F.col(name)
+    return out.withColumn("pass", all_ok)
+
+
+def gopher_quality_rules(
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopwords: int = 2,
+) -> dict[str, Column]:
+    """The Gopher quality rule set as boolean expressions over the METRIC
+    columns :func:`gopher_quality_flags` emits (``n_words``,
+    ``mean_word_len``, ``symbol_ratio``, ``bullet_frac``,
+    ``ellipsis_frac``, ``alpha_word_frac``, ``n_stopwords``) — the single
+    source of truth shared by the inline flag operator and the
+    signals-table thresholding path (``pipeline.curation
+    .curate_from_signals``), so a threshold iterated over a PUBLISHED
+    signals table can never drift from the pipeline's own gate. Metrics
+    are rounded to 6 at emission, so re-comparison here is exact."""
+    return {
         "ok_words": (F.col("n_words") >= min_words)
         & (F.col("n_words") <= max_words),
         "ok_word_len": (F.col("mean_word_len") >= min_mean_word_len)
@@ -274,13 +314,15 @@ def gopher_quality_flags(
         "ok_alpha": F.col("alpha_word_frac") >= min_alpha_word_frac,
         "ok_stop": F.col("n_stopwords") >= min_stopwords,
     }
-    out = m
-    for name, expr in ok.items():
-        out = out.withColumn(name, expr)
-    all_ok = F.lit(True)
-    for name in ok:
-        all_ok = all_ok & F.col(name)
-    return out.withColumn("pass", all_ok)
+
+
+def gopher_quality_pass_expr(**thresholds) -> Column:
+    """AND of :func:`gopher_quality_rules` — the ``pass`` conjunction
+    evaluated against a signals frame instead of inline."""
+    expr = F.lit(True)
+    for rule in gopher_quality_rules(**thresholds).values():
+        expr = expr & rule
+    return expr
 
 
 def gopher_dupline_flags(

@@ -8,7 +8,7 @@ shuffle carries token- or scalar-sized rows, never document bodies.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .dedup import normalize_text
@@ -249,10 +249,43 @@ def bigram_lm_score_frozen(
     integer ratios into ``ln``, average rounded to 6.
     Returns ``(id, n_bigrams, avg_logprob)``.
     """
+    c2, c1, vocab_n = _bigram_lm_tables(model, text_col, id_col)
+    return bigram_lm_score_tables(docs, c2, c1, vocab_n, text_col, id_col, k)
+
+
+def _bigram_lm_tables(
+    model: DataFrame, text_col: str, id_col: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The three frozen-model count tables of a bigram LM — bigram counts
+    ``(w1, w2, _c2)``, context counts ``(w1, _c1)``, and the one-row
+    vocabulary size ``(_v)`` — shared by :func:`bigram_lm_score_frozen`
+    (tables derived inline from a model frame) and
+    :func:`freeze_bigram_lm` (tables materialized to parquet for
+    train-once / deploy-many callers like the streaming drop zone), so
+    the two deployment shapes cannot drift."""
     mp = _bigram_pairs(model, text_col, id_col)
     c2 = mp.groupBy("w1", "w2").agg(F.count("*").alias("_c2"))
     c1 = mp.groupBy("w1").agg(F.count("*").alias("_c1"))
     vocab_n = mp.select("w2").distinct().agg(F.count("*").alias("_v"))
+    return c2, c1, vocab_n
+
+
+def bigram_lm_score_tables(
+    docs: DataFrame,
+    c2: DataFrame,
+    c1: DataFrame,
+    vocab_n: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: float = 1.0,
+) -> DataFrame:
+    """Score ``docs`` against pre-built bigram-LM count tables — the
+    scoring body of :func:`bigram_lm_score_frozen`, split out so a
+    MATERIALIZED model (:func:`freeze_bigram_lm` → :func:`load_bigram_lm`)
+    scores through the exact same left-join/smoothing expressions as an
+    inline model frame. Same semantics and float posture as the frozen
+    scorer: LEFT joins with ``C = 0`` fallbacks, add-k floor
+    probabilities, round-6 average."""
     dp = _bigram_pairs(docs, text_col, id_col)
     logp = F.log(
         (F.coalesce(F.col("_c2"), F.lit(0)) + F.lit(float(k)))
@@ -267,6 +300,78 @@ def bigram_lm_score_frozen(
             F.count("*").alias("n_bigrams"),
             F.round(F.avg(logp), 6).alias("avg_logprob"),
         )
+    )
+
+
+def freeze_bigram_lm(
+    model: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: float = 1.0,
+    threshold_quantile: float | None = None,
+) -> float | None:
+    """Train ONCE, deploy many: materialize a bigram LM's count tables
+    (and optionally a frozen keep-threshold) to parquet under ``path`` —
+    the deployment artifact the streaming drop zone scores against
+    (``streaming.events.curation_ingest_file_stream``'s frozen band). A
+    micro-batch cannot train the model that judges it (self-trained
+    thresholds drift per drain); the production shape is CCNet's (Wenzek
+    2020): the model is fitted on a frozen reference corpus offline, and
+    every future batch is scored under it, so a document's verdict is a
+    deterministic content property independent of batch composition.
+
+    Layout: ``{path}/c2`` (bigram counts), ``{path}/c1`` (context
+    counts), ``{path}/meta`` (one row: vocabulary size ``_v``, smoothing
+    ``_k``, threshold ``_thr``). With ``threshold_quantile`` the
+    reference corpus is scored under its own frozen tables
+    (:func:`bigram_lm_score` — identical by construction, every bigram
+    seen) and the round-4 exact percentile of those round-6 scores is
+    stored as ``_thr`` (the quality_band_sample parity posture), giving
+    deploy-time callers a calibrated absolute cutoff. Returns ``_thr``.
+
+    Scale: the count tables are Zipf-truncated (pair, count) rows — far
+    smaller than the reference corpus; the threshold is one exact
+    `percentile` aggregate (state bounded by distinct round-6 scores).
+    """
+    c2, c1, vocab_n = _bigram_lm_tables(model, text_col, id_col)
+    c2.write.mode("overwrite").parquet(f"{path}/c2")
+    c1.write.mode("overwrite").parquet(f"{path}/c1")
+    thr = None
+    if threshold_quantile is not None:
+        thr = (
+            bigram_lm_score(model, text_col, id_col, k)
+            .agg(
+                F.round(
+                    F.expr(f"percentile(avg_logprob, {threshold_quantile})"),
+                    4,
+                ).alias("_thr")
+            )
+            .collect()[0]["_thr"]
+        )
+        thr = float(thr) if thr is not None else None
+    vocab_n.select(
+        "_v", F.lit(float(k)).alias("_k"),
+        F.lit(thr).cast("double").alias("_thr"),
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+    return thr
+
+
+def load_bigram_lm(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame, DataFrame, float, float | None]:
+    """Load a :func:`freeze_bigram_lm` artifact: returns ``(c2, c1,
+    vocab_n, k, threshold)`` ready for :func:`bigram_lm_score_tables`.
+    The count-table reads are lazy scans (re-planned per caller, e.g.
+    per micro-batch — cheap, the tables are Zipf-truncated and Catalyst
+    broadcasts them); only the one-row meta frame is collected."""
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    c2 = spark.read.parquet(f"{path}/c2")
+    c1 = spark.read.parquet(f"{path}/c1")
+    vocab_n = spark.createDataFrame([(meta["_v"],)], "_v long")
+    thr = meta["_thr"]
+    return c2, c1, vocab_n, float(meta["_k"]), (
+        float(thr) if thr is not None else None
     )
 
 
@@ -548,9 +653,6 @@ def gopher_repetition_flags(
     widths = tuple(sorted(set(widths)))
     top_widths = [n for n in widths if n <= 4]
     dup_widths = [n for n in widths if n >= 5]
-    thr = dict(GOPHER_REP_THRESHOLDS)
-    if thresholds:
-        thr.update(thresholds)
     base = df.select(
         F.col(id_col).alias("_id"),
         F.filter(
@@ -673,22 +775,56 @@ def gopher_repetition_flags(
         )
     ids = df.select(F.col(id_col).alias("_id"))
     out = ids.join(stats, "_id", "left").groupBy("_id").agg(*aggs)
-    flags = {
-        f"ok_top{n}": F.col(f"top{n}_char_frac") <= thr[("top", n)]
-        for n in top_widths
-    }
-    flags.update(
-        {
-            f"ok_dup{n}": F.col(f"dup{n}_char_frac") <= thr[("dup", n)]
-            for n in dup_widths
-        }
-    )
+    flags = repetition_rules(widths, thresholds)
     for name, expr in flags.items():
         out = out.withColumn(name, expr)
     all_ok = F.lit(True)
     for name in flags:
         all_ok = all_ok & F.col(name)
     return out.withColumn("pass", all_ok).withColumnRenamed("_id", id_col)
+
+
+def repetition_rules(
+    widths: tuple[int, ...] = (2, 3, 4, 5, 6, 7, 8, 9, 10),
+    thresholds: dict[tuple[str, int], float] | None = None,
+) -> dict:
+    """The Gopher repetition rule set as boolean expressions over the
+    METRIC columns :func:`gopher_repetition_flags` emits
+    (``top{n}_char_frac`` for n <= 4, ``dup{n}_char_frac`` for n >= 5) —
+    the single source of truth shared by the inline flag operator and
+    the signals-table thresholding path
+    (``pipeline.curation.curate_from_signals``). Metrics are rounded to
+    6 at emission, so re-comparison against a published signals table is
+    exact."""
+    widths = tuple(sorted(set(widths)))
+    thr = dict(GOPHER_REP_THRESHOLDS)
+    if thresholds:
+        thr.update(thresholds)
+    flags = {
+        f"ok_top{n}": F.col(f"top{n}_char_frac") <= thr[("top", n)]
+        for n in widths
+        if n <= 4
+    }
+    flags.update(
+        {
+            f"ok_dup{n}": F.col(f"dup{n}_char_frac") <= thr[("dup", n)]
+            for n in widths
+            if n >= 5
+        }
+    )
+    return flags
+
+
+def repetition_pass_expr(
+    widths: tuple[int, ...] = (2, 3, 4, 5, 6, 7, 8, 9, 10),
+    thresholds: dict[tuple[str, int], float] | None = None,
+):
+    """AND of :func:`repetition_rules` — the ``pass`` conjunction
+    evaluated against a signals frame instead of inline."""
+    expr = F.lit(True)
+    for rule in repetition_rules(widths, thresholds).values():
+        expr = expr & rule
+    return expr
 
 
 def dsir_select_gumbel(
@@ -754,6 +890,12 @@ def gumbel_topk(
     Scale: a pure projection for the noise plus one percentile
     aggregate broadcast back as a one-row frame — no state beyond the
     exact-percentile buffer (O(distinct rounded keys))."""
+    for reserved in ("gumbel_key", "_thr"):
+        if reserved in weights.columns:
+            raise ValueError(
+                f"gumbel_topk adds a {reserved!r} column; the input weights "
+                f"frame already has one — rename it before resampling"
+            )
     h32 = F.conv(
         F.substring(
             F.md5(

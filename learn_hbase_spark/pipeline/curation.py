@@ -52,6 +52,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from ..functions import text as T
+from ..operators import corpus as corpus_rules
 from ..operators import dedup, packing, sampling
 from ..operators.corpus import bigram_lm_score, perplexity_buckets
 from ..operators.corpus import gopher_repetition_flags as _gopher_rep
@@ -288,10 +289,37 @@ def curate(
         gopher_quality, gopher_quality_kwargs,
         gopher_repetition, gopher_repetition_kwargs,
     )
-    if gopher_repetition:
-        # the repetition gate shuffles; everything downstream (dedup's
-        # winner join, decontamination, the band stages) re-derives gated
-        # several times under different prunings — pin the gate output
+    return _curate_tail(
+        gated, benchmark, tokens, rates, default_rate, budget,
+        lm_quantile, approx_threshold, ccnet_keep, strata_col,
+        pin_gated=gopher_repetition,
+    )
+
+
+def _curate_tail(
+    gated: DataFrame,
+    benchmark: DataFrame,
+    tokens: Column,
+    rates: dict[str, float] | None,
+    default_rate: float,
+    budget: int,
+    lm_quantile: float | None,
+    approx_threshold: bool,
+    ccnet_keep: tuple[str, ...] | None,
+    strata_col: str,
+    pin_gated: bool,
+) -> DataFrame:
+    """Stages 5-10 (dedup → decontamination → LM band → CCNet buckets →
+    mixing → packing) over an already-gated corpus — shared verbatim by
+    :func:`curate` (which derives the gate from the rule operators
+    inline) and :func:`curate_from_signals` (which derives it by
+    thresholding a published signals table), so the two paths cannot
+    drift."""
+    if pin_gated:
+        # the gate output feeds several downstream consumers (dedup's
+        # winner join, decontamination, the band stages) under different
+        # prunings — pin it so the gate phase (or the signals semi-join)
+        # runs once
         gated = _pin(gated)
     survivors = dedup.exact_dedup(gated, "text", "doc_id")
     clean_ids = (
@@ -320,6 +348,143 @@ def curate(
         clean, "doc_id", "source", rates or {}, default=default_rate
     )
     return packing.pack_sequences(mixed, "doc_id", tokens, budget=budget)
+
+
+def rule_signals(
+    docs: DataFrame,
+    c4_clean: bool = False,
+    c4_kwargs: dict | None = None,
+    widths: tuple[int, ...] = (2, 3, 4, 9),
+    token_count: Column | None = None,
+    strata_col: str = "source",
+) -> DataFrame:
+    """Phase 1 of the two-phase curation shape real data teams run: the
+    per-document RULE SIGNALS table, computed ONCE and published next to
+    the corpus (the RedPajama-v2 artifact pattern) so downstream
+    threshold iteration never re-pays the metric computation — in
+    particular the repetition stage's gram shuffle, the only shuffle in
+    the rule surface. One wide row per document: the C4 page-keep
+    verdict (over the REWRITTEN text when ``c4_clean``, the text that
+    would be trained on — all other signals judge that same text), the
+    whitespace token count, the seven Gopher quality METRICS (no
+    verdicts — thresholds are downstream decisions, which is the entire
+    point of publishing signals), and the repetition character fractions
+    at the selected ``widths``.
+
+    Scale: the C4 rewrite and quality metrics are projection-fused map
+    stages; the repetition metrics shuffle hashed int gram rows once;
+    the final assembly is one doc_id join with no fan-out. The output is
+    what a production run writes to parquet partitioned by corpus shard;
+    :func:`curate_from_signals` is its consumer."""
+    if c4_clean:
+        base = T.c4_line_clean(
+            docs, "text", "doc_id",
+            passthrough=(strata_col,), **(c4_kwargs or {}),
+        ).select(
+            "doc_id",
+            F.col("clean_text").alias("text"),
+            strata_col,
+            F.col("keep").alias("c4_keep"),
+        )
+    else:
+        base = docs.select(
+            "doc_id", "text", strata_col, F.lit(True).alias("c4_keep")
+        )
+    tokens = (
+        token_count if token_count is not None else T.token_count(F.col("text"))
+    )
+    base = base.withColumn("n_tokens", tokens)
+    metrics = T.gopher_quality_flags(
+        base, "text", "doc_id",
+        passthrough=(strata_col, "c4_keep", "n_tokens"),
+    ).select(
+        "doc_id", strata_col, "c4_keep", "n_tokens",
+        "n_words", "mean_word_len", "symbol_ratio", "bullet_frac",
+        "ellipsis_frac", "alpha_word_frac", "n_stopwords",
+    )
+    widths = tuple(sorted(set(widths)))
+    rep = _gopher_rep(base, "text", "doc_id", widths=widths).select(
+        "doc_id",
+        *[f"top{n}_char_frac" for n in widths if n <= 4],
+        *[f"dup{n}_char_frac" for n in widths if n >= 5],
+    )
+    return metrics.join(rep, "doc_id")
+
+
+def curate_from_signals(
+    docs: DataFrame,
+    signals: DataFrame,
+    benchmark: DataFrame,
+    min_tokens: int = 5,
+    rates: dict[str, float] | None = None,
+    default_rate: float = 0.1,
+    budget: int = 64,
+    token_count: Column | None = None,
+    lm_quantile: float | None = None,
+    approx_threshold: bool = False,
+    c4_clean: bool = False,
+    c4_kwargs: dict | None = None,
+    gopher_quality: bool = False,
+    gopher_quality_kwargs: dict | None = None,
+    gopher_repetition: bool = False,
+    gopher_repetition_kwargs: dict | None = None,
+    ccnet_keep: tuple[str, ...] | None = None,
+    strata_col: str = "source",
+) -> DataFrame:
+    """Phase 2 of the two-phase curation shape: run the pipeline with the
+    rule gates (stages 1-4) resolved by THRESHOLDING a published
+    :func:`rule_signals` table instead of recomputing metrics — filter
+    the signals, semi-join the corpus, then the corpus-interdependent
+    tail (dedup → decontamination → band → mixing → packing) exactly as
+    :func:`curate` runs it (:func:`_curate_tail` is shared verbatim).
+    Iterating thresholds re-pays only this call — never the gram
+    shuffles of phase 1.
+
+    Equivalence contract: with ``signals = rule_signals(docs, c4_clean,
+    c4_kwargs, widths)`` and matching thresholds, the packed output is
+    bit-identical to :func:`curate` — the threshold expressions are the
+    SAME rule conjunctions (``functions.text.gopher_quality_pass_expr``,
+    ``operators.corpus.repetition_pass_expr``) the inline flag operators
+    apply, over metrics those operators rounded before publishing, and
+    the per-doc rule verdicts commute with the stage order (a
+    conjunction), so the gated set is the pipeline's own. ``c4_clean``
+    re-applies the deterministic line REWRITE here (a projection — the
+    keep decision itself comes from the signals column) because every
+    tail stage judges the cleaned text.
+
+    Scale: the signals filter is a scan with pushed predicates over a
+    table ~1e-3 the corpus bytes; the semi-join is doc_id-partitioned;
+    everything else is :func:`curate`'s own tail."""
+    _require_scoreable(min_tokens, lm_quantile, ccnet_keep)
+    keep_cond = F.col("n_tokens") >= min_tokens
+    if c4_clean:
+        keep_cond = F.col("c4_keep") & keep_cond
+    if gopher_quality:
+        keep_cond = keep_cond & T.gopher_quality_pass_expr(
+            **(gopher_quality_kwargs or {})
+        )
+    if gopher_repetition:
+        keep_cond = keep_cond & corpus_rules.repetition_pass_expr(
+            **(gopher_repetition_kwargs or {})
+        )
+    keep_ids = signals.filter(keep_cond).select("doc_id")
+    if c4_clean:
+        others = [c for c in docs.columns if c not in ("doc_id", "text")]
+        work = T.c4_line_clean(
+            docs, "text", "doc_id",
+            passthrough=tuple(others), **(c4_kwargs or {}),
+        ).select("doc_id", F.col("clean_text").alias("text"), *others)
+    else:
+        work = docs
+    gated = work.join(keep_ids, "doc_id", "left_semi")
+    tokens = (
+        token_count if token_count is not None else T.token_count(F.col("text"))
+    )
+    return _curate_tail(
+        gated, benchmark, tokens, rates, default_rate, budget,
+        lm_quantile, approx_threshold, ccnet_keep, strata_col,
+        pin_gated=True,
+    )
 
 
 def audit(

@@ -437,7 +437,7 @@ _SWEEP_PRIORITY: list[str] = [
     # work lands), then the 41 queries whose fingerprints moved under
     # r10's module edits without an r10 sweep slot — the recorder kept
     # them stale, so they re-verify first.
-    "skew_report",
+    "skew_report", "curate_from_signals",
     "semantic_dedup", "pagerank_neardup", "bpe_train_merges",
     "bpe_tokenize", "vocab_topk", "decontaminate", "chunk_documents",
     "array_ops_surface", "lm_score", "source_overlap", "pagerank_iter1",
@@ -2029,51 +2029,39 @@ def stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH per_key AS (
       SELECT o_custkey, COUNT(*) AS c FROM orders GROUP BY o_custkey
-    ),
-    ranked AS (
-      SELECT c, ROW_NUMBER() OVER (ORDER BY c, o_custkey) AS rn,
-             COUNT(*) OVER () AS nk
-      FROM per_key
     )
-    SELECT MAX(nk) AS n_keys,
+    SELECT COUNT(*) AS n_keys,
            MAX(c) AS max_per_key,
            MIN(c) AS min_per_key,
-           CAST(MAX(CASE WHEN rn = (nk + 1) // 2 THEN c END) AS BIGINT)
-             AS median_per_key,
-           CAST(MAX(CASE WHEN rn = nk - nk // 100 THEN c END) AS BIGINT)
-             AS p99_per_key
-    FROM ranked
+           ROUND(quantile_cont(c, 0.5), 4) AS median_per_key,
+           ROUND(quantile_cont(c, 0.99), 4) AS p99_per_key
+    FROM per_key
     """,
 )
 def skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-key skew audit — the planning primitive behind every salting /
     AQE-skew decision in SCALE.md: per-key cardinalities of a prospective
-    shuffle key, summarized as max / min / discrete median / discrete p99.
-    Percentiles are rank-indexed (sort-based, integer tie-broken), not
-    interpolated, so both engines pick the identical element. The per-key
-    counts are one two-phase aggregation; the ranking runs over one row
-    per key."""
+    shuffle key, summarized as max / min / exact median / exact p99.
+
+    Scale posture: the whole report is TWO partial-aggregable
+    aggregations — per-key counts (map-side combine on o_custkey), then a
+    single global agg whose percentiles use Spark's exact ``percentile``
+    TypedImperativeAggregate (value→count map merged across partitions,
+    state bounded by DISTINCT count values, not by key count). No global
+    rank window: an earlier revision row_number()-ed one row per distinct
+    key through an unpartitioned Window — billions of rows in a single
+    task at 100 TB, the exact plan shape pipeline/curation.py warns
+    against. Cross-engine parity per the quality_band_sample recipe:
+    Spark ``percentile`` == DuckDB ``quantile_cont`` (same p*(n-1)
+    interpolation over integer counts), rounded to 4 decimals."""
     o = _t(spark, sf_dir, "orders")
     per_key = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("c"))
-    w = Window.orderBy("c", "o_custkey")
-    ranked = per_key.select(
-        "c",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(
-            Window.partitionBy()
-        ).alias("nk"),
-    )
-    nk, rn, c = F.col("nk"), F.col("rn"), F.col("c")
-    return ranked.agg(
-        F.max(nk).alias("n_keys"),
-        F.max(c).alias("max_per_key"),
-        F.min(c).alias("min_per_key"),
-        F.max(F.when(rn == F.floor((nk + 1) / F.lit(2)), c))
-        .cast("long")
-        .alias("median_per_key"),
-        F.max(F.when(rn == nk - F.floor(nk / F.lit(100)), c))
-        .cast("long")
-        .alias("p99_per_key"),
+    return per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("c").alias("max_per_key"),
+        F.min("c").alias("min_per_key"),
+        F.round(F.expr("percentile(c, 0.5)"), 4).alias("median_per_key"),
+        F.round(F.expr("percentile(c, 0.99)"), 4).alias("p99_per_key"),
     )
 
 
@@ -9126,6 +9114,72 @@ def curation_audit_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         default_rate=0.1,
         c4_clean=True,
         c4_kwargs={"min_words_per_line": 5, "min_lines": 2},
+        gopher_quality=True,
+        gopher_quality_kwargs={"min_words": 10, "min_stopwords": 1},
+        gopher_repetition=True,
+        gopher_repetition_kwargs={"widths": (2, 3, 4, 9)},
+        ccnet_keep=("head", "middle"),
+    )
+
+
+@_register(
+    "curate_from_signals",
+    f"""
+    WITH {_RULES_PREFIX},
+    banded AS (SELECT c.* FROM clean c JOIN band USING (doc_id)),
+    mixed AS (
+      SELECT * FROM banded WHERE {_RULES_MIX}
+    )
+    SELECT doc_id,
+           substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS pack_group,
+           CAST(floor(COALESCE(SUM(n) OVER (
+                  PARTITION BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                  ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                / 64.0) AS BIGINT) AS seq_id
+    FROM mixed
+    """,
+)
+def curate_from_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TWO-PHASE curation shape real data teams run
+    (pipeline/curation.py rule_signals + curate_from_signals): phase 1
+    computes the per-document rule-signal table ONCE and writes it to
+    parquet (the published RedPajama-v2-style artifact — this query
+    materializes it to the scratch root, so the phase split is real, not
+    a single fused lineage); phase 2 THRESHOLDS the signals table,
+    semi-joins the corpus, and runs the corpus-interdependent tail
+    (dedup → decontamination → CCNet band → mixing → packing).
+    Threshold iteration re-pays only phase 2 — never phase 1's gram
+    shuffle. Same parameters as curation_pipeline_rules, and the
+    equivalence contract (shared rule conjunctions over round-6 metrics,
+    shared _curate_tail) makes the packed output bit-identical to it —
+    the oracle here IS curation_pipeline_rules' oracle."""
+    raw = _t(spark, sf_dir, "documents")
+    docs = raw.select(
+        "doc_id",
+        F.replace(F.col("text"), F.lit(" table "), F.lit(".\n")).alias("text"),
+        "source",
+    )
+    bench = raw.filter(F.col("doc_id") % 97 == 0)
+    c4_kwargs = {"min_words_per_line": 5, "min_lines": 2}
+    sig_path = os.path.join(
+        _SCRATCH_ROOT,
+        f"rule_signals_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    curation.rule_signals(
+        docs, c4_clean=True, c4_kwargs=c4_kwargs, widths=(2, 3, 4, 9)
+    ).write.mode("overwrite").parquet(sig_path)
+    signals = spark.read.parquet(sig_path)
+    return curation.curate_from_signals(
+        docs,
+        signals,
+        bench,
+        min_tokens=5,
+        rates={"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        default_rate=0.1,
+        budget=64,
+        c4_clean=True,
+        c4_kwargs=c4_kwargs,
         gopher_quality=True,
         gopher_quality_kwargs={"min_words": 10, "min_stopwords": 1},
         gopher_repetition=True,

@@ -284,7 +284,19 @@ class WideTable:
                         bdst = self._hpath(self.path + "/" + unit)
                         if unit in tombstoned:
                             fs.delete(b.getPath(), True)
-                        elif unit in written and not fs.exists(bdst):
+                        elif unit in written:
+                            if not fs.exists(bdst):
+                                fs.rename(b.getPath(), bdst)
+                            else:
+                                fs.delete(b.getPath(), True)
+                        elif not fs.exists(bdst):
+                            # park in NEITHER manifest set: unreachable
+                            # under the single-writer protocol (recover
+                            # runs before each compaction), but if a stale
+                            # pre-manifest park ever coexists with a fresh
+                            # manifest, deleting it would be irreversible —
+                            # fall back to the legacy conservative heal
+                            # (restore when the main copy is missing)
                             fs.rename(b.getPath(), bdst)
                         else:
                             fs.delete(b.getPath(), True)

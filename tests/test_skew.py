@@ -112,3 +112,21 @@ def test_aqe_splits_skewed_join(spark):
         plan = joined._jdf.queryExecution().executedPlan().toString()
         assert "isFinalPlan=true" in plan
     assert "skew=true" in plan, plan
+
+
+def test_skew_report_has_no_unpartitioned_window(spark):
+    """skew_report is the library's scale-diagnostic primitive; its own plan
+    must not carry the anti-pattern it exists to detect. An earlier revision
+    row_number()-ed one row per distinct key through Window.orderBy with no
+    partitionBy — a single-task global sort over O(distinct keys) rows at
+    100 TB. The rewrite computes percentiles with the partial-aggregable
+    exact `percentile` aggregate, so the physical plan must contain NO
+    Window operator at all."""
+    from learn_hbase_spark import queries
+
+    df = queries.queries()["skew_report"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    # And it still aggregates partially: two-phase HashAggregate for the
+    # per-key counts plus the ObjectHashAggregate pair for percentile.
+    assert "partial" in plan.lower(), plan

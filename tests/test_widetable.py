@@ -861,3 +861,41 @@ def test_recover_manifest_deletes_flat_stale_park(spark, tmp_path):
 
     assert sorted(map(tuple, t.scan().collect())) == after  # _recover ran
     assert not aside.exists()  # stale park AND manifest consumed
+
+
+def test_recover_restores_premanifest_bucket_park(spark, tmp_path):
+    """A parked bucket in NEITHER manifest set is unreachable under the
+    single-writer protocol, but if a stale pre-manifest park ever coexists
+    with a fresh manifest (covering a different unit), deleting it would be
+    irreversible data loss. _recover must fall back to the legacy
+    conservative heal: restore the bucket when its main copy is missing."""
+    import shutil
+    from pathlib import Path
+
+    from learn_hbase_spark.widetable import WideTable
+
+    t = WideTable.create(
+        spark, str(tmp_path / "wtp"), ["info"], n_subpartitions=4
+    )
+    keys = [f"0401_{i:03d}" for i in range(16)]
+    by_bucket = {}
+    for k in keys:
+        by_bucket.setdefault(t._py_bucket(k), []).append(k)
+    (parked_b, parked_keys), _ = sorted(by_bucket.items())[:2]
+    t.put(_cells(spark, [(k, "info", "q", "v") for k in keys]))
+    root = Path(str(tmp_path / "wtp"))
+    # pre-manifest park: bucket moved aside, main copy GONE, and the fresh
+    # manifest on disk mentions only an unrelated unit
+    aside = Path(str(root) + "__aside") / "prefix=0401"
+    aside.mkdir(parents=True)
+    shutil.move(
+        str(root / "prefix=0401" / f"bucket={parked_b}"),
+        str(aside / f"bucket={parked_b}"),
+    )
+    t._write_aside_manifest(
+        t._fs(), {}, ["prefix=0499/bucket=0"]
+    )
+    rows = sorted(r["rowkey"] for r in t.scan().collect())
+    assert rows == sorted(keys)  # parked bucket restored, nothing lost
+    assert (root / "prefix=0401" / f"bucket={parked_b}").exists()
+    assert not Path(str(root) + "__aside").exists()

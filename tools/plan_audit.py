@@ -82,6 +82,9 @@ NESTED_LOOP_ALLOWED: dict[str, str] = {
     # (|strata| rows, broadcast).
     "curation_pipeline_rules": "one-row vocab-size + per-stratum threshold broadcasts",
     "curation_audit_rules": "one-row vocab-size + per-stratum threshold broadcasts",
+    # curate_from_signals shares _curate_tail verbatim with the rules
+    # pipeline — same two bounded broadcasts, no new cross-join shape.
+    "curate_from_signals": "one-row vocab-size + per-stratum threshold broadcasts",
     # Temperature mixture: the ONE-ROW (N, Z) totals aggregate crossed into
     # the |strata|-row counts frame — both sides bounded by the source
     # vocabulary; the corpus-sized application join is equi (hash).
@@ -149,9 +152,25 @@ def _dedup_cached(text: str) -> str:
                 j += 1
             # normalize per-reference renumbering: InMemoryRelation output
             # attributes get fresh expression ids (#N) at every reference
-            # to the same cached plan, and tree art differs by nesting
+            # to the same cached plan, and tree art differs by nesting.
+            # Ids are ALPHA-RENAMED (first-occurrence order), not erased,
+            # so the id PATTERN (which attrs repeat where — self-joins,
+            # reused keys) still discriminates. Blocks identical after
+            # alpha-renaming are safe to collapse: Spark's CacheManager
+            # itself dedups caches by analyzed-plan equality, so two
+            # text-identical cached subtrees (same ops, names, literals,
+            # paths) share ONE cache entry and execute once.
+            canon: dict[str, str] = {}
+
+            def _canon_id(m: re.Match) -> str:
+                return canon.setdefault(
+                    m.group(0), f"#{chr(97 + len(canon) % 26)}{len(canon)}"
+                )
+
             key = "\n".join(
-                re.sub(r"#\d+", "#", re.sub(r"^[\s:+*()\d-]*", "", s))
+                re.sub(
+                    r"#\d+", _canon_id, re.sub(r"^[\s:+*()\d-]*", "", s)
+                )
                 for s in lines[i:j]
                 if s.strip()  # blank lines swallowed at block edges
             )

@@ -7,9 +7,21 @@ Perturbation matters more than volume here: a naive self-union makes every
 row an exact near-duplicate of its K-1 replicas, multiplying LSH/semantic
 PAIR volume by ~K² and measuring a data distribution no real corpus has.
 Instead each replica r > 0:
-- documents: every word gets a replica suffix (``w`` → ``w·r``), so
-  replicas share no shingles/grams — near-dup and gram statistics scale
-  as K independent shards of the original density;
+- documents: CONTENT-BEARING words get a replica suffix (``w`` → ``w·r``)
+  while stopwords (the language-ID lists ∪ the Gopher required-word list)
+  and short words (≤ 3 chars) pass through unchanged. Suffixing every
+  word would decorrelate grams but also break rule-gate behavior in
+  replicas ('the' → 'the1' stops matching, mean word length shifts, the
+  bigram-LM vocab grows ~K×), so rule-gated queries would traverse
+  different code paths than the base shard and the exponent would partly
+  measure distribution shift. Keeping the function-word skeleton intact
+  preserves stopword ratios, the short-word length mass, and the LM's
+  high-frequency backbone; content grams (which carry the n-gram /
+  shingle volume that dominates cost) still decorrelate across replicas.
+  Residual: shingles that span only kept words still collide across
+  replicas — a small, distribution-REALISTIC overlap (real corpora share
+  function-word n-grams too), so measured exponents are the honest
+  upper bound for gram-family queries;
 - embeddings: the vector is cyclically shifted by 13·r positions (norms
   and within-replica geometry preserved; cross-replica cosine decorrelated);
 - ids are remapped to ``id + r · (max_id + 1)`` so uniqueness invariants
@@ -19,7 +31,10 @@ Timing follows the bench protocol (construction included, sf0.001 warmup,
 min-of-N) — run in a quiet window, never concurrently with pytest or
 another Spark job.
 
-Usage: python tools/scaling_slope.py [K] [reps]   (defaults: K=5, reps=2)
+Usage: python tools/scaling_slope.py [K] [reps] [query ...]
+(defaults: K=5, reps=2, queries=TOP_QUERIES; pass explicit query names for
+the filled-core 25× run, e.g.
+``python tools/scaling_slope.py 25 1 gopher_repetition_flags``)
 Prints one JSON line per query and a summary line; paste the table into
 SCALE.md.
 """
@@ -60,18 +75,32 @@ def build_scaled(spark, k: int, out_dir: str) -> None:
         if t not in ("documents", "embeddings"):
             shutil.copy(f"{BASE}/{t}.parquet", f"{out_dir}/{t}.parquet")
 
+    from learn_hbase_spark.functions.text import GOPHER_STOPWORDS, STOPWORDS
+
+    keep_words = sorted(
+        {w for ws in STOPWORDS.values() for w in ws} | set(GOPHER_STOPWORDS)
+    )
+    keep_arr = F.array(*[F.lit(w) for w in keep_words])
+
     docs = spark.read.parquet(f"{BASE}/documents.parquet")
     max_doc = docs.agg(F.max("doc_id")).collect()[0][0]
     parts = []
     for r in range(k):
         d = docs
         if r:
+            # suffix only content-bearing words: stopwords (rule-gate
+            # vocabulary) and short words keep their surface form so
+            # replicas exercise the same gate paths as the base shard
             d = d.withColumn(
                 "text",
                 F.array_join(
                     F.transform(
                         F.split(F.col("text"), " "),
-                        lambda w: F.concat(w, F.lit(str(r))),
+                        lambda w: F.when(
+                            F.array_contains(keep_arr, F.lower(w))
+                            | (F.length(w) <= 3),
+                            w,
+                        ).otherwise(F.concat(w, F.lit(str(r)))),
                     ),
                     " ",
                 ),
@@ -117,6 +146,7 @@ def main() -> int:
 
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 5
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    queries = sys.argv[3:] if len(sys.argv) > 3 else TOP_QUERIES
     out_dir = f"/tmp/spark_graft_scaled_x{k}"
 
     import __spark_entry__ as entrymod
@@ -127,7 +157,7 @@ def main() -> int:
     qs = entrymod.queries()
 
     results = {}
-    for name in TOP_QUERIES:
+    for name in queries:
         fn = qs[name]
         fn(spark, WARM).toPandas()  # warmup (plan + python paths hot)
         t1 = min(
