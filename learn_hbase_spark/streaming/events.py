@@ -559,6 +559,8 @@ def curation_ingest_file_stream(
     bands: int = 4,
     gopher_quality: bool = False,
     gopher_quality_kwargs: dict | None = None,
+    lm_model_dir: str | None = None,
+    lm_min_logprob: float | None = None,
 ) -> None:
     """The full CCNet loop at the streaming edge (VERDICT r8 task 5):
     a growing crawl drop zone is CURATED incrementally, not just
@@ -586,10 +588,40 @@ def curation_ingest_file_stream(
     so it streams for free; a doc failing the rules is a deterministic
     content property (a future copy fails identically), so rule-dropped
     docs never need to enter the dedup index.
+
+    ``lm_model_dir`` adds the FROZEN-model LM band (the actual CCNet
+    deployment: ``operators.corpus.freeze_bigram_lm`` fits the model on
+    a frozen reference corpus offline; every drain scores against those
+    materialized count tables) between the Gopher gate and the LSH gate.
+    Unlike the batch-local ``lm_quantile`` band — whose self-trained
+    threshold drifts with each drain's composition and therefore runs
+    AFTER dedup, with dropped docs still indexed — a frozen model plus a
+    frozen absolute threshold makes the LM verdict a deterministic
+    content property, exactly like the Gopher rules, so frozen-band
+    rejects are dropped BEFORE the index and a future copy is re-rejected
+    identically by content. The cutoff is ``lm_min_logprob`` when given,
+    else the ``_thr`` calibrated at freeze time (error if neither
+    exists). The threshold is resolved ONCE here at stream setup (one
+    1-row meta read) and closed over; the Zipf-truncated count tables
+    are lazy scans Catalyst broadcasts per drain. Both bands may run
+    together: frozen (absolute floor, pre-dedup) then batch-local
+    (relative tail trim over this drain's survivors, post-dedup).
     """
+    from ..operators.corpus import load_bigram_lm
     from ..pipeline.curation import _require_scoreable
 
-    _require_scoreable(min_tokens, lm_quantile)
+    _require_scoreable(
+        min_tokens, lm_quantile if lm_model_dir is None else 0.0
+    )
+    lm_cutoff = None
+    if lm_model_dir is not None:
+        _, _, _, _, frozen_thr = load_bigram_lm(spark, lm_model_dir)
+        lm_cutoff = lm_min_logprob if lm_min_logprob is not None else frozen_thr
+        if lm_cutoff is None:
+            raise ValueError(
+                "frozen LM band needs a cutoff: pass lm_min_logprob or "
+                "freeze the model with threshold_quantile set"
+            )
     reader = (
         spark.readStream.format("text")
         .option("wholetext", "true")
@@ -612,6 +644,7 @@ def curation_ingest_file_stream(
                 num_hashes=num_hashes, bands=bands,
                 gopher_quality=gopher_quality,
                 gopher_quality_kwargs=gopher_quality_kwargs,
+                lm_model_dir=lm_model_dir, lm_min_logprob=lm_cutoff,
             )
         )
         .option("checkpointLocation", checkpoint_dir)
@@ -632,20 +665,28 @@ def curation_ingest_batch(
     bands: int = 4,
     gopher_quality: bool = False,
     gopher_quality_kwargs: dict | None = None,
+    lm_model_dir: str | None = None,
+    lm_min_logprob: float | None = None,
 ) -> None:
     """One micro-batch of :func:`curation_ingest_file_stream`: quality
-    gate → optional Gopher rule gate (scan-fused projection) → shared
-    LSH gate (:func:`_neardup_gate`) → optional batch-local LM band → land curated rows and extend the band index, both as
-    dynamic ``_batch``-partition overwrites (replay-idempotent under
-    foreachBatch's at-least-once contract, same argument as
+    gate → optional Gopher rule gate (scan-fused projection) → optional
+    FROZEN-model LM band (absolute cutoff against materialized count
+    tables) → shared LSH gate (:func:`_neardup_gate`) → optional
+    batch-local LM band → land curated rows and extend the band index,
+    both as dynamic ``_batch``-partition overwrites (replay-idempotent
+    under foreachBatch's at-least-once contract, same argument as
     :func:`neardup_ingest_batch`).
 
-    The index records EVERY quality-gated non-duplicate — including docs
-    the LM band then drops — so a future near-duplicate of an LM-rejected
-    document is still rejected as a duplicate rather than re-curated:
-    dedup identity is content-level and must not depend on the quality
-    verdict in force when the content first appeared."""
+    The index records every quality-gated non-duplicate the BATCH-LOCAL
+    band then drops — that verdict depends on the drain's composition,
+    so a future near-duplicate must be rejected as a duplicate rather
+    than re-curated under a luckier batch. Frozen-band rejects, by
+    contrast, are dropped BEFORE the index (with the Gopher rejects):
+    the frozen model + frozen threshold make their verdict a
+    deterministic content property, so a future copy re-fails on content
+    and needs no identity record."""
     from ..functions import text as T
+    from ..operators.corpus import bigram_lm_score_tables, load_bigram_lm
     from ..pipeline.curation import _lm_band_ids
 
     gated = batch.filter(T.token_count(F.col("text")) >= min_tokens)
@@ -659,6 +700,24 @@ def curation_ingest_batch(
             .filter("pass")
             .select("doc_id", *others)
         )
+    if lm_model_dir is not None:
+        if lm_min_logprob is None:
+            raise ValueError(
+                "lm_model_dir requires a resolved lm_min_logprob cutoff"
+            )
+        c2, c1, vocab_n, model_k, _ = load_bigram_lm(
+            batch.sparkSession, lm_model_dir
+        )
+        frozen_keep = (
+            bigram_lm_score_tables(
+                gated, c2, c1, vocab_n, "text", "doc_id", k=model_k
+            )
+            # round-6 scores vs a round-4 threshold: the cross-engine /
+            # cross-run parity posture every band stage uses
+            .filter(F.col("avg_logprob") >= F.lit(float(lm_min_logprob)))
+            .select("doc_id")
+        )
+        gated = gated.join(frozen_keep, "doc_id", "left_semi")
     accepted, bands_kept = _neardup_gate(
         gated, batch_id, index_dir, num_hashes, bands, id_type="string"
     )

@@ -935,3 +935,121 @@ def test_curation_file_stream_gopher_gate(spark, tmp_path):
     assert names == {"good.txt"}
     # only the rule-passing doc reached the index
     assert spark.read.parquet(idx).select("_id").distinct().count() == 1
+
+
+def test_curation_file_stream_frozen_lm_band(spark, tmp_path):
+    """VERDICT r10 #4: the FROZEN-model LM band at the streaming edge. A
+    micro-batch cannot train the model that judges it (batch-local
+    thresholds drift per drain), so the deployment shape freezes the
+    model offline (freeze_bigram_lm) and every drain scores against the
+    materialized tables under a frozen absolute cutoff — making the LM
+    verdict a deterministic content property: rejects drop BEFORE the
+    dedup index (like Gopher rejects), a future copy re-fails on
+    content, and a fresh-checkpoint full replay reproduces the exact
+    curated set regardless of how files re-batch."""
+    from learn_hbase_spark.operators.corpus import (
+        bigram_lm_score_frozen,
+        bigram_lm_score_tables,
+        freeze_bigram_lm,
+        load_bigram_lm,
+    )
+    from learn_hbase_spark.streaming.events import curation_ingest_file_stream
+
+    model = spark.createDataFrame(
+        [
+            (1, "alpha beta " * 8),
+            (2, "alpha beta " * 8),
+            (3, "gamma delta " * 8),
+            (4, "gamma delta " * 8),
+            (5, " ".join(f"m{j}x" for j in range(10))),  # low self-score
+        ],
+        "doc_id long, text string",
+    )
+    mdir = str(tmp_path / "lm_model")
+    thr = freeze_bigram_lm(model, mdir, threshold_quantile=0.1)
+    assert isinstance(thr, float)
+
+    # materialization round-trip is lossless: scoring through the loaded
+    # tables == scoring through the inline frozen-model operator
+    probe = spark.createDataFrame(
+        [(10, "alpha beta gamma"), (11, "zz qq ww rr tt")],
+        "doc_id long, text string",
+    )
+    c2, c1, v, k, thr2 = load_bigram_lm(spark, mdir)
+    assert thr2 == thr
+    via_tables = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logprob"])
+        for r in bigram_lm_score_tables(probe, c2, c1, v, k=k).collect()
+    }
+    via_frame = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logprob"])
+        for r in bigram_lm_score_frozen(probe, model).collect()
+    }
+    assert via_tables == via_frame
+
+    inp = tmp_path / "drop"
+    inp.mkdir()
+    idx = str(tmp_path / "index")
+    cur = str(tmp_path / "curated")
+    names = lambda: {  # noqa: E731
+        r["path"].rsplit("/", 1)[-1] for r in spark.read.parquet(cur).collect()
+    }
+    kw = dict(pattern="*.txt", min_tokens=5, lm_model_dir=mdir)
+
+    # drain 1: in-model text scores high; out-of-domain soup scores the
+    # smoothing floor ln(1/V) < every model self-score < the q=0.1 cutoff
+    (inp / "good.txt").write_text("alpha beta " * 6)
+    (inp / "ood.txt").write_text(" ".join(f"q{j}z" for j in range(10)))
+    (inp / "short.txt").write_text("tiny doc")
+    curation_ingest_file_stream(
+        spark, str(inp), idx, cur, str(tmp_path / "ckpt1"), **kw
+    )
+    assert names() == {"good.txt"}
+    # frozen-band reject is dropped BEFORE the index (deterministic
+    # content property — unlike the batch-local band, which indexes its
+    # drops because their verdict depends on batch composition)
+    assert spark.read.parquet(idx).select("_id").distinct().count() == 1
+
+    # drain 2: a near-dup of good is rejected as DUPLICATE; a fresh
+    # in-model doc lands; a near-dup of the ood reject re-fails on
+    # CONTENT (frozen verdict), never reaching the index
+    (inp / "good2.txt").write_text("alpha  beta " * 6)   # same normalized
+    (inp / "fresh.txt").write_text("gamma delta " * 6)
+    (inp / "ood2.txt").write_text(" ".join(f"q{j}z" for j in range(10)) + " ")
+    curation_ingest_file_stream(
+        spark, str(inp), idx, cur, str(tmp_path / "ckpt1"), **kw
+    )
+    assert names() == {"good.txt", "fresh.txt"}
+    assert spark.read.parquet(idx).select("_id").distinct().count() == 2
+
+    # restart with a FRESH checkpoint: the full drop zone replays in ONE
+    # batch, and because the frozen verdicts are content-determined and
+    # the landings are dynamic-partition overwrites, the curated CONTENT
+    # set is reproduced exactly. The near-dup representative may differ
+    # (good vs good2 now tie-break inside one batch instead of
+    # first-drain-wins) — content identity, not path identity, is the
+    # replay invariant
+    curation_ingest_file_stream(
+        spark, str(inp), idx, cur, str(tmp_path / "ckpt2"), **kw
+    )
+    replayed = names()
+    assert len(replayed) == 2 and "fresh.txt" in replayed
+    assert replayed & {"good.txt", "good2.txt"}
+
+    # explicit absolute cutoff overrides the calibrated one: a cutoff
+    # above every score (avg logprobs are negative) rejects the whole
+    # drop zone before the index — nothing lands in fresh output dirs
+    # (an empty batch writes no partitions, so prior landings would be
+    # untouched: fresh dirs isolate the verdict)
+    import os
+
+    cur2 = str(tmp_path / "curated2")
+    idx2 = str(tmp_path / "index2")
+    curation_ingest_file_stream(
+        spark, str(inp), idx2, cur2, str(tmp_path / "ckpt3"),
+        pattern="*.txt", min_tokens=5, lm_model_dir=mdir,
+        lm_min_logprob=0.0,
+    )
+    assert not os.path.exists(cur2) or not [
+        f for f in os.listdir(cur2) if f.startswith("_batch")
+    ]
