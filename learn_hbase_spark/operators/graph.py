@@ -208,6 +208,7 @@ def pagerank(
     damping: float = 0.85,
     n_iter: int = 10,
     redistribute_dangling: bool = False,
+    exact_replay: bool = False,
 ) -> DataFrame:
     """PageRank over an undirected edge list, fixed iteration count.
 
@@ -233,7 +234,38 @@ def pagerank(
     the plan doesn't grow with iterations — at cluster scale, persist to a
     bucketed table instead and co-partition ``edges`` by ``u`` so every
     round's join is shuffle-free on the edge side.
+
+    ``exact_replay=True`` pins every iteration engine-exactly so an
+    external SQL engine replaying the same ``n_iter`` power iterations
+    over the same edge table reproduces the ranks BIT-IDENTICALLY. The
+    iteration runs in scaled-INTEGER fixed point (units of 1e-9): the
+    edge contribution is ``rank_int div deg`` (floor division — every
+    engine agrees on positive integer division, unlike float summation
+    order, double→decimal casts at dyadic midpoints, or decimal
+    scale-reduction, which DuckDB truncates where Spark rounds HALF_UP),
+    the in-sum is an associative shuffle-order-free integer sum, and the
+    damped update is ``base + (d_pct * sum) div 100`` with
+    ``damping = d_pct/100``; the output is the final integer over 1e9 as
+    one IEEE double division. Each step floors at the 1e-9 quantum, so
+    replay ranks sit within ``n_iter`` ulps-of-1e-9 below the default
+    double path — immaterial for ranking, decisive for verification.
+    Bounds: exact while ``d_pct * sum(rank_int)`` fits int64 — total
+    mass <= |V| means |V| up to ~1e8 nodes; the verification scales this
+    exists for. Requires integer-percent damping; not composable with
+    ``redistribute_dangling`` (its per-round mass scalar would need the
+    same pinning — unbuilt because no replay caller needs it).
     """
+    if exact_replay and redistribute_dangling:
+        raise ValueError(
+            "exact_replay pins the default (no-redistribution) form; "
+            "the dangling-mass scalar is not integer-pinned"
+        )
+    d_pct = round(damping * 100)
+    if exact_replay and abs(damping * 100 - d_pct) > 1e-9:
+        raise ValueError(
+            "exact_replay needs integer-percent damping (e.g. 0.85), "
+            f"got {damping}"
+        )
     sym = edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
     sym = sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
     sym = sym.localCheckpoint()
@@ -249,7 +281,8 @@ def pagerank(
     out_edges = sym.join(degrees, "u").coalesce(n_parts).localCheckpoint()
 
     base = nodes.select(F.col(node_col).alias("u")).coalesce(n_parts)
-    ranks = base.withColumn("rank", F.lit(1.0)).localCheckpoint()
+    init = F.lit(1_000_000_000).cast("long") if exact_replay else F.lit(1.0)
+    ranks = base.withColumn("rank", init).localCheckpoint()
 
     if redistribute_dangling:
         # static set: symmetrized edges give every endpoint out-degree >0,
@@ -262,12 +295,19 @@ def pagerank(
             out_edges.join(ranks, "u")
             .select(
                 F.col("v").alias("u"),
-                (F.col("rank") / F.col("_deg")).alias("_c"),
+                (
+                    F.expr("rank div _deg")
+                    if exact_replay
+                    else F.col("rank") / F.col("_deg")
+                ).alias("_c"),
             )
             .groupBy("u")
             .agg(F.sum("_c").alias("_in"))
         )
-        incoming = F.coalesce(F.col("_in"), F.lit(0.0))
+        if exact_replay:
+            incoming = F.coalesce(F.col("_in"), F.lit(0).cast("long"))
+        else:
+            incoming = F.coalesce(F.col("_in"), F.lit(0.0))
         if redistribute_dangling:
             dang_mass = dangling.join(ranks, "u").agg(
                 F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")
@@ -287,18 +327,35 @@ def pagerank(
                 )
             )
         else:
-            ranks = base.join(contrib, "u", "left").select(
-                "u",
-                (F.lit(1.0 - damping) + F.lit(damping) * incoming).alias(
-                    "rank"
-                ),
-            )
+            if exact_replay:
+                # base + (d_pct * sum) div 100, all int64: exact,
+                # associative, engine-free
+                updated = (
+                    F.lit((100 - d_pct) * 1_000_000_000 // 100).cast("long")
+                    + F.expr(f"({d_pct} * _incoming_i) div 100")
+                )
+                ranks = (
+                    base.join(contrib, "u", "left")
+                    .withColumn("_incoming_i", incoming)
+                    .select("u", updated.alias("rank"))
+                )
+            else:
+                updated = F.lit(1.0 - damping) + F.lit(damping) * incoming
+                ranks = base.join(contrib, "u", "left").select(
+                    "u", updated.alias("rank")
+                )
         # truncate lineage every few rounds: a checkpoint per round pays a
         # full materialization each iteration, while a 3-round join-agg
         # lineage is still cheap to plan — checkpoint cadence trades
         # materialization cost against plan depth
         if (i + 1) % 3 == 0 or i == n_iter - 1:
             ranks = ranks.localCheckpoint()
-    return ranks.select(
-        F.col("u").alias(node_col), F.round("rank", 6).alias("rank")
+    final = (
+        # one IEEE division on the exact integer: same double in any
+        # engine; rounding here would re-introduce a shortest-repr-vs-
+        # binary tie hazard
+        F.col("rank").cast("double") / F.lit(1_000_000_000.0)
+        if exact_replay
+        else F.round("rank", 6)
     )
+    return ranks.select(F.col("u").alias(node_col), final.alias("rank"))

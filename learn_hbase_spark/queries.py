@@ -437,7 +437,7 @@ _SWEEP_PRIORITY: list[str] = [
     # work lands), then the 41 queries whose fingerprints moved under
     # r10's module edits without an r10 sweep slot — the recorder kept
     # them stale, so they re-verify first.
-    "skew_report", "curate_from_signals",
+    "skew_report", "curate_from_signals", "pagerank_neardup",
     "semantic_dedup", "pagerank_neardup", "bpe_train_merges",
     "bpe_tokenize", "vocab_topk", "decontaminate", "chunk_documents",
     "array_ops_surface", "lm_score", "source_overlap", "pagerank_iter1",
@@ -5892,23 +5892,95 @@ def hopping_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("pagerank_neardup")  # iterative float fixpoint → rows-only check
+def _pagerank_replay_ctes(n_iter: int, d_pct: int = 85) -> str:
+    """The DuckDB side of graph.pagerank's ``exact_replay`` contract:
+    ``n_iter`` chained power-iteration CTEs in 1e-9 scaled-integer fixed
+    point over the ``sym``/``deg`` edge CTEs — floor division, integer
+    sums, no float or rounding law anywhere, so the replay is
+    bit-identical to the Spark loop by construction."""
+    base = (100 - d_pct) * 1_000_000_000 // 100
+    parts = [
+        "r0 AS (SELECT doc_id AS u, CAST(1000000000 AS BIGINT) AS r"
+        " FROM documents)"
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f"""c{i} AS (
+      SELECT s.v AS u, CAST(sum(r.r // d.d) AS BIGINT) AS inc
+      FROM sym s JOIN deg d ON d.u = s.u JOIN r{i - 1} r ON r.u = s.u
+      GROUP BY s.v
+    )"""
+        )
+        parts.append(
+            f"""r{i} AS (
+      SELECT n.doc_id AS u,
+             CAST({base} + ({d_pct} * coalesce(c.inc, 0)) // 100 AS BIGINT)
+               AS r
+      FROM documents n LEFT JOIN c{i} c ON c.u = n.doc_id
+    )"""
+        )
+    return ",\n    ".join(parts)
+
+
+@_register(
+    "pagerank_neardup",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_SHINGLES}) AS s FROM documents
+    ),
+    sig AS (
+      SELECT doc_id,
+        {", ".join(f"min(substr(md5(s || '#{i // 4}'), {1 + 8 * (i % 4)}, 8)) AS mh_{i}" for i in range(8))}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, md5('0' || '|' || mh_0 || '|' || mh_1) AS bk FROM sig
+      UNION ALL
+      SELECT doc_id, md5('1' || '|' || mh_2 || '|' || mh_3) AS bk FROM sig
+      UNION ALL
+      SELECT doc_id, md5('2' || '|' || mh_4 || '|' || mh_5) AS bk FROM sig
+      UNION ALL
+      SELECT doc_id, md5('3' || '|' || mh_6 || '|' || mh_7) AS bk FROM sig
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
+    ),
+    sym AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION ALL
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    deg AS (SELECT u, count(*) AS d FROM sym GROUP BY u),
+    {_pagerank_replay_ctes(5)}
+    SELECT u AS doc_id, CAST(r AS DOUBLE) / 1000000000.0 AS rank FROM r5
+    """,
+)
 def pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the MinHash-LSH near-duplicate graph: documents
     central to large duplicate clusters rank high — a dedup-priority /
     canonical-pick signal beyond plain cluster membership. 5 fixed
-    iterations here (plenty for tiny near-dup cliques whose diameter is
-    1-2; production graphs run the operator's default 10+) of
-    join+aggregate per round with lineage truncation
-    (operators.graph.pagerank); iterative float fixpoints are outside the
-    SQL-oracle scope (convergence properties are pytest-verified); the
-    first power-iteration step is oracle-twinned via ``pagerank_iter1``."""
+    iterations (plenty for tiny near-dup cliques whose diameter is 1-2;
+    production graphs run the operator's default 10+) of join+aggregate
+    per round with lineage truncation (operators.graph.pagerank).
+
+    FULL oracle (VERDICT r10 #5, closing the r7 ann_lsh_topk argument):
+    a fixed iteration count of a deterministic linear operator is
+    replayable, so the query runs the operator's ``exact_replay`` mode —
+    the whole iteration in 1e-9 scaled-INTEGER fixed point (floor
+    division + associative integer sums; float summation order, dyadic
+    double→decimal cast ties, and DuckDB's truncating decimal
+    scale-reduction are all structurally absent) — and the twin replays
+    the same five iterations as chained CTEs. Production callers keep
+    the default double path; replay quantization (≤ n_iter·1e-9, always
+    downward) is invisible to the ranking this signal feeds."""
     docs = _t(spark, sf_dir, "documents")
     pairs = dedup.minhash_bucket_pairs(
         docs, "text", "doc_id", num_hashes=8, bands=4
     )
     return graph.pagerank(
-        docs.select("doc_id"), pairs, node_col="doc_id", n_iter=5
+        docs.select("doc_id"), pairs, node_col="doc_id", n_iter=5,
+        exact_replay=True,
     )
 
 

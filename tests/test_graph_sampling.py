@@ -349,3 +349,39 @@ def test_unimax_rates_all_capped_when_budget_exceeds_caps(spark):
         for r in unimax_rates(df, "source", 2.0, 1.0).collect()
     }
     assert got == {"a": (4.0, 1.0), "b": (6.0, 1.0)}
+
+
+def test_pagerank_exact_replay_tracks_double_path(spark):
+    """exact_replay runs the iteration in 1e-9 scaled-integer fixed point
+    (per-step floors, always downward) so an external engine replays it
+    bit-identically; its ranks must sit within n_iter * 1e-9 BELOW the
+    default double path, preserve the ranking, and refuse the two
+    configurations whose scalars are not integer-pinned."""
+    import pytest
+
+    from learn_hbase_spark.operators.graph import pagerank
+
+    nodes = spark.createDataFrame([(i,) for i in range(8)], "node long")
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (1, 2), (4, 5), (5, 6)],
+        "id_a long, id_b long",
+    )
+    dbl = {r["node"]: r["rank"] for r in pagerank(nodes, edges, n_iter=5).collect()}
+    fix = {
+        r["node"]: r["rank"]
+        for r in pagerank(nodes, edges, n_iter=5, exact_replay=True).collect()
+    }
+    assert set(dbl) == set(fix)
+    for n in dbl:
+        # double path rounds to 6; replay floors at 1e-9 per step
+        assert fix[n] <= dbl[n] + 5e-7
+        assert dbl[n] - fix[n] < 1e-6 + 5 * 1e-9
+    order = lambda d: sorted(d, key=lambda n: (-d[n], n))  # noqa: E731
+    assert order(dbl) == order(fix)
+
+    with pytest.raises(ValueError, match="integer-percent"):
+        pagerank(nodes, edges, damping=0.8567, exact_replay=True)
+    with pytest.raises(ValueError, match="no-redistribution"):
+        pagerank(
+            nodes, edges, exact_replay=True, redistribute_dangling=True
+        )
