@@ -1094,12 +1094,16 @@ class WideTable:
         stats — the read path HBase users bolt on via Phoenix global
         indexes or a manually-maintained index table.
 
-        The index is a SNAPSHOT: it is stamped with the build wall-clock
-        (same epoch-ns domain as cell versions) and ``lookup_by_value``
-        refuses service — or serves read-repaired results under
-        ``allow_stale=True`` — once the table has newer data files.
-        Rebuild cadence pairs naturally with ``compact()``, exactly like
-        the HBase world where index maintenance rides major compactions.
+        The index is stamped with the build wall-clock (same epoch-ns
+        domain as cell versions) and ``lookup_by_value`` refuses service
+        — or serves read-repaired results under ``allow_stale=True`` —
+        once the table has data files newer than the stamp. Layout is
+        the table's own LSM idiom: this full build writes the ``base/``
+        segment and clears any ``delta_*`` segments;
+        :meth:`update_index` appends delta segments between builds
+        (Phoenix's incremental maintenance), so full-rebuild cadence
+        pairs naturally with ``compact()``, exactly like the HBase world
+        where index maintenance rides major compactions.
         """
         if family not in self.families:
             raise ValueError(f"unknown family {family!r}")
@@ -1117,15 +1121,86 @@ class WideTable:
             .sortWithinPartitions("value")
         )
         path = self._index_path(family, qualifier)
-        rows.write.mode("overwrite").parquet(path)
+        fs = self._fs()
+        # full rebuild collapses the segment stack: drop old base AND any
+        # deltas in one shot, then write the fresh snapshot
+        fs.delete(self._hpath(path), True)
+        rows.write.parquet(path + "/base")
+        self._write_index_stamp(path, built_ns)
+
+    def _write_index_stamp(self, path: str, built_ns: int) -> None:
         # sidecar stamp (not a data column): survives an EMPTY index, and
         # the freshness probe reads one tiny file instead of parquet rows
-        fs = self._fs()
-        out = fs.create(self._hpath(path + "/_built"), True)
+        out = self._fs().create(self._hpath(path + "/_built"), True)
         try:
             out.write(bytearray(str(built_ns).encode("utf-8")))
         finally:
             out.close()
+
+    def update_index(
+        self,
+        family: str,
+        qualifier: str,
+        rowkeys,
+    ) -> None:
+        """Incremental (Phoenix-style) index maintenance: after an upsert
+        touched ``rowkeys``, append ONE delta segment holding just those
+        rows' freshly-resolved ``(value, rowkey)`` entries and re-stamp —
+        write volume is O(touched rows), never the index. Tombstoned rows
+        are anti-joined out by construction (``_latest`` drops delete
+        markers, so they simply have no delta entry).
+
+        Why appending suffices: ``lookup_by_value`` read-repairs every
+        candidate against the live resolved cell, so superseded base
+        entries (a rowkey whose value CHANGED away from the probe value)
+        are filtered there; the only staleness hazard is a MISS — a
+        rowkey whose live value now matches the probe but which no
+        segment lists under it. The delta closes exactly that hole.
+        Contract (single-writer, the table's own protocol): call with
+        every rowkey the upsert touched since the last build/update —
+        the natural call site is immediately after ``put``/``merge``
+        with the same key set, Phoenix's write-path coupling. Deltas
+        accumulate until the next :meth:`build_index` collapses them
+        (ride it on ``compact()``).
+
+        ``rowkeys``: an iterable of rowkey strings (the touched PREFIXES
+        are derived driver-side and pushed as partition-pruning filters —
+        the upsert-sized read this exists for) or a single-column
+        ``rowkey`` DataFrame (semi-join; no pruning — for callers whose
+        touched set is itself distributed).
+        """
+        path = self._index_path(family, qualifier)
+        fs = self._fs()
+        if not fs.exists(self._hpath(path + "/_built")):
+            raise ValueError(
+                f"no index for {family}:{qualifier} — build_index first"
+            )
+        built_ns = time.time_ns()  # BEFORE the read: conservative stamp
+        cells = (
+            self._cells()
+            .filter(F.col("family") == family)
+            .filter(F.col("qualifier") == qualifier)
+        )
+        if isinstance(rowkeys, DataFrame):
+            touched = cells.join(
+                rowkeys.select("rowkey"), "rowkey", "left_semi"
+            )
+        else:
+            keys = sorted({str(k) for k in rowkeys})
+            prefixes = sorted({k[:PREFIX_LEN] for k in keys})
+            touched = cells.filter(F.col("prefix").isin(prefixes)).filter(
+                F.col("rowkey").isin(keys)
+            )
+        fresh = (
+            self._latest(touched)
+            .select("value", "rowkey")
+            # global sort = range partition + sort; AQE sizes the post-
+            # shuffle partition count to the DELTA's bytes, so a point
+            # upsert writes one small file and a bulk load fans out
+            .sort("value")
+        )
+        fresh.write.parquet(f"{path}/delta_{built_ns}")
+        self._write_index_stamp(path, built_ns)
 
     def _newest_data_mtime_ms(self) -> int:
         """Metadata-only freshness probe: newest data-file modification
@@ -1165,13 +1240,23 @@ class WideTable:
         """
         path = self._index_path(family, qualifier)
         try:
-            idx = self.spark.read.parquet(path)
+            idx = self.spark.read.parquet(path + "/base")
         except Exception as exc:
             raise ValueError(
                 f"no index for {family}:{qualifier} — build_index first"
             ) from exc
+        # segment stack: base snapshot + any update_index deltas. Each
+        # segment is value-sorted (row-group min/max pruning applies per
+        # segment); dup candidates across segments collapse below
+        fs = self._fs()
+        for st in fs.listStatus(self._hpath(path)):
+            if st.isDirectory() and st.getPath().getName().startswith(
+                "delta_"
+            ):
+                idx = idx.unionByName(
+                    self.spark.read.parquet(str(st.getPath()))
+                )
         if not allow_stale:
-            fs = self._fs()
             stream = fs.open(self._hpath(path + "/_built"))
             try:
                 built_ns = int(
@@ -1187,7 +1272,9 @@ class WideTable:
                     f"index {family}:{qualifier} predates newer table "
                     "writes; run build_index again or pass allow_stale=True"
                 )
-        keys = idx.filter(F.col("value") == value).select("rowkey")
+        # distinct: a rowkey re-upserted with the same value appears in
+        # several segments; candidates stay unique for the semi-join
+        keys = idx.filter(F.col("value") == value).select("rowkey").distinct()
         fetched = (
             self._cells()
             .filter(F.col("family") == family)

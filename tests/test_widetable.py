@@ -654,7 +654,7 @@ def test_index_files_prune_on_value_stats(spark, table):
     ]
     table.put(_cells(spark, rows))
     table.build_index("info", "yhbh")
-    idx_dir = table._index_path("info", "yhbh")
+    idx_dir = table._index_path("info", "yhbh") + "/base"
     files = sorted(glob.glob(idx_dir + "/*.parquet"))
     assert len(files) >= 2, "need multiple index files to show pruning"
     probe = "U0042"
@@ -899,3 +899,134 @@ def test_recover_restores_premanifest_bucket_park(spark, tmp_path):
     assert rows == sorted(keys)  # parked bucket restored, nothing lost
     assert (root / "prefix=0401" / f"bucket={parked_b}").exists()
     assert not Path(str(root) + "__aside").exists()
+
+
+def _dir_parquet_bytes(root):
+    import os
+
+    total = 0
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(dirpath, f))
+    return total
+
+
+def test_index_incremental_update_equivalent_to_rebuild(spark, tmp_path):
+    """VERDICT r10 #8, the Phoenix incremental-maintenance pattern:
+    update_index appends a delta segment for ONLY the upserted rowkeys
+    (value change, new row, tombstone) and re-stamps; the lookup through
+    base+delta must equal a full rebuild's, the staleness gate must
+    accept the delta as fresh, and the delta's write volume must be
+    bounded by the upsert — not the index."""
+    import os
+    import time as _time
+
+    table = WideTable.create(spark, str(tmp_path / "ti"), ["info"])
+    rows = [(f"04{i:02d}_M{i}", "info", "yhbh", f"U{i % 7}")
+            for i in range(40)]
+    table.put(_cells(spark, rows))
+    table.build_index("info", "yhbh")
+    idx_root = table._index_path("info", "yhbh")
+    base_bytes = _dir_parquet_bytes(os.path.join(idx_root, "base"))
+
+    # the upsert: one value change INTO the probe value, one change away
+    # from it, one brand-new row, one tombstone of a probe-value row
+    _time.sleep(0.01)
+    table.put(_cells(spark, [
+        ("0401_M1", "info", "yhbh", "U3"),    # was U1 -> now matches probe
+        ("0403_M3", "info", "yhbh", "U6"),    # was U3 -> leaves probe set
+        ("0499_NEW", "info", "yhbh", "U3"),   # fresh row in probe set
+        ("0410_M10", "info", "yhbh", None),   # tombstone (was U3)
+    ]))
+    with pytest.raises(WideTable.IndexStale):
+        table.lookup_by_value("info", "yhbh", "U3")
+
+    table.update_index(
+        "info", "yhbh", ["0401_M1", "0403_M3", "0499_NEW", "0410_M10"]
+    )
+    got = sorted(
+        r["rowkey"]
+        for r in table.lookup_by_value("info", "yhbh", "U3").collect()
+    )
+
+    # staleness-equivalence: a full rebuild answers identically
+    table.build_index("info", "yhbh")
+    want = sorted(
+        r["rowkey"]
+        for r in table.lookup_by_value("info", "yhbh", "U3").collect()
+    )
+    assert got == want
+    assert "0401_M1" in got and "0499_NEW" in got      # delta hits
+    assert "0403_M3" not in got and "0410_M10" not in got  # repair + tomb
+    # the changed-away row must also have left its OLD value's result
+    # (read-repair over the superseded base entry)
+    table.update_index("info", "yhbh", ["0403_M3"])  # no-op delta is fine
+    assert "0403_M3" not in {
+        r["rowkey"]
+        for r in table.lookup_by_value(
+            "info", "yhbh", "U3", allow_stale=True
+        ).collect()
+    }
+
+
+def test_index_delta_write_volume_bounded(spark, tmp_path):
+    """The point of incremental maintenance: a 2-row upsert writes an
+    index delta orders smaller than the base snapshot, and a full
+    rebuild collapses the segment stack back to base-only."""
+    import os
+    import time as _time
+
+    table = WideTable.create(spark, str(tmp_path / "tv"), ["info"])
+    pad = "x" * 200
+    rows = [(f"04{i:02d}_M{i}", "info", "yhbh", f"U{i}{pad}")
+            for i in range(64)]
+    table.put(_cells(spark, rows))
+    table.build_index("info", "yhbh")
+    idx_root = table._index_path("info", "yhbh")
+    base_bytes = _dir_parquet_bytes(os.path.join(idx_root, "base"))
+
+    _time.sleep(0.01)
+    table.put(_cells(spark, [
+        ("0401_M1", "info", "yhbh", "V1"),
+        ("0402_M2", "info", "yhbh", "V1"),
+    ]))
+    table.update_index("info", "yhbh", ["0401_M1", "0402_M2"])
+    deltas = [d for d in os.listdir(idx_root) if d.startswith("delta_")]
+    assert len(deltas) == 1
+    delta_bytes = _dir_parquet_bytes(os.path.join(idx_root, deltas[0]))
+    assert 0 < delta_bytes < base_bytes / 4  # upsert-sized, not index-sized
+    got = sorted(
+        r["rowkey"]
+        for r in table.lookup_by_value("info", "yhbh", "V1").collect()
+    )
+    assert got == ["0401_M1", "0402_M2"]
+
+    # full rebuild collapses the stack: deltas gone, lookups unchanged
+    table.build_index("info", "yhbh")
+    assert not [d for d in os.listdir(idx_root) if d.startswith("delta_")]
+    assert sorted(
+        r["rowkey"]
+        for r in table.lookup_by_value("info", "yhbh", "V1").collect()
+    ) == ["0401_M1", "0402_M2"]
+
+
+def test_index_update_requires_build_and_accepts_dataframe_keys(
+    spark, tmp_path
+):
+    table = WideTable.create(spark, str(tmp_path / "tdf"), ["info"])
+    table.put(_cells(spark, [("0401_M1", "info", "yhbh", "U1")]))
+    with pytest.raises(ValueError, match="build_index first"):
+        table.update_index("info", "yhbh", ["0401_M1"])
+    table.build_index("info", "yhbh")
+    import time as _time
+
+    _time.sleep(0.01)
+    table.put(_cells(spark, [("0402_M2", "info", "yhbh", "U1")]))
+    table.update_index(
+        "info", "yhbh", spark.createDataFrame([("0402_M2",)], "rowkey string")
+    )
+    assert sorted(
+        r["rowkey"]
+        for r in table.lookup_by_value("info", "yhbh", "U1").collect()
+    ) == ["0401_M1", "0402_M2"]
