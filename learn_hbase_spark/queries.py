@@ -438,6 +438,7 @@ _SWEEP_PRIORITY: list[str] = [
     # r10's module edits without an r10 sweep slot — the recorder kept
     # them stale, so they re-verify first.
     "skew_report", "curate_from_signals", "pagerank_neardup",
+    "widetable_index_incremental",
     "semantic_dedup", "pagerank_neardup", "bpe_train_merges",
     "bpe_tokenize", "vocab_topk", "decontaminate", "chunk_documents",
     "array_ops_surface", "lm_score", "source_overlap", "pagerank_iter1",
@@ -8755,6 +8756,66 @@ def widetable_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     wt.put(cells)
     wt.build_index("info", "mktsegment")
     return wt.lookup_by_value("info", "mktsegment", "BUILDING")
+
+
+@_register(
+    "widetable_index_incremental",
+    """
+    WITH live AS (
+      SELECT concat('04', lpad(CAST((c_nationkey % 15) + 1 AS VARCHAR),
+                               2, '0'),
+                    '_C', CAST(c_custkey AS VARCHAR)) AS rowkey,
+             CASE WHEN c_custkey % 10 = 0 THEN 'MACHINERY'
+                  ELSE c_mktsegment END AS value
+      FROM customer
+    )
+    SELECT rowkey, 'info' AS family, 'mktsegment' AS qualifier, value
+    FROM live
+    WHERE value >= 'AUTOMOBILE' AND value < 'FURNITURE'
+    """,
+)
+def widetable_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Phoenix WRITE-PATH composition end-to-end (VERDICT r10 #8):
+    initial load → build_index → a later upsert that rewrites every
+    tenth customer's segment → update_index with ONLY the touched
+    rowkeys (one O(upsert) delta segment, no rebuild) → a RANGE probe
+    (``lookup_by_value_range``, half-open ['AUTOMOBILE', 'FURNITURE'))
+    served FRESH through the base+delta segment stack. The oracle
+    recomputes live membership from the base table with the upsert
+    applied as a CASE — the equivalence incremental maintenance must
+    preserve: changed-away rows leave the range result (read-repair over
+    the superseded base entries), changed-into rows appear (delta), and
+    untouched rows ride the base snapshot."""
+    from .widetable import WideTable
+
+    c = _t(spark, sf_dir, "customer")
+    cells = c.select(
+        F.concat(
+            F.lit("04"),
+            F.lpad(((F.col("c_nationkey") % 15) + 1).cast("string"), 2, "0"),
+            F.lit("_C"),
+            F.col("c_custkey").cast("string"),
+        ).alias("rowkey"),
+        F.lit("info").alias("family"),
+        F.lit("mktsegment").alias("qualifier"),
+        F.col("c_mktsegment").alias("value"),
+        F.col("c_custkey").alias("_ck"),
+    )
+    path = os.path.join(
+        _SCRATCH_ROOT,
+        f"wt_index_incr_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    wt = WideTable.create(spark, path, ["info"], overwrite=True)
+    wt.put(cells.drop("_ck"))
+    wt.build_index("info", "mktsegment")
+    updates = cells.filter(F.col("_ck") % 10 == 0).select(
+        "rowkey", "family", "qualifier", F.lit("MACHINERY").alias("value")
+    )
+    wt.put(updates)
+    wt.update_index("info", "mktsegment", updates.select("rowkey"))
+    return wt.lookup_by_value_range(
+        "info", "mktsegment", "AUTOMOBILE", "FURNITURE"
+    )
 
 
 @_register(

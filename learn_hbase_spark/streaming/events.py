@@ -188,6 +188,7 @@ def upsert_stream_to_widetable(
     table,
     checkpoint_dir: str,
     cell_fn=event_day_cells,
+    maintain_indexes: tuple = (),
 ) -> None:
     """Incremental ingest: drain the stream into a ``WideTable`` via
     ``foreachBatch``, one latest-wins put per micro-batch.
@@ -199,12 +200,23 @@ def upsert_stream_to_widetable(
     latest-wins resolution at read (WideTable versions ≙ HBase cell
     timestamps). Re-processing a batch after failure lands the same cells
     with a newer version: the read result is unchanged, so the pipeline is
-    idempotent end-to-end."""
+    idempotent end-to-end.
+
+    ``maintain_indexes``: ``(family, qualifier)`` pairs whose secondary
+    index rides the write path — after each put, ``update_index``
+    appends an upsert-sized delta for the batch's touched rowkeys
+    (Phoenix couples index maintenance to the write RPC; this is the
+    micro-batch analogue), so lookups stay FRESH between full rebuilds
+    instead of tripping the staleness guard after the first drain. Each
+    named index must exist (``build_index``) before the stream starts.
+    Replay-safe like the put itself: a replayed batch appends a
+    duplicate delta whose entries collapse in the lookup's distinct +
+    read-repair."""
 
     q = (
         stream.writeStream.foreachBatch(
             lambda batch_df, batch_id: upsert_batch(
-                table, batch_df, batch_id, cell_fn
+                table, batch_df, batch_id, cell_fn, maintain_indexes
             )
         )
         .option("checkpointLocation", checkpoint_dir)
@@ -214,17 +226,36 @@ def upsert_stream_to_widetable(
     q.awaitTermination()
 
 
-def upsert_batch(table, batch_df: DataFrame, batch_id: int, cell_fn) -> None:
+def upsert_batch(
+    table,
+    batch_df: DataFrame,
+    batch_id: int,
+    cell_fn,
+    maintain_indexes: tuple = (),
+) -> None:
     """One micro-batch of :func:`upsert_stream_to_widetable` — module-level
     so replay semantics are directly testable: foreachBatch is
     at-least-once, and this sink is replay-safe because ``WideTable.put``
     is a latest-wins upsert — a replayed batch lands the SAME cells again
     with a newer version, and the latest-wins read resolves to identical
     values (asserted by the parametrized replay test in
-    tests/test_streaming.py)."""
+    tests/test_streaming.py). Index maintenance happens AFTER the put
+    (the index must never lead the data), per indexed pair, keyed by the
+    batch's touched rowkeys only."""
     cells = cell_fn(batch_df)
-    if cells.take(1):
-        table.put(cells)
+    if not cells.take(1):
+        return
+    table.put(cells)
+    for family, qualifier in maintain_indexes:
+        touched = (
+            cells.filter(
+                (F.col("family") == family)
+                & (F.col("qualifier") == qualifier)
+            )
+            .select("rowkey")
+            .distinct()
+        )
+        table.update_index(family, qualifier, touched)
 
 
 def stateful_user_totals(stream: DataFrame) -> DataFrame:

@@ -1182,8 +1182,20 @@ class WideTable:
             .filter(F.col("qualifier") == qualifier)
         )
         if isinstance(rowkeys, DataFrame):
-            touched = cells.join(
-                rowkeys.select("rowkey"), "rowkey", "left_semi"
+            keys = rowkeys.select("rowkey")
+            # touched PREFIXES are a partition-key set — bounded by the
+            # table's partition count, the accepted bounded-driver class —
+            # so collecting them buys partition pruning for the semi-join
+            prefixes = sorted(
+                r["p"]
+                for r in keys.select(
+                    F.substring("rowkey", 1, PREFIX_LEN).alias("p")
+                )
+                .distinct()
+                .collect()
+            )
+            touched = cells.filter(F.col("prefix").isin(prefixes)).join(
+                keys, "rowkey", "left_semi"
             )
         else:
             keys = sorted({str(k) for k in rowkeys})
@@ -1238,6 +1250,36 @@ class WideTable:
         ``allow_stale=True`` opts into the Phoenix-like eventually-
         consistent read.
         """
+        return self._index_probe(
+            family, qualifier, F.col("value") == value, allow_stale
+        )
+
+    def lookup_by_value_range(
+        self,
+        family: str,
+        qualifier: str,
+        lo: str,
+        hi: str,
+        allow_stale: bool = False,
+    ) -> DataFrame:
+        """Index-accelerated RANGE lookup over ``lo <= value < hi`` — the
+        other probe shape a Phoenix global index serves. Every index
+        segment is value-sorted, so the range predicate prunes row groups
+        on parquet min/max stats exactly like the point probe; candidates
+        fetch through the same broadcast semi-join and read-repair, so
+        staleness remains one-sided (miss-only). Half-open bounds compose
+        with the stop-key successor convention the rowkey scans use
+        (SURVEY X3)."""
+        cond = (F.col("value") >= lo) & (F.col("value") < hi)
+        return self._index_probe(family, qualifier, cond, allow_stale)
+
+    def _index_probe(
+        self,
+        family: str,
+        qualifier: str,
+        value_cond,
+        allow_stale: bool,
+    ) -> DataFrame:
         path = self._index_path(family, qualifier)
         try:
             idx = self.spark.read.parquet(path + "/base")
@@ -1274,7 +1316,7 @@ class WideTable:
                 )
         # distinct: a rowkey re-upserted with the same value appears in
         # several segments; candidates stay unique for the semi-join
-        keys = idx.filter(F.col("value") == value).select("rowkey").distinct()
+        keys = idx.filter(value_cond).select("rowkey").distinct()
         fetched = (
             self._cells()
             .filter(F.col("family") == family)
@@ -1285,6 +1327,6 @@ class WideTable:
         # resolved value decides membership
         return (
             self._latest(fetched)
-            .filter(F.col("value") == value)
+            .filter(value_cond)
             .select("rowkey", "family", "qualifier", "value")
         )

@@ -1053,3 +1053,71 @@ def test_curation_file_stream_frozen_lm_band(spark, tmp_path):
     assert not os.path.exists(cur2) or not [
         f for f in os.listdir(cur2) if f.startswith("_batch")
     ]
+
+
+def test_stream_upsert_maintains_secondary_index(spark, tmp_path):
+    """Phoenix couples index maintenance to the write RPC; the micro-batch
+    analogue: upsert_stream_to_widetable(maintain_indexes=...) appends an
+    upsert-sized index delta per drain, so a lookup right after the drain
+    is FRESH (no IndexStale, no rebuild) and matches scan-derived truth;
+    a fresh-checkpoint replay stays idempotent."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from learn_hbase_spark.streaming.events import upsert_stream_to_widetable
+    from learn_hbase_spark.widetable import WideTable
+
+    src = str(tmp_path / "src")
+    ev = load_table(spark, SF, "events")
+    ev.write.parquet(src)
+
+    def etype_cells(batch):
+        # one cell per user: rowkey = padded user id, fixed qualifier,
+        # value = lexicographically-max event type (deterministic)
+        return batch.groupBy(
+            F.lpad(F.col("user_id").cast("string"), 8, "0").alias("rowkey")
+        ).agg(
+            F.max("event_type").alias("value")
+        ).select(
+            "rowkey", F.lit("bmz").alias("family"),
+            F.lit("etype").alias("qualifier"), "value",
+        )
+
+    table = WideTable.create(spark, str(tmp_path / "wt"), ["bmz"])
+    # seed one row so the base segment is non-empty, then index it
+    table.put(spark.createDataFrame(
+        [("00000000", "bmz", "etype", "seed")],
+        "rowkey string, family string, qualifier string, value string",
+    ))
+    table.build_index("bmz", "etype")
+
+    upsert_stream_to_widetable(
+        read_event_stream(spark, src), table, str(tmp_path / "ckpt1"),
+        cell_fn=etype_cells, maintain_indexes=(("bmz", "etype"),),
+    )
+    probe = etype_cells(ev).agg(F.max("value")).first()[0]
+    want = sorted(
+        r["rowkey"] for r in etype_cells(ev).collect() if r["value"] == probe
+    )
+    # FRESH lookup straight after the drain — the delta rode the write path
+    got = sorted(
+        r["rowkey"]
+        for r in table.lookup_by_value("bmz", "etype", probe).collect()
+    )
+    assert got == want and len(got) > 0
+    idx_root = table._index_path("bmz", "etype")
+    deltas = [d for d in os.listdir(idx_root) if d.startswith("delta_")]
+    assert len(deltas) >= 1  # maintenance wrote segments, not rebuilds
+
+    # fresh-checkpoint replay: same cells land again (newer versions),
+    # another delta appends, lookups unchanged — idempotent end-to-end
+    upsert_stream_to_widetable(
+        read_event_stream(spark, src), table, str(tmp_path / "ckpt2"),
+        cell_fn=etype_cells, maintain_indexes=(("bmz", "etype"),),
+    )
+    again = sorted(
+        r["rowkey"]
+        for r in table.lookup_by_value("bmz", "etype", probe).collect()
+    )
+    assert again == want

@@ -1030,3 +1030,41 @@ def test_index_update_requires_build_and_accepts_dataframe_keys(
         r["rowkey"]
         for r in table.lookup_by_value("info", "yhbh", "U1").collect()
     ) == ["0401_M1", "0402_M2"]
+
+
+def test_index_range_lookup(spark, tmp_path):
+    """lookup_by_value_range: half-open [lo, hi) over the sorted segment
+    stack, with read-repair semantics identical to the point probe —
+    including entries that arrive via an update_index delta."""
+    import time as _time
+
+    table = WideTable.create(spark, str(tmp_path / "tr"), ["info"])
+    table.put(_cells(spark, [
+        ("0401_M1", "info", "seg", "APPLE"),
+        ("0402_M2", "info", "seg", "BANANA"),
+        ("0403_M3", "info", "seg", "CHERRY"),
+        ("0404_M4", "info", "seg", "DATE"),
+    ]))
+    table.build_index("info", "seg")
+    got = sorted(
+        (r["rowkey"], r["value"])
+        for r in table.lookup_by_value_range(
+            "info", "seg", "BANANA", "DATE"
+        ).collect()
+    )
+    assert got == [("0402_M2", "BANANA"), ("0403_M3", "CHERRY")]
+
+    # delta entries join the range; changed-away rows leave it
+    _time.sleep(0.01)
+    table.put(_cells(spark, [
+        ("0401_M1", "info", "seg", "BLUEBERRY"),   # into range via delta
+        ("0403_M3", "info", "seg", "ELDERBERRY"),  # out of range
+    ]))
+    table.update_index("info", "seg", ["0401_M1", "0403_M3"])
+    got = sorted(
+        (r["rowkey"], r["value"])
+        for r in table.lookup_by_value_range(
+            "info", "seg", "BANANA", "DATE"
+        ).collect()
+    )
+    assert got == [("0401_M1", "BLUEBERRY"), ("0402_M2", "BANANA")]
