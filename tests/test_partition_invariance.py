@@ -78,6 +78,11 @@ CASES = [
     # waterfilling level search (running-sum order risk)
     "hard_negative_topk",
     "unimax_mixture_rates",
+    # round 11: five-iteration integer-fixed-point pagerank (replay mode
+    # claims bit-exactness across ANY execution, so partition count is
+    # the cheapest adversary), exact-percentile skew summary
+    "pagerank_neardup",
+    "skew_report",
 ]
 
 
