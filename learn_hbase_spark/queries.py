@@ -439,7 +439,7 @@ _SWEEP_PRIORITY: list[str] = [
     # them stale, so they re-verify first.
     "skew_report", "curate_from_signals", "pagerank_neardup",
     "widetable_index_incremental",
-    "semantic_dedup", "pagerank_neardup", "bpe_train_merges",
+    "semantic_dedup", "bpe_train_merges",
     "bpe_tokenize", "vocab_topk", "decontaminate", "chunk_documents",
     "array_ops_surface", "lm_score", "source_overlap", "pagerank_iter1",
     "line_dedup_boilerplate", "hard_negative_topk_lsh",

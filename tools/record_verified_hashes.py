@@ -59,11 +59,10 @@ _ROWS_ONLY_CHECKS = {
     "embedding_kmeans": [
         "tests/test_llm_ops.py::test_kmeans_matches_numpy_reference",
     ],
-    "pagerank_neardup": [
-        "tests/test_graph_sampling.py::test_pagerank_properties",
-        "tests/test_graph_sampling.py::"
-        "test_pagerank_deterministic_across_partitioning",
-    ],
+    # pagerank_neardup left this table in round 11: exact_replay gave it
+    # a FULL DuckDB oracle (five integer-fixed-point power iterations
+    # replayed as chained CTEs), so the driver's value-hash check is the
+    # bar again.
     "semantic_dedup": [
         "tests/test_llm_ops.py::test_within_cluster_pairs_semdedup_semantics",
     ],
