@@ -333,14 +333,33 @@ def freeze_bigram_lm(
     Scale: the count tables are Zipf-truncated (pair, count) rows — far
     smaller than the reference corpus; the threshold is one exact
     `percentile` aggregate (state bounded by distinct round-6 scores).
+    The corpus-side gram extraction runs at most TWICE: once into the
+    ``c2`` write, once (only with ``threshold_quantile``) to score the
+    corpus for calibration — ``c1`` re-aggregates the written ``c2``
+    parquet (``C(w1) = Σ_w2 C(w1,w2)`` exactly, integer sums) and the
+    vocabulary count scans it too, never the corpus again, and the
+    calibration scores through the WRITTEN tables
+    (:func:`bigram_lm_score_tables`; for the model's own pairs every
+    left join matches, so the scores equal the self-trained form
+    expression-for-expression).
     """
-    c2, c1, vocab_n = _bigram_lm_tables(model, text_col, id_col)
-    c2.write.mode("overwrite").parquet(f"{path}/c2")
-    c1.write.mode("overwrite").parquet(f"{path}/c1")
+    mp = _bigram_pairs(model, text_col, id_col)
+    mp.groupBy("w1", "w2").agg(F.count("*").alias("_c2")).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/c2")
+    spark = model.sparkSession
+    c2 = spark.read.parquet(f"{path}/c2")
+    c2.groupBy("w1").agg(F.sum("_c2").alias("_c1")).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/c1")
+    c1 = spark.read.parquet(f"{path}/c1")
+    vocab_n = c2.select("w2").distinct().agg(F.count("*").alias("_v"))
     thr = None
     if threshold_quantile is not None:
         thr = (
-            bigram_lm_score(model, text_col, id_col, k)
+            bigram_lm_score_tables(
+                model, c2, c1, vocab_n, text_col, id_col, k
+            )
             .agg(
                 F.round(
                     F.expr(f"percentile(avg_logprob, {threshold_quantile})"),

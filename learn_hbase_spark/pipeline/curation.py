@@ -308,14 +308,17 @@ def _curate_tail(
     ccnet_keep: tuple[str, ...] | None,
     strata_col: str,
     pin_gated: bool,
+    pin: bool = True,
 ) -> DataFrame:
     """Stages 5-10 (dedup → decontamination → LM band → CCNet buckets →
     mixing → packing) over an already-gated corpus — shared verbatim by
     :func:`curate` (which derives the gate from the rule operators
     inline) and :func:`curate_from_signals` (which derives it by
     thresholding a published signals table), so the two paths cannot
-    drift."""
-    if pin_gated:
+    drift. ``pin=False`` disables every stage-seam persist (including
+    the band stages\' internal scored-frame pins) for repeated callers —
+    see :func:`_pin` on CacheManager lifetime."""
+    if pin_gated and pin:
         # the gate output feeds several downstream consumers (dedup's
         # winner join, decontamination, the band stages) under different
         # prunings — pin it so the gate phase (or the signals semi-join)
@@ -328,19 +331,21 @@ def _curate_tail(
         .select("doc_id")
     )
     clean = survivors.join(clean_ids, "doc_id", "left_semi")
-    if lm_quantile is not None or ccnet_keep is not None:
+    if (lm_quantile is not None or ccnet_keep is not None) and pin:
         # the band stages reference clean several times (model training,
         # scoring, threshold, keep-join) — pin it so the gate phase runs once
         clean = _pin(clean)
     if lm_quantile is not None:
         clean = clean.join(
-            _lm_band_ids(clean, lm_quantile, approx_threshold),
+            _lm_band_ids(clean, lm_quantile, approx_threshold, pin=pin),
             "doc_id",
             "left_semi",
         )
     if ccnet_keep is not None:
         clean = clean.join(
-            _ccnet_band_ids(clean, ccnet_keep, strata_col, approx_threshold),
+            _ccnet_band_ids(
+                clean, ccnet_keep, strata_col, approx_threshold, pin=pin
+            ),
             "doc_id",
             "left_semi",
         )
@@ -354,7 +359,7 @@ def rule_signals(
     docs: DataFrame,
     c4_clean: bool = False,
     c4_kwargs: dict | None = None,
-    widths: tuple[int, ...] = (2, 3, 4, 9),
+    widths: tuple[int, ...] = (2, 3, 4, 5, 6, 7, 8, 9, 10),
     token_count: Column | None = None,
     strata_col: str = "source",
 ) -> DataFrame:
@@ -369,7 +374,12 @@ def rule_signals(
     whitespace token count, the seven Gopher quality METRICS (no
     verdicts — thresholds are downstream decisions, which is the entire
     point of publishing signals), and the repetition character fractions
-    at the selected ``widths``.
+    at the selected ``widths``. The default widths are the Gopher
+    operators' own full set, so a default-built table satisfies
+    :func:`curate_from_signals` under ITS defaults; narrow ``widths``
+    (e.g. the production-sampled ``(2, 3, 4, 9)``) only together with a
+    matching ``gopher_repetition_kwargs`` downstream — the consumer
+    validates column coverage and names any gap.
 
     Scale: the C4 rewrite and quality metrics are projection-fused map
     stages; the repetition metrics shuffle hashed int gram rows once;
@@ -430,6 +440,7 @@ def curate_from_signals(
     gopher_repetition_kwargs: dict | None = None,
     ccnet_keep: tuple[str, ...] | None = None,
     strata_col: str = "source",
+    pin: bool = True,
 ) -> DataFrame:
     """Phase 2 of the two-phase curation shape: run the pipeline with the
     rule gates (stages 1-4) resolved by THRESHOLDING a published
@@ -454,18 +465,42 @@ def curate_from_signals(
 
     Scale: the signals filter is a scan with pushed predicates over a
     table ~1e-3 the corpus bytes; the semi-join is doc_id-partitioned;
-    everything else is :func:`curate`'s own tail."""
+    everything else is :func:`curate`'s own tail. ``pin=False`` skips
+    every stage-seam persist (the gated corpus and the band stages'
+    scored frames) — pass it from threshold-ITERATION loops: CacheManager
+    entries live until session end, so N pinned iterations hold up to 3N
+    corpus-scale cache entries (the same opt-out contract as the
+    streaming callers of :func:`curate`'s stages)."""
     _require_scoreable(min_tokens, lm_quantile, ccnet_keep)
     keep_cond = F.col("n_tokens") >= min_tokens
+    needed = {"doc_id", "n_tokens"}
     if c4_clean:
         keep_cond = F.col("c4_keep") & keep_cond
+        needed.add("c4_keep")
     if gopher_quality:
-        keep_cond = keep_cond & T.gopher_quality_pass_expr(
-            **(gopher_quality_kwargs or {})
+        rules = T.gopher_quality_rules(**(gopher_quality_kwargs or {}))
+        for rule in rules.values():
+            keep_cond = keep_cond & rule
+        needed.update(
+            ("n_words", "mean_word_len", "symbol_ratio", "bullet_frac",
+             "ellipsis_frac", "alpha_word_frac", "n_stopwords")
         )
     if gopher_repetition:
-        keep_cond = keep_cond & corpus_rules.repetition_pass_expr(
+        rep_rules = corpus_rules.repetition_rules(
             **(gopher_repetition_kwargs or {})
+        )
+        for rule in rep_rules.values():
+            keep_cond = keep_cond & rule
+        needed.update(
+            name.replace("ok_", "") + "_char_frac" for name in rep_rules
+        )
+    missing = sorted(needed - set(signals.columns))
+    if missing:
+        raise ValueError(
+            "signals table lacks columns the requested thresholds read: "
+            f"{missing} — rebuild rule_signals with matching widths, or "
+            "pass gopher_repetition_kwargs={'widths': ...} matching the "
+            "published table"
         )
     keep_ids = signals.filter(keep_cond).select("doc_id")
     if c4_clean:
@@ -483,7 +518,7 @@ def curate_from_signals(
     return _curate_tail(
         gated, benchmark, tokens, rates, default_rate, budget,
         lm_quantile, approx_threshold, ccnet_keep, strata_col,
-        pin_gated=True,
+        pin_gated=True, pin=pin,
     )
 
 

@@ -241,8 +241,15 @@ def upsert_batch(
     values (asserted by the parametrized replay test in
     tests/test_streaming.py). Index maintenance happens AFTER the put
     (the index must never lead the data), per indexed pair, keyed by the
-    batch's touched rowkeys only."""
-    cells = cell_fn(batch_df)
+    batch's touched rowkeys only — and because the keys come from the
+    SAME cells frame the put landed, coverage is guaranteed by
+    construction (the coupling update_index's contract asks of manual
+    callers). The cells lineage is localCheckpointed once per batch: the
+    emptiness probe, the put, and each index's touched-key scan would
+    otherwise re-execute an aggregating cell_fn 2+len(maintain_indexes)
+    times (checkpoint blocks are GC-reclaimed when the batch frame drops,
+    unlike CacheManager entries — safe for long-running streams)."""
+    cells = cell_fn(batch_df).localCheckpoint()
     if not cells.take(1):
         return
     table.put(cells)
@@ -644,9 +651,9 @@ def curation_ingest_file_stream(
     _require_scoreable(
         min_tokens, lm_quantile if lm_model_dir is None else 0.0
     )
-    lm_cutoff = None
+    lm_cutoff = lm_k = None
     if lm_model_dir is not None:
-        _, _, _, _, frozen_thr = load_bigram_lm(spark, lm_model_dir)
+        _, _, _, lm_k, frozen_thr = load_bigram_lm(spark, lm_model_dir)
         lm_cutoff = lm_min_logprob if lm_min_logprob is not None else frozen_thr
         if lm_cutoff is None:
             raise ValueError(
@@ -676,6 +683,7 @@ def curation_ingest_file_stream(
                 gopher_quality=gopher_quality,
                 gopher_quality_kwargs=gopher_quality_kwargs,
                 lm_model_dir=lm_model_dir, lm_min_logprob=lm_cutoff,
+                lm_model_k=lm_k,
             )
         )
         .option("checkpointLocation", checkpoint_dir)
@@ -698,6 +706,7 @@ def curation_ingest_batch(
     gopher_quality_kwargs: dict | None = None,
     lm_model_dir: str | None = None,
     lm_min_logprob: float | None = None,
+    lm_model_k: float = 1.0,
 ) -> None:
     """One micro-batch of :func:`curation_ingest_file_stream`: quality
     gate → optional Gopher rule gate (scan-fused projection) → optional
@@ -717,7 +726,7 @@ def curation_ingest_batch(
     deterministic content property, so a future copy re-fails on content
     and needs no identity record."""
     from ..functions import text as T
-    from ..operators.corpus import bigram_lm_score_tables, load_bigram_lm
+    from ..operators.corpus import bigram_lm_score_tables
     from ..pipeline.curation import _lm_band_ids
 
     gated = batch.filter(T.token_count(F.col("text")) >= min_tokens)
@@ -736,12 +745,18 @@ def curation_ingest_batch(
             raise ValueError(
                 "lm_model_dir requires a resolved lm_min_logprob cutoff"
             )
-        c2, c1, vocab_n, model_k, _ = load_bigram_lm(
-            batch.sparkSession, lm_model_dir
-        )
+        # all three model frames are LAZY scans re-planned per drain —
+        # cheap (Zipf-truncated tables, Catalyst broadcasts them) and,
+        # unlike load_bigram_lm, no per-drain driver collect: the frozen
+        # scalars (cutoff, k) were resolved once at stream setup and ride
+        # the closure; the 1-row vocab frame joins as a broadcast scan
+        spark = batch.sparkSession
+        c2 = spark.read.parquet(f"{lm_model_dir}/c2")
+        c1 = spark.read.parquet(f"{lm_model_dir}/c1")
+        vocab_n = spark.read.parquet(f"{lm_model_dir}/meta").select("_v")
         frozen_keep = (
             bigram_lm_score_tables(
-                gated, c2, c1, vocab_n, "text", "doc_id", k=model_k
+                gated, c2, c1, vocab_n, "text", "doc_id", k=lm_model_k
             )
             # round-6 scores vs a round-4 threshold: the cross-engine /
             # cross-run parity posture every band stage uses

@@ -1159,9 +1159,16 @@ class WideTable:
         Contract (single-writer, the table's own protocol): call with
         every rowkey the upsert touched since the last build/update —
         the natural call site is immediately after ``put``/``merge``
-        with the same key set, Phoenix's write-path coupling. Deltas
-        accumulate until the next :meth:`build_index` collapses them
-        (ride it on ``compact()``).
+        with the same key set, Phoenix's write-path coupling. The
+        re-stamp VOUCHES for everything written before it: a bare put
+        whose keys were never passed to update_index is unreachable to
+        the mtime staleness guard once a later maintenance call
+        re-stamps (mtimes cannot attribute files to upserts), so mixed
+        workflows should write through :meth:`put_maintained` — which
+        derives the key set from the cells it lands, making coverage a
+        construction property — rather than pairing calls by hand.
+        Deltas accumulate until the next :meth:`build_index` collapses
+        them (ride it on ``compact()``).
 
         ``rowkeys``: an iterable of rowkey strings (the touched PREFIXES
         are derived driver-side and pushed as partition-pruning filters —
@@ -1210,9 +1217,42 @@ class WideTable:
             # shuffle partition count to the DELTA's bytes, so a point
             # upsert writes one small file and a bulk load fans out
             .sort("value")
+            .localCheckpoint()
         )
-        fresh.write.parquet(f"{path}/delta_{built_ns}")
+        if fresh.take(1):
+            fresh.write.parquet(f"{path}/delta_{built_ns}")
+        # an all-tombstone (or no-op) upsert still re-stamps — the index
+        # is complete for it — but writes NO segment, so a long-running
+        # maintained stream doesn't accrete an empty delta dir per drain
         self._write_index_stamp(path, built_ns)
+
+    def put_maintained(
+        self, cells: DataFrame, index_pairs: tuple
+    ) -> None:
+        """``put`` + :meth:`update_index` for every ``(family,
+        qualifier)`` in ``index_pairs``, with the touched keys derived
+        from the SAME cells frame the put landed — index coverage is
+        guaranteed by construction instead of by caller discipline,
+        which is what Phoenix gets by hanging index maintenance off the
+        write RPC. Use this (or the streaming
+        ``upsert_stream_to_widetable(maintain_indexes=...)`` wrapper,
+        which follows the same recipe) for any table with live indexes:
+        a bare ``put`` between maintenance calls leaves rows a later
+        ``update_index`` re-stamp silently vouches for (see that
+        method's contract). The cells lineage is localCheckpointed once
+        so the put and each index's key scan don't re-execute it."""
+        cells = cells.localCheckpoint()
+        self.put(cells)
+        for family, qualifier in index_pairs:
+            touched = (
+                cells.filter(
+                    (F.col("family") == family)
+                    & (F.col("qualifier") == qualifier)
+                )
+                .select("rowkey")
+                .distinct()
+            )
+            self.update_index(family, qualifier, touched)
 
     def _newest_data_mtime_ms(self) -> int:
         """Metadata-only freshness probe: newest data-file modification

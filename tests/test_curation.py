@@ -247,3 +247,73 @@ def test_ccnet_bucket_stage(spark):
                                  **kw).collect()
     }
     assert packed == {d for d, v in banded.items() if v == "kept"}
+
+
+def test_signals_path_matches_inline_pipeline_under_defaults(spark):
+    """The r11 review finding: rule_signals' default widths must satisfy
+    curate_from_signals under ITS defaults (repetition_pass_expr's full
+    2..10 set), and the signals-thresholded kept set must equal the
+    inline pipeline's under matching parameters — including pin=False
+    for the iteration-loop caller. A narrow-widths table must be
+    REFUSED with a column-naming error, not an AnalysisException."""
+    import pytest
+
+    from learn_hbase_spark.pipeline import curation
+
+    # passers must be LONG and gram-diverse: the default Gopher top-gram
+    # thresholds (0.20/0.18/0.16) are calibrated for real documents, and
+    # a short doc's single most-common 3-gram already exceeds them
+    long1 = "the " + " ".join(f"alpha{j} word{j}" for j in range(30))
+    long5 = "and " + " ".join(f"beta{j} item{j}" for j in range(30))
+    docs = spark.createDataFrame(
+        [
+            (1, long1, "src0"),
+            (2, "spam spam spam spam spam spam spam spam spam spam "
+                "spam spam", "src0"),  # repetition-gated
+            (3, " ".join(f"w{j}q" for j in range(12)), "src0"),  # no stops
+            (4, "tiny doc", "src0"),  # token gate
+            (5, long5, "src0"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    bench = spark.createDataFrame(
+        [], "doc_id long, text string, source string"
+    )
+    kw = dict(
+        min_tokens=5, rates={"src0": 1.0}, budget=64,
+        gopher_quality=True,
+        gopher_quality_kwargs={"min_words": 10, "min_stopwords": 1},
+        gopher_repetition=True,
+    )
+    inline = {r["doc_id"] for r in curation.curate(docs, bench, **kw).collect()}
+
+    signals = curation.rule_signals(docs)  # DEFAULT widths: full 2..10
+    via_signals = {
+        r["doc_id"]
+        for r in curation.curate_from_signals(
+            docs, signals, bench, pin=False, **kw
+        ).collect()
+    }
+    assert via_signals == inline and 1 in inline and 2 not in inline
+
+    narrow = curation.rule_signals(docs, widths=(2, 3, 4, 9))
+    with pytest.raises(ValueError, match="dup5_char_frac"):
+        curation.curate_from_signals(docs, narrow, bench, pin=False, **kw)
+    # matching narrow kwargs on BOTH sides still work
+    got = {
+        r["doc_id"]
+        for r in curation.curate_from_signals(
+            docs, narrow, bench, pin=False,
+            gopher_repetition_kwargs={"widths": (2, 3, 4, 9)},
+            **{k: v for k, v in kw.items()
+               if k != "gopher_repetition_kwargs"},
+        ).collect()
+    }
+    inline_narrow = {
+        r["doc_id"]
+        for r in curation.curate(
+            docs, bench,
+            gopher_repetition_kwargs={"widths": (2, 3, 4, 9)}, **kw
+        ).collect()
+    }
+    assert got == inline_narrow

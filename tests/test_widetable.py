@@ -1068,3 +1068,49 @@ def test_index_range_lookup(spark, tmp_path):
         ).collect()
     )
     assert got == [("0401_M1", "BLUEBERRY"), ("0402_M2", "BANANA")]
+
+
+def test_put_maintained_couples_writes_to_index(spark, tmp_path):
+    """put_maintained derives each index's touched keys from the cells it
+    lands, so index coverage is a construction property: after any
+    sequence of maintained writes, every lookup is fresh AND complete —
+    the hazard it closes is a bare put whose rows a later update_index
+    re-stamp would silently vouch for."""
+    table = WideTable.create(spark, str(tmp_path / "tpm"), ["info"])
+    table.put(_cells(spark, [("0401_M1", "info", "seg", "A")]))
+    table.build_index("info", "seg")
+
+    import time as _time
+
+    _time.sleep(0.01)
+    table.put_maintained(
+        _cells(spark, [
+            ("0402_M2", "info", "seg", "A"),
+            ("0403_M3", "info", "seg", "B"),
+        ]),
+        (("info", "seg"),),
+    )
+    assert sorted(
+        r["rowkey"]
+        for r in table.lookup_by_value("info", "seg", "A").collect()
+    ) == ["0401_M1", "0402_M2"]
+
+    # an all-miss maintenance (no cells for the pair) re-stamps without
+    # accreting an empty delta segment
+    import os
+
+    idx_root = table._index_path("info", "seg")
+    before = {d for d in os.listdir(idx_root) if d.startswith("delta_")}
+    _time.sleep(0.01)
+    table.put_maintained(
+        _cells(spark, [("0404_M4", "info", "other", "X")]),
+        (("info", "seg"),),
+    )
+    after = {d for d in os.listdir(idx_root) if d.startswith("delta_")}
+    assert after == before  # no empty segment
+    # and the pair's index is still FRESH (the other-qualifier write is
+    # covered by the re-stamp: it cannot affect info:seg lookups)
+    assert sorted(
+        r["rowkey"]
+        for r in table.lookup_by_value("info", "seg", "B").collect()
+    ) == ["0403_M3"]
