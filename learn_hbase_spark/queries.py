@@ -265,6 +265,26 @@ _DRIVER_VERIFIED = [
     "minhash_lsh_capped", "ngram_jaccard_pairs", "neardup_clusters",
     "leakage_safe_split", "embedding_neardup", "embedding_neardup_lsh",
     "simhash_hamming_pairs", "simhash_fingerprints_md5",
+    # round 11 (CORRECTNESS_r11.json: 47 green + 3 declared no_oracle; the
+    # sweep's green names in checked order — includes the 2 queries new in
+    # r11 (curate_from_signals, widetable_index_incremental), the promoted
+    # pagerank_neardup (first full-oracle pass), and the rewritten
+    # skew_report)
+    "skew_report", "curate_from_signals", "pagerank_neardup",
+    "widetable_index_incremental", "vocab_topk", "decontaminate",
+    "chunk_documents", "array_ops_surface", "lm_score", "source_overlap",
+    "pagerank_iter1", "line_dedup_boilerplate", "hard_negative_topk_lsh",
+    "dsir_weights_frozen", "dsir_select", "dsir_weights",
+    "quality_band_sample", "hard_negative_topk", "winnow_match_pairs",
+    "winnow_match_capped", "neardup_canonical", "semantic_pairs_seeded",
+    "graph_triangle_stats", "minhash_incremental", "semantic_decontaminate",
+    "bpe_pair_counts", "bpe_pair_counts_round1", "bpe_apply_fixed",
+    "substring_dup_spans", "winnow_fingerprints", "ngram_containment_pairs",
+    "length_bucket_batching", "text_profile", "language_id",
+    "rolling_fingerprint", "quality_score", "pack_sequences", "redact_pii",
+    "repetition_score", "tfidf_topk", "length_profile", "neardup_clusters",
+    "leakage_safe_split", "decontaminate_bloom", "column_profile",
+    "curation_pipeline", "kmeans_update_iter1",
 ]
 
 def _keep_latest(names: list[str]) -> list[str]:
@@ -433,25 +453,19 @@ def _still_verified() -> tuple[str, ...]:
 # fingerprints moved only via a shared-module edit. Maintained per round;
 # stale names cost nothing (they sort first only while unverified).
 _SWEEP_PRIORITY: list[str] = [
-    # round 11: new/answer-changed queries first (added as this round's
-    # work lands), then the 41 queries whose fingerprints moved under
-    # r10's module edits without an r10 sweep slot — the recorder kept
-    # them stale, so they re-verify first.
-    "skew_report", "curate_from_signals", "pagerank_neardup",
-    "widetable_index_incremental",
-    "semantic_dedup", "bpe_train_merges",
-    "bpe_tokenize", "vocab_topk", "decontaminate", "chunk_documents",
-    "array_ops_surface", "lm_score", "source_overlap", "pagerank_iter1",
-    "line_dedup_boilerplate", "hard_negative_topk_lsh",
-    "dsir_weights_frozen", "dsir_select", "dsir_weights",
-    "quality_band_sample", "hard_negative_topk", "winnow_match_pairs",
-    "winnow_match_capped", "neardup_canonical", "semantic_pairs_seeded",
-    "graph_triangle_stats", "minhash_incremental", "semantic_decontaminate",
-    "bpe_pair_counts", "bpe_pair_counts_round1", "bpe_apply_fixed",
-    "substring_dup_spans", "winnow_fingerprints", "ngram_containment_pairs",
-    "length_bucket_batching", "text_profile", "language_id",
-    "rolling_fingerprint", "quality_score", "pack_sequences",
-    "redact_pii", "repetition_score", "tfidf_topk", "length_profile",
+    # round 12: new/answer-changed queries first (prepended as this round's
+    # work lands — DEDUPE against the stale list below; enumerate-rank
+    # keeps the LAST index, so a duplicate silently demotes), then the 20
+    # queries whose fingerprints moved under r11's module edits without an
+    # r11 sweep slot — the recorder kept them stale, so they re-verify
+    # first.
+    "entity_resolution", "curation_pipeline_rules", "curation_audit_rules",
+    "gopher_repetition_sampled", "dsir_frozen_gumbel", "ivf_lloyd_update",
+    "gopher_dupparagraph_flags", "classifier_train_round1",
+    "quality_signals", "curation_audit", "ccnet_perplexity_buckets",
+    "dsir_select_gumbel", "gopher_repetition_flags", "gopher_quality_flags",
+    "c4_line_filter", "gopher_dupline_flags", "weighted_sample",
+    "bigram_lm_score_frozen", "quality_classifier_score", "bigram_lm_score",
 ]
 
 
