@@ -89,6 +89,18 @@ def _escape_partition_value(v: str | None) -> str:
 # analogue is the HTableDescriptor the master stores per table.
 _DESCRIPTOR_NAME = "_table_descriptor.json"
 
+# Monotonic max-write stamp sidecar (same one-tiny-file idiom as the index
+# '_built' stamp): every write path bumps it BEFORE its data lands, so an
+# index freshness probe is ONE file read instead of a recursive listStatus
+# over the whole table — on a 100 TB table (1e5-1e6 files between
+# compactions) the per-lookup full-tree walk was a multi-second driver
+# stall on exactly the operation whose purpose is to avoid touching the
+# table. Write-before-data keeps the stamp conservative: a crash between
+# stamp and data can only make a fresh index look stale, never a stale one
+# look fresh. The listing walk survives as the recovery/audit path for
+# tables written before the sidecar existed.
+_LASTWRITE_NAME = "_lastwrite"
+
 
 class WideTable:
     """A wide-column table persisted as prefix-partitioned Parquet.
@@ -356,6 +368,40 @@ class WideTable:
         finally:
             out.close()
 
+    def _read_ns_sidecar(self, hpath) -> int | None:
+        """Read a one-integer sidecar file; None if it doesn't exist."""
+        fs = self._fs()
+        if not fs.exists(hpath):
+            return None
+        stream = fs.open(hpath)
+        try:
+            return int(
+                self.spark._jvm.org.apache.commons.io.IOUtils.toString(
+                    stream, "UTF-8"
+                )
+            )
+        finally:
+            stream.close()
+
+    def _lastwrite_ns(self) -> int | None:
+        return self._read_ns_sidecar(
+            self._hpath(self.path + "/" + _LASTWRITE_NAME)
+        )
+
+    def _bump_lastwrite(self, fs=None) -> int:
+        """Advance the table's max-write stamp to now (monotonic: never
+        moves backwards even under clock skew) and persist it. Called by
+        every write path BEFORE its data lands — see _LASTWRITE_NAME."""
+        fs = fs or self._fs()
+        prev = self._lastwrite_ns() or 0
+        stamp = max(prev + 1, time.time_ns())
+        out = fs.create(self._hpath(self.path + "/" + _LASTWRITE_NAME), True)
+        try:
+            out.write(bytearray(str(stamp).encode("utf-8")))
+        finally:
+            out.close()
+        return stamp
+
     @classmethod
     def _read_descriptor(cls, spark: SparkSession, path: str) -> dict:
         import json
@@ -418,6 +464,7 @@ class WideTable:
                 .parquet(path)
             )
             table._write_descriptor()
+            table._bump_lastwrite()
         return table
 
     @classmethod
@@ -476,6 +523,9 @@ class WideTable:
                 F.lit(self._next_version()).alias("version"),
             )
         )
+        # stamp-before-data: a failed/aborted write leaves the stamp ahead
+        # of the data (index probes read false-stale, never false-fresh)
+        self._bump_lastwrite()
         try:
             stamped.write.partitionBy(*self._part_cols).mode("append").parquet(
                 self.path
@@ -1045,6 +1095,13 @@ class WideTable:
         tmp_path = self.path + "__compact"
         tmp = self._hpath(tmp_path)
 
+        # the dir swap below destroys the max-write stamp sidecar; carry
+        # the value across UNCHANGED — compaction preserves the resolved
+        # view (latest-wins + TTL purge both read-invisible), so secondary
+        # indexes legitimately stay fresh across it, exactly like Phoenix
+        # global indexes surviving an HBase major compaction. At 100 TB
+        # this matters: compaction cadence must not force index rebuilds.
+        lastwrite = self._lastwrite_ns()
         resolved = self._compaction_resolve(self._cells())
         (
             self._stamp_partitions(resolved.drop(*self._part_cols))
@@ -1076,7 +1133,16 @@ class WideTable:
             )
         fs.delete(aside, True)
         # the swap replaced the whole table dir; restore the descriptor
+        # and the max-write stamp (value carried, not bumped — see above)
         self._write_descriptor(fs)
+        if lastwrite is not None:
+            out = fs.create(
+                self._hpath(self.path + "/" + _LASTWRITE_NAME), True
+            )
+            try:
+                out.write(bytearray(str(lastwrite).encode("utf-8")))
+            finally:
+                out.close()
 
     # -- secondary index (Phoenix-style global index, value -> rowkey) ------
 
@@ -1137,11 +1203,22 @@ class WideTable:
         finally:
             out.close()
 
+    # update_index folds the delta stack down to one merged segment once it
+    # grows past this many segments — a long-running maintained stream
+    # (one delta per micro-batch drain) would otherwise grow the probe
+    # plan and its file listing linearly with drains until someone ran
+    # build_index. The fold is minor-compaction-shaped: it reads ONLY the
+    # deltas (O(sum of upserts since the last build), never the base), and
+    # a crash between writing the merged segment and deleting the olds
+    # only duplicates candidates, which the probe's distinct collapses.
+    INDEX_DELTA_MERGE_THRESHOLD = 16
+
     def update_index(
         self,
         family: str,
         qualifier: str,
         rowkeys,
+        verify_coverage: bool = True,
     ) -> None:
         """Incremental (Phoenix-style) index maintenance: after an upsert
         touched ``rowkeys``, append ONE delta segment holding just those
@@ -1160,15 +1237,24 @@ class WideTable:
         every rowkey the upsert touched since the last build/update —
         the natural call site is immediately after ``put``/``merge``
         with the same key set, Phoenix's write-path coupling. The
-        re-stamp VOUCHES for everything written before it: a bare put
-        whose keys were never passed to update_index is unreachable to
-        the mtime staleness guard once a later maintenance call
-        re-stamps (mtimes cannot attribute files to upserts), so mixed
-        workflows should write through :meth:`put_maintained` — which
-        derives the key set from the cells it lands, making coverage a
-        construction property — rather than pairing calls by hand.
-        Deltas accumulate until the next :meth:`build_index` collapses
-        them (ride it on ``compact()``).
+        re-stamp VOUCHES for everything written before it, so by
+        default the call VERIFIES that claim before stamping: any
+        ``(family, qualifier)`` cell with a write version newer than
+        the index's current stamp whose rowkey is NOT in ``rowkeys``
+        fails the call with :class:`IndexStale` — an uncovered bare
+        put degrades to a loud error at maintenance time instead of a
+        silent lookup miss. The scan is version-stat file-pruned
+        (cells carry their put's epoch-ns version, one value per
+        file), so it reads O(writes since the stamp), not the table.
+        ``verify_coverage=False`` skips it for latency-critical
+        write paths that guarantee coverage by construction AND
+        forbid bare puts on the table (the check is precisely what
+        catches a violated guarantee, so leave it on unless the drain
+        cadence can't afford one extra metadata-pruned job).
+        Deltas accumulate until either the stack passes
+        ``INDEX_DELTA_MERGE_THRESHOLD`` (auto-folded into one merged
+        delta, O(deltas) cost) or the next :meth:`build_index`
+        collapses the whole stack (ride it on ``compact()``).
 
         ``rowkeys``: an iterable of rowkey strings (the touched PREFIXES
         are derived driver-side and pushed as partition-pruning filters —
@@ -1178,7 +1264,8 @@ class WideTable:
         """
         path = self._index_path(family, qualifier)
         fs = self._fs()
-        if not fs.exists(self._hpath(path + "/_built")):
+        prev_built = self._read_ns_sidecar(self._hpath(path + "/_built"))
+        if prev_built is None:
             raise ValueError(
                 f"no index for {family}:{qualifier} — build_index first"
             )
@@ -1188,6 +1275,29 @@ class WideTable:
             .filter(F.col("family") == family)
             .filter(F.col("qualifier") == qualifier)
         )
+        if verify_coverage:
+            # writes since the stamp this call is about to supersede that
+            # the caller is NOT maintaining — stamping over them would
+            # vouch for rows no segment lists (silent lookup misses)
+            uncovered = cells.filter(F.col("version") > prev_built)
+            if isinstance(rowkeys, DataFrame):
+                uncovered = uncovered.join(
+                    rowkeys.select("rowkey"), "rowkey", "left_anti"
+                )
+            else:
+                claimed = sorted({str(k) for k in rowkeys})
+                uncovered = uncovered.filter(~F.col("rowkey").isin(claimed))
+            sample = [
+                r["rowkey"]
+                for r in uncovered.select("rowkey").distinct().limit(5).collect()
+            ]
+            if sample:
+                raise WideTable.IndexStale(
+                    f"update_index({family}:{qualifier}) cannot vouch for "
+                    f"writes since the index stamp that are missing from "
+                    f"rowkeys (e.g. {sample}); include every touched "
+                    "rowkey, write through put_maintained, or rebuild"
+                )
         if isinstance(rowkeys, DataFrame):
             keys = rowkeys.select("rowkey")
             # touched PREFIXES are a partition-key set — bounded by the
@@ -1221,6 +1331,24 @@ class WideTable:
         )
         if fresh.take(1):
             fresh.write.parquet(f"{path}/delta_{built_ns}")
+        # bound the segment stack (see INDEX_DELTA_MERGE_THRESHOLD): fold
+        # the deltas — never the base — into one merged, value-sorted
+        # segment once the stack grows past the threshold
+        deltas = [
+            st.getPath()
+            for st in fs.listStatus(self._hpath(path))
+            if st.isDirectory()
+            and st.getPath().getName().startswith("delta_")
+        ]
+        if len(deltas) > self.INDEX_DELTA_MERGE_THRESHOLD:
+            merged = (
+                self.spark.read.parquet(*[str(p) for p in deltas])
+                .distinct()
+                .sort("value")
+            )
+            merged.write.parquet(f"{path}/delta_{time.time_ns()}")
+            for p in deltas:
+                fs.delete(p, True)
         # an all-tombstone (or no-op) upsert still re-stamps — the index
         # is complete for it — but writes NO segment, so a long-running
         # maintained stream doesn't accrete an empty delta dir per drain
@@ -1237,9 +1365,10 @@ class WideTable:
         write RPC. Use this (or the streaming
         ``upsert_stream_to_widetable(maintain_indexes=...)`` wrapper,
         which follows the same recipe) for any table with live indexes:
-        a bare ``put`` between maintenance calls leaves rows a later
-        ``update_index`` re-stamp silently vouches for (see that
-        method's contract). The cells lineage is localCheckpointed once
+        a bare ``put`` between maintenance calls is unmaintained, and
+        the NEXT maintenance call's coverage verification fails loudly
+        on it (see ``update_index``) rather than silently vouching.
+        The cells lineage is localCheckpointed once
         so the put and each index's key scan don't re-execute it."""
         cells = cells.localCheckpoint()
         self.put(cells)
@@ -1255,10 +1384,14 @@ class WideTable:
             self.update_index(family, qualifier, touched)
 
     def _newest_data_mtime_ms(self) -> int:
-        """Metadata-only freshness probe: newest data-file modification
+        """RECOVERY/AUDIT freshness probe: newest data-file modification
         time under the table dir (LSM appends always create new files, so
         'any file newer than the index build' == 'the index is stale').
-        O(file count) listing, no data read."""
+        O(file count) listing, no data read — which is why it is no longer
+        the lookup path: on a 100 TB table that walk is a multi-second
+        driver stall per probe. ``_index_probe`` reads the O(1)
+        ``_lastwrite`` sidecar instead and falls back here only for
+        tables written before the sidecar existed."""
         fs = self._fs()
         newest = 0
         stack = [self._hpath(self.path)]
@@ -1339,17 +1472,17 @@ class WideTable:
                     self.spark.read.parquet(str(st.getPath()))
                 )
         if not allow_stale:
-            stream = fs.open(self._hpath(path + "/_built"))
-            try:
-                built_ns = int(
-                    self.spark._jvm.org.apache.commons.io.IOUtils.toString(
-                        stream, "UTF-8"
-                    )
-                )
-            finally:
-                stream.close()
-            built_ms = built_ns // 1_000_000
-            if self._newest_data_mtime_ms() > built_ms:
+            built_ns = self._read_ns_sidecar(self._hpath(path + "/_built"))
+            # O(1) freshness: one sidecar read against one stamp read —
+            # never a table listing on the probe path. The mtime walk is
+            # the fallback for pre-sidecar tables only (recovery/audit).
+            lastwrite = self._lastwrite_ns()
+            stale = (
+                lastwrite > built_ns
+                if lastwrite is not None
+                else self._newest_data_mtime_ms() > built_ns // 1_000_000
+            )
+            if stale:
                 raise WideTable.IndexStale(
                     f"index {family}:{qualifier} predates newer table "
                     "writes; run build_index again or pass allow_stale=True"
