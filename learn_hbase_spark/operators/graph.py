@@ -24,6 +24,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
+# exact_replay pagerank's int64 safety bound: the damped update computes
+# d_pct * in_sum with d_pct < 100 and in_sum <= total mass = |V| * 1e9, so
+# the product stays below 2^63 while |V| <= (2^63-1) // (100 * 1e9) ≈ 9.2e7.
+# Module-level so tests can pin the guard without building a 9e7-node graph.
+_EXACT_REPLAY_MAX_NODES = (2**63 - 1) // (100 * 1_000_000_000)
+
 
 def connected_components(
     nodes: DataFrame,
@@ -250,10 +256,14 @@ def pagerank(
     replay ranks sit within ``n_iter`` ulps-of-1e-9 below the default
     double path — immaterial for ranking, decisive for verification.
     Bounds: exact while ``d_pct * sum(rank_int)`` fits int64 — total
-    mass <= |V| means |V| up to ~1e8 nodes; the verification scales this
-    exists for. Requires integer-percent damping; not composable with
-    ``redistribute_dangling`` (its per-round mass scalar would need the
-    same pinning — unbuilt because no replay caller needs it).
+    mass <= |V| means |V| up to ~9.2e7 nodes (``_EXACT_REPLAY_MAX_NODES``);
+    the verification scales this exists for. The bound is ENFORCED at
+    entry (Spark's int64 arithmetic wraps silently where DuckDB errors,
+    so past the bound the replay would produce quietly wrong ranks —
+    raising keeps "exact" honest). Requires integer-percent damping; not
+    composable with ``redistribute_dangling`` (its per-round mass scalar
+    would need the same pinning — unbuilt because no replay caller needs
+    it).
     """
     if exact_replay and redistribute_dangling:
         raise ValueError(
@@ -281,6 +291,19 @@ def pagerank(
     out_edges = sym.join(degrees, "u").coalesce(n_parts).localCheckpoint()
 
     base = nodes.select(F.col(node_col).alias("u")).coalesce(n_parts)
+    if exact_replay:
+        # enforce the int64 bound: total scaled mass <= |V| * 1e9, and the
+        # damped update multiplies a node's in-sum (<= total mass) by
+        # d_pct < 100 before the div — Spark wraps on overflow instead of
+        # erroring, so guard here rather than document-and-hope. One count
+        # on the node frame (already far smaller than the corpus).
+        n_base = base.count()
+        if n_base > _EXACT_REPLAY_MAX_NODES:
+            raise ValueError(
+                f"exact_replay is int64-exact only to "
+                f"{_EXACT_REPLAY_MAX_NODES} nodes (got {n_base}); use the "
+                "default double path for graphs past the bound"
+            )
     init = F.lit(1_000_000_000).cast("long") if exact_replay else F.lit(1.0)
     ranks = base.withColumn("rank", init).localCheckpoint()
 

@@ -459,6 +459,7 @@ _SWEEP_PRIORITY: list[str] = [
     # queries whose fingerprints moved under r11's module edits without an
     # r11 sweep slot — the recorder kept them stale, so they re-verify
     # first.
+    "bpe_train_merges", "bpe_tokenize",
     "entity_resolution", "curation_pipeline_rules", "curation_audit_rules",
     "gopher_repetition_sampled", "dsir_frozen_gumbel", "ivf_lloyd_update",
     "gopher_dupparagraph_flags", "classifier_train_round1",
@@ -7866,19 +7867,94 @@ def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.hll_rollup(ev, "event_type", "user_id")
 
 
-@_register("bpe_train_merges")  # iterative greedy argmax → rows-only
+def _bpe_train_replay_ctes(n_rounds: int = 8, min_freq: int = 2) -> str:
+    """DuckDB CTE chain replaying ``n_rounds`` full BPE training cycles —
+    the promotion pattern that took ``pagerank_neardup`` to a full oracle
+    (VERDICT r11 #3): the whole iteration is ALL-INTEGER (frequency-
+    weighted pair counts, count-desc + lexicographic argmax, symbol
+    rewrite), so a SQL engine replays it bit-exactly with no float-order
+    hazard. Each cycle extends ``bpe_pair_counts_round1``'s proven
+    one-cycle replay: explode adjacent pairs from the pipe-delimited
+    symbol string (``|c1||c2||...||</w>|`` — per-symbol pipes so a
+    ``replace`` can never match across symbol boundaries, and SQL's
+    left-to-right non-overlapping replace implements exactly the
+    production ``_apply_merge`` fold), pick the argmax under the exact
+    ``bpe_train`` tie rule, rewrite. ``best{r}`` filters ``n >= min_freq``
+    and the rewrite LEFT JOINs it, so an early stop replays as identity
+    rounds — matching ``bpe_train``'s break — instead of emptying the
+    chain. Ends with ``wt{n_rounds}`` (word, s, freq) and
+    ``best1..best{n_rounds}``; callers compose the merge list or the
+    per-word token counts on top."""
+    norm_clean = _NORM.replace("text", "replace(text, '|', '')")
+    parts = [f"""
+    bpe_words AS (
+      SELECT unnest(string_split({norm_clean}, ' ')) AS word FROM documents
+    ),
+    wt0 AS (
+      SELECT word,
+             '|' || array_to_string(
+               list_append(regexp_split_to_array(word, ''), '</w>'),
+               '||') || '|' AS s,
+             count(*) AS freq
+      FROM bpe_words WHERE word <> '' GROUP BY word
+    )"""]
+    for r in range(1, n_rounds + 1):
+        p = r - 1
+        parts.append(f"""
+    arr{p} AS (
+      SELECT string_split(trim(s, '|'), '||') AS arr, freq FROM wt{p}
+    ),
+    c{r} AS (
+      SELECT arr[i] AS a, arr[i + 1] AS b, sum(freq) AS n
+      FROM arr{p}, unnest(generate_series(1, len(arr) - 1)) AS t(i)
+      GROUP BY a, b
+    ),
+    best{r} AS (
+      SELECT a, b FROM c{r} WHERE n >= {min_freq}
+      ORDER BY n DESC, a ASC, b ASC LIMIT 1
+    ),
+    wt{r} AS (
+      SELECT word,
+             CASE WHEN best{r}.a IS NULL THEN s
+                  ELSE replace(s,
+                               '|' || best{r}.a || '||' || best{r}.b || '|',
+                               '|' || best{r}.a || best{r}.b || '|')
+             END AS s,
+             freq
+      FROM wt{p} LEFT JOIN best{r} ON TRUE
+    )""")
+    return ",".join(parts)
+
+
+def _bpe_train_replay_sql(n_rounds: int = 8, min_freq: int = 2) -> str:
+    """Full-oracle SQL for ``bpe_train_merges``: the training chain, then
+    the ordered merge list assembled from each round's argmax row."""
+    sel = "\n    UNION ALL\n    ".join(
+        f'SELECT CAST({r - 1} AS INT) AS "rank", a AS "left", '
+        f'b AS "right", a || b AS merged FROM best{r}'
+        for r in range(1, n_rounds + 1)
+    )
+    return f"WITH {_bpe_train_replay_ctes(n_rounds, min_freq)}\n    {sel}"
+
+
+@_register("bpe_train_merges", _bpe_train_replay_sql())
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (operators.tokenizer): learn the
     merge table from the documents corpus — the tokenizer-fitting step of
     a pretraining pipeline run as Spark aggregations. The corpus is read
     once into a word-frequency table; each merge round is one
-    (pair, count) shuffle plus a one-row driver fetch. Iterative greedy
-    argmax ⇒ rows-only; the merge sequence is pytest-verified against a
-    single-node reference implementation (test_tokenizer), the counting
-    stage every round reuses is oracle-twinned via ``bpe_pair_counts``
-    below, and the first full train cycle (count → argmax → rewrite →
-    recount) via ``bpe_pair_counts_round1``."""
-    docs = _t(spark, sf_dir, "documents")
+    (pair, count) shuffle plus a one-row driver fetch. PROMOTED to a full
+    oracle in r12 (VERDICT r11 #3): training is all-integer with a fixed
+    merge budget — exactly the replayable class that promoted
+    ``pagerank_neardup`` — so DuckDB chains 8 complete cycles
+    (count → argmax → ``_apply_merge`` rewrite → recount) as CTEs
+    (``_bpe_train_replay_ctes``). Pipes stripped both sides (the replay's
+    symbol delimiter — same contract as ``bpe_apply_fixed``). The merge
+    sequence is additionally pytest-verified against a single-node
+    reference implementation (test_tokenizer)."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text", F.translate("text", "|", "")
+    )
     return tokenizer.bpe_train_df(docs, n_merges=8)
 
 
@@ -7917,15 +7993,59 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("bpe_tokenize")  # depends on learned merges → rows-only
+def _bpe_tokenize_replay_sql(n_rounds: int = 8, min_freq: int = 2) -> str:
+    """Full-oracle SQL for ``bpe_tokenize``: ride the training chain, then
+    derive per-doc token counts by JOINING doc words to the final word
+    table's symbol counts — the corpus words and the trained vocabulary
+    come from the same text, so every doc word hits. Fertility is ONE IEEE
+    division on exact integers (the ``pagerank_neardup`` lesson: rounding
+    would re-introduce an engine-specific half-tie hazard; a single
+    int/int divide is the same double everywhere). Empty docs survive via
+    the LEFT JOIN (the production encoder emits a row per doc)."""
+    norm_clean = _NORM.replace("text", "replace(text, '|', '')")
+    return f"""WITH {_bpe_train_replay_ctes(n_rounds, min_freq)},
+    wlen AS (
+      SELECT word, len(string_split(trim(s, '|'), '||')) AS n_syms
+      FROM wt{n_rounds}
+    ),
+    docs0 AS (SELECT doc_id, {norm_clean} AS norm FROM documents),
+    docw AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(norm, ' '), x -> x <> ''))
+               AS word
+      FROM docs0
+    ),
+    tok AS (
+      SELECT d.doc_id, sum(wl.n_syms) AS n_tokens
+      FROM docw d JOIN wlen wl USING (word) GROUP BY d.doc_id
+    )
+    SELECT docs0.doc_id,
+           CAST(COALESCE(tok.n_tokens, 0) AS INT) AS n_tokens,
+           CAST(COALESCE(tok.n_tokens, 0) AS DOUBLE)
+             / len(string_split(norm, ' ')) AS fertility
+    FROM docs0 LEFT JOIN tok USING (doc_id)
+    """
+
+
+@_register("bpe_tokenize", _bpe_tokenize_replay_sql())
 def bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train-then-apply BPE: tokenize the corpus with merges learned from
     it and report per-doc token counts plus the subword fertility ratio
     (tokens per whitespace word — the tokenizer-quality metric). Encode is
     an Arrow-batched mapInPandas (rank-priority merge loop has no
-    vectorized form); the merge table ships with the task closure. The
-    apply stage is oracle-twinned via ``bpe_apply_fixed``."""
-    docs = _t(spark, sf_dir, "documents")
+    vectorized form); the merge table ships with the task closure.
+    PROMOTED to a full oracle in r12 (VERDICT r11 #3): the DuckDB twin
+    replays the 8 training cycles as chained CTEs
+    (``_bpe_train_replay_ctes``) and reconstructs per-doc token counts
+    from the final word table — valid because rank-priority application
+    of a derivation-ordered learned merge list equals the training
+    rewrite itself (the ``bpe_apply_fixed`` equivalence, pinned there and
+    in test_tokenizer). Pipes stripped both sides (replay delimiter);
+    fertility is a single IEEE division, unrounded, so both engines emit
+    the identical double."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text", F.translate("text", "|", "")
+    )
     merges = tokenizer.bpe_train(docs, n_merges=8)
     enc = tokenizer.bpe_encode(docs, merges)
     words = F.size(F.split(dedup.normalize_text(F.col("text")), " "))
@@ -7933,8 +8053,8 @@ def bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         enc.join(docs.select("doc_id", "text"), "doc_id")
         .select(
             "doc_id",
-            "n_tokens",
-            F.round(F.col("n_tokens") / words, 4).alias("fertility"),
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            (F.col("n_tokens").cast("double") / words).alias("fertility"),
         )
     )
 

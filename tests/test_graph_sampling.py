@@ -385,3 +385,25 @@ def test_pagerank_exact_replay_tracks_double_path(spark):
         pagerank(
             nodes, edges, exact_replay=True, redistribute_dangling=True
         )
+
+
+def test_pagerank_exact_replay_enforces_int64_node_bound(spark, monkeypatch):
+    """Past ~9.2e7 nodes the scaled-integer update can overflow int64,
+    which Spark WRAPS silently (DuckDB would error) — so the bound must be
+    enforced at entry, not merely documented. Pin the guard by shrinking
+    the module constant rather than building a 9e7-node graph."""
+    import pytest
+
+    from learn_hbase_spark.operators import graph
+
+    nodes = spark.createDataFrame([(i,) for i in range(8)], "node long")
+    edges = spark.createDataFrame([(0, 1), (1, 2)], "id_a long, id_b long")
+
+    monkeypatch.setattr(graph, "_EXACT_REPLAY_MAX_NODES", 5)
+    with pytest.raises(ValueError, match="int64-exact only to 5 nodes"):
+        graph.pagerank(nodes, edges, n_iter=2, exact_replay=True)
+    # the double path is unaffected by the replay bound
+    assert graph.pagerank(nodes, edges, n_iter=2).count() == 8
+    # and at-or-under the bound the replay still runs
+    monkeypatch.setattr(graph, "_EXACT_REPLAY_MAX_NODES", 8)
+    assert graph.pagerank(nodes, edges, n_iter=2, exact_replay=True).count() == 8
