@@ -1053,6 +1053,71 @@ def hashed_classifier_score(
     )
 
 
+def classifier_feature_frame(
+    df: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 10_000,
+) -> DataFrame:
+    """The trainer's (doc, bucket, count, n_grams, label) feature table as
+    an un-truncated DataFrame — :func:`hashed_classifier_train` checkpoints
+    it once (every round re-reads it), and the plan audit builds it here
+    WITHOUT the checkpoint so the iteration's real scan/shuffle shape is
+    inspectable (checkpoint truncation otherwise hides it)."""
+    g = hashed_gram_buckets(df, text_col, id_col, buckets)
+    labels = df.select(
+        F.col(id_col), F.col(label_col).cast("double").alias("_y")
+    )
+    counts = g.groupBy(id_col, "bucket").agg(F.count("*").alias("_c"))
+    nd = g.groupBy(id_col).agg(F.count("*").alias("_n"))
+    return (
+        counts.join(nd, id_col)
+        .join(labels, id_col)
+        .select(id_col, "bucket", "_c", "_n", "_y")
+    )
+
+
+def classifier_gradient_frame(
+    feats: DataFrame, weights: dict[int, float], id_col: str = "doc_id"
+) -> DataFrame:
+    """ONE gradient-descent round's per-bucket gradient as an un-collected
+    (bucket, _g) DataFrame — the loop body :func:`hashed_classifier_train`
+    executes each round (broadcast current weights → per-doc margin by one
+    partial-aggregable sum → per-bucket residual·count/n sum in
+    DECIMAL(28,12)). Extracted so the trainer and the plan audit share one
+    source of truth: the trainer collects the ≤ ``buckets``-row result to
+    the driver, the audit explains the frame itself."""
+    spark = feats.sparkSession
+    if weights:
+        wdf = spark.createDataFrame(
+            sorted(weights.items()), "bucket long, wt double"
+        )
+        joined = feats.join(F.broadcast(wdf), "bucket", "left")
+    else:
+        joined = feats.withColumn("wt", F.lit(None).cast("double"))
+    dm = joined.groupBy(id_col, "_y", "_n").agg(
+        F.sum(F.col("_c") * F.coalesce(F.col("wt"), F.lit(0.0))).alias("_s")
+    )
+    resid = dm.select(
+        id_col,
+        (
+            F.lit(1.0)
+            / (F.lit(1.0) + F.exp(-(F.col("_s") / F.col("_n"))))
+            - F.col("_y")
+        ).alias("_r"),
+    )
+    return (
+        feats.join(resid, id_col)
+        .select(
+            "bucket",
+            (F.col("_r") * F.col("_c") / F.col("_n")).alias("_gc"),
+        )
+        .groupBy("bucket")
+        .agg(F.sum(F.col("_gc").cast("decimal(28,12)")).alias("_g"))
+    )
+
+
 def hashed_classifier_train(
     df: DataFrame,
     label_col: str,
@@ -1090,18 +1155,9 @@ def hashed_classifier_train(
     :func:`hashed_classifier_score`.
     """
     spark = df.sparkSession
-    g = hashed_gram_buckets(df, text_col, id_col, buckets)
-    labels = df.select(
-        F.col(id_col), F.col(label_col).cast("double").alias("_y")
-    )
-    counts = g.groupBy(id_col, "bucket").agg(F.count("*").alias("_c"))
-    nd = g.groupBy(id_col).agg(F.count("*").alias("_n"))
-    feats = (
-        counts.join(nd, id_col)
-        .join(labels, id_col)
-        .select(id_col, "bucket", "_c", "_n", "_y")
-        .localCheckpoint()
-    )
+    feats = classifier_feature_frame(
+        df, label_col, text_col, id_col, buckets
+    ).localCheckpoint()
     # the batch-GD divisor counts EVERY labeled document, including ones
     # whose text tokenizes to zero grams (they contribute zero gradient —
     # no features — but they are still training examples in the stated
@@ -1111,36 +1167,7 @@ def hashed_classifier_train(
         return spark.createDataFrame([], "bucket long, wt double")
     w: dict[int, float] = {}
     for _ in range(int(rounds)):
-        if w:
-            wdf = spark.createDataFrame(
-                sorted(w.items()), "bucket long, wt double"
-            )
-            joined = feats.join(F.broadcast(wdf), "bucket", "left")
-        else:
-            joined = feats.withColumn("wt", F.lit(None).cast("double"))
-        dm = joined.groupBy(id_col, "_y", "_n").agg(
-            F.sum(F.col("_c") * F.coalesce(F.col("wt"), F.lit(0.0))).alias(
-                "_s"
-            )
-        )
-        resid = dm.select(
-            id_col,
-            (
-                F.lit(1.0)
-                / (F.lit(1.0) + F.exp(-(F.col("_s") / F.col("_n"))))
-                - F.col("_y")
-            ).alias("_r"),
-        )
-        grad = (
-            feats.join(resid, id_col)
-            .select(
-                "bucket",
-                (F.col("_r") * F.col("_c") / F.col("_n")).alias("_gc"),
-            )
-            .groupBy("bucket")
-            .agg(F.sum(F.col("_gc").cast("decimal(28,12)")).alias("_g"))
-            .collect()
-        )
+        grad = classifier_gradient_frame(feats, w, id_col).collect()
         for row in grad:
             b = int(row["bucket"])
             w[b] = w.get(b, 0.0) - lr * (float(row["_g"]) / n_docs)

@@ -1024,3 +1024,236 @@ def ivf_pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# Frozen IVF-PQ deployment artifact (VERDICT r11 #6): train once, probe many.
+# ---------------------------------------------------------------------------
+
+
+def ivf_pq_fingerprint(corpus: DataFrame) -> str:
+    """Deterministic fingerprint of the corpus FILES backing a frozen
+    index: md5 over the sorted (path, size, mtime_ns) of
+    ``df.inputFiles()``. One metadata listing — the same file list Spark
+    resolves to PLAN any scan of the corpus, so the staleness check costs
+    no more than planning one read and touches no data. At table-format
+    scale (Delta/Iceberg) swap this for the snapshot id: a string compare,
+    no listing at all. Returns '' for non-file-backed frames (the caller
+    then refreezes every time — conservative)."""
+    import hashlib
+    import os as _os
+
+    files = sorted(corpus.inputFiles())
+    if not files:
+        return ""
+    h = hashlib.md5()
+    for uri in files:
+        p = uri[7:] if uri.startswith("file://") else uri
+        try:
+            st = _os.stat(p)
+            h.update(f"{uri}:{st.st_size}:{st.st_mtime_ns}\n".encode())
+        except OSError:
+            h.update(f"{uri}:?\n".encode())
+    return h.hexdigest()
+
+
+def freeze_ivf_pq(
+    corpus: DataFrame,
+    path: str,
+    nlist: int = 16,
+    m: int = 4,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    src_fingerprint: str | None = None,
+) -> None:
+    """Materialize the IVF-PQ index halves as a parquet deployment
+    artifact — the ANN counterpart of :func:`~learn_hbase_spark.operators.
+    corpus.freeze_bigram_lm`'s train-once/deploy-many form: every other
+    learned component (bigram LM, DSIR weights, frozen classifier) already
+    deploys from written tables; without this, each ANN query re-derived
+    centroids/codebooks AND re-encoded the corpus per invocation.
+
+    Layout under ``path``:
+    - ``centroids``: (cell, c) — the ``nlist`` normalized coarse seeds.
+    - ``codebook``: (subspace, code, sv) — the PQ seed subvector slices.
+    - ``cells``: (vec_id, cell) — corpus coarse assignment, the partition
+      key at scale (probing prunes cell partitions).
+    - ``codes``: (vec_id, subspace, code) — the PQ-encoded corpus: the m
+      ints per vector that replace raw embeddings at search time.
+    - ``meta``: ONE row (nlist, m, k_codes, dim, src) — written LAST, so
+      a crash mid-freeze leaves no meta and the artifact reads as absent
+      (all-or-nothing, no torn index; the WideTable stamp is
+      write-FIRST because its staleness is miss-only — here a partial
+      artifact would be silently wrong, so the ordering inverts).
+
+    Both halves are the deterministic SEEDED forms (`ivf_seed_cells` +
+    :func:`_pq_seeds`), so a probe over the artifact is a replayable
+    function of the corpus — the property that lets the frozen-probe
+    query keep `ivf_pq_topk`'s full DuckDB oracle. Cost: the seed pulls
+    (bounded: nlist + k_codes rows) plus TWO corpus passes (cell
+    assignment, PQ encode), each one Arrow-batched map — paid once,
+    amortized over every subsequent probe."""
+    import numpy as np
+
+    spark = corpus.sparkSession
+    seeds = _pq_seeds(corpus, k_codes, id_col, vec_col)
+    dim = seeds.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+
+    cell_rows = (
+        corpus.orderBy(F.col(id_col).asc()).limit(nlist)
+        .select(vec_col).toPandas()[vec_col]
+    )
+    cents = _np_norm_rows(
+        np.stack([np.asarray(v, dtype=np.float64) for v in cell_rows])
+    )
+
+    spark.createDataFrame(
+        [(i, [float(x) for x in cents[i]]) for i in range(cents.shape[0])],
+        "cell int, c array<double>",
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+    spark.createDataFrame(
+        [
+            (j, c, [float(x) for x in seeds[c, j * sub:(j + 1) * sub]])
+            for j in range(m)
+            for c in range(seeds.shape[0])
+        ],
+        "subspace int, code int, sv array<double>",
+    ).write.mode("overwrite").parquet(f"{path}/codebook")
+
+    corpus.select(
+        F.col(id_col).alias("_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    ).mapInPandas(
+        _cell_assigner(cents, 1), schema="_id long, _v array<double>, _cell int"
+    ).select(
+        F.col("_id").alias(id_col), F.col("_cell").alias("cell")
+    ).write.mode("overwrite").parquet(f"{path}/cells")
+
+    pq_codes(corpus, m, k_codes, id_col, vec_col, seeds=seeds).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/codes")
+
+    src = src_fingerprint if src_fingerprint is not None else (
+        ivf_pq_fingerprint(corpus)
+    )
+    spark.createDataFrame(
+        [(nlist, m, k_codes, dim, src)],
+        "nlist int, m int, k_codes int, dim int, src string",
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def ivf_pq_meta(spark, path: str):
+    """The artifact's one meta row, or None if absent/torn (meta is
+    written last, so its presence certifies a complete freeze)."""
+    try:
+        rows = spark.read.parquet(f"{path}/meta").collect()
+    except Exception:
+        return None
+    return rows[0] if rows else None
+
+
+def ivf_pq_fresh(
+    spark,
+    path: str,
+    src_fingerprint: str,
+    nlist: int = 16,
+    m: int = 4,
+    k_codes: int = 16,
+) -> bool:
+    """True iff a complete artifact exists at ``path`` frozen from exactly
+    this corpus fingerprint under these index parameters. An empty
+    fingerprint never matches (non-file-backed corpora refreeze —
+    conservative)."""
+    meta = ivf_pq_meta(spark, path)
+    return (
+        meta is not None
+        and bool(src_fingerprint)
+        and meta["src"] == src_fingerprint
+        and meta["nlist"] == nlist
+        and meta["m"] == m
+        and meta["k_codes"] == k_codes
+    )
+
+
+def ivf_pq_topk_frozen(
+    queries: DataFrame,
+    path: str,
+    nprobe: int = 4,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ top-k over a :func:`freeze_ivf_pq` artifact — the PROBE-ONLY
+    deployment path: centroids + codebook load to the driver (bounded:
+    nlist + m*k_codes rows, the k-means-centroid class), the query side
+    computes its probe cells and ADC distance tables in the same
+    Arrow-batched kernels as `ivf_pq_topk`, and the corpus side is the
+    WRITTEN ``cells``/``codes`` int tables — the raw corpus is never
+    touched. Same math, joins, ranking, and round-6 contract as
+    `ivf_pq_topk` (shared kernels: :func:`_cell_assigner`,
+    :func:`_adc_table`), so the frozen probe inherits its full DuckDB
+    oracle. At 100 TB the probe cost is (query set) x (probed cells'
+    codes) — independent of corpus encode cost, which is the point of
+    freezing."""
+    import numpy as np
+
+    spark = queries.sparkSession
+    meta = ivf_pq_meta(spark, path)
+    if meta is None:
+        raise ValueError(f"no complete IVF-PQ artifact at {path}")
+    nlist, m = int(meta["nlist"]), int(meta["m"])
+    k_codes, dim = int(meta["k_codes"]), int(meta["dim"])
+    sub = dim // m
+
+    cent_rows = spark.read.parquet(f"{path}/centroids").collect()
+    cents = np.zeros((nlist, dim))
+    for r in cent_rows:
+        cents[r["cell"]] = r["c"]
+    cb_rows = spark.read.parquet(f"{path}/codebook").collect()
+    seeds = np.zeros((k_codes, dim))
+    for r in cb_rows:
+        j = r["subspace"]
+        seeds[r["code"], j * sub:(j + 1) * sub] = r["sv"]
+
+    q_prepped = queries.select(
+        F.col(id_col).alias("_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    )
+    q_cells = q_prepped.mapInPandas(
+        _cell_assigner(cents, min(nprobe, nlist)),
+        schema="_id long, _v array<double>, _cell int",
+    ).select(F.col("_id").alias("query_id"), F.col("_cell").alias("cell"))
+
+    corpus_cells = spark.read.parquet(f"{path}/cells").select(
+        F.col(id_col).alias("neighbor_id"), "cell"
+    )
+    cand = corpus_cells.join(F.broadcast(q_cells), "cell").select(
+        "query_id", "neighbor_id"
+    )
+
+    codes = spark.read.parquet(f"{path}/codes").select(
+        F.col(id_col).alias("neighbor_id"), "subspace", "code"
+    )
+    table = q_prepped.mapInPandas(
+        _adc_table(seeds, m, sub),
+        schema="query_id long, subspace int, code int, pdist double",
+    )
+    scored = (
+        cand.join(codes, "neighbor_id")
+        .join(F.broadcast(table), ["query_id", "subspace", "code"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("pdist"), 6).alias("dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "dist")
+    )

@@ -459,7 +459,7 @@ _SWEEP_PRIORITY: list[str] = [
     # queries whose fingerprints moved under r11's module edits without an
     # r11 sweep slot — the recorder kept them stale, so they re-verify
     # first.
-    "bpe_train_merges", "bpe_tokenize",
+    "bpe_train_merges", "bpe_tokenize", "ann_ivf_pq_frozen",
     "entity_resolution", "curation_pipeline_rules", "curation_audit_rules",
     "gopher_repetition_sampled", "dsir_frozen_gumbel", "ivf_lloyd_update",
     "gopher_dupparagraph_flags", "classifier_train_round1",
@@ -487,6 +487,48 @@ def queries() -> dict[str, QueryFn]:
 
 def oracle_sql() -> dict[str, str]:
     return _rotated(_ORACLES)
+
+
+# ---------------------------------------------------------------------------
+# Plan-audit loop bodies (VERDICT r11 #4). Two registered queries return
+# DRIVER-materialized frames (createDataFrame over a bounded pulled result),
+# so even auditing with localCheckpoint disabled shows a LocalTableScan —
+# the executed iteration is invisible to the static plan. Each entry here
+# builds that query's representative per-round loop body as an un-collected,
+# un-checkpointed DataFrame from the SAME production operators, so
+# tools/plan_audit.py can record the iteration's real scan/shuffle/join
+# shape under the query's own name.
+# ---------------------------------------------------------------------------
+
+
+def _bpe_train_merges_audit_body(spark: SparkSession, sf_dir: str):
+    """One BPE training round's loop body: the frequency-weighted pair
+    count over the word table (the shuffle every merge round re-runs; the
+    argmax on top is a one-row driver fetch)."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text", F.translate("text", "|", "")
+    )
+    return tokenizer._pair_counts(tokenizer._word_table(docs, "text"))
+
+
+def _classifier_train_round1_audit_body(spark: SparkSession, sf_dir: str):
+    """One gradient-descent round's loop body: the per-bucket gradient
+    aggregation over the un-checkpointed feature table (the trainer
+    collects its ≤ buckets-row result; the audit explains the frame)."""
+    docs = _t(spark, sf_dir, "documents")
+    labeled = docs.withColumn(
+        "label", F.when(F.col("source") == "src0", 1.0).otherwise(0.0)
+    )
+    feats = corpus_ops.classifier_feature_frame(
+        labeled, "label", "text", "doc_id", 10_000
+    )
+    return corpus_ops.classifier_gradient_frame(feats, {}, "doc_id")
+
+
+_AUDIT_BODIES: dict[str, QueryFn] = {
+    "bpe_train_merges": _bpe_train_merges_audit_body,
+    "classifier_train_round1": _classifier_train_round1_audit_body,
+}
 
 
 # ---------------------------------------------------------------------------
@@ -4278,9 +4320,11 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_adc_topk(q, emb, m=4, k_codes=16, k=5)
 
 
-@_register(
-    "ivf_pq_topk",
-    f"""
+# Shared by ivf_pq_topk and ann_ivf_pq_frozen: the frozen probe is the SAME
+# deterministic seeded math over materialized artifacts, so one replay
+# serves both (the dsir_weights_frozen argument — frozen artifacts make the
+# probe a replayable function of the corpus).
+_IVF_PQ_SQL = f"""
     WITH {_PQ_CTES},
     iseeds AS (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cell, c
@@ -4343,8 +4387,10 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
              dist
       FROM scored
     ) WHERE rank <= 5
-    """,
-)
+    """
+
+
+@_register("ivf_pq_topk", _IVF_PQ_SQL)
 def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ, the FAISS-standard composition
     (operators.similarity.ivf_pq_topk): the seeded IVF coarse quantizer
@@ -4359,6 +4405,37 @@ def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_pq_topk(
         q, emb, nlist=16, nprobe=4, m=4, k_codes=16, k=5
     )
+
+
+@_register("ann_ivf_pq_frozen", _IVF_PQ_SQL)
+def ann_ivf_pq_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ probe over a PERSISTED index artifact (VERDICT r11 #6 —
+    operators.similarity.freeze_ivf_pq / ivf_pq_topk_frozen): the
+    train-once/deploy-many form every other learned component already has
+    (freeze_bigram_lm, dsir_weights_frozen, the frozen classifier).
+    Centroids, PQ codebooks, corpus codes, and coarse-cell assignments
+    materialize to parquet ONCE per (corpus fingerprint, index params) —
+    the freeze is skipped when the artifact is fresh (`ivf_pq_fresh`:
+    meta-row compare, no corpus listing beyond the one Spark would do to
+    plan any scan of it) — and the probe runs entirely against the
+    written int tables: the raw corpus is never touched. Because both
+    halves are the deterministic seeded forms, the frozen probe inherits
+    `ivf_pq_topk`'s full DuckDB oracle verbatim. Bench reads as
+    probe-only cost at steady state (min-of-2 passes: pass 1 pays any
+    refreeze, pass 2 probes a fresh artifact)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    path = os.path.join(
+        _SCRATCH_ROOT, f"ivf_pq_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    src = similarity.ivf_pq_fingerprint(emb)
+    if not similarity.ivf_pq_fresh(
+        spark, path, src, nlist=16, m=4, k_codes=16
+    ):
+        similarity.freeze_ivf_pq(
+            emb, path, nlist=16, m=4, k_codes=16, src_fingerprint=src
+        )
+    q = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivf_pq_topk_frozen(q, path, nprobe=4, k=5)
 
 
 # ---------------------------------------------------------------------------

@@ -987,3 +987,70 @@ def test_ivf_pq_composition_consistent_with_adc(spark, vectors):
         hits += len(exact & approx.get(qi, set()))
         total += 5
     assert hits / total >= 0.3, (hits, total)
+
+
+def test_frozen_ivf_pq_probe_equals_live_composition(spark, vectors, tmp_path):
+    """The frozen artifact's probe must reproduce ivf_pq_topk exactly —
+    same seeded centroids/codebooks through parquet round-trip, same
+    joins, same round-6 distances and ranking."""
+    src = str(tmp_path / "corpus")
+    vectors.write.parquet(src)
+    corpus = spark.read.parquet(src)
+    q = corpus.filter(F.col("vec_id") < 5)
+
+    live = sorted(
+        tuple(r)
+        for r in similarity.ivf_pq_topk(
+            q, corpus, nlist=8, nprobe=4, m=4, k_codes=8, k=5
+        ).collect()
+    )
+    path = str(tmp_path / "ivf_pq")
+    similarity.freeze_ivf_pq(corpus, path, nlist=8, m=4, k_codes=8)
+    frozen = sorted(
+        tuple(r)
+        for r in similarity.ivf_pq_topk_frozen(q, path, nprobe=4, k=5)
+        .collect()
+    )
+    assert frozen == live and frozen
+
+
+def test_frozen_ivf_pq_freshness_contract(spark, vectors, tmp_path):
+    """ivf_pq_fresh: matches only a complete artifact with the same corpus
+    fingerprint AND index params; a torn freeze (no meta — meta is written
+    last) reads as absent; corpus file changes flip it stale."""
+    src = str(tmp_path / "corpus")
+    vectors.write.parquet(src)
+    corpus = spark.read.parquet(src)
+    fp = similarity.ivf_pq_fingerprint(corpus)
+    assert fp  # file-backed → nonempty
+
+    path = str(tmp_path / "ivf_pq")
+    assert not similarity.ivf_pq_fresh(spark, path, fp)  # nothing yet
+    similarity.freeze_ivf_pq(
+        corpus, path, nlist=8, m=4, k_codes=8, src_fingerprint=fp
+    )
+    assert similarity.ivf_pq_fresh(spark, path, fp, nlist=8, m=4, k_codes=8)
+    # param mismatch → stale
+    assert not similarity.ivf_pq_fresh(
+        spark, path, fp, nlist=16, m=4, k_codes=8
+    )
+    # corpus rewrite → new fingerprint → stale
+    vectors.limit(30).write.mode("overwrite").parquet(src)
+    fp2 = similarity.ivf_pq_fingerprint(spark.read.parquet(src))
+    assert fp2 != fp
+    assert not similarity.ivf_pq_fresh(
+        spark, path, fp2, nlist=8, m=4, k_codes=8
+    )
+    # empty fingerprint (non-file-backed corpus) never matches
+    assert not similarity.ivf_pq_fresh(spark, path, "", nlist=8, m=4,
+                                       k_codes=8)
+    # torn artifact: meta removed → absent
+    import shutil
+
+    shutil.rmtree(f"{path}/meta")
+    assert not similarity.ivf_pq_fresh(spark, path, fp, nlist=8, m=4,
+                                       k_codes=8)
+    import pytest
+
+    with pytest.raises(ValueError, match="no complete IVF-PQ artifact"):
+        similarity.ivf_pq_topk_frozen(corpus.limit(1), path)

@@ -25,3 +25,50 @@ def test_bench_covers_registry():
     import __spark_entry__ as entry
 
     assert set(bench.BENCH_QUERIES) == set(entry.queries())
+
+
+def test_plan_audit_has_no_blind_rows():
+    """No audit row may be all-zero across every operator family (VERDICT
+    r11: checkpoint-truncated iterative queries read as 0 scans / 0
+    exchanges / 0 joins, so the registry-wide no-NLJ and pushed-scan
+    invariants silently skipped exactly the iterative operators).
+    Iterative queries are now audited un-checkpointed
+    (tools/plan_audit.UNCHECKPOINTED_AUDIT) or through a registered
+    loop-body frame (queries._AUDIT_BODIES); a fresh all-zero row means a
+    new iterative query shipped without either."""
+    import json
+
+    keys = (
+        "exchanges", "broadcast_hash_joins", "sort_merge_joins",
+        "shuffled_hash_joins", "nested_loop_joins", "scans",
+        "window_ops", "python_ops",
+    )
+    with open("plan_audit.jsonl") as f:
+        rows = [json.loads(line) for line in f if line.strip()]
+    blind = sorted(
+        row["query"]
+        for row in rows
+        if "query" in row and all(row.get(k, 0) == 0 for k in keys)
+    )
+    assert not blind, f"plan-audit rows blind to their executed plan: {blind}"
+
+
+def test_plan_audit_iterative_queries_are_covered():
+    """Every UNCHECKPOINTED_AUDIT / _AUDIT_BODIES name must be a registered
+    query (a rename would silently drop the un-truncated audit), and the
+    two mechanisms must not overlap (the body would shadow the
+    un-checkpointed audit)."""
+    import sys
+
+    import __spark_entry__ as entry
+    from learn_hbase_spark import queries as qmod
+
+    sys.path.insert(0, "tools")
+    import plan_audit
+
+    registered = set(entry.queries())
+    unchk = set(plan_audit.UNCHECKPOINTED_AUDIT)
+    bodies = set(qmod._AUDIT_BODIES)
+    assert unchk <= registered, unchk - registered
+    assert bodies <= registered, bodies - registered
+    assert not (unchk & bodies), unchk & bodies

@@ -70,12 +70,10 @@ _ROWS_ONLY_CHECKS = {
         "tests/test_sketches.py::test_hll_rollup_tolerance_and_merge_consistency",
         "tests/test_sketches.py::test_hll_merge_law_partitioning_invariant",
     ],
-    "bpe_train_merges": [
-        "tests/test_tokenizer.py::test_bpe_train_matches_single_node_reference",
-    ],
-    "bpe_tokenize": [
-        "tests/test_tokenizer.py::test_bpe_encode_rank_priority_and_counts",
-    ],
+    # bpe_train_merges and bpe_tokenize left this table in round 12: the
+    # chained-CTE training replay gave both FULL DuckDB oracles (all 8
+    # integer count->argmax->rewrite cycles), so the driver's value-hash
+    # check is the bar again.
 }
 
 
