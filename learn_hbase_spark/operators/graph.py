@@ -31,6 +31,61 @@ from pyspark.sql import functions as F
 _EXACT_REPLAY_MAX_NODES = (2**63 - 1) // (100 * 1_000_000_000)
 
 
+def _cc_canonical_edges(
+    edges: DataFrame, src_col: str = "id_a", dst_col: str = "id_b"
+) -> DataFrame:
+    """The canonical undirected (u, v) edge set :func:`connected_components`
+    iterates over: self-loops dropped, endpoints ordered, duplicates
+    removed. Extracted so the plan audit can compose ONE un-truncated
+    round over a query's real pair lineage (the per-round parquet state
+    hides the loop from the final frame's explain)."""
+    return (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        )
+        .distinct()
+    )
+
+
+def _cc_round(e: DataFrame) -> DataFrame:
+    """ONE large-star/small-star rewrite — the exact loop body of
+    :func:`connected_components` (which calls this per round), exposed so
+    tools/plan_audit.py can explain a representative un-truncated
+    iteration composed over the query's real edge lineage. Per-round
+    minima come from a window over the endpoint partition — one shuffle —
+    instead of a groupBy + join back (two). The only distinct is on the
+    round's final state: large-star duplicates are linear in the edge
+    count and cheaper to carry one pass than to dedup with an extra
+    exchange."""
+    w_u = Window.partitionBy("u")
+    # ---- large star: (v, m) for every neighbor v > u, m = min(N⁺(u))
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    ls = (
+        sym.withColumn(
+            "_m", F.least(F.min("v").over(w_u), F.col("u"))
+        )
+        .filter((F.col("v") > F.col("u")) & (F.col("v") != F.col("_m")))
+        .select(
+            F.least(F.col("v"), F.col("_m")).alias("u"),
+            F.greatest(F.col("v"), F.col("_m")).alias("v"),
+        )
+    )
+    # ---- small star: orient high→low; (x, m) for x ∈ smaller(u) ∪ {u}
+    return (
+        ls.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        .withColumn("_m", F.min("v").over(w_u))
+        .select(
+            F.col("_m").alias("m"),
+            F.explode(F.array("u", "v")).alias("x"),
+        )
+        .filter(F.col("x") != F.col("m"))
+        .select(F.col("m").alias("u"), F.col("x").alias("v"))
+        .distinct()
+    )
+
+
 def connected_components(
     nodes: DataFrame,
     edges: DataFrame,
@@ -114,14 +169,7 @@ def connected_components(
     # canonical undirected edge set, self-loops dropped; materialized once
     # to its own slot — the touched-node set for the output stage derives
     # from this parquet copy lazily instead of a second checkpoint job
-    e0 = (
-        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
-        .filter(F.col("a") != F.col("b"))
-        .select(
-            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
-        )
-        .distinct()
-    )
+    e0 = _cc_canonical_edges(edges, src_col, dst_col)
     e0.write.mode("overwrite").parquet(f"{scratch}/init")
     init = spark.read.parquet(f"{scratch}/init")
     touched = (
@@ -131,38 +179,8 @@ def connected_components(
     )
     e, sig = init, (-1, None)
 
-    # Per-round minima come from a window over the endpoint partition —
-    # one shuffle — instead of a groupBy + join back (two). The only
-    # distinct is on the round's final state: large-star duplicates are
-    # linear in the edge count and cheaper to carry one pass than to
-    # dedup with an extra exchange.
-    w_u = Window.partitionBy("u")
     for _round in range(max_iter):
-        # ---- large star: (v, m) for every neighbor v > u, m = min(N⁺(u))
-        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        ls = (
-            sym.withColumn(
-                "_m", F.least(F.min("v").over(w_u), F.col("u"))
-            )
-            .filter((F.col("v") > F.col("u")) & (F.col("v") != F.col("_m")))
-            .select(
-                F.least(F.col("v"), F.col("_m")).alias("u"),
-                F.greatest(F.col("v"), F.col("_m")).alias("v"),
-            )
-        )
-        # ---- small star: orient high→low; (x, m) for x ∈ smaller(u) ∪ {u}
-        ss = (
-            ls.select(F.col("v").alias("u"), F.col("u").alias("v"))
-            .withColumn("_m", F.min("v").over(w_u))
-            .select(
-                F.col("_m").alias("m"),
-                F.explode(F.array("u", "v")).alias("x"),
-            )
-            .filter(F.col("x") != F.col("m"))
-            .select(F.col("m").alias("u"), F.col("x").alias("v"))
-            .distinct()
-        )
-        e, new_sig = _observed_write(ss, _round)
+        e, new_sig = _observed_write(_cc_round(e), _round)
         if new_sig == sig:
             break
         sig = new_sig
@@ -276,6 +294,21 @@ def pagerank(
             "exact_replay needs integer-percent damping (e.g. 0.85), "
             f"got {damping}"
         )
+    if exact_replay:
+        # enforce the int64 bound BEFORE any edge-table work: total scaled
+        # mass <= |V| * 1e9, and the damped update multiplies a node's
+        # in-sum (<= total mass) by d_pct < 100 before the div — Spark
+        # wraps on overflow instead of erroring, so guard here rather than
+        # document-and-hope. One count on the node frame, which is exactly
+        # the scale the guard exists for — failing fast here spares the
+        # (much larger) edge symmetrization + checkpoint.
+        n_base = nodes.count()
+        if n_base > _EXACT_REPLAY_MAX_NODES:
+            raise ValueError(
+                f"exact_replay is int64-exact only to "
+                f"{_EXACT_REPLAY_MAX_NODES} nodes (got {n_base}); use the "
+                "default double path for graphs past the bound"
+            )
     sym = edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
     sym = sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
     sym = sym.localCheckpoint()
@@ -291,19 +324,6 @@ def pagerank(
     out_edges = sym.join(degrees, "u").coalesce(n_parts).localCheckpoint()
 
     base = nodes.select(F.col(node_col).alias("u")).coalesce(n_parts)
-    if exact_replay:
-        # enforce the int64 bound: total scaled mass <= |V| * 1e9, and the
-        # damped update multiplies a node's in-sum (<= total mass) by
-        # d_pct < 100 before the div — Spark wraps on overflow instead of
-        # erroring, so guard here rather than document-and-hope. One count
-        # on the node frame (already far smaller than the corpus).
-        n_base = base.count()
-        if n_base > _EXACT_REPLAY_MAX_NODES:
-            raise ValueError(
-                f"exact_replay is int64-exact only to "
-                f"{_EXACT_REPLAY_MAX_NODES} nodes (got {n_base}); use the "
-                "default double path for graphs past the bound"
-            )
     init = F.lit(1_000_000_000).cast("long") if exact_replay else F.lit(1.0)
     ranks = base.withColumn("rank", init).localCheckpoint()
 

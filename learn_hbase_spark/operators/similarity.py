@@ -1051,9 +1051,14 @@ def ivf_pq_fingerprint(corpus: DataFrame) -> str:
         p = uri[7:] if uri.startswith("file://") else uri
         try:
             st = _os.stat(p)
-            h.update(f"{uri}:{st.st_size}:{st.st_mtime_ns}\n".encode())
         except OSError:
-            h.update(f"{uri}:?\n".encode())
+            # non-locally-stat-able filesystem (hdfs://, s3a://): a
+            # path-only fingerprint would be ANTI-conservative — an
+            # in-place rewrite keeping file names would read as fresh.
+            # Return '' (never matches) so such corpora refreeze every
+            # time until a table-format snapshot id replaces this.
+            return ""
+        h.update(f"{uri}:{st.st_size}:{st.st_mtime_ns}\n".encode())
     return h.hexdigest()
 
 
@@ -1081,11 +1086,17 @@ def freeze_ivf_pq(
       key at scale (probing prunes cell partitions).
     - ``codes``: (vec_id, subspace, code) — the PQ-encoded corpus: the m
       ints per vector that replace raw embeddings at search time.
-    - ``meta``: ONE row (nlist, m, k_codes, dim, src) — written LAST, so
-      a crash mid-freeze leaves no meta and the artifact reads as absent
-      (all-or-nothing, no torn index; the WideTable stamp is
-      write-FIRST because its staleness is miss-only — here a partial
-      artifact would be silently wrong, so the ordering inverts).
+    - ``meta``: ONE row (nlist, m, k_codes, dim, src) — the valid row is
+      written LAST, so a crash mid-FIRST-freeze leaves no meta and the
+      artifact reads as absent. A REFREEZE additionally tombstones the
+      existing meta (``nlist = -1``) before touching any half: without
+      that, a crash mid-refreeze would leave the OLD meta over mixed
+      old/new halves, and a later corpus rollback to the old fingerprint
+      would read the torn index as fresh — silently wrong neighbors.
+      Tombstoned artifacts read as stale (`ivf_pq_fresh` param compare
+      fails on -1) and the probe refuses them loudly. The WideTable stamp
+      is write-FIRST because its staleness is miss-only; here a partial
+      artifact would be silently wrong, so the ordering inverts.
 
     Both halves are the deterministic SEEDED forms (`ivf_seed_cells` +
     :func:`_pq_seeds`), so a probe over the artifact is a replayable
@@ -1097,6 +1108,12 @@ def freeze_ivf_pq(
     import numpy as np
 
     spark = corpus.sparkSession
+    if ivf_pq_meta(spark, path) is not None:
+        # refreeze: invalidate the old meta BEFORE overwriting any half
+        spark.createDataFrame(
+            [(-1, -1, -1, -1, "")],
+            "nlist int, m int, k_codes int, dim int, src string",
+        ).write.mode("overwrite").parquet(f"{path}/meta")
     seeds = _pq_seeds(corpus, k_codes, id_col, vec_col)
     dim = seeds.shape[1]
     if dim % m:
@@ -1124,13 +1141,11 @@ def freeze_ivf_pq(
         "subspace int, code int, sv array<double>",
     ).write.mode("overwrite").parquet(f"{path}/codebook")
 
-    corpus.select(
-        F.col(id_col).alias("_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
-    ).mapInPandas(
-        _cell_assigner(cents, 1), schema="_id long, _v array<double>, _cell int"
-    ).select(
-        F.col("_id").alias(id_col), F.col("_cell").alias("cell")
+    # cell assignment through ivf_seed_cells — THE cell-assignment rule
+    # has one implementation, so the frozen artifact cannot drift from
+    # the live `ivf_pq_topk` / `ivf_cell_assign` paths
+    ivf_seed_cells(corpus, nlist, id_col, vec_col).select(
+        F.col(id_col), "cell"
     ).write.mode("overwrite").parquet(f"{path}/cells")
 
     pq_codes(corpus, m, k_codes, id_col, vec_col, seeds=seeds).write.mode(
@@ -1203,18 +1218,25 @@ def ivf_pq_topk_frozen(
 
     spark = queries.sparkSession
     meta = ivf_pq_meta(spark, path)
-    if meta is None:
+    if meta is None or int(meta["nlist"]) < 0:
+        # absent, or a refreeze tombstone over mixed halves — refuse
+        # loudly instead of probing a torn index
         raise ValueError(f"no complete IVF-PQ artifact at {path}")
-    nlist, m = int(meta["nlist"]), int(meta["m"])
-    k_codes, dim = int(meta["k_codes"]), int(meta["dim"])
+    m, dim = int(meta["m"]), int(meta["dim"])
     sub = dim // m
 
+    # size driver matrices by the WRITTEN rows, not meta's requested
+    # params: a corpus smaller than nlist/k_codes freezes fewer seeds, and
+    # zero-padding would create phantom all-zero centroids that outrank
+    # real negative-cosine cells — a probe `ivf_pq_topk` does not make
     cent_rows = spark.read.parquet(f"{path}/centroids").collect()
-    cents = np.zeros((nlist, dim))
+    n_cents = len(cent_rows)
+    cents = np.zeros((n_cents, dim))
     for r in cent_rows:
         cents[r["cell"]] = r["c"]
     cb_rows = spark.read.parquet(f"{path}/codebook").collect()
-    seeds = np.zeros((k_codes, dim))
+    n_codes = max(r["code"] for r in cb_rows) + 1
+    seeds = np.zeros((n_codes, dim))
     for r in cb_rows:
         j = r["subspace"]
         seeds[r["code"], j * sub:(j + 1) * sub] = r["sv"]
@@ -1224,7 +1246,7 @@ def ivf_pq_topk_frozen(
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
     )
     q_cells = q_prepped.mapInPandas(
-        _cell_assigner(cents, min(nprobe, nlist)),
+        _cell_assigner(cents, min(nprobe, n_cents)),
         schema="_id long, _v array<double>, _cell int",
     ).select(F.col("_id").alias("query_id"), F.col("_cell").alias("cell"))
 

@@ -525,9 +525,71 @@ def _classifier_train_round1_audit_body(spark: SparkSession, sf_dir: str):
     return corpus_ops.classifier_gradient_frame(feats, {}, "doc_id")
 
 
+def _neardup_clusters_audit_body(spark: SparkSession, sf_dir: str):
+    """The query's real pair lineage (MinHash-LSH band join) composed
+    through ONE un-truncated large-star/small-star round — CC's per-round
+    parquet state otherwise hides both the loop body AND the upstream
+    pair generation from the final frame's explain."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_bucket_pairs(
+        docs, "text", "doc_id", num_hashes=8, bands=4
+    )
+    return graph._cc_round(graph._cc_canonical_edges(pairs, "id_a", "id_b"))
+
+
+def _semantic_dedup_audit_body(spark: SparkSession, sf_dir: str):
+    """semantic_dedup's real upstream (k-means assignment + within-cell
+    pair search — both Python-kernel stages the truncated plan hid)
+    composed through one un-truncated CC round."""
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned = similarity.kmeans_clusters(emb, k=8, n_iter=3).select(
+        "vec_id", "cluster_id"
+    )
+    with_vec = assigned.join(emb.select("vec_id", "embedding"), "vec_id")
+    pairs = similarity.within_cluster_pairs(with_vec, threshold=0.35)
+    return graph._cc_round(graph._cc_canonical_edges(pairs, "id_a", "id_b"))
+
+
+def _entity_resolution_audit_body(spark: SparkSession, sf_dir: str):
+    """entity_resolution's blocked levenshtein pair join composed through
+    one un-truncated CC round."""
+    c = _t(spark, sf_dir, "customer")
+    a = c.repartition(
+        spark.sparkContext.defaultParallelism,
+        "c_nationkey", "c_mktsegment",
+    ).select(
+        F.col("c_custkey").alias("u"),
+        F.col("c_name").alias("_na"),
+        "c_nationkey", "c_mktsegment",
+    )
+    b = c.select(
+        F.col("c_custkey").alias("v"),
+        F.col("c_name").alias("_nb"),
+        F.col("c_nationkey").alias("_nk"),
+        F.col("c_mktsegment").alias("_ms"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("c_nationkey") == F.col("_nk"))
+            & (F.col("c_mktsegment") == F.col("_ms"))
+            & (F.col("u") < F.col("v")),
+        )
+        .filter(F.levenshtein(F.col("_na"), F.col("_nb")) <= 1)
+        .select("u", "v")
+    )
+    return graph._cc_round(graph._cc_canonical_edges(pairs, "u", "v"))
+
+
 _AUDIT_BODIES: dict[str, QueryFn] = {
     "bpe_train_merges": _bpe_train_merges_audit_body,
     "classifier_train_round1": _classifier_train_round1_audit_body,
+    # CC-family: per-round PARQUET state (not localCheckpoint) truncates
+    # the lineage, so the no-localCheckpoint audit mode cannot expose
+    # these — the loop body composes explicitly instead
+    "neardup_clusters": _neardup_clusters_audit_body,
+    "semantic_dedup": _semantic_dedup_audit_body,
+    "entity_resolution": _entity_resolution_audit_body,
 }
 
 

@@ -1044,13 +1044,49 @@ def test_frozen_ivf_pq_freshness_contract(spark, vectors, tmp_path):
     # empty fingerprint (non-file-backed corpus) never matches
     assert not similarity.ivf_pq_fresh(spark, path, "", nlist=8, m=4,
                                        k_codes=8)
+    # refreeze tombstone (crash mid-refreeze leaves nlist=-1 over mixed
+    # halves): stale AND the probe refuses loudly
+    import pytest
+
+    spark.createDataFrame(
+        [(-1, -1, -1, -1, "")],
+        "nlist int, m int, k_codes int, dim int, src string",
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+    assert not similarity.ivf_pq_fresh(spark, path, fp, nlist=8, m=4,
+                                       k_codes=8)
+    with pytest.raises(ValueError, match="no complete IVF-PQ artifact"):
+        similarity.ivf_pq_topk_frozen(corpus.limit(1), path)
     # torn artifact: meta removed → absent
     import shutil
 
     shutil.rmtree(f"{path}/meta")
     assert not similarity.ivf_pq_fresh(spark, path, fp, nlist=8, m=4,
                                        k_codes=8)
-    import pytest
-
     with pytest.raises(ValueError, match="no complete IVF-PQ artifact"):
         similarity.ivf_pq_topk_frozen(corpus.limit(1), path)
+
+
+def test_frozen_ivf_pq_small_corpus_no_phantom_cells(spark, vectors, tmp_path):
+    """Corpus smaller than nlist/k_codes: the probe must size its driver
+    matrices by the WRITTEN seed rows — zero-padding to meta's requested
+    params would create phantom all-zero centroids that outrank real
+    negative-cosine cells, diverging from ivf_pq_topk."""
+    src = str(tmp_path / "small")
+    vectors.filter(F.col("vec_id") < 6).write.parquet(src)
+    corpus = spark.read.parquet(src)
+    q = corpus.filter(F.col("vec_id") < 2)
+
+    live = sorted(
+        tuple(r)
+        for r in similarity.ivf_pq_topk(
+            q, corpus, nlist=8, nprobe=4, m=4, k_codes=8, k=3
+        ).collect()
+    )
+    path = str(tmp_path / "ivf_pq_small")
+    similarity.freeze_ivf_pq(corpus, path, nlist=8, m=4, k_codes=8)
+    frozen = sorted(
+        tuple(r)
+        for r in similarity.ivf_pq_topk_frozen(q, path, nprobe=4, k=3)
+        .collect()
+    )
+    assert frozen == live and frozen

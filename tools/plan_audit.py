@@ -126,16 +126,18 @@ NESTED_LOOP_ALLOWED: dict[str, str] = {
 # (createDataFrame over a bounded pull) can't be un-truncated this way and
 # instead register a loop-body frame in queries._AUDIT_BODIES.
 UNCHECKPOINTED_AUDIT: dict[str, str] = {
-    "pagerank_neardup": "5 power iterations (join+agg each) + CC clustering",
+    "pagerank_neardup": "5 power iterations (join+agg each) over LSH pairs",
     "pagerank_iter1": "1 power iteration, un-truncated",
-    "neardup_clusters": "large-star/small-star CC rounds",
-    "semantic_dedup": "k-means assign + blocked pairs + CC rounds",
-    "entity_resolution": "blocked levenshtein pairs + CC rounds",
     "graph_triangle_stats": "symmetrized edge frame un-truncated",
     "embedding_kmeans": "assignment pass over un-truncated feature cast",
     "kmeans_assign_iter1": "assignment pass over un-truncated feature cast",
     "bpe_tokenize": "encode pass over the corpus, un-truncated",
 }
+# NOTE: the CC-family queries (neardup_clusters, semantic_dedup,
+# entity_resolution) truncate per round through PARQUET state, which this
+# mode cannot un-truncate — they audit through queries._AUDIT_BODIES
+# loop-body frames instead (pair lineage + one large-star/small-star
+# round).
 
 
 @contextlib.contextmanager
@@ -290,7 +292,11 @@ def main() -> int:
             continue
         try:
             if name in audit_bodies:
-                report = audit(audit_bodies[name](spark, sf_dir))
+                # bodies also run un-checkpointed: a kmeans/feature-table
+                # localCheckpoint inside the body's upstream would
+                # otherwise hide the corpus scan feeding it
+                with no_localcheckpoint():
+                    report = audit(audit_bodies[name](spark, sf_dir))
                 report["loop_body"] = True
             elif name in UNCHECKPOINTED_AUDIT:
                 with no_localcheckpoint():

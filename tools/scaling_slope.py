@@ -181,6 +181,11 @@ def main() -> int:
         else:
             fn = fn_k = qs[name]
         fn(spark, WARM).toPandas()  # warmup (plan + python paths hot)
+        if fn_k is not fn:
+            # warm BOTH arms: an unwarmed scaled closure would bill plan
+            # compilation to t_k only — asymmetric between the arms being
+            # compared, and invisible under reps=1
+            fn_k(spark, WARM).toPandas()
         t1 = min(
             _timed(fn, spark, BASE) for _ in range(reps)
         )
