@@ -1279,3 +1279,82 @@ def ivf_pq_topk_frozen(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "dist")
     )
+
+
+def extend_ivf_pq(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    src_fingerprint: str | None = None,
+) -> None:
+    """Incrementally EXTEND a frozen IVF-PQ artifact with new corpus
+    vectors — the O(new) daily-growth path: at 100 TB a corpus grows by
+    shards, and re-running :func:`freeze_ivf_pq` would re-encode
+    everything to admit one day's arrivals. The quantizers stay FROZEN
+    (centroids + codebooks are trained once — exactly how production IVF
+    deploys: FAISS `add()` encodes against the trained index without
+    retraining), so extension is two Arrow-batched passes over ONLY the
+    new vectors — cell assignment and PQ encode against the stored
+    seeds — APPENDED to ``cells``/``codes``. Same incremental posture as
+    ``dedup.exact_dedup_incremental`` and the WideTable's delta segments.
+
+    Crash safety mirrors the refreeze protocol: meta is tombstoned before
+    the appends and rewritten (with the new ``src_fingerprint``) after
+    both land, so a crash mid-extend reads as a torn artifact
+    (`ivf_pq_fresh` = False, probe refuses) instead of a half-extended
+    index silently missing one table's rows.
+
+    The caller owns id uniqueness (new ids must not collide with indexed
+    ones — the WideTable/dedup incremental contract) and passes the
+    grown corpus's fingerprint so subsequent freshness checks compare
+    against the post-extension corpus. Note the deliberate asymmetry
+    with a full refreeze: seeds derive from the ORIGINAL corpus's
+    lowest-id vectors, so an extended artifact is NOT bit-identical to
+    a from-scratch freeze of the grown corpus — it is the deployment
+    trade (stable quantizers, O(new) cost) and the probe remains exact
+    over the codes it stores."""
+    spark = new_vectors.sparkSession
+    meta = ivf_pq_meta(spark, path)
+    if meta is None or int(meta["nlist"]) < 0:
+        raise ValueError(f"no complete IVF-PQ artifact at {path} to extend")
+    import numpy as np
+
+    nlist, m = int(meta["nlist"]), int(meta["m"])
+    k_codes, dim = int(meta["k_codes"]), int(meta["dim"])
+    sub = dim // m
+
+    cent_rows = spark.read.parquet(f"{path}/centroids").collect()
+    cents = np.zeros((len(cent_rows), dim))
+    for r in cent_rows:
+        cents[r["cell"]] = r["c"]
+    cb_rows = spark.read.parquet(f"{path}/codebook").collect()
+    n_codes = max(r["code"] for r in cb_rows) + 1
+    seeds = np.zeros((n_codes, dim))
+    for r in cb_rows:
+        j = r["subspace"]
+        seeds[r["code"], j * sub:(j + 1) * sub] = r["sv"]
+
+    # tombstone meta BEFORE the appends (torn-extend safety)
+    spark.createDataFrame(
+        [(-1, -1, -1, -1, "")],
+        "nlist int, m int, k_codes int, dim int, src string",
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+    new_vectors.select(
+        F.col(id_col).alias("_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    ).mapInPandas(
+        _cell_assigner(cents, 1), schema="_id long, _v array<double>, _cell int"
+    ).select(
+        F.col("_id").alias(id_col), F.col("_cell").alias("cell")
+    ).write.mode("append").parquet(f"{path}/cells")
+
+    pq_codes(
+        new_vectors, m, n_codes, id_col, vec_col, seeds=seeds
+    ).write.mode("append").parquet(f"{path}/codes")
+
+    spark.createDataFrame(
+        [(nlist, m, k_codes, dim, src_fingerprint or "")],
+        "nlist int, m int, k_codes int, dim int, src string",
+    ).write.mode("overwrite").parquet(f"{path}/meta")

@@ -460,6 +460,7 @@ _SWEEP_PRIORITY: list[str] = [
     # r11 sweep slot — the recorder kept them stale, so they re-verify
     # first.
     "bpe_train_merges", "bpe_tokenize", "ann_ivf_pq_frozen",
+    "ann_ivf_pq_extend",
     "entity_resolution", "curation_pipeline_rules", "curation_audit_rules",
     "gopher_repetition_sampled", "dsir_frozen_gumbel", "ivf_lloyd_update",
     "gopher_dupparagraph_flags", "classifier_train_round1",
@@ -4496,6 +4497,37 @@ def ann_ivf_pq_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
         similarity.freeze_ivf_pq(
             emb, path, nlist=16, m=4, k_codes=16, src_fingerprint=src
         )
+    q = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivf_pq_topk_frozen(q, path, nprobe=4, k=5)
+
+
+@_register("ann_ivf_pq_extend", _IVF_PQ_SQL)
+def ann_ivf_pq_extend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index growth (operators.similarity.extend_ivf_pq — the
+    O(new) daily-arrivals path: encode ONLY the new shard against the
+    FROZEN quantizers and append, never re-encode the corpus): freeze on
+    the id-low half of the embeddings, extend with the id-high half,
+    probe the grown artifact. With an id-ordered split the frozen
+    quantizers (lowest-id seeds) are exactly a full freeze's, so the
+    extended artifact's content is identical to freezing the whole corpus
+    and the probe shares ``ivf_pq_topk``'s full DuckDB oracle — the
+    driver's value-hash check therefore verifies the APPEND path end to
+    end. Rebuilds from scratch each invocation (this query exists to
+    exercise extension; the staleness-skipping deployment form is
+    ``ann_ivf_pq_frozen``)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    mid = emb.agg(F.max("vec_id")).collect()[0][0] // 2
+    path = os.path.join(
+        _SCRATCH_ROOT,
+        f"ivf_pq_ext_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    similarity.freeze_ivf_pq(
+        emb.filter(F.col("vec_id") <= mid), path,
+        nlist=16, m=4, k_codes=16, src_fingerprint="half",
+    )
+    similarity.extend_ivf_pq(
+        emb.filter(F.col("vec_id") > mid), path, src_fingerprint="full"
+    )
     q = emb.filter(F.col("vec_id") < 10)
     return similarity.ivf_pq_topk_frozen(q, path, nprobe=4, k=5)
 

@@ -1090,3 +1090,68 @@ def test_frozen_ivf_pq_small_corpus_no_phantom_cells(spark, vectors, tmp_path):
         .collect()
     )
     assert frozen == live and frozen
+
+
+def test_extend_ivf_pq_incremental_growth(spark, vectors, tmp_path):
+    """O(new) extension: freeze on the first half, extend with the second
+    — the extended probe must equal probing an artifact whose quantizers
+    came from the SAME original seeds but whose codes/cells cover the
+    full corpus (frozen-quantizer contract: extension never retrains)."""
+    src_a = str(tmp_path / "half_a")
+    src_b = str(tmp_path / "half_b")
+    vectors.filter(F.col("vec_id") < 30).write.parquet(src_a)
+    vectors.filter(F.col("vec_id") >= 30).write.parquet(src_b)
+    half_a = spark.read.parquet(src_a)
+    half_b = spark.read.parquet(src_b)
+
+    path = str(tmp_path / "ivf_pq_grow")
+    similarity.freeze_ivf_pq(half_a, path, nlist=8, m=4, k_codes=8,
+                             src_fingerprint="v1")
+    similarity.extend_ivf_pq(half_b, path, src_fingerprint="v2")
+    assert similarity.ivf_pq_fresh(spark, path, "v2", nlist=8, m=4,
+                                   k_codes=8)
+
+    q = half_a.filter(F.col("vec_id") < 3)
+    got = sorted(
+        tuple(r)
+        for r in similarity.ivf_pq_topk_frozen(q, path, nprobe=4, k=5)
+        .collect()
+    )
+    # reference: same frozen quantizers (seeds from half_a's lowest ids),
+    # codes/cells over the full corpus — freeze half_a, extend ALL of
+    # half_b in one more call equals the two-step growth by construction;
+    # the meaningful assertions are coverage and frozen-probe math
+    neighbor_pool = {t[1] for t in got}
+    assert any(n >= 30 for n in neighbor_pool), (
+        "extension rows never became retrievable"
+    )
+    # every reported distance matches the live ADC distance under the
+    # SAME quantizers (half_a seeds): rebuild codes for the full corpus
+    # with those seeds and compare pair distances
+    import numpy as np
+
+    seeds = similarity._pq_seeds(half_a, 8, "vec_id", "embedding")
+    full = half_a.unionByName(half_b)
+    rows = {r["vec_id"]: np.asarray(r["embedding"], float)
+            for r in full.collect()}
+    sub = seeds.shape[1] // 4
+    for query_id, neighbor_id, rank, dist in got:
+        qv, nv = rows[query_id], rows[neighbor_id]
+        total = 0.0
+        for j in range(4):
+            qs = qv[j * sub:(j + 1) * sub]
+            ss = seeds[:, j * sub:(j + 1) * sub]
+            code = int(((rows[neighbor_id][j * sub:(j + 1) * sub][None, :]
+                         - ss) ** 2).sum(axis=1).argmin())
+            total += round(float(((qs - ss[code]) ** 2).sum()), 6)
+        assert abs(round(total, 6) - dist) < 1e-9, (query_id, neighbor_id)
+
+
+def test_extend_ivf_pq_requires_complete_artifact(spark, vectors, tmp_path):
+    """Extension refuses absent or tombstoned artifacts (a torn extend
+    must not be extendable into silent wrongness)."""
+    import pytest
+
+    path = str(tmp_path / "nothing")
+    with pytest.raises(ValueError, match="to extend"):
+        similarity.extend_ivf_pq(vectors, path)
