@@ -1250,14 +1250,25 @@ def ivf_pq_topk_frozen(
         schema="_id long, _v array<double>, _cell int",
     ).select(F.col("_id").alias("query_id"), F.col("_cell").alias("cell"))
 
-    corpus_cells = spark.read.parquet(f"{path}/cells").select(
+    # corpus side = base tables ∪ any streaming delta segments
+    # (ann_index_ingest_batch's per-drain landings; compact_ivf_pq folds
+    # the stack so a long-maintained artifact's union stays short)
+    corpus_cells = spark.read.parquet(f"{path}/cells")
+    cells_delta = _try_parquet(spark, f"{path}/cells_delta")
+    if cells_delta is not None:
+        corpus_cells = corpus_cells.unionByName(cells_delta.drop("_batch"))
+    corpus_cells = corpus_cells.select(
         F.col(id_col).alias("neighbor_id"), "cell"
     )
     cand = corpus_cells.join(F.broadcast(q_cells), "cell").select(
         "query_id", "neighbor_id"
     )
 
-    codes = spark.read.parquet(f"{path}/codes").select(
+    codes = spark.read.parquet(f"{path}/codes")
+    codes_delta = _try_parquet(spark, f"{path}/codes_delta")
+    if codes_delta is not None:
+        codes = codes.unionByName(codes_delta.drop("_batch"))
+    codes = codes.select(
         F.col(id_col).alias("neighbor_id"), "subspace", "code"
     )
     table = q_prepped.mapInPandas(
@@ -1357,4 +1368,124 @@ def extend_ivf_pq(
     spark.createDataFrame(
         [(nlist, m, k_codes, dim, src_fingerprint or "")],
         "nlist int, m int, k_codes int, dim int, src string",
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def _try_parquet(spark, p: str):
+    try:
+        df = spark.read.parquet(p)
+        df.schema  # force resolution
+        return df
+    except Exception:
+        return None
+
+
+def ann_index_ingest_batch(
+    batch: DataFrame,
+    batch_id: int,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """One micro-batch of :func:`~learn_hbase_spark.streaming.events.
+    ann_index_ingest_stream`: encode the batch against the artifact's
+    FROZEN quantizers and land its cells/codes as DELTA segments —
+    ``{path}/cells_delta`` / ``{path}/codes_delta``, both partitioned by
+    ``_batch`` and written as a dynamic partition overwrite of this
+    batch's own partition, so a foreachBatch replay (at-least-once)
+    rewrites the same partition with the same rows instead of
+    double-appending — the ``neardup_ingest_batch`` replay contract, on
+    the WideTable delta-segment layout. The probe unions base + deltas;
+    :func:`compact_ivf_pq` folds the stack. Unlike :func:`extend_ivf_pq`
+    (the batch-mode append, which tombstones meta around a plain append),
+    the streaming path never touches meta — per-drain freshness is the
+    stream's checkpointed file listing, not the corpus fingerprint."""
+    if not batch.take(1):
+        return
+    spark = batch.sparkSession
+    meta = ivf_pq_meta(spark, path)
+    if meta is None or int(meta["nlist"]) < 0:
+        raise ValueError(f"no complete IVF-PQ artifact at {path} to ingest")
+    import numpy as np
+
+    m, dim = int(meta["m"]), int(meta["dim"])
+    sub = dim // m
+    cent_rows = spark.read.parquet(f"{path}/centroids").collect()
+    cents = np.zeros((len(cent_rows), dim))
+    for r in cent_rows:
+        cents[r["cell"]] = r["c"]
+    cb_rows = spark.read.parquet(f"{path}/codebook").collect()
+    n_codes = max(r["code"] for r in cb_rows) + 1
+    seeds = np.zeros((n_codes, dim))
+    for r in cb_rows:
+        j = r["subspace"]
+        seeds[r["code"], j * sub:(j + 1) * sub] = r["sv"]
+
+    cells = batch.select(
+        F.col(id_col).alias("_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    ).mapInPandas(
+        _cell_assigner(cents, 1), schema="_id long, _v array<double>, _cell int"
+    ).select(F.col("_id").alias(id_col), F.col("_cell").alias("cell"))
+    (
+        cells.withColumn("_batch", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch")
+        .parquet(f"{path}/cells_delta")
+    )
+    (
+        pq_codes(batch, m, n_codes, id_col, vec_col, seeds=seeds)
+        .withColumn("_batch", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch")
+        .parquet(f"{path}/codes_delta")
+    )
+
+
+def compact_ivf_pq(path: str) -> None:
+    """Fold the streaming delta segments into the base ``cells``/``codes``
+    tables — the maintenance pairing for :func:`ann_index_ingest_batch`
+    (run it between drains, not concurrently with a stream or probe, the
+    WideTable ``build_index`` discipline; a long-running maintained
+    stream otherwise grows the probe's delta union linearly with drains).
+    Crash-safe by idempotence, not ordering: meta is tombstoned first
+    (probes refuse mid-compact state), the folded tables are DISTINCT
+    unions — (id, cell) and (id, subspace, code) rows are unique per
+    vector, so re-running a partially-completed compact converges instead
+    of duplicating — staged through a tmp dir (Spark cannot overwrite a
+    path it is reading), and meta is restored last. Local-filesystem
+    delta removal; on a cluster use the object store's delete API."""
+    import shutil
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    meta = ivf_pq_meta(spark, path)
+    if meta is None or int(meta["nlist"]) < 0:
+        raise ValueError(f"no complete IVF-PQ artifact at {path} to compact")
+    saved = [tuple(meta)]
+    spark.createDataFrame(
+        [(-1, -1, -1, -1, "")],
+        "nlist int, m int, k_codes int, dim int, src string",
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+    for table in ("cells", "codes"):
+        delta = _try_parquet(spark, f"{path}/{table}_delta")
+        if delta is None:
+            continue
+        base = spark.read.parquet(f"{path}/{table}")
+        folded = base.unionByName(
+            delta.drop("_batch"), allowMissingColumns=False
+        ).distinct()
+        folded.write.mode("overwrite").parquet(f"{path}/{table}_tmp")
+        spark.read.parquet(f"{path}/{table}_tmp").write.mode(
+            "overwrite"
+        ).parquet(f"{path}/{table}")
+        for d in (f"{path}/{table}_tmp", f"{path}/{table}_delta"):
+            shutil.rmtree(d.replace("file:", ""), ignore_errors=True)
+
+    spark.createDataFrame(
+        saved, "nlist int, m int, k_codes int, dim int, src string"
     ).write.mode("overwrite").parquet(f"{path}/meta")

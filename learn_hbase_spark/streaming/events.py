@@ -898,3 +898,52 @@ def _neardup_gate(
         rejected.withColumnRenamed("doc_id", "_id"), "_id", "left_anti"
     )
     return accepted, bands_kept
+
+
+def ann_index_ingest_stream(
+    spark: SparkSession,
+    input_dir: str,
+    artifact_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Maintain a frozen IVF-PQ index from a streaming embedding drop
+    zone: parquet-shaped batches of ``(vec_id, embedding)`` arrive in a
+    growing directory; each drain encodes ONLY the new vectors against
+    the artifact's frozen quantizers and lands their cells/codes as
+    replay-idempotent delta segments (body:
+    ``operators.similarity.ann_index_ingest_batch`` — module-level, so
+    the at-least-once replay path is directly testable). The streaming
+    complement of the batch-mode :func:`~learn_hbase_spark.operators.
+    similarity.extend_ivf_pq`, and the ANN sibling of
+    :func:`upsert_stream_to_widetable`'s ``maintain_indexes`` path: the
+    checkpointed file listing gives O(new-files) drains, probes see
+    drained vectors immediately via the base ∪ delta union, and
+    ``compact_ivf_pq`` (between drains) bounds the stack. The artifact
+    must exist (``freeze_ivf_pq``) before the stream starts — quantizers
+    are trained once, never per drain."""
+    from ..operators.similarity import ann_index_ingest_batch
+
+    schema = "vec_id long, embedding array<double>"
+    # recursiveFileLookup: each arriving shard is itself a parquet
+    # DIRECTORY (that's how every writer lays them down); without it the
+    # file source lists only top-level files and drains nothing
+    reader = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("recursiveFileLookup", "true")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.load(input_dir)
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda batch, batch_id: ann_index_ingest_batch(
+                batch, batch_id, artifact_dir
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1121,3 +1121,81 @@ def test_stream_upsert_maintains_secondary_index(spark, tmp_path):
         for r in table.lookup_by_value("bmz", "etype", probe).collect()
     )
     assert again == want
+
+
+def test_ann_index_ingest_stream_maintains_frozen_index(spark, tmp_path):
+    """Streaming ANN-index maintenance: a frozen artifact gains each
+    drained embedding batch as replay-idempotent delta segments; probes
+    see new vectors through the base ∪ delta union; a replayed batch
+    rewrites its own partition (no double-append); compaction folds the
+    stack and leaves probes unchanged."""
+    import random
+
+    from learn_hbase_spark.operators import similarity
+    from learn_hbase_spark.streaming.events import ann_index_ingest_stream
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(60)
+    ]
+    base = spark.createDataFrame(
+        rows[:40], "vec_id long, embedding array<double>"
+    )
+    path = str(tmp_path / "ann_artifact")
+    similarity.freeze_ivf_pq(base, path, nlist=8, m=4, k_codes=8,
+                             src_fingerprint="base")
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    spark.createDataFrame(
+        rows[40:50], "vec_id long, embedding array<double>"
+    ).write.parquet(str(drop / "day1.parquet"))
+    ann_index_ingest_stream(
+        spark, str(drop), path, str(tmp_path / "ckpt")
+    )
+    # second drain: only the NEW file lands
+    spark.createDataFrame(
+        rows[50:60], "vec_id long, embedding array<double>"
+    ).write.parquet(str(drop / "day2.parquet"))
+    ann_index_ingest_stream(
+        spark, str(drop), path, str(tmp_path / "ckpt")
+    )
+
+    q = base.filter(F.col("vec_id") < 3)
+    got = similarity.ivf_pq_topk_frozen(q, path, nprobe=8, k=60).collect()
+    pool = {r["neighbor_id"] for r in got}
+    assert any(40 <= n < 50 for n in pool) and any(n >= 50 for n in pool)
+    n_cells = spark.read.parquet(f"{path}/cells").count() + spark.read.parquet(
+        f"{path}/cells_delta"
+    ).count()
+    assert n_cells == 60
+
+    # at-least-once replay: re-invoke the batch body with the same batch
+    # id and data — the dynamic partition overwrite rewrites, not appends
+    replay = spark.createDataFrame(
+        rows[40:50], "vec_id long, embedding array<double>"
+    )
+    similarity.ann_index_ingest_batch(replay, 0, path)
+    n_after = spark.read.parquet(f"{path}/cells").count() + spark.read.parquet(
+        f"{path}/cells_delta"
+    ).count()
+    assert n_after == 60
+
+    before = sorted(tuple(r) for r in got)
+    similarity.compact_ivf_pq(path)
+    import os as _os
+
+    assert not _os.path.exists(f"{path}/cells_delta")
+    assert spark.read.parquet(f"{path}/cells").count() == 60
+    after = sorted(
+        tuple(r)
+        for r in similarity.ivf_pq_topk_frozen(
+            q, path, nprobe=8, k=60
+        ).collect()
+    )
+    assert after == before
+    # meta survived the compact round-trip
+    assert similarity.ivf_pq_fresh(spark, path, "base", nlist=8, m=4,
+                                   k_codes=8)
