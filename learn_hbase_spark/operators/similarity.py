@@ -1109,11 +1109,21 @@ def freeze_ivf_pq(
 
     spark = corpus.sparkSession
     if ivf_pq_meta(spark, path) is not None:
-        # refreeze: invalidate the old meta BEFORE overwriting any half
+        # refreeze: invalidate the old meta BEFORE overwriting any half,
+        # and clear any streaming delta segments / compact sidecar — a
+        # probe unioning a fresh base with a previous stream's deltas
+        # would serve rows the new corpus no longer has
+        import shutil
+
         spark.createDataFrame(
-            [(-1, -1, -1, -1, "")],
-            "nlist int, m int, k_codes int, dim int, src string",
+            [(-1, -1, -1, -1, "")], _META_SCHEMA
         ).write.mode("overwrite").parquet(f"{path}/meta")
+        for sub_dir in ("cells_delta", "codes_delta", "meta_compact",
+                        "cells_tmp", "codes_tmp"):
+            shutil.rmtree(
+                f"{path}/{sub_dir}".replace("file:", ""),
+                ignore_errors=True,
+            )
     seeds = _pq_seeds(corpus, k_codes, id_col, vec_col)
     dim = seeds.shape[1]
     if dim % m:
@@ -1156,8 +1166,7 @@ def freeze_ivf_pq(
         ivf_pq_fingerprint(corpus)
     )
     spark.createDataFrame(
-        [(nlist, m, k_codes, dim, src)],
-        "nlist int, m int, k_codes int, dim int, src string",
+        [(nlist, m, k_codes, dim, src)], _META_SCHEMA
     ).write.mode("overwrite").parquet(f"{path}/meta")
 
 
@@ -1194,6 +1203,49 @@ def ivf_pq_fresh(
     )
 
 
+_META_SCHEMA = "nlist int, m int, k_codes int, dim int, src string"
+
+# one-entry memo for the frozen quantizer matrices: keyed by (path, meta
+# row) so any refreeze/extend — which rewrites meta — naturally invalidates
+# it, while streaming drains (many foreachBatch invocations over one frozen
+# artifact) stop re-collecting two tables per micro-batch. Single-slot on
+# purpose: the working set is "the artifact this process is maintaining".
+_QUANTIZER_CACHE: dict = {}
+
+
+def _load_quantizers(spark, path: str, meta):
+    """(cents, seeds) driver matrices from the artifact's centroids /
+    codebook tables — THE reconstruction rule, shared by the probe, the
+    batch extend, and the streaming ingest so the three paths cannot
+    drift. Sized by the WRITTEN rows, not meta's requested params: a
+    corpus smaller than nlist/k_codes freezes fewer seeds, and
+    zero-padding would create phantom all-zero centroids that outrank
+    real negative-cosine cells. Memoized per (path, meta row) — the
+    fingerprint contract (meta.src tracks the corpus) is what makes the
+    key sound."""
+    key = (path, tuple(meta))
+    hit = _QUANTIZER_CACHE.get(key)
+    if hit is not None:
+        return hit
+    import numpy as np
+
+    m, dim = int(meta["m"]), int(meta["dim"])
+    sub = dim // m
+    cent_rows = spark.read.parquet(f"{path}/centroids").collect()
+    cents = np.zeros((len(cent_rows), dim))
+    for r in cent_rows:
+        cents[r["cell"]] = r["c"]
+    cb_rows = spark.read.parquet(f"{path}/codebook").collect()
+    n_codes = max(r["code"] for r in cb_rows) + 1
+    seeds = np.zeros((n_codes, dim))
+    for r in cb_rows:
+        j = r["subspace"]
+        seeds[r["code"], j * sub:(j + 1) * sub] = r["sv"]
+    _QUANTIZER_CACHE.clear()
+    _QUANTIZER_CACHE[key] = (cents, seeds)
+    return cents, seeds
+
+
 def ivf_pq_topk_frozen(
     queries: DataFrame,
     path: str,
@@ -1214,8 +1266,6 @@ def ivf_pq_topk_frozen(
     oracle. At 100 TB the probe cost is (query set) x (probed cells'
     codes) — independent of corpus encode cost, which is the point of
     freezing."""
-    import numpy as np
-
     spark = queries.sparkSession
     meta = ivf_pq_meta(spark, path)
     if meta is None or int(meta["nlist"]) < 0:
@@ -1224,29 +1274,14 @@ def ivf_pq_topk_frozen(
         raise ValueError(f"no complete IVF-PQ artifact at {path}")
     m, dim = int(meta["m"]), int(meta["dim"])
     sub = dim // m
-
-    # size driver matrices by the WRITTEN rows, not meta's requested
-    # params: a corpus smaller than nlist/k_codes freezes fewer seeds, and
-    # zero-padding would create phantom all-zero centroids that outrank
-    # real negative-cosine cells — a probe `ivf_pq_topk` does not make
-    cent_rows = spark.read.parquet(f"{path}/centroids").collect()
-    n_cents = len(cent_rows)
-    cents = np.zeros((n_cents, dim))
-    for r in cent_rows:
-        cents[r["cell"]] = r["c"]
-    cb_rows = spark.read.parquet(f"{path}/codebook").collect()
-    n_codes = max(r["code"] for r in cb_rows) + 1
-    seeds = np.zeros((n_codes, dim))
-    for r in cb_rows:
-        j = r["subspace"]
-        seeds[r["code"], j * sub:(j + 1) * sub] = r["sv"]
+    cents, seeds = _load_quantizers(spark, path, meta)
 
     q_prepped = queries.select(
         F.col(id_col).alias("_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
     )
     q_cells = q_prepped.mapInPandas(
-        _cell_assigner(cents, min(nprobe, n_cents)),
+        _cell_assigner(cents, min(nprobe, cents.shape[0])),
         schema="_id long, _v array<double>, _cell int",
     ).select(F.col("_id").alias("query_id"), F.col("_cell").alias("cell"))
 
@@ -1275,9 +1310,17 @@ def ivf_pq_topk_frozen(
         _adc_table(seeds, m, sub),
         schema="query_id long, subspace int, code int, pdist double",
     )
+    joined = cand.join(codes, "neighbor_id")
+    if cells_delta is not None or codes_delta is not None:
+        # replay anomalies can leave a vector in base AND a delta (e.g. a
+        # compacted batch re-landing under a new batch id after a
+        # checkpoint rollback): duplicated cells × duplicated codes rows
+        # would inflate the summed ADC distance 4× and silently mis-rank.
+        # Dedup AFTER candidate restriction — candidate-set-sized
+        # (nq × probed cells × m), never corpus-sized.
+        joined = joined.distinct()
     scored = (
-        cand.join(codes, "neighbor_id")
-        .join(F.broadcast(table), ["query_id", "subspace", "code"])
+        joined.join(F.broadcast(table), ["query_id", "subspace", "code"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .groupBy("query_id", "neighbor_id")
         .agg(F.round(F.sum("pdist"), 6).alias("dist"))
@@ -1329,27 +1372,14 @@ def extend_ivf_pq(
     meta = ivf_pq_meta(spark, path)
     if meta is None or int(meta["nlist"]) < 0:
         raise ValueError(f"no complete IVF-PQ artifact at {path} to extend")
-    import numpy as np
-
     nlist, m = int(meta["nlist"]), int(meta["m"])
     k_codes, dim = int(meta["k_codes"]), int(meta["dim"])
-    sub = dim // m
-
-    cent_rows = spark.read.parquet(f"{path}/centroids").collect()
-    cents = np.zeros((len(cent_rows), dim))
-    for r in cent_rows:
-        cents[r["cell"]] = r["c"]
-    cb_rows = spark.read.parquet(f"{path}/codebook").collect()
-    n_codes = max(r["code"] for r in cb_rows) + 1
-    seeds = np.zeros((n_codes, dim))
-    for r in cb_rows:
-        j = r["subspace"]
-        seeds[r["code"], j * sub:(j + 1) * sub] = r["sv"]
+    cents, seeds = _load_quantizers(spark, path, meta)
+    n_codes = seeds.shape[0]
 
     # tombstone meta BEFORE the appends (torn-extend safety)
     spark.createDataFrame(
-        [(-1, -1, -1, -1, "")],
-        "nlist int, m int, k_codes int, dim int, src string",
+        [(-1, -1, -1, -1, "")], _META_SCHEMA
     ).write.mode("overwrite").parquet(f"{path}/meta")
 
     new_vectors.select(
@@ -1366,18 +1396,27 @@ def extend_ivf_pq(
     ).write.mode("append").parquet(f"{path}/codes")
 
     spark.createDataFrame(
-        [(nlist, m, k_codes, dim, src_fingerprint or "")],
-        "nlist int, m int, k_codes int, dim int, src string",
+        [(nlist, m, k_codes, dim, src_fingerprint or "")], _META_SCHEMA
     ).write.mode("overwrite").parquet(f"{path}/meta")
 
 
 def _try_parquet(spark, p: str):
+    """The path's parquet frame, or None ONLY when the path is absent.
+    Any other read failure (corrupt footer, permissions, transient store
+    error) re-raises: swallowing it would make probes silently serve
+    base-only results — the opposite of the loud-refusal posture the
+    meta-tombstone design enforces everywhere else."""
+    from pyspark.errors import AnalysisException
+
     try:
         df = spark.read.parquet(p)
         df.schema  # force resolution
         return df
-    except Exception:
-        return None
+    except AnalysisException as exc:
+        msg = str(exc)
+        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+            return None
+        raise
 
 
 def ann_index_ingest_batch(
@@ -1406,20 +1445,12 @@ def ann_index_ingest_batch(
     meta = ivf_pq_meta(spark, path)
     if meta is None or int(meta["nlist"]) < 0:
         raise ValueError(f"no complete IVF-PQ artifact at {path} to ingest")
-    import numpy as np
-
-    m, dim = int(meta["m"]), int(meta["dim"])
-    sub = dim // m
-    cent_rows = spark.read.parquet(f"{path}/centroids").collect()
-    cents = np.zeros((len(cent_rows), dim))
-    for r in cent_rows:
-        cents[r["cell"]] = r["c"]
-    cb_rows = spark.read.parquet(f"{path}/codebook").collect()
-    n_codes = max(r["code"] for r in cb_rows) + 1
-    seeds = np.zeros((n_codes, dim))
-    for r in cb_rows:
-        j = r["subspace"]
-        seeds[r["code"], j * sub:(j + 1) * sub] = r["sv"]
+    m = int(meta["m"])
+    # memoized: under max_files_per_trigger one drain splits into many
+    # foreachBatch invocations — the frozen quantizers load once, not
+    # twice per micro-batch
+    cents, seeds = _load_quantizers(spark, path, meta)
+    n_codes = seeds.shape[0]
 
     cells = batch.select(
         F.col(id_col).alias("_id"),
@@ -1444,48 +1475,79 @@ def ann_index_ingest_batch(
     )
 
 
-def compact_ivf_pq(path: str) -> None:
+def compact_ivf_pq(spark, path: str) -> None:
     """Fold the streaming delta segments into the base ``cells``/``codes``
     tables — the maintenance pairing for :func:`ann_index_ingest_batch`
     (run it between drains, not concurrently with a stream or probe, the
     WideTable ``build_index`` discipline; a long-running maintained
     stream otherwise grows the probe's delta union linearly with drains).
-    Crash-safe by idempotence, not ordering: meta is tombstoned first
-    (probes refuse mid-compact state), the folded tables are DISTINCT
-    unions — (id, cell) and (id, subspace, code) rows are unique per
-    vector, so re-running a partially-completed compact converges instead
-    of duplicating — staged through a tmp dir (Spark cannot overwrite a
-    path it is reading), and meta is restored last. Local-filesystem
-    delta removal; on a cluster use the object store's delete API."""
+
+    Crash-safe and RESUMABLE — every window of the protocol converges on
+    re-run:
+    1. the live meta row is saved to a ``meta_compact`` recovery sidecar
+       BEFORE the live meta is tombstoned, so a crash mid-compact leaves
+       a resumable state (probes/extends refuse the tombstone; a re-run
+       finds the sidecar and continues) instead of bricking the artifact;
+    2. per table, DISTINCT(base ∪ delta) stages to ``{table}_tmp`` —
+       (id, cell) and (id, subspace, code) rows are unique per vector, so
+       recomputing after a partial fold converges instead of duplicating;
+    3. the base swap is remove-then-RENAME: if a crash left base missing,
+       the complete staged tmp (which already folded the delta) is
+       renamed into place on resume — the base's rows are never in only
+       a directory that a re-run would overwrite;
+    4. the delta dir is deleted only after its content is in base;
+    5. the live meta is restored from the sidecar LAST, and the sidecar
+       removed.
+    Local-filesystem renames; on a cluster stage through the object
+    store's atomic commit."""
+    import os
     import shutil
 
-    from pyspark.sql import SparkSession
+    def _local(p: str) -> str:
+        return p.replace("file:", "")
 
-    spark = SparkSession.getActiveSession()
-    meta = ivf_pq_meta(spark, path)
-    if meta is None or int(meta["nlist"]) < 0:
+    live = ivf_pq_meta(spark, path)
+    recovery = _try_parquet(spark, f"{path}/meta_compact")
+    if live is not None and int(live["nlist"]) >= 0:
+        saved = tuple(live)
+        spark.createDataFrame([saved], _META_SCHEMA).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/meta_compact")
+        spark.createDataFrame(
+            [(-1, -1, -1, -1, "")], _META_SCHEMA
+        ).write.mode("overwrite").parquet(f"{path}/meta")
+    elif recovery is not None:
+        # resuming a crashed compact: live meta is already tombstoned
+        saved = tuple(recovery.collect()[0])
+    else:
         raise ValueError(f"no complete IVF-PQ artifact at {path} to compact")
-    saved = [tuple(meta)]
-    spark.createDataFrame(
-        [(-1, -1, -1, -1, "")],
-        "nlist int, m int, k_codes int, dim int, src string",
-    ).write.mode("overwrite").parquet(f"{path}/meta")
 
     for table in ("cells", "codes"):
-        delta = _try_parquet(spark, f"{path}/{table}_delta")
-        if delta is None:
-            continue
-        base = spark.read.parquet(f"{path}/{table}")
-        folded = base.unionByName(
-            delta.drop("_batch"), allowMissingColumns=False
-        ).distinct()
-        folded.write.mode("overwrite").parquet(f"{path}/{table}_tmp")
-        spark.read.parquet(f"{path}/{table}_tmp").write.mode(
-            "overwrite"
-        ).parquet(f"{path}/{table}")
-        for d in (f"{path}/{table}_tmp", f"{path}/{table}_delta"):
-            shutil.rmtree(d.replace("file:", ""), ignore_errors=True)
+        base_p = f"{path}/{table}"
+        tmp_p = f"{path}/{table}_tmp"
+        delta_p = f"{path}/{table}_delta"
+        base = _try_parquet(spark, base_p)
+        if base is None:
+            # crash window 3: base removed, the staged tmp (already
+            # including the delta) is the only complete copy — swap it in
+            if _try_parquet(spark, tmp_p) is None:
+                raise ValueError(
+                    f"{table}: neither base nor staged tmp present"
+                )
+            os.rename(_local(tmp_p), _local(base_p))
+        else:
+            delta = _try_parquet(spark, delta_p)
+            if delta is not None:
+                folded = base.unionByName(
+                    delta.drop("_batch"), allowMissingColumns=False
+                ).distinct()
+                folded.write.mode("overwrite").parquet(tmp_p)
+                shutil.rmtree(_local(base_p))
+                os.rename(_local(tmp_p), _local(base_p))
+        shutil.rmtree(_local(delta_p), ignore_errors=True)
+        shutil.rmtree(_local(tmp_p), ignore_errors=True)
 
-    spark.createDataFrame(
-        saved, "nlist int, m int, k_codes int, dim int, src string"
-    ).write.mode("overwrite").parquet(f"{path}/meta")
+    spark.createDataFrame([saved], _META_SCHEMA).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/meta")
+    shutil.rmtree(_local(f"{path}/meta_compact"), ignore_errors=True)

@@ -1184,7 +1184,7 @@ def test_ann_index_ingest_stream_maintains_frozen_index(spark, tmp_path):
     assert n_after == 60
 
     before = sorted(tuple(r) for r in got)
-    similarity.compact_ivf_pq(path)
+    similarity.compact_ivf_pq(spark, path)
     import os as _os
 
     assert not _os.path.exists(f"{path}/cells_delta")
@@ -1199,3 +1199,73 @@ def test_ann_index_ingest_stream_maintains_frozen_index(spark, tmp_path):
     # meta survived the compact round-trip
     assert similarity.ivf_pq_fresh(spark, path, "base", nlist=8, m=4,
                                    k_codes=8)
+
+
+def test_ann_compact_resumes_after_crash_and_probe_dedups_replays(
+    spark, tmp_path
+):
+    """Two crash-anomaly contracts: (1) a compact that died after
+    tombstoning the live meta is RESUMABLE from the meta_compact sidecar
+    (not a bricked artifact); (2) a vector present in base AND a delta —
+    the checkpoint-rollback replay anomaly — must not have its ADC
+    distance inflated by the duplicate rows."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from learn_hbase_spark.operators import similarity
+
+    rng = random.Random(13)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(40)]
+    all_vecs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    path = str(tmp_path / "art")
+    similarity.freeze_ivf_pq(all_vecs, path, nlist=8, m=4, k_codes=8,
+                             src_fingerprint="v1")
+    q = all_vecs.filter(F.col("vec_id") < 3)
+    clean = sorted(
+        tuple(r)
+        for r in similarity.ivf_pq_topk_frozen(q, path, nprobe=8, k=40)
+        .collect()
+    )
+
+    # (2) replay anomaly: re-land vectors 10..20 (already in base) as a
+    # delta batch — the probe must return EXACTLY the clean answer
+    dup = all_vecs.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 20))
+    similarity.ann_index_ingest_batch(dup, 7, path)
+    with_dup = sorted(
+        tuple(r)
+        for r in similarity.ivf_pq_topk_frozen(q, path, nprobe=8, k=40)
+        .collect()
+    )
+    assert with_dup == clean
+
+    # (1) crash mid-compact: simulate by doing what compact does before
+    # dying — sidecar written, live meta tombstoned, nothing folded
+    meta = similarity.ivf_pq_meta(spark, path)
+    spark.createDataFrame([tuple(meta)], similarity._META_SCHEMA).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/meta_compact")
+    spark.createDataFrame(
+        [(-1, -1, -1, -1, "")], similarity._META_SCHEMA
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+    import pytest
+
+    with pytest.raises(ValueError, match="no complete IVF-PQ artifact"):
+        similarity.ivf_pq_topk_frozen(q, path)  # mid-compact: refuse
+    similarity.compact_ivf_pq(spark, path)  # resume from the sidecar
+    import os as _os
+
+    assert not _os.path.exists(f"{path}/cells_delta")
+    assert not _os.path.exists(f"{path}/meta_compact")
+    assert similarity.ivf_pq_fresh(spark, path, "v1", nlist=8, m=4,
+                                   k_codes=8)
+    after = sorted(
+        tuple(r)
+        for r in similarity.ivf_pq_topk_frozen(q, path, nprobe=8, k=40)
+        .collect()
+    )
+    assert after == clean
+    # base stayed duplicate-free through the fold
+    assert spark.read.parquet(f"{path}/cells").count() == 40
