@@ -1048,7 +1048,7 @@ def ivf_pq_fingerprint(corpus: DataFrame) -> str:
         return ""
     h = hashlib.md5()
     for uri in files:
-        p = uri[7:] if uri.startswith("file://") else uri
+        p = _strip_file_scheme(uri)
         try:
             st = _os.stat(p)
         except OSError:
@@ -1087,16 +1087,15 @@ def freeze_ivf_pq(
     - ``codes``: (vec_id, subspace, code) — the PQ-encoded corpus: the m
       ints per vector that replace raw embeddings at search time.
     - ``meta``: ONE row (nlist, m, k_codes, dim, src) — the valid row is
-      written LAST, so a crash mid-FIRST-freeze leaves no meta and the
-      artifact reads as absent. A REFREEZE additionally tombstones the
-      existing meta (``nlist = -1``) before touching any half: without
-      that, a crash mid-refreeze would leave the OLD meta over mixed
-      old/new halves, and a later corpus rollback to the old fingerprint
-      would read the torn index as fresh — silently wrong neighbors.
-      Tombstoned artifacts read as stale (`ivf_pq_fresh` param compare
-      fails on -1) and the probe refuses them loudly. The WideTable stamp
-      is write-FIRST because its staleness is miss-only; here a partial
-      artifact would be silently wrong, so the ordering inverts.
+      written LAST, and every freeze FIRST tombstones meta
+      (``nlist = -1``) and clears delta/tmp/trash/sidecar state: a crash
+      mid-freeze therefore leaves a tombstone over mixed halves — which
+      `ivf_pq_fresh` reads as stale and the probe refuses loudly —
+      never an OLD complete-looking meta that a corpus rollback could
+      re-validate, and never a prior stream's delta segments unioned
+      into the new base. The WideTable stamp is write-FIRST because its
+      staleness is miss-only; here a partial artifact would be silently
+      wrong, so the ordering inverts.
 
     Both halves are the deterministic SEEDED forms (`ivf_seed_cells` +
     :func:`_pq_seeds`), so a probe over the artifact is a replayable
@@ -1108,22 +1107,23 @@ def freeze_ivf_pq(
     import numpy as np
 
     spark = corpus.sparkSession
-    if ivf_pq_meta(spark, path) is not None:
-        # refreeze: invalidate the old meta BEFORE overwriting any half,
-        # and clear any streaming delta segments / compact sidecar — a
-        # probe unioning a fresh base with a previous stream's deltas
-        # would serve rows the new corpus no longer has
-        import shutil
+    # ALWAYS tombstone first and clear auxiliary state — unconditionally,
+    # not gated on the old meta being readable: a torn previous meta
+    # (reads as None) must not let stale delta segments or a stale
+    # compact sidecar survive into the new artifact, where a probe would
+    # union a fresh base with a previous stream's rows, or a later
+    # compact would "resume" from a sidecar that predates this freeze.
+    import shutil
 
-        spark.createDataFrame(
-            [(-1, -1, -1, -1, "")], _META_SCHEMA
-        ).write.mode("overwrite").parquet(f"{path}/meta")
-        for sub_dir in ("cells_delta", "codes_delta", "meta_compact",
-                        "cells_tmp", "codes_tmp"):
-            shutil.rmtree(
-                f"{path}/{sub_dir}".replace("file:", ""),
-                ignore_errors=True,
-            )
+    spark.createDataFrame(
+        [(-1, -1, -1, -1, "")], _META_SCHEMA
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+    for sub_dir in ("cells_delta", "codes_delta", "meta_compact",
+                    "cells_tmp", "codes_tmp", "cells_trash",
+                    "codes_trash"):
+        shutil.rmtree(
+            _strip_file_scheme(f"{path}/{sub_dir}"), ignore_errors=True
+        )
     seeds = _pq_seeds(corpus, k_codes, id_col, vec_col)
     dim = seeds.shape[1]
     if dim % m:
@@ -1168,6 +1168,11 @@ def freeze_ivf_pq(
     spark.createDataFrame(
         [(nlist, m, k_codes, dim, src)], _META_SCHEMA
     ).write.mode("overwrite").parquet(f"{path}/meta")
+    # drop any memoized quantizers for this path: a refreeze from a
+    # different corpus can write a byte-identical meta row (src='' for
+    # non-file-backed corpora), so the (path, meta) cache key alone
+    # cannot see the change
+    _QUANTIZER_CACHE.clear()
 
 
 def ivf_pq_meta(spark, path: str):
@@ -1204,6 +1209,17 @@ def ivf_pq_fresh(
 
 
 _META_SCHEMA = "nlist int, m int, k_codes int, dim int, src string"
+
+
+def _strip_file_scheme(p: str) -> str:
+    """file:// URI → local path, PREFIX-only (a substring replace would
+    mangle any path merely containing 'file:'). Shared by every local
+    filesystem operation in the artifact maintenance paths."""
+    if p.startswith("file://"):
+        return p[7:]
+    if p.startswith("file:"):
+        return p[5:]
+    return p
 
 # one-entry memo for the frozen quantizer matrices: keyed by (path, meta
 # row) so any refreeze/extend — which rewrites meta — naturally invalidates
@@ -1377,7 +1393,16 @@ def extend_ivf_pq(
     cents, seeds = _load_quantizers(spark, path, meta)
     n_codes = seeds.shape[0]
 
-    # tombstone meta BEFORE the appends (torn-extend safety)
+    # tombstone meta BEFORE the appends (torn-extend safety), and clear
+    # any stale compact sidecar first — otherwise a sidecar left by a
+    # compact that crashed after its meta restore would let a later
+    # compact "resume" over this extend's tombstone and restore valid
+    # meta above a half-extended artifact
+    import shutil
+
+    shutil.rmtree(
+        _strip_file_scheme(f"{path}/meta_compact"), ignore_errors=True
+    )
     spark.createDataFrame(
         [(-1, -1, -1, -1, "")], _META_SCHEMA
     ).write.mode("overwrite").parquet(f"{path}/meta")
@@ -1398,6 +1423,10 @@ def extend_ivf_pq(
     spark.createDataFrame(
         [(nlist, m, k_codes, dim, src_fingerprint or "")], _META_SCHEMA
     ).write.mode("overwrite").parquet(f"{path}/meta")
+    # the quantizers themselves are unchanged by an extend, but the meta
+    # row (cache key) moved — drop the old entry rather than let the
+    # single-slot cache hold a dead key
+    _QUANTIZER_CACHE.clear()
 
 
 def _try_parquet(spark, p: str):
@@ -1414,7 +1443,17 @@ def _try_parquet(spark, p: str):
         return df
     except AnalysisException as exc:
         msg = str(exc)
-        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+        # UNABLE_TO_INFER_SCHEMA = a dir with no committed parquet files:
+        # an interrupted rmtree's empty shell, or an uncommitted write's
+        # _temporary remnant. Both are semantically ABSENT (an
+        # uncommitted streaming delta will be re-landed by the replay),
+        # and raising here would make exactly the crash states the
+        # compact protocol resumes from unrecoverable.
+        if (
+            "PATH_NOT_FOUND" in msg
+            or "Path does not exist" in msg
+            or "UNABLE_TO_INFER_SCHEMA" in msg
+        ):
             return None
         raise
 
@@ -1491,20 +1530,25 @@ def compact_ivf_pq(spark, path: str) -> None:
     2. per table, DISTINCT(base ∪ delta) stages to ``{table}_tmp`` —
        (id, cell) and (id, subspace, code) rows are unique per vector, so
        recomputing after a partial fold converges instead of duplicating;
-    3. the base swap is remove-then-RENAME: if a crash left base missing,
-       the complete staged tmp (which already folded the delta) is
-       renamed into place on resume — the base's rows are never in only
-       a directory that a re-run would overwrite;
-    4. the delta dir is deleted only after its content is in base;
+    3. the base swap is rename-to-trash then rename-tmp-in: directory
+       RENAMES are atomic where rmtree is not — a crash mid-removal would
+       leave a PARTIAL base that still reads as present, and a re-run
+       would fold the partial base over the only complete copy. With
+       renames, base is either wholly present or wholly absent; when
+       absent, the complete staged tmp (which already folded the delta)
+       is renamed into place on resume;
+    4. the delta/trash/tmp dirs are deleted only after their content is
+       in base;
     5. the live meta is restored from the sidecar LAST, and the sidecar
-       removed.
+       removed. (A sidecar surviving a crash after this restore is
+       cleared by the next freeze/extend before they tombstone, so it can
+       never vouch for a LATER torn state.)
     Local-filesystem renames; on a cluster stage through the object
     store's atomic commit."""
     import os
     import shutil
 
-    def _local(p: str) -> str:
-        return p.replace("file:", "")
+    _local = _strip_file_scheme
 
     live = ivf_pq_meta(spark, path)
     recovery = _try_parquet(spark, f"{path}/meta_compact")
@@ -1526,10 +1570,12 @@ def compact_ivf_pq(spark, path: str) -> None:
         base_p = f"{path}/{table}"
         tmp_p = f"{path}/{table}_tmp"
         delta_p = f"{path}/{table}_delta"
+        trash_p = f"{path}/{table}_trash"
         base = _try_parquet(spark, base_p)
         if base is None:
-            # crash window 3: base removed, the staged tmp (already
-            # including the delta) is the only complete copy — swap it in
+            # crash window between the two renames: base went to trash,
+            # the staged tmp (already including the delta) is the only
+            # complete copy — swap it in
             if _try_parquet(spark, tmp_p) is None:
                 raise ValueError(
                     f"{table}: neither base nor staged tmp present"
@@ -1542,10 +1588,11 @@ def compact_ivf_pq(spark, path: str) -> None:
                     delta.drop("_batch"), allowMissingColumns=False
                 ).distinct()
                 folded.write.mode("overwrite").parquet(tmp_p)
-                shutil.rmtree(_local(base_p))
+                shutil.rmtree(_local(trash_p), ignore_errors=True)
+                os.rename(_local(base_p), _local(trash_p))
                 os.rename(_local(tmp_p), _local(base_p))
-        shutil.rmtree(_local(delta_p), ignore_errors=True)
-        shutil.rmtree(_local(tmp_p), ignore_errors=True)
+        for aux in (delta_p, tmp_p, trash_p):
+            shutil.rmtree(_local(aux), ignore_errors=True)
 
     spark.createDataFrame([saved], _META_SCHEMA).write.mode(
         "overwrite"

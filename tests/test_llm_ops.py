@@ -1155,3 +1155,47 @@ def test_extend_ivf_pq_requires_complete_artifact(spark, vectors, tmp_path):
     path = str(tmp_path / "nothing")
     with pytest.raises(ValueError, match="to extend"):
         similarity.extend_ivf_pq(vectors, path)
+
+
+def test_frozen_ivf_pq_refreeze_invalidates_quantizer_cache(spark, tmp_path):
+    """A refreeze from a DIFFERENT in-memory corpus writes a byte-identical
+    meta row (src='' — the documented refreeze-every-time path for
+    non-file-backed corpora), so the (path, meta) memo key alone cannot
+    see the change: freeze must drop the cached quantizer matrices or the
+    probe serves the old corpus's centroids against the new codes."""
+    import random
+
+    rng = random.Random(19)
+    mk = lambda seed: [  # noqa: E731
+        (i, [random.Random(seed * 1000 + i).uniform(-1, 1)
+             for _ in range(16)])
+        for i in range(30)
+    ]
+    corpus_a = spark.createDataFrame(
+        mk(1), "vec_id long, embedding array<double>"
+    )
+    corpus_b = spark.createDataFrame(
+        mk(2), "vec_id long, embedding array<double>"
+    )
+    path = str(tmp_path / "mem_art")
+    q_ids = [0, 1]
+
+    similarity.freeze_ivf_pq(corpus_a, path, nlist=8, m=4, k_codes=8)
+    qa = corpus_a.filter(F.col("vec_id").isin(q_ids))
+    # populate the memo
+    similarity.ivf_pq_topk_frozen(qa, path, nprobe=4, k=5).collect()
+
+    similarity.freeze_ivf_pq(corpus_b, path, nlist=8, m=4, k_codes=8)
+    qb = corpus_b.filter(F.col("vec_id").isin(q_ids))
+    frozen_b = sorted(
+        tuple(r)
+        for r in similarity.ivf_pq_topk_frozen(qb, path, nprobe=4, k=5)
+        .collect()
+    )
+    live_b = sorted(
+        tuple(r)
+        for r in similarity.ivf_pq_topk(
+            qb, corpus_b, nlist=8, nprobe=4, m=4, k_codes=8, k=5
+        ).collect()
+    )
+    assert frozen_b == live_b and frozen_b

@@ -1269,3 +1269,81 @@ def test_ann_compact_resumes_after_crash_and_probe_dedups_replays(
     assert after == clean
     # base stayed duplicate-free through the fold
     assert spark.read.parquet(f"{path}/cells").count() == 40
+
+
+def test_ann_compact_swap_and_cleanup_windows(spark, tmp_path):
+    """The remaining compact crash windows: (a) base renamed to trash,
+    tmp complete, nothing folded-in yet → resume swaps the staged tmp in
+    without data loss; (b) an interrupted rmtree leaving an EMPTY delta
+    dir reads as absent (probe and compact proceed) instead of raising
+    UNABLE_TO_INFER_SCHEMA forever; (c) a tombstoned meta with NO
+    recovery sidecar refuses compact (a crashed extend must not be
+    'resumed' into validity)."""
+    import os
+    import random
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from learn_hbase_spark.operators import similarity
+
+    rng = random.Random(17)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(30)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "art")
+    similarity.freeze_ivf_pq(vecs, path, nlist=8, m=4, k_codes=8,
+                             src_fingerprint="v1")
+    q = vecs.filter(F.col("vec_id") < 2)
+    clean = sorted(
+        tuple(r)
+        for r in similarity.ivf_pq_topk_frozen(q, path, nprobe=8, k=30)
+        .collect()
+    )
+
+    # (a) simulate the between-renames window: land a delta, stage the
+    # fold to tmp, move base to trash, tombstone + sidecar — then resume
+    extra = spark.createDataFrame(
+        [(100, rows[0][1])], "vec_id long, embedding array<double>"
+    )
+    similarity.ann_index_ingest_batch(extra, 0, path)
+    meta = similarity.ivf_pq_meta(spark, path)
+    base = spark.read.parquet(f"{path}/cells")
+    delta = spark.read.parquet(f"{path}/cells_delta")
+    base.unionByName(delta.drop("_batch")).distinct().write.parquet(
+        f"{path}/cells_tmp"
+    )
+    os.rename(f"{path}/cells", f"{path}/cells_trash")
+    spark.createDataFrame([tuple(meta)], similarity._META_SCHEMA).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/meta_compact")
+    spark.createDataFrame(
+        [(-1, -1, -1, -1, "")], similarity._META_SCHEMA
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+    similarity.compact_ivf_pq(spark, path)
+    assert spark.read.parquet(f"{path}/cells").count() == 31
+    assert not os.path.exists(f"{path}/cells_trash")
+    assert not os.path.exists(f"{path}/cells_tmp")
+    assert similarity.ivf_pq_fresh(spark, path, "v1", nlist=8, m=4,
+                                   k_codes=8)
+
+    # (b) interrupted-rmtree empty delta dir: probe still answers
+    os.makedirs(f"{path}/codes_delta", exist_ok=True)
+    for f_ in os.listdir(f"{path}/codes_delta"):
+        shutil.rmtree(f"{path}/codes_delta/{f_}", ignore_errors=True)
+    got = sorted(
+        tuple(r)
+        for r in similarity.ivf_pq_topk_frozen(q, path, nprobe=8, k=30)
+        .collect()
+    )
+    assert {t[1] for t in got} >= {t[1] for t in clean}
+    shutil.rmtree(f"{path}/codes_delta", ignore_errors=True)
+
+    # (c) a crashed EXTEND (tombstone, no sidecar) must refuse compact
+    import pytest
+
+    spark.createDataFrame(
+        [(-1, -1, -1, -1, "")], similarity._META_SCHEMA
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+    with pytest.raises(ValueError, match="to compact"):
+        similarity.compact_ivf_pq(spark, path)
