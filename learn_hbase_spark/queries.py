@@ -285,6 +285,26 @@ _DRIVER_VERIFIED = [
     "repetition_score", "tfidf_topk", "length_profile", "neardup_clusters",
     "leakage_safe_split", "decontaminate_bloom", "column_profile",
     "curation_pipeline", "kmeans_update_iter1",
+    # round 12 (CORRECTNESS_r12.json: 47 green + 3 declared no_oracle; the
+    # sweep's green names in checked order — includes the 2 queries new in
+    # r12 (ann_ivf_pq_frozen, ann_ivf_pq_extend) and the 2 promoted to full
+    # oracles (bpe_train_merges, bpe_tokenize))
+    "bpe_train_merges", "bpe_tokenize", "ann_ivf_pq_frozen",
+    "ann_ivf_pq_extend", "entity_resolution", "curation_pipeline_rules",
+    "curation_audit_rules", "gopher_repetition_sampled", "dsir_frozen_gumbel",
+    "ivf_lloyd_update", "gopher_dupparagraph_flags", "classifier_train_round1",
+    "quality_signals", "curation_audit", "ccnet_perplexity_buckets",
+    "dsir_select_gumbel", "gopher_repetition_flags", "gopher_quality_flags",
+    "c4_line_filter", "gopher_dupline_flags", "weighted_sample",
+    "bigram_lm_score_frozen", "quality_classifier_score", "bigram_lm_score",
+    "neardup_clusters", "leakage_safe_split", "embedding_neardup",
+    "embedding_neardup_lsh", "tfidf_topk", "length_profile", "column_profile",
+    "curation_pipeline", "ann_cosine_topk", "kmeans_assign_iter1",
+    "kmeans_update_iter1", "ann_lsh_topk", "lsh_bucket_assign",
+    "ivf_cell_assign", "pq_encode", "pq_ann_topk", "ivf_pq_topk",
+    "pagerank_neardup", "pagerank_iter1", "neardup_canonical",
+    "semantic_pairs_seeded", "semantic_decontaminate",
+    "widetable_index_incremental",
 ]
 
 def _keep_latest(names: list[str]) -> list[str]:
@@ -453,21 +473,13 @@ def _still_verified() -> tuple[str, ...]:
 # fingerprints moved only via a shared-module edit. Maintained per round;
 # stale names cost nothing (they sort first only while unverified).
 _SWEEP_PRIORITY: list[str] = [
-    # round 12: new/answer-changed queries first (prepended as this round's
-    # work lands — DEDUPE against the stale list below; enumerate-rank
-    # keeps the LAST index, so a duplicate silently demotes), then the 20
-    # queries whose fingerprints moved under r11's module edits without an
-    # r11 sweep slot — the recorder kept them stale, so they re-verify
-    # first.
-    "bpe_train_merges", "bpe_tokenize", "ann_ivf_pq_frozen",
-    "ann_ivf_pq_extend",
-    "entity_resolution", "curation_pipeline_rules", "curation_audit_rules",
-    "gopher_repetition_sampled", "dsir_frozen_gumbel", "ivf_lloyd_update",
-    "gopher_dupparagraph_flags", "classifier_train_round1",
-    "quality_signals", "curation_audit", "ccnet_perplexity_buckets",
-    "dsir_select_gumbel", "gopher_repetition_flags", "gopher_quality_flags",
-    "c4_line_filter", "gopher_dupline_flags", "weighted_sample",
-    "bigram_lm_score_frozen", "quality_classifier_score", "bigram_lm_score",
+    # round 13: new/answer-changed queries first (prepended as this round's
+    # work lands — DEDUPE: enumerate-rank keeps the LAST index, so a
+    # duplicate silently demotes), then the 6 queries whose fingerprints
+    # moved under r12's module edits without an r12 sweep slot — the
+    # recorder kept them stale, so they re-verify first.
+    "curate_from_signals", "hard_negative_topk_lsh", "dsir_weights_frozen",
+    "dsir_select", "dsir_weights", "hard_negative_topk",
 ]
 
 
