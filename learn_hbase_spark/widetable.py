@@ -29,6 +29,11 @@ import time
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+# The index segment stack shares the ANN artifact family's read posture:
+# a committed-file-less directory (interrupted delete, or a crashed write's
+# _temporary remnant) reads as ABSENT; any other failure re-raises loud.
+from .operators.similarity import _try_parquet
 from pyspark.sql.types import (
     IntegerType,
     LongType,
@@ -1341,14 +1346,44 @@ class WideTable:
             and st.getPath().getName().startswith("delta_")
         ]
         if len(deltas) > self.INDEX_DELTA_MERGE_THRESHOLD:
-            merged = (
-                self.spark.read.parquet(*[str(p) for p in deltas])
-                .distinct()
-                .sort("value")
-            )
-            merged.write.parquet(f"{path}/delta_{time.time_ns()}")
+            # committed-file-less deltas (a previous fold's interrupted
+            # delete) contribute nothing — skip them, same posture as the
+            # probe; they still get swept into the trash below
+            readable = [
+                str(p)
+                for p in deltas
+                if _try_parquet(self.spark, str(p)) is not None
+            ]
+            if readable:
+                merged = (
+                    self.spark.read.parquet(*readable)
+                    .distinct()
+                    .sort("value")
+                )
+                merged.write.parquet(f"{path}/delta_{time.time_ns()}")
+            # rename-to-trash, not delete: fs.delete on a directory is
+            # not atomic, and a crash mid-delete used to leave an empty
+            # delta_* shell that broke every later probe with
+            # UNABLE_TO_INFER_SCHEMA. Each rename is atomic, the trash
+            # prefix is invisible to the probe's delta_* listing, and a
+            # crash between renames only leaves duplicate candidates
+            # (collapsed by the probe's distinct). The final recursive
+            # delete of the trash dir is safe at any interruption point —
+            # its contents are already superseded by the merged segment.
+            trash = self._hpath(f"{path}/_trash_fold_{time.time_ns()}")
+            fs.mkdirs(trash)
             for p in deltas:
-                fs.delete(p, True)
+                fs.rename(
+                    p,
+                    self._hpath(f"{str(trash)}/{p.getName()}"),
+                )
+            fs.delete(trash, True)
+            # sweep trash left by EARLIER interrupted folds, best-effort
+            for st in fs.listStatus(self._hpath(path)):
+                if st.isDirectory() and st.getPath().getName().startswith(
+                    "_trash_fold_"
+                ):
+                    fs.delete(st.getPath(), True)
         # an all-tombstone (or no-op) upsert still re-stamps — the index
         # is complete for it — but writes NO segment, so a long-running
         # maintained stream doesn't accrete an empty delta dir per drain
@@ -1462,15 +1497,22 @@ class WideTable:
             ) from exc
         # segment stack: base snapshot + any update_index deltas. Each
         # segment is value-sorted (row-group min/max pruning applies per
-        # segment); dup candidates across segments collapse below
+        # segment); dup candidates across segments collapse below.
+        # A committed-file-less delta dir (a crashed fold's interrupted
+        # delete, or a crashed merged-write's _temporary remnant) reads
+        # as absent and is provably safe to SKIP: it holds no committed
+        # data, and the fold removes old segments only after the merged
+        # segment is fully written — so nothing a probe must see can live
+        # only there. Any other read failure re-raises (loud, not
+        # silently base-only).
         fs = self._fs()
         for st in fs.listStatus(self._hpath(path)):
             if st.isDirectory() and st.getPath().getName().startswith(
                 "delta_"
             ):
-                idx = idx.unionByName(
-                    self.spark.read.parquet(str(st.getPath()))
-                )
+                seg = _try_parquet(self.spark, str(st.getPath()))
+                if seg is not None:
+                    idx = idx.unionByName(seg)
         if not allow_stale:
             built_ns = self._read_ns_sidecar(self._hpath(path + "/_built"))
             # O(1) freshness: one sidecar read against one stamp read —
