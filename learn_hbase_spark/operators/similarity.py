@@ -1458,12 +1458,37 @@ def _try_parquet(spark, p: str):
         raise
 
 
+# A maintained stream appends one _batch partition per drain; past this
+# many the ingest body folds the stack itself (compact_ivf_pq between
+# drains), so a long-running stream cannot grow the probe's base ∪ delta
+# union and its file listing without bound — the WideTable
+# INDEX_DELTA_MERGE_THRESHOLD discipline on the ANN artifact.
+ANN_DELTA_COMPACT_THRESHOLD = 16
+
+
+def _delta_partition_count(p: str) -> int:
+    """Number of committed ``_batch=*`` partitions under a delta table —
+    a driver-side listing of one directory (O(partitions), bounded by the
+    compact threshold, never the data files)."""
+    import os
+
+    try:
+        return sum(
+            1
+            for n in os.listdir(_strip_file_scheme(p))
+            if n.startswith("_batch=")
+        )
+    except FileNotFoundError:
+        return 0
+
+
 def ann_index_ingest_batch(
     batch: DataFrame,
     batch_id: int,
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    compact_threshold: int | None = None,
 ) -> None:
     """One micro-batch of :func:`~learn_hbase_spark.streaming.events.
     ann_index_ingest_stream`: encode the batch against the artifact's
@@ -1476,8 +1501,19 @@ def ann_index_ingest_batch(
     the WideTable delta-segment layout. The probe unions base + deltas;
     :func:`compact_ivf_pq` folds the stack. Unlike :func:`extend_ivf_pq`
     (the batch-mode append, which tombstones meta around a plain append),
-    the streaming path never touches meta — per-drain freshness is the
-    stream's checkpointed file listing, not the corpus fingerprint."""
+    the streaming path never touches meta outside a fold — per-drain
+    freshness is the stream's checkpointed file listing, not the corpus
+    fingerprint.
+
+    The stack is BOUNDED: once the delta holds more than
+    ``compact_threshold`` (default :data:`ANN_DELTA_COMPACT_THRESHOLD`)
+    ``_batch`` partitions, the drain finishes by folding it into base via
+    :func:`compact_ivf_pq` — safe here because foreachBatch bodies run
+    serially, so "end of the body" IS "between drains" (no concurrent
+    writer; concurrent probes see the documented meta-tombstone refusal
+    for the fold's duration). A batch REPLAYED after a fold re-lands rows
+    the fold already moved to base — the probe's candidate-sized replay
+    dedup and the next fold's ``distinct`` both collapse those."""
     if not batch.take(1):
         return
     spark = batch.sparkSession
@@ -1512,6 +1548,13 @@ def ann_index_ingest_batch(
         .partitionBy("_batch")
         .parquet(f"{path}/codes_delta")
     )
+    limit = (
+        ANN_DELTA_COMPACT_THRESHOLD
+        if compact_threshold is None
+        else compact_threshold
+    )
+    if _delta_partition_count(f"{path}/cells_delta") > limit:
+        compact_ivf_pq(spark, path)
 
 
 def compact_ivf_pq(spark, path: str) -> None:

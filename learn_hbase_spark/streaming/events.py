@@ -918,10 +918,14 @@ def ann_index_ingest_stream(
     similarity.extend_ivf_pq`, and the ANN sibling of
     :func:`upsert_stream_to_widetable`'s ``maintain_indexes`` path: the
     checkpointed file listing gives O(new-files) drains, probes see
-    drained vectors immediately via the base ∪ delta union, and
-    ``compact_ivf_pq`` (between drains) bounds the stack. The artifact
-    must exist (``freeze_ivf_pq``) before the stream starts — quantizers
-    are trained once, never per drain."""
+    drained vectors immediately via the base ∪ delta union, and the
+    stack is self-bounding — past
+    ``similarity.ANN_DELTA_COMPACT_THRESHOLD`` delta partitions the
+    drain body folds it into base (``compact_ivf_pq``) before the next
+    drain starts, so an unattended long-running stream never grows the
+    probe plan or its file listing without limit. The artifact must
+    exist (``freeze_ivf_pq``) before the stream starts — quantizers are
+    trained once, never per drain."""
     from ..operators.similarity import ann_index_ingest_batch
 
     schema = "vec_id long, embedding array<double>"

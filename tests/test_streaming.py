@@ -1347,3 +1347,77 @@ def test_ann_compact_swap_and_cleanup_windows(spark, tmp_path):
     ).write.mode("overwrite").parquet(f"{path}/meta")
     with pytest.raises(ValueError, match="to compact"):
         similarity.compact_ivf_pq(spark, path)
+
+
+def test_ann_delta_stack_auto_compacts(spark, tmp_path):
+    """VERDICT r12 #3: the streaming delta stack is self-bounding — a
+    drain that pushes the ``_batch`` partition count past the threshold
+    folds the stack into base before the next drain, so an unattended
+    maintained stream never grows the probe's base ∪ delta union or its
+    file listing without limit. Probe answers must be IDENTICAL to an
+    artifact maintained with no auto-fold (encoding against frozen
+    quantizers is deterministic; the fold only moves rows)."""
+    import os
+    import random
+
+    from pyspark.sql import functions as F
+
+    from learn_hbase_spark.operators import similarity
+
+    rng = random.Random(19)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(70)]
+    base = spark.createDataFrame(
+        rows[:40], "vec_id long, embedding array<double>"
+    )
+    folded_p = str(tmp_path / "folded")
+    plain_p = str(tmp_path / "plain")
+    for p in (folded_p, plain_p):
+        similarity.freeze_ivf_pq(base, p, nlist=8, m=4, k_codes=8,
+                                 src_fingerprint="base")
+
+    # six drains of five vectors; threshold 2 → at least one auto-fold
+    for b, lo in enumerate(range(40, 70, 5)):
+        batch = spark.createDataFrame(
+            rows[lo:lo + 5], "vec_id long, embedding array<double>"
+        )
+        similarity.ann_index_ingest_batch(
+            batch, b, folded_p, compact_threshold=2
+        )
+        similarity.ann_index_ingest_batch(batch, b, plain_p)
+
+    def _nparts(p):
+        try:
+            return sum(
+                1 for n in os.listdir(p) if n.startswith("_batch=")
+            )
+        except FileNotFoundError:
+            return 0
+
+    assert _nparts(f"{folded_p}/cells_delta") <= 2  # stack stayed bounded
+    assert _nparts(f"{plain_p}/cells_delta") == 6  # control: no fold
+    # no rows lost or duplicated across the folds
+    n_base = spark.read.parquet(f"{folded_p}/cells").count()
+    n_delta = (
+        spark.read.parquet(f"{folded_p}/cells_delta").count()
+        if os.path.exists(f"{folded_p}/cells_delta")
+        else 0
+    )
+    assert n_base + n_delta == 70
+    # meta survived every fold round-trip
+    assert similarity.ivf_pq_fresh(spark, folded_p, "base", nlist=8, m=4,
+                                   k_codes=8)
+
+    q = base.filter(F.col("vec_id") < 3)
+    got_folded = sorted(
+        tuple(r)
+        for r in similarity.ivf_pq_topk_frozen(
+            q, folded_p, nprobe=8, k=70
+        ).collect()
+    )
+    got_plain = sorted(
+        tuple(r)
+        for r in similarity.ivf_pq_topk_frozen(
+            q, plain_p, nprobe=8, k=70
+        ).collect()
+    )
+    assert got_folded == got_plain
