@@ -16,6 +16,8 @@ tree, no Python in the loop.
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1039,26 +1041,40 @@ def ivf_pq_fingerprint(corpus: DataFrame) -> str:
     no more than planning one read and touches no data. At table-format
     scale (Delta/Iceberg) swap this for the snapshot id: a string compare,
     no listing at all. Returns '' for non-file-backed frames (the caller
-    then refreezes every time — conservative)."""
+    then refreezes every time — conservative).
+
+    file: paths stat locally (nanosecond mtimes); other schemes go
+    through the Hadoop FS API — size + millisecond mtime, which is the
+    finest the FS exposes there, so a byte-identical same-size rewrite
+    landing within the same millisecond could still read fresh; the
+    table-format snapshot id is the real answer at that scale. Any
+    stat failure returns '' (never matches — refreeze, conservative)."""
     import hashlib
     import os as _os
+    import re as _re
 
     files = sorted(corpus.inputFiles())
     if not files:
         return ""
+    spark = corpus.sparkSession
     h = hashlib.md5()
     for uri in files:
         p = _strip_file_scheme(uri)
-        try:
-            st = _os.stat(p)
-        except OSError:
-            # non-locally-stat-able filesystem (hdfs://, s3a://): a
-            # path-only fingerprint would be ANTI-conservative — an
-            # in-place rewrite keeping file names would read as fresh.
-            # Return '' (never matches) so such corpora refreeze every
-            # time until a table-format snapshot id replaces this.
-            return ""
-        h.update(f"{uri}:{st.st_size}:{st.st_mtime_ns}\n".encode())
+        if p != uri or not _re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", uri):
+            try:
+                st = _os.stat(p)
+            except OSError:
+                return ""
+            h.update(f"{uri}:{st.st_size}:{st.st_mtime_ns}\n".encode())
+        else:
+            try:
+                fs, jp = _hfs(spark, uri)
+                st = fs.getFileStatus(jp)
+            except Exception:
+                return ""
+            h.update(
+                f"{uri}:{st.getLen()}:{st.getModificationTime()}\n".encode()
+            )
     return h.hexdigest()
 
 
@@ -1113,17 +1129,16 @@ def freeze_ivf_pq(
     # compact sidecar survive into the new artifact, where a probe would
     # union a fresh base with a previous stream's rows, or a later
     # compact would "resume" from a sidecar that predates this freeze.
-    import shutil
-
+    # Deletes go through the Hadoop FS API: a local rmtree on an
+    # hdfs://-path would silently no-op and leave the previous stream's
+    # deltas live under the fresh meta.
     spark.createDataFrame(
-        [(-1, -1, -1, -1, "")], _META_SCHEMA
+        [_meta_tombstone()], _META_SCHEMA
     ).write.mode("overwrite").parquet(f"{path}/meta")
     for sub_dir in ("cells_delta", "codes_delta", "meta_compact",
                     "cells_tmp", "codes_tmp", "cells_trash",
                     "codes_trash"):
-        shutil.rmtree(
-            _strip_file_scheme(f"{path}/{sub_dir}"), ignore_errors=True
-        )
+        _fs_delete(spark, f"{path}/{sub_dir}")
     seeds = _pq_seeds(corpus, k_codes, id_col, vec_col)
     dim = seeds.shape[1]
     if dim % m:
@@ -1166,12 +1181,12 @@ def freeze_ivf_pq(
         ivf_pq_fingerprint(corpus)
     )
     spark.createDataFrame(
-        [(nlist, m, k_codes, dim, src)], _META_SCHEMA
+        [(nlist, m, k_codes, dim, src, time.time_ns())], _META_SCHEMA
     ).write.mode("overwrite").parquet(f"{path}/meta")
-    # drop any memoized quantizers for this path: a refreeze from a
-    # different corpus can write a byte-identical meta row (src='' for
-    # non-file-backed corpora), so the (path, meta) cache key alone
-    # cannot see the change
+    # drop any memoized quantizers for this path. The gen stamp already
+    # makes every freeze's meta row distinct (so OTHER processes' caches
+    # can't collide either); clearing our own slot as well just frees the
+    # dead entry immediately.
     _QUANTIZER_CACHE.clear()
 
 
@@ -1208,18 +1223,67 @@ def ivf_pq_fresh(
     )
 
 
-_META_SCHEMA = "nlist int, m int, k_codes int, dim int, src string"
+# gen: a per-write freeze generation (epoch-ns at write time) so every
+# freeze/extend/tombstone produces a DISTINCT meta row even when all other
+# fields repeat (src='' for non-file-backed corpora) — the quantizer cache
+# key is (path, meta row), and without gen a refreeze by a DIFFERENT
+# process could write a byte-identical row and leave a long-lived probe
+# process serving stale centroids against the new codes.
+_META_SCHEMA = "nlist int, m int, k_codes int, dim int, src string, gen long"
+
+
+def _meta_tombstone() -> tuple:
+    """A fresh tombstone meta row (nlist=-1): refuse-service marker with
+    its own generation stamp."""
+    return (-1, -1, -1, -1, "", time.time_ns())
+
+
+def _meta_values(meta_row) -> tuple:
+    """A meta Row → a _META_SCHEMA-shaped tuple; pre-``gen`` artifacts
+    (5-column meta written before the generation stamp) read as gen=0."""
+    d = meta_row.asDict()
+    return (
+        d["nlist"], d["m"], d["k_codes"], d["dim"], d["src"],
+        d.get("gen", 0),
+    )
 
 
 def _strip_file_scheme(p: str) -> str:
     """file:// URI → local path, PREFIX-only (a substring replace would
-    mangle any path merely containing 'file:'). Shared by every local
-    filesystem operation in the artifact maintenance paths."""
+    mangle any path merely containing 'file:'). Shared by the local-stat
+    fast path of the corpus fingerprint."""
     if p.startswith("file://"):
         return p[7:]
     if p.startswith("file:"):
         return p[5:]
     return p
+
+
+def _hfs(spark, p: str):
+    """(FileSystem, Path) for ``p`` through the Hadoop FS API, so the
+    artifact maintenance operations (clear, swap, trash) run against
+    whatever filesystem the path's scheme names — file:, hdfs://, s3a://
+    — instead of silently no-opping local deletes on cluster URIs."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(p)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def _fs_delete(spark, p: str) -> None:
+    """Recursive delete through the Hadoop FS API; absent paths no-op."""
+    fs, jp = _hfs(spark, p)
+    fs.delete(jp, True)
+
+
+def _fs_rename(spark, src: str, dst: str) -> None:
+    """Atomic directory rename through the Hadoop FS API. Hadoop's
+    ``rename`` reports failure by RETURNING false, not raising — check
+    it, because a swallowed failed swap would fold the stale copy on the
+    next resume. (Atomic on file:/hdfs:; object stores rename by copy —
+    there, stage through the store's committer or a table format, the
+    caveat :func:`compact_ivf_pq` documents.)"""
+    fs, jsrc = _hfs(spark, src)
+    if not fs.rename(jsrc, spark._jvm.org.apache.hadoop.fs.Path(dst)):
+        raise IOError(f"rename failed: {src} -> {dst}")
 
 # one-entry memo for the frozen quantizer matrices: keyed by (path, meta
 # row) so any refreeze/extend — which rewrites meta — naturally invalidates
@@ -1397,14 +1461,11 @@ def extend_ivf_pq(
     # any stale compact sidecar first — otherwise a sidecar left by a
     # compact that crashed after its meta restore would let a later
     # compact "resume" over this extend's tombstone and restore valid
-    # meta above a half-extended artifact
-    import shutil
-
-    shutil.rmtree(
-        _strip_file_scheme(f"{path}/meta_compact"), ignore_errors=True
-    )
+    # meta above a half-extended artifact. Hadoop FS delete: the sidecar
+    # must actually clear on cluster URIs too.
+    _fs_delete(spark, f"{path}/meta_compact")
     spark.createDataFrame(
-        [(-1, -1, -1, -1, "")], _META_SCHEMA
+        [_meta_tombstone()], _META_SCHEMA
     ).write.mode("overwrite").parquet(f"{path}/meta")
 
     new_vectors.select(
@@ -1421,11 +1482,12 @@ def extend_ivf_pq(
     ).write.mode("append").parquet(f"{path}/codes")
 
     spark.createDataFrame(
-        [(nlist, m, k_codes, dim, src_fingerprint or "")], _META_SCHEMA
+        [(nlist, m, k_codes, dim, src_fingerprint or "", time.time_ns())],
+        _META_SCHEMA,
     ).write.mode("overwrite").parquet(f"{path}/meta")
     # the quantizers themselves are unchanged by an extend, but the meta
-    # row (cache key) moved — drop the old entry rather than let the
-    # single-slot cache hold a dead key
+    # row (cache key, now including the fresh gen stamp) moved — drop the
+    # old entry rather than let the single-slot cache hold a dead key
     _QUANTIZER_CACHE.clear()
 
 
@@ -1466,20 +1528,19 @@ def _try_parquet(spark, p: str):
 ANN_DELTA_COMPACT_THRESHOLD = 16
 
 
-def _delta_partition_count(p: str) -> int:
+def _delta_partition_count(spark, p: str) -> int:
     """Number of committed ``_batch=*`` partitions under a delta table —
     a driver-side listing of one directory (O(partitions), bounded by the
-    compact threshold, never the data files)."""
-    import os
-
-    try:
-        return sum(
-            1
-            for n in os.listdir(_strip_file_scheme(p))
-            if n.startswith("_batch=")
-        )
-    except FileNotFoundError:
+    compact threshold, never the data files), through the Hadoop FS API
+    so it counts correctly on cluster URIs."""
+    fs, jp = _hfs(spark, p)
+    if not fs.exists(jp):
         return 0
+    return sum(
+        1
+        for st in fs.listStatus(jp)
+        if st.getPath().getName().startswith("_batch=")
+    )
 
 
 def ann_index_ingest_batch(
@@ -1553,7 +1614,7 @@ def ann_index_ingest_batch(
         if compact_threshold is None
         else compact_threshold
     )
-    if _delta_partition_count(f"{path}/cells_delta") > limit:
+    if _delta_partition_count(spark, f"{path}/cells_delta") > limit:
         compact_ivf_pq(spark, path)
 
 
@@ -1586,26 +1647,24 @@ def compact_ivf_pq(spark, path: str) -> None:
        removed. (A sidecar surviving a crash after this restore is
        cleared by the next freeze/extend before they tombstone, so it can
        never vouch for a LATER torn state.)
-    Local-filesystem renames; on a cluster stage through the object
-    store's atomic commit."""
-    import os
-    import shutil
-
-    _local = _strip_file_scheme
-
+    All moves/deletes go through the Hadoop FS API, so the protocol runs
+    unchanged on file: and hdfs:// (where directory rename is atomic).
+    Object stores (s3a://) rename by copy — there, stage the swap
+    through the store's committer or keep the artifact in a table
+    format."""
     live = ivf_pq_meta(spark, path)
     recovery = _try_parquet(spark, f"{path}/meta_compact")
     if live is not None and int(live["nlist"]) >= 0:
-        saved = tuple(live)
+        saved = _meta_values(live)
         spark.createDataFrame([saved], _META_SCHEMA).write.mode(
             "overwrite"
         ).parquet(f"{path}/meta_compact")
         spark.createDataFrame(
-            [(-1, -1, -1, -1, "")], _META_SCHEMA
+            [_meta_tombstone()], _META_SCHEMA
         ).write.mode("overwrite").parquet(f"{path}/meta")
     elif recovery is not None:
         # resuming a crashed compact: live meta is already tombstoned
-        saved = tuple(recovery.collect()[0])
+        saved = _meta_values(recovery.collect()[0])
     else:
         raise ValueError(f"no complete IVF-PQ artifact at {path} to compact")
 
@@ -1623,7 +1682,7 @@ def compact_ivf_pq(spark, path: str) -> None:
                 raise ValueError(
                     f"{table}: neither base nor staged tmp present"
                 )
-            os.rename(_local(tmp_p), _local(base_p))
+            _fs_rename(spark, tmp_p, base_p)
         else:
             delta = _try_parquet(spark, delta_p)
             if delta is not None:
@@ -1631,13 +1690,13 @@ def compact_ivf_pq(spark, path: str) -> None:
                     delta.drop("_batch"), allowMissingColumns=False
                 ).distinct()
                 folded.write.mode("overwrite").parquet(tmp_p)
-                shutil.rmtree(_local(trash_p), ignore_errors=True)
-                os.rename(_local(base_p), _local(trash_p))
-                os.rename(_local(tmp_p), _local(base_p))
+                _fs_delete(spark, trash_p)
+                _fs_rename(spark, base_p, trash_p)
+                _fs_rename(spark, tmp_p, base_p)
         for aux in (delta_p, tmp_p, trash_p):
-            shutil.rmtree(_local(aux), ignore_errors=True)
+            _fs_delete(spark, aux)
 
     spark.createDataFrame([saved], _META_SCHEMA).write.mode(
         "overwrite"
     ).parquet(f"{path}/meta")
-    shutil.rmtree(_local(f"{path}/meta_compact"), ignore_errors=True)
+    _fs_delete(spark, f"{path}/meta_compact")

@@ -1049,8 +1049,7 @@ def test_frozen_ivf_pq_freshness_contract(spark, vectors, tmp_path):
     import pytest
 
     spark.createDataFrame(
-        [(-1, -1, -1, -1, "")],
-        "nlist int, m int, k_codes int, dim int, src string",
+        [similarity._meta_tombstone()], similarity._META_SCHEMA
     ).write.mode("overwrite").parquet(f"{path}/meta")
     assert not similarity.ivf_pq_fresh(spark, path, fp, nlist=8, m=4,
                                        k_codes=8)

@@ -1248,7 +1248,7 @@ def test_ann_compact_resumes_after_crash_and_probe_dedups_replays(
         "overwrite"
     ).parquet(f"{path}/meta_compact")
     spark.createDataFrame(
-        [(-1, -1, -1, -1, "")], similarity._META_SCHEMA
+        [similarity._meta_tombstone()], similarity._META_SCHEMA
     ).write.mode("overwrite").parquet(f"{path}/meta")
     import pytest
 
@@ -1317,7 +1317,7 @@ def test_ann_compact_swap_and_cleanup_windows(spark, tmp_path):
         "overwrite"
     ).parquet(f"{path}/meta_compact")
     spark.createDataFrame(
-        [(-1, -1, -1, -1, "")], similarity._META_SCHEMA
+        [similarity._meta_tombstone()], similarity._META_SCHEMA
     ).write.mode("overwrite").parquet(f"{path}/meta")
 
     similarity.compact_ivf_pq(spark, path)
@@ -1343,7 +1343,7 @@ def test_ann_compact_swap_and_cleanup_windows(spark, tmp_path):
     import pytest
 
     spark.createDataFrame(
-        [(-1, -1, -1, -1, "")], similarity._META_SCHEMA
+        [similarity._meta_tombstone()], similarity._META_SCHEMA
     ).write.mode("overwrite").parquet(f"{path}/meta")
     with pytest.raises(ValueError, match="to compact"):
         similarity.compact_ivf_pq(spark, path)
