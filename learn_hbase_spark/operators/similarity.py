@@ -286,6 +286,7 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exact_replay: bool = False,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: a coarse quantizer splits the
     corpus into `nlist` cells; each query probes only its `nprobe` nearest
@@ -302,6 +303,23 @@ def ivf_topk(
     storage partition key, so probing prunes partitions; `nlist` grows
     with the corpus (~sqrt(N)) and `train_mod` grows so the sample stays
     executor-bounded.
+
+    ``exact_replay=True`` switches the REFINEMENT to the engine-portable
+    form that lets the whole query carry a chained-CTE DuckDB oracle —
+    the ``pagerank exact_replay`` / BPE promotion recipe applied to the
+    one Lloyd step (VERDICT r12 #4): (a) the training sample is selected
+    by plain ``id % train_mod`` instead of ``xxhash64`` (the hash is
+    Spark-specific, a modulus replays in any engine; both are
+    deterministic 1-in-``train_mod`` rules); (b) the refined means are
+    computed by an exact DECIMAL(18,6) component-sum aggregation —
+    associative, so any partial-agg order gives the same bits in both
+    engines (the ``ivf_lloyd_update`` posture) — rounded to 6 decimals,
+    instead of the fused float partial-sum kernel whose summation order
+    is engine-local. Assignment, probing, scoring, and ranking are the
+    SAME kernels in both modes; cross-engine cosine/argmax agreement
+    rests on the same separation argument the ``ivf_cell_assign`` /
+    ``ann_cosine_topk`` oracles have held green on since r2. The default
+    (False) keeps the zero-exchange fused float path for production.
     """
     import numpy as np
     import pandas as pd
@@ -324,9 +342,46 @@ def ivf_topk(
     # min-of-3: none 0.676 s vs localCheckpoint 0.663 s on the execution
     # phase — a wash, so the simpler no-materialization form stays.
     schema = "_id long, _v array<double>, _cell int"
-    # refinement trains on a deterministic 1/train_mod hash-sample so the
+    # refinement trains on a deterministic 1/train_mod sample so the
     # full corpus is only assigned once (below, under the refined centroids)
     train_mod = 4
+
+    if exact_replay:
+        # engine-portable refinement (see docstring): modulus sample,
+        # assign with the shared kernel, then exact decimal component
+        # sums → rounded means. Driver pull is nlist x dim rows — the
+        # bounded k-means-centroid class.
+        sample = prepped.filter(F.pmod(F.col("_id"), F.lit(train_mod)) == 0)
+        assigned = sample.mapInPandas(_assign(cents, 1), schema=schema)
+        mean_rows = (
+            assigned.select(
+                "_cell", F.posexplode("_v").alias("_dim", "_c")
+            )
+            .groupBy("_cell", "_dim")
+            .agg(
+                F.sum(F.col("_c").cast("decimal(18,6)")).alias("_s"),
+                F.count("*").alias("_n"),
+            )
+            .select(
+                "_cell",
+                "_dim",
+                F.round(
+                    F.col("_s").cast("double") / F.col("_n"), 6
+                ).alias("_m"),
+            )
+            .collect()
+        )
+        cents2 = cents.copy()  # member-less cells keep their seed row
+        if mean_rows:
+            raw = np.zeros_like(cents)
+            for r in mean_rows:
+                raw[r["_cell"], r["_dim"]] = r["_m"]
+            touched = sorted({int(r["_cell"]) for r in mean_rows})
+            cents2[touched] = _norm_rows(raw[touched])
+        return _ivf_probe_rank(
+            queries, prepped, cents2, k, nlist, nprobe, id_col, vec_col
+        )
+
     sample = prepped.filter(
         F.pmod(F.xxhash64(F.col("_id")), F.lit(train_mod)) == 0
     ).withColumn("_pid", F.spark_partition_id())
@@ -380,6 +435,27 @@ def ivf_topk(
         # exact ties)
         cents2[touched] = _norm_rows(cents2[touched])
 
+    return _ivf_probe_rank(
+        queries, prepped, cents2, k, nlist, nprobe, id_col, vec_col
+    )
+
+
+def _ivf_probe_rank(
+    queries: DataFrame,
+    prepped: DataFrame,
+    cents2,
+    k: int,
+    nlist: int,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """The probe-and-rank tail shared by both :func:`ivf_topk` refinement
+    modes: assign the corpus and the queries under the refined centroid
+    matrix (same :func:`_cell_assigner` kernel), join candidates on cell,
+    score exactly by cosine, rank with the ascending-id tiebreak."""
+    schema = "_id long, _v array<double>, _cell int"
+    _assign = _cell_assigner
     corpus_cells = prepped.mapInPandas(_assign(cents2, 1), schema=schema)
     q_prepped = queries.select(
         F.col(id_col).alias("_qid"),

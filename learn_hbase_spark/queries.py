@@ -478,6 +478,9 @@ _SWEEP_PRIORITY: list[str] = [
     # duplicate silently demotes), then the 6 queries whose fingerprints
     # moved under r12's module edits without an r12 sweep slot — the
     # recorder kept them stale, so they re-verify first.
+    # ann_ivf_topk: answer CHANGED by the exact_replay promotion
+    # (modulus sample + decimal-exact means).
+    "ann_ivf_topk",
     "curate_from_signals", "hard_negative_topk_lsh", "dsir_weights_frozen",
     "dsir_select", "dsir_weights", "hard_negative_topk",
 ]
@@ -3927,15 +3930,116 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(q, emb, k=10)
 
 
-@_register("ann_ivf_topk")  # approximate by design → rows-only check
+@_register(
+    "ann_ivf_topk",
+    """
+    WITH iseeds AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cell, c
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS c
+            FROM embeddings ORDER BY vec_id LIMIT 16)
+    ),
+    s1 AS (
+      SELECT e.vec_id, s.cell,
+             list_dot_product(CAST(e.embedding AS DOUBLE[]), s.c)
+               / sqrt(list_dot_product(s.c, s.c))
+               / sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                       CAST(e.embedding AS DOUBLE[]))) AS sc
+      FROM embeddings e CROSS JOIN iseeds s
+      WHERE e.vec_id % 4 = 0
+    ),
+    a1 AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sc DESC, cell ASC) AS rn
+        FROM s1
+      ) WHERE rn = 1
+    ),
+    comps AS (
+      SELECT a.cell, i - 1 AS dim,
+             CAST((CAST(e.embedding AS DOUBLE[]))[i] AS DECIMAL(18,6)) AS c
+      FROM a1 a
+      JOIN embeddings e USING (vec_id),
+           unnest(generate_series(1, len(e.embedding))) AS t(i)
+    ),
+    means AS (
+      SELECT cell, dim,
+             round(CAST(sum(c) AS DOUBLE) / count(*), 6) AS m
+      FROM comps GROUP BY cell, dim
+    ),
+    refined AS (
+      SELECT cell, list(m ORDER BY dim) AS c FROM means GROUP BY cell
+    ),
+    cent2 AS (
+      SELECT s.cell, COALESCE(r.c, s.c) AS c
+      FROM iseeds s LEFT JOIN refined r USING (cell)
+    ),
+    s2 AS (
+      SELECT e.vec_id, c2.cell,
+             list_dot_product(CAST(e.embedding AS DOUBLE[]), c2.c)
+               / sqrt(list_dot_product(c2.c, c2.c))
+               / sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                       CAST(e.embedding AS DOUBLE[]))) AS sc
+      FROM embeddings e CROSS JOIN cent2 c2
+    ),
+    ccells AS (
+      SELECT vec_id AS neighbor_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sc DESC, cell ASC) AS rn
+        FROM s2
+      ) WHERE rn = 1
+    ),
+    qcells AS (
+      SELECT vec_id AS query_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sc DESC, cell ASC) AS rn
+        FROM s2 WHERE vec_id < 10
+      ) WHERE rn <= 4
+    ),
+    scored AS (
+      SELECT q.query_id, c.neighbor_id,
+             list_dot_product(CAST(qe.embedding AS DOUBLE[]),
+                              CAST(ce.embedding AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(qe.embedding AS DOUBLE[]),
+                                      CAST(qe.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(ce.embedding AS DOUBLE[]),
+                                        CAST(ce.embedding AS DOUBLE[]))))
+               AS s
+      FROM ccells c
+      JOIN qcells q USING (cell)
+      JOIN embeddings qe ON qe.vec_id = q.query_id
+      JOIN embeddings ce ON ce.vec_id = c.neighbor_id
+      WHERE q.query_id <> c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, rank, sim FROM (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY s DESC, neighbor_id ASC) AS rank,
+             round(s, 6) AS sim
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate top-k: coarse quantizer (seeded + one Lloyd
     step) splits the corpus into cells; queries probe their 4 nearest of 16
-    cells. Approximate ⇒ no SQL oracle; recall-tested in tests. The seed
-    assignment pass is oracle-twinned via ``ivf_cell_assign``."""
+    cells. PROMOTED to a full oracle in r13 (VERDICT r12 #4) via
+    ``ivf_topk(exact_replay=True)``: the refinement chains as CTEs —
+    seed-assign the ``vec_id % 4`` training sample (the
+    ``ivf_cell_assign`` argmax), DECIMAL-exact per-cell component means
+    rounded to 6 decimals (the ``ivf_lloyd_update`` posture), reassign
+    corpus + queries under the refined centroids, then exact-cosine rank
+    over the probed cells (the ``ann_cosine_topk`` final stage). Cells
+    that lost every sampled member keep their seed (the COALESCE).
+    Production's fused float-partial-sum refinement stays the default
+    code path, recall-tested in pytest."""
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
-    return similarity.ivf_topk(q, emb, k=10, nlist=16, nprobe=4)
+    return similarity.ivf_topk(
+        q, emb, k=10, nlist=16, nprobe=4, exact_replay=True
+    )
 
 
 @_register("embedding_kmeans")  # iterative float fixpoint → rows-only check
@@ -8197,7 +8301,18 @@ def _bpe_tokenize_replay_sql(n_rounds: int = 8, min_freq: int = 2) -> str:
     division on exact integers (the ``pagerank_neardup`` lesson: rounding
     would re-introduce an engine-specific half-tie hazard; a single
     int/int divide is the same double everywhere). Empty docs survive via
-    the LEFT JOIN (the production encoder emits a row per doc)."""
+    the LEFT JOIN (the production encoder emits a row per doc).
+
+    ORACLE LIMITATION (ADVICE r12): this twin derives token counts from
+    the TRAINING rewrite (``wt{n}``), while the Spark query re-encodes
+    with rank-priority application of the learned merges. The two are
+    equal on any corpus where applying the derivation-ordered merge list
+    reproduces the training rewrite (the ``bpe_apply_fixed`` equivalence,
+    pinned in test_tokenizer) — but classic BPE apply/train divergence
+    exists: a corpus where a LATER merge recreates an EARLIER merge's
+    pair lets rank-priority re-fire the earlier rule where training did
+    not. On such a corpus this oracle fails LOUD (spurious mismatch) —
+    diagnose it as an oracle limitation, not a Spark-side bug."""
     norm_clean = _NORM.replace("text", "replace(text, '|', '')")
     return f"""WITH {_bpe_train_replay_ctes(n_rounds, min_freq)},
     wlen AS (

@@ -367,6 +367,16 @@ def test_ivf_recall_vs_bruteforce(spark, vectors):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"IVF recall {recall} too low"
+    # the exact_replay refinement (modulus sample + decimal-exact means)
+    # is a different but equally valid quantizer: same recall bar
+    replay = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivf_topk(
+            q, vectors, k=5, nlist=8, nprobe=4, exact_replay=True
+        ).collect()
+    }
+    recall_r = len(exact & replay) / len(exact)
+    assert recall_r >= 0.5, f"exact_replay IVF recall {recall_r} too low"
 
 
 # ---------------------------------------------------------------------------

@@ -53,9 +53,6 @@ _ROWS_ONLY_CHECKS = {
         "tests/test_sketches.py::test_approx_distinct_within_rsd",
         "tests/test_sketches.py::test_approx_quantiles_near_exact",
     ],
-    "ann_ivf_topk": [
-        "tests/test_llm_ops.py::test_ivf_recall_vs_bruteforce",
-    ],
     "embedding_kmeans": [
         "tests/test_llm_ops.py::test_kmeans_matches_numpy_reference",
     ],
