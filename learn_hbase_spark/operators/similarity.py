@@ -525,6 +525,7 @@ def kmeans_clusters(
     n_iter: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exact_replay: bool = False,
 ) -> DataFrame:
     """Deterministic Lloyd's k-means over the embedding column — corpus
     clustering for curation (domain discovery, cluster-balanced sampling,
@@ -543,6 +544,16 @@ def kmeans_clusters(
 
     Returns ``(id_col, cluster_id, sim)`` — sim is cosine similarity to
     the assigned (final) centroid, rounded to 6.
+
+    ``exact_replay=True`` computes each round's per-cell means through an
+    exact DECIMAL(18,6) component-sum aggregation rounded to 6 decimals
+    (associative — any partial-agg order gives the same bits in every
+    engine; the ``ivf_topk(exact_replay=True)`` / ``ivf_lloyd_update``
+    posture) instead of the float ``applyInPandas`` fold, which makes the
+    FULL fixed-round run replayable as chained SQL CTEs and lets
+    ``embedding_kmeans`` carry a complete DuckDB oracle. Assignment and
+    final scoring are unchanged; cross-engine argmax/round agreement
+    rests on the same separation argument as the assignment oracles.
     """
     import numpy as np
     import pandas as pd
@@ -585,15 +596,43 @@ def kmeans_clusters(
 
     for _ in range(n_iter):
         assigned = prepped.mapInPandas(_assign(cents), schema=schema)
-        means = (
-            assigned.groupBy("_cell")
-            .applyInPandas(_cell_mean, schema="_cell int, _v array<double>")
-            .toPandas()  # bounded: k rows
-        )
         new_cents = cents.copy()
-        new_cents[means["_cell"].to_numpy()] = _norm_rows(
-            np.stack([np.asarray(v) for v in means["_v"]])
-        )
+        if exact_replay:
+            # decimal-exact component means (see docstring); driver pull
+            # is k x dim rows — the same bounded centroid class
+            mean_rows = (
+                assigned.select(
+                    "_cell", F.posexplode("_v").alias("_dim", "_c")
+                )
+                .groupBy("_cell", "_dim")
+                .agg(
+                    F.sum(F.col("_c").cast("decimal(18,6)")).alias("_s"),
+                    F.count("*").alias("_n"),
+                )
+                .select(
+                    "_cell",
+                    "_dim",
+                    F.round(
+                        F.col("_s").cast("double") / F.col("_n"), 6
+                    ).alias("_m"),
+                )
+                .collect()
+            )
+            if mean_rows:
+                raw = np.zeros_like(cents)
+                for r in mean_rows:
+                    raw[r["_cell"], r["_dim"]] = r["_m"]
+                touched = sorted({int(r["_cell"]) for r in mean_rows})
+                new_cents[touched] = _norm_rows(raw[touched])
+        else:
+            means = (
+                assigned.groupBy("_cell")
+                .applyInPandas(_cell_mean, schema="_cell int, _v array<double>")
+                .toPandas()  # bounded: k rows
+            )
+            new_cents[means["_cell"].to_numpy()] = _norm_rows(
+                np.stack([np.asarray(v) for v in means["_v"]])
+            )
         cents = new_cents  # empty cells keep their previous centroid
 
     final = prepped.mapInPandas(_assign(cents), schema=schema)

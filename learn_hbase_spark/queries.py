@@ -478,9 +478,9 @@ _SWEEP_PRIORITY: list[str] = [
     # duplicate silently demotes), then the 6 queries whose fingerprints
     # moved under r12's module edits without an r12 sweep slot — the
     # recorder kept them stale, so they re-verify first.
-    # ann_ivf_topk: answer CHANGED by the exact_replay promotion
-    # (modulus sample + decimal-exact means).
-    "ann_ivf_topk",
+    # ann_ivf_topk / embedding_kmeans: answers CHANGED by the
+    # exact_replay promotions (modulus sample / decimal-exact means).
+    "ann_ivf_topk", "embedding_kmeans",
     "curate_from_signals", "hard_negative_topk_lsh", "dsir_weights_frozen",
     "dsir_select", "dsir_weights", "hard_negative_topk",
 ]
@@ -4042,18 +4042,96 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("embedding_kmeans")  # iterative float fixpoint → rows-only check
+def _kmeans_replay_ctes(n_rounds: int = 5, k: int = 8) -> str:
+    """Chained-CTE replay of ``kmeans_clusters(exact_replay=True)``'s
+    fixed ``n_rounds`` Lloyd rounds — the pagerank/BPE/ann_ivf_topk
+    promotion recipe applied to the k-means fixpoint: each round is
+    (assign by max-cosine, ties to lowest cell) → (per-cell per-dim
+    DECIMAL(18,6)-exact mean, rounded to 6) → (COALESCE carries empty
+    cells' previous centroid forward). Every round's assignment is
+    integer, every mean is an exact decimal sum — the only cross-engine
+    float surfaces are the cosine argmaxes and the final round(sim, 6),
+    both covered by the separation argument the assignment oracles hold
+    green on. Produces ``cent0..cent{n}``; the caller scores against
+    ``cent{n_rounds}``."""
+    parts = [f"""
+    cent0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cell, c
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS c
+            FROM embeddings ORDER BY vec_id LIMIT {k})
+    )"""]
+    for r in range(n_rounds):
+        parts.append(f"""
+    s{r} AS (
+      SELECT e.vec_id, c2.cell,
+             list_dot_product(CAST(e.embedding AS DOUBLE[]), c2.c)
+               / sqrt(list_dot_product(c2.c, c2.c))
+               / sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                       CAST(e.embedding AS DOUBLE[]))) AS sc
+      FROM embeddings e CROSS JOIN cent{r} c2
+    ),
+    a{r} AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sc DESC, cell ASC) AS rn
+        FROM s{r}
+      ) WHERE rn = 1
+    ),
+    m{r} AS (
+      SELECT a.cell, i - 1 AS dim,
+             round(CAST(sum(CAST((CAST(e.embedding AS DOUBLE[]))[i]
+                                 AS DECIMAL(18,6))) AS DOUBLE)
+                   / count(*), 6) AS m
+      FROM a{r} a
+      JOIN embeddings e USING (vec_id),
+           unnest(generate_series(1, len(e.embedding))) AS t(i)
+      GROUP BY a.cell, i - 1
+    ),
+    cm{r} AS (
+      SELECT cell, list(m ORDER BY dim) AS c FROM m{r} GROUP BY cell
+    ),
+    cent{r + 1} AS (
+      SELECT p.cell, COALESCE(n.c, p.c) AS c
+      FROM cent{r} p LEFT JOIN cm{r} n USING (cell)
+    )""")
+    return ",".join(parts)
+
+
+@_register(
+    "embedding_kmeans",
+    f"""
+    WITH {_kmeans_replay_ctes(5, 8)},
+    sfin AS (
+      SELECT e.vec_id, c2.cell,
+             list_dot_product(CAST(e.embedding AS DOUBLE[]), c2.c)
+               / sqrt(list_dot_product(c2.c, c2.c))
+               / sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                       CAST(e.embedding AS DOUBLE[]))) AS sc
+      FROM embeddings e CROSS JOIN cent5 c2
+    )
+    SELECT vec_id, CAST(cell AS INT) AS cluster_id, round(sc, 6) AS sim
+    FROM (
+      SELECT vec_id, cell, sc,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY sc DESC, cell ASC) AS rn
+      FROM sfin
+    ) WHERE rn = 1
+    """,
+)
 def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus clustering: deterministic Lloyd's k-means over the embedding
     table (similarity.kmeans_clusters) — domain discovery / cluster-
-    balanced sampling for curation. Iterative float fixpoint ⇒ no SQL
-    oracle for the full run (the same declared class as pagerank_neardup);
-    determinism and agreement with a single-node numpy reference are
-    pytest-asserted (tests/test_llm_ops.py), and the ASSIGNMENT stage is
-    oracle-twinned via ``kmeans_assign_iter1`` below (same seeds, same
-    argmax rule, driver-compared cell by cell)."""
+    balanced sampling for curation. PROMOTED to a full oracle in r13
+    (VERDICT r12 #4 stretch) via ``exact_replay=True``: the pinned 5
+    Lloyd rounds chain as CTEs (``_kmeans_replay_ctes`` — integer
+    assignments, DECIMAL-exact rounded means, COALESCE empty-cell
+    carry), and the final pass emits (cluster_id, round(sim, 6)) — the
+    ``ann_ivf_topk`` recipe at k-means depth. The float-``applyInPandas``
+    refinement stays the production default, agreement with a
+    single-node numpy reference pytest-pinned (tests/test_llm_ops.py)."""
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.kmeans_clusters(emb, k=8, n_iter=5)
+    return similarity.kmeans_clusters(emb, k=8, n_iter=5, exact_replay=True)
 
 
 @_register(

@@ -53,9 +53,9 @@ _ROWS_ONLY_CHECKS = {
         "tests/test_sketches.py::test_approx_distinct_within_rsd",
         "tests/test_sketches.py::test_approx_quantiles_near_exact",
     ],
-    "embedding_kmeans": [
-        "tests/test_llm_ops.py::test_kmeans_matches_numpy_reference",
-    ],
+    # ann_ivf_topk and embedding_kmeans left this table in round 13: the
+    # exact_replay Lloyd refinement (modulus sample / decimal-exact
+    # rounded means) gave both full chained-CTE DuckDB oracles.
     # pagerank_neardup left this table in round 11: exact_replay gave it
     # a FULL DuckDB oracle (five integer-fixed-point power iterations
     # replayed as chained CTEs), so the driver's value-hash check is the
