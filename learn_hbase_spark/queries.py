@@ -597,9 +597,43 @@ def _entity_resolution_audit_body(spark: SparkSession, sf_dir: str):
     return graph._cc_round(graph._cc_canonical_edges(pairs, "u", "v"))
 
 
+def _recursive_chain_audit_body(spark: SparkSession, sf_dir: str):
+    """recursive_chain's per-level loop body (VERDICT r12 noted finding):
+    the WITH RECURSIVE UnionLoop hides the executed per-level join from
+    the static plan (its audit row read 0 scans / 0 exchanges), so this
+    composes ONE recursion step explicitly — the ordered nation list
+    joined against the previous frontier on (region, rn+1) — exactly the
+    join each UNION ALL level executes."""
+    tbl = _t(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_regionkey").orderBy("n_name")
+    ordered = tbl.select(
+        "n_regionkey", "n_name", F.row_number().over(w).alias("rn")
+    )
+    frontier = ordered.filter(F.col("rn") == 1).select(
+        F.col("n_regionkey").alias("_rk"),
+        F.col("rn").alias("_rn"),
+        F.lit(1).alias("depth"),
+        F.col("n_name").cast("string").alias("path"),
+    )
+    return ordered.join(
+        frontier,
+        (F.col("n_regionkey") == F.col("_rk"))
+        & (F.col("rn") == F.col("_rn") + 1),
+    ).select(
+        "n_regionkey",
+        "n_name",
+        "rn",
+        (F.col("depth") + 1).alias("depth"),
+        F.concat(F.col("path"), F.lit(">"), F.col("n_name")).alias("path"),
+    )
+
+
 _AUDIT_BODIES: dict[str, QueryFn] = {
     "bpe_train_merges": _bpe_train_merges_audit_body,
     "classifier_train_round1": _classifier_train_round1_audit_body,
+    # WITH RECURSIVE: the UnionLoop operator hides per-level joins from
+    # the static plan — the loop body composes one level explicitly
+    "recursive_chain": _recursive_chain_audit_body,
     # CC-family: per-round PARQUET state (not localCheckpoint) truncates
     # the lineage, so the no-localCheckpoint audit mode cannot expose
     # these — the loop body composes explicitly instead
