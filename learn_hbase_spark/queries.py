@@ -478,9 +478,10 @@ _SWEEP_PRIORITY: list[str] = [
     # duplicate silently demotes), then the 6 queries whose fingerprints
     # moved under r12's module edits without an r12 sweep slot — the
     # recorder kept them stale, so they re-verify first.
-    # ann_ivf_topk / embedding_kmeans: answers CHANGED by the
-    # exact_replay promotions (modulus sample / decimal-exact means).
-    "ann_ivf_topk", "embedding_kmeans",
+    # ann_ivf_topk / embedding_kmeans / semantic_dedup: answers CHANGED
+    # by the exact_replay promotions (modulus sample / decimal-exact
+    # means / replayed clustering stage).
+    "ann_ivf_topk", "embedding_kmeans", "semantic_dedup",
     "curate_from_signals", "hard_negative_topk_lsh", "dsir_weights_frozen",
     "dsir_select", "dsir_weights", "hard_negative_topk",
 ]
@@ -7106,18 +7107,21 @@ def neardup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _semantic_dedup_impl(
-    spark: SparkSession, sf_dir: str, k_cells: int = 8
+    spark: SparkSession, sf_dir: str, k_cells: int = 8,
+    exact_replay: bool = False,
 ) -> DataFrame:
     """The semantic_dedup pipeline with the k-means cell count exposed —
     production scales k ∝ N to hold per-cell size (and so the within-cell
     quadratic pair term) constant; tools/scaling_slope.py measures exactly
     that knob (the r11 25× exponent 0.65 was attributed to FIXED k while
     cells grew 25×). One body so the registered query and the scaling
-    measurement cannot drift."""
+    measurement cannot drift. ``exact_replay`` selects the clustering
+    refinement mode (the registered query passes True for its oracle; the
+    scaling measurement keeps the production float path)."""
     emb = _t(spark, sf_dir, "embeddings")
-    assigned = similarity.kmeans_clusters(emb, k=k_cells, n_iter=3).select(
-        "vec_id", "cluster_id"
-    )
+    assigned = similarity.kmeans_clusters(
+        emb, k=k_cells, n_iter=3, exact_replay=exact_replay
+    ).select("vec_id", "cluster_id")
     with_vec = assigned.join(emb.select("vec_id", "embedding"), "vec_id")
     # 0.35 matches the synthetic embeddings' similarity range (max ~0.51,
     # same family as embedding_neardup's 0.3); real text embeddings run
@@ -7130,7 +7134,54 @@ def _semantic_dedup_impl(
     return graph.dedup_decisions(comps, node_col="vec_id")
 
 
-@_register("semantic_dedup")  # k-means fixpoint upstream → rows-only check
+@_register(
+    "semantic_dedup",
+    f"""
+    WITH RECURSIVE {_kmeans_replay_ctes(3, 8)},
+    sfin AS (
+      SELECT e.vec_id, c2.cell,
+             list_dot_product(CAST(e.embedding AS DOUBLE[]), c2.c)
+               / sqrt(list_dot_product(c2.c, c2.c))
+               / sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                       CAST(e.embedding AS DOUBLE[]))) AS sc
+      FROM embeddings e CROSS JOIN cent3 c2
+    ),
+    afin AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sc DESC, cell ASC) AS rn
+        FROM sfin
+      ) WHERE rn = 1
+    ),
+    prs AS (
+      SELECT a.vec_id AS u, b.vec_id AS v
+      FROM afin a
+      JOIN afin b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      JOIN embeddings ea ON ea.vec_id = a.vec_id
+      JOIN embeddings eb ON eb.vec_id = b.vec_id
+      WHERE round(
+        list_dot_product(CAST(ea.embedding AS DOUBLE[]),
+                         CAST(eb.embedding AS DOUBLE[]))
+        / (sqrt(list_dot_product(CAST(ea.embedding AS DOUBLE[]),
+                                 CAST(ea.embedding AS DOUBLE[])))
+           * sqrt(list_dot_product(CAST(eb.embedding AS DOUBLE[]),
+                                   CAST(eb.embedding AS DOUBLE[])))), 6
+      ) >= 0.35
+    ),
+    edges AS (
+      SELECT u, v FROM prs UNION ALL SELECT v, u FROM prs
+    ),
+    cc(u, comp) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT e.v, c.comp FROM cc c JOIN edges e ON e.u = c.u
+    )
+    SELECT u AS vec_id, min(comp) AS cluster_id,
+           (u = min(comp)) AS keep
+    FROM cc GROUP BY u
+    """,
+)
 def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic near-duplicate removal with
     the pair search RESTRICTED to k-means cells — cluster the embedding
@@ -7139,15 +7190,17 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     close transitively (graph.connected_components), keep the min-id
     representative per cluster. The composition the big labs run to
     semantically dedup pretraining corpora; every stage here is the
-    individually-tested operator. Rows-only: the upstream k-means is an
-    iterative float fixpoint (same declared class as pagerank_neardup);
-    stage semantics are pytest-verified, and every stage also has an
-    exact oracle twin under a pinned input — assignment
-    (``kmeans_assign_iter1``), within-cell pair search
-    (``semantic_pairs_seeded``), transitive closure + min-id retention
-    (``neardup_clusters``). Body in ``_semantic_dedup_impl`` (k_cells=8
-    here; production scales k ∝ N — measured in SCALE.md's 25× table)."""
-    return _semantic_dedup_impl(spark, sf_dir, k_cells=8)
+    individually-tested operator. PROMOTED to a full oracle in r13: the
+    clustering stage rides ``kmeans_clusters(exact_replay=True)``'s
+    chained-CTE replay (3 rounds, ``_kmeans_replay_ctes``), the
+    within-cell pair search is a rounded-cosine threshold join over the
+    final assignment, and the transitive closure + min-id retention
+    replays as the same recursive CTE the ``neardup_clusters`` oracle
+    uses — the closure is algorithm-independent, so large-star/small-star
+    needs no round replay, only its min-reachable-id RESULT. Body in
+    ``_semantic_dedup_impl`` (k_cells=8 here; production scales k ∝ N —
+    measured in SCALE.md's 25× table, which keeps the float path)."""
+    return _semantic_dedup_impl(spark, sf_dir, k_cells=8, exact_replay=True)
 
 
 @_register(

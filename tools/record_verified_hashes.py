@@ -60,9 +60,10 @@ _ROWS_ONLY_CHECKS = {
     # a FULL DuckDB oracle (five integer-fixed-point power iterations
     # replayed as chained CTEs), so the driver's value-hash check is the
     # bar again.
-    "semantic_dedup": [
-        "tests/test_llm_ops.py::test_within_cluster_pairs_semdedup_semantics",
-    ],
+    # semantic_dedup left this table in round 13: exact_replay clustering
+    # + rounded-cosine pair join + recursive-CTE closure gave it a full
+    # DuckDB oracle (the closure needs no round replay — min-reachable-id
+    # is algorithm-independent).
     "hll_sketch_rollup": [
         "tests/test_sketches.py::test_hll_rollup_tolerance_and_merge_consistency",
         "tests/test_sketches.py::test_hll_merge_law_partitioning_invariant",
