@@ -1489,12 +1489,15 @@ class WideTable:
         allow_stale: bool,
     ) -> DataFrame:
         path = self._index_path(family, qualifier)
-        try:
-            idx = self.spark.read.parquet(path + "/base")
-        except Exception as exc:
+        # _try_parquet, not a catch-all: an ABSENT/empty base means the
+        # index was never built (or a torn rebuild deleted it) — say so;
+        # a CORRUPT base re-raises loudly instead of masquerading as
+        # "no index" and sending the operator on a pointless rebuild
+        idx = _try_parquet(self.spark, path + "/base")
+        if idx is None:
             raise ValueError(
                 f"no index for {family}:{qualifier} — build_index first"
-            ) from exc
+            )
         # segment stack: base snapshot + any update_index deltas. Each
         # segment is value-sorted (row-group min/max pruning applies per
         # segment); dup candidates across segments collapse below.
@@ -1515,6 +1518,17 @@ class WideTable:
                     idx = idx.unionByName(seg)
         if not allow_stale:
             built_ns = self._read_ns_sidecar(self._hpath(path + "/_built"))
+            if built_ns is None:
+                # base present but no build stamp: a build_index that
+                # crashed between writing base and stamping. The base
+                # content is complete as of the build (stamp is written
+                # last), but freshness is unknowable — refuse with the
+                # rebuild message, not a TypeError from comparing None
+                raise ValueError(
+                    f"index {family}:{qualifier} has no build stamp "
+                    "(build_index crashed before stamping?) — run "
+                    "build_index again or pass allow_stale=True"
+                )
             # O(1) freshness: one sidecar read against one stamp read —
             # never a table listing on the probe path. The mtime walk is
             # the fallback for pre-sidecar tables only (recovery/audit).

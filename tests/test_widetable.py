@@ -1339,3 +1339,38 @@ def test_index_fold_heals_torn_deltas_and_leaves_no_trash(spark, tmp_path):
         r["rowkey"]
         for r in table.lookup_by_value("info", "seg", "A").collect()
     ) == sorted(expect)
+
+
+def test_index_probe_torn_build_refuses_loudly(spark, tmp_path):
+    """A build_index that crashes between writing base and stamping used
+    to make every strict lookup raise TypeError (int > None against the
+    missing stamp); an interrupted index-dir delete (empty base) was
+    misdiagnosed by a catch-all except. Both torn states must surface as
+    the loud rebuild ValueError — and the stampless-but-complete base
+    must still serve under allow_stale=True."""
+    import os
+    import shutil
+
+    table = WideTable.create(spark, str(tmp_path / "tb"), ["info"])
+    table.put(_cells(spark, [("0401_M1", "info", "seg", "A")]))
+    table.build_index("info", "seg")
+    idx_root = table._index_path("info", "seg")
+
+    # torn state 1: stamp missing (crash before _write_index_stamp)
+    os.remove(os.path.join(idx_root, "_built"))
+    with pytest.raises(ValueError, match="no build stamp"):
+        table.lookup_by_value("info", "seg", "A")
+    # base itself is complete (stamp is written last) — stale reads OK
+    got = sorted(
+        r["rowkey"]
+        for r in table.lookup_by_value(
+            "info", "seg", "A", allow_stale=True
+        ).collect()
+    )
+    assert got == ["0401_M1"]
+
+    # torn state 2: interrupted delete left an EMPTY base shell
+    shutil.rmtree(os.path.join(idx_root, "base"))
+    os.makedirs(os.path.join(idx_root, "base"))
+    with pytest.raises(ValueError, match="build_index first"):
+        table.lookup_by_value("info", "seg", "A")
