@@ -1283,9 +1283,16 @@ def freeze_ivf_pq(
 
     # cell assignment through ivf_seed_cells — THE cell-assignment rule
     # has one implementation, so the frozen artifact cannot drift from
-    # the live `ivf_pq_topk` / `ivf_cell_assign` paths
+    # the live `ivf_pq_topk` / `ivf_cell_assign` paths. Written
+    # CELL-SORTED (range partition + in-partition sort): the probe pushes
+    # its probed-cell set as a literal IN filter, so row-group min/max
+    # stats skip every unprobed cell's rows — the same sorted-segment
+    # pruning the WideTable index uses; at table-format scale the cell id
+    # is the partition key and the same filter prunes whole partitions.
     ivf_seed_cells(corpus, nlist, id_col, vec_col).select(
         F.col(id_col), "cell"
+    ).repartitionByRange("cell").sortWithinPartitions(
+        "cell"
     ).write.mode("overwrite").parquet(f"{path}/cells")
 
     pq_codes(corpus, m, k_codes, id_col, vec_col, seeds=seeds).write.mode(
@@ -1480,6 +1487,17 @@ def ivf_pq_topk_frozen(
         schema="_id long, _v array<double>, _cell int",
     ).select(F.col("_id").alias("query_id"), F.col("_cell").alias("cell"))
 
+    # The probed-cell set pulled to the driver and pushed as a LITERAL
+    # IN filter on the corpus scan: it is ≤ nlist distinct ints no
+    # matter how many queries probe (the centroid-class bound), and a
+    # literal filter — unlike the join alone — reaches the parquet
+    # reader, so row-group stats on the cell-sorted base (and partition
+    # pruning, once the artifact lives in a cell-partitioned table
+    # format) skip every unprobed cell before any join runs.
+    probed = sorted(
+        r["cell"] for r in q_cells.select("cell").distinct().collect()
+    )
+
     # corpus side = base tables ∪ any streaming delta segments
     # (ann_index_ingest_batch's per-drain landings; compact_ivf_pq folds
     # the stack so a long-maintained artifact's union stays short)
@@ -1487,7 +1505,7 @@ def ivf_pq_topk_frozen(
     cells_delta = _try_parquet(spark, f"{path}/cells_delta")
     if cells_delta is not None:
         corpus_cells = corpus_cells.unionByName(cells_delta.drop("_batch"))
-    corpus_cells = corpus_cells.select(
+    corpus_cells = corpus_cells.filter(F.col("cell").isin(probed)).select(
         F.col(id_col).alias("neighbor_id"), "cell"
     )
     cand = corpus_cells.join(F.broadcast(q_cells), "cell").select(

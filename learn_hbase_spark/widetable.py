@@ -1373,6 +1373,11 @@ class WideTable:
             trash = self._hpath(f"{path}/_trash_fold_{time.time_ns()}")
             fs.mkdirs(trash)
             for p in deltas:
+                # return deliberately unchecked (unlike the ANN base
+                # swap, where a missed rename breaks the swap invariant):
+                # a delta that fails to move simply stays live alongside
+                # the merged segment — duplicate candidates the probe's
+                # distinct collapses — and the next fold retries it
                 fs.rename(
                     p,
                     self._hpath(f"{str(trash)}/{p.getName()}"),
