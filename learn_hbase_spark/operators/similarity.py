@@ -1213,11 +1213,14 @@ def freeze_ivf_pq(
     Layout under ``path``:
     - ``centroids``: (cell, c) — the ``nlist`` normalized coarse seeds.
     - ``codebook``: (subspace, code, sv) — the PQ seed subvector slices.
-    - ``cells``: (vec_id, cell) — corpus coarse assignment, the partition
-      key at scale (probing prunes cell partitions).
-    - ``codes``: (vec_id, subspace, code) — the PQ-encoded corpus: the m
-      ints per vector that replace raw embeddings at search time.
-    - ``meta``: ONE row (nlist, m, k_codes, dim, src) — the valid row is
+    - ``cells``: (vec_id, cell), cell-sorted — corpus coarse assignment,
+      the partition key at scale (probing prunes cell partitions).
+    - ``codes``: (vec_id, subspace, code, cell), cell-sorted — the
+      PQ-encoded corpus: the m ints per vector that replace raw
+      embeddings at search time, carrying the cell id (layout v2) so the
+      probe's literal probed-cell filter prunes this table's scan too.
+    - ``meta``: ONE row (nlist, m, k_codes, dim, src, gen, layout) — the
+      valid row is
       written LAST, and every freeze FIRST tombstones meta
       (``nlist = -1``) and clears delta/tmp/trash/sidecar state: a crash
       mid-freeze therefore leaves a tombstone over mixed halves — which
@@ -1295,15 +1298,24 @@ def freeze_ivf_pq(
         "cell"
     ).write.mode("overwrite").parquet(f"{path}/cells")
 
-    pq_codes(corpus, m, k_codes, id_col, vec_col, seeds=seeds).write.mode(
-        "overwrite"
-    ).parquet(f"{path}/codes")
+    # layout v2: codes carry the vector's cell id (joined from the
+    # just-written cells table — a read of the small int table, not a
+    # second assignment pass) and are written CELL-SORTED, so the probe's
+    # literal probed-cell filter prunes the BIG table's row groups the
+    # same way it prunes cells'. The join shuffles N rows once, at
+    # freeze time — the paid-once path.
+    pq_codes(corpus, m, k_codes, id_col, vec_col, seeds=seeds).join(
+        spark.read.parquet(f"{path}/cells"), id_col
+    ).repartitionByRange("cell").sortWithinPartitions(
+        "cell"
+    ).write.mode("overwrite").parquet(f"{path}/codes")
 
     src = src_fingerprint if src_fingerprint is not None else (
         ivf_pq_fingerprint(corpus)
     )
     spark.createDataFrame(
-        [(nlist, m, k_codes, dim, src, time.time_ns())], _META_SCHEMA
+        [(nlist, m, k_codes, dim, src, time.time_ns(), _LAYOUT_VERSION)],
+        _META_SCHEMA,
     ).write.mode("overwrite").parquet(f"{path}/meta")
     # drop any memoized quantizers for this path. The gen stamp already
     # makes every freeze's meta row distinct (so OTHER processes' caches
@@ -1342,6 +1354,9 @@ def ivf_pq_fresh(
         and meta["nlist"] == nlist
         and meta["m"] == m
         and meta["k_codes"] == k_codes
+        # an older physical layout reads as stale, so freeze-when-stale
+        # callers transparently upgrade the artifact
+        and _meta_layout(meta) == _LAYOUT_VERSION
     )
 
 
@@ -1351,23 +1366,37 @@ def ivf_pq_fresh(
 # key is (path, meta row), and without gen a refreeze by a DIFFERENT
 # process could write a byte-identical row and leave a long-lived probe
 # process serving stale centroids against the new codes.
-_META_SCHEMA = "nlist int, m int, k_codes int, dim int, src string, gen long"
+# layout: the artifact's physical-layout version. v2 carries the cell id
+# on every codes row (cell-sorted), so the probe's literal probed-cell
+# filter prunes the BIG table's scan too; v1 (pre-layout meta, read as 1)
+# lacks it. ivf_pq_fresh requires the CURRENT layout, so the freeze-when-
+# stale query paths transparently upgrade old artifacts; the append paths
+# (extend/ingest) refuse v1 loudly rather than write mixed-schema codes.
+_META_SCHEMA = (
+    "nlist int, m int, k_codes int, dim int, src string, gen long, "
+    "layout int"
+)
+_LAYOUT_VERSION = 2
 
 
 def _meta_tombstone() -> tuple:
     """A fresh tombstone meta row (nlist=-1): refuse-service marker with
     its own generation stamp."""
-    return (-1, -1, -1, -1, "", time.time_ns())
+    return (-1, -1, -1, -1, "", time.time_ns(), _LAYOUT_VERSION)
 
 
 def _meta_values(meta_row) -> tuple:
     """A meta Row → a _META_SCHEMA-shaped tuple; pre-``gen`` artifacts
-    (5-column meta written before the generation stamp) read as gen=0."""
+    read as gen=0, pre-``layout`` artifacts as layout=1."""
     d = meta_row.asDict()
     return (
         d["nlist"], d["m"], d["k_codes"], d["dim"], d["src"],
-        d.get("gen", 0),
+        d.get("gen", 0), d.get("layout", 1),
     )
+
+
+def _meta_layout(meta_row) -> int:
+    return meta_row.asDict().get("layout", 1)
 
 
 def _strip_file_scheme(p: str) -> str:
@@ -1516,6 +1545,12 @@ def ivf_pq_topk_frozen(
     codes_delta = _try_parquet(spark, f"{path}/codes_delta")
     if codes_delta is not None:
         codes = codes.unionByName(codes_delta.drop("_batch"))
+    if "cell" in codes.columns:
+        # layout v2: the BIG table also prunes on the literal probed-cell
+        # set — at fixed nlist that is a nprobe/nlist scan reduction on
+        # the dominant probe cost, before the candidate join runs
+        # (layout-1 artifacts lack the column and skip the filter)
+        codes = codes.filter(F.col("cell").isin(probed))
     codes = codes.select(
         F.col(id_col).alias("neighbor_id"), "subspace", "code"
     )
@@ -1585,6 +1620,15 @@ def extend_ivf_pq(
     meta = ivf_pq_meta(spark, path)
     if meta is None or int(meta["nlist"]) < 0:
         raise ValueError(f"no complete IVF-PQ artifact at {path} to extend")
+    if _meta_layout(meta) != _LAYOUT_VERSION:
+        # appending current-layout rows onto an older base would leave
+        # MIXED codes schemas under one table — refuse loudly; a
+        # refreeze both upgrades the layout and admits the new vectors
+        raise ValueError(
+            f"artifact at {path} has layout {_meta_layout(meta)} "
+            f"(current {_LAYOUT_VERSION}) — refreeze to upgrade before "
+            "extending"
+        )
     nlist, m = int(meta["nlist"]), int(meta["m"])
     k_codes, dim = int(meta["k_codes"]), int(meta["dim"])
     cents, seeds = _load_quantizers(spark, path, meta)
@@ -1601,21 +1645,25 @@ def extend_ivf_pq(
         [_meta_tombstone()], _META_SCHEMA
     ).write.mode("overwrite").parquet(f"{path}/meta")
 
-    new_vectors.select(
+    new_cells = new_vectors.select(
         F.col(id_col).alias("_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
     ).mapInPandas(
         _cell_assigner(cents, 1), schema="_id long, _v array<double>, _cell int"
     ).select(
         F.col("_id").alias(id_col), F.col("_cell").alias("cell")
-    ).write.mode("append").parquet(f"{path}/cells")
+    ).localCheckpoint()  # two appends read it; assign once
+    new_cells.write.mode("append").parquet(f"{path}/cells")
 
+    # layout v2: the appended codes carry cell too (joined from the
+    # shard-sized assignment just computed — no pass over the base)
     pq_codes(
         new_vectors, m, n_codes, id_col, vec_col, seeds=seeds
-    ).write.mode("append").parquet(f"{path}/codes")
+    ).join(new_cells, id_col).write.mode("append").parquet(f"{path}/codes")
 
     spark.createDataFrame(
-        [(nlist, m, k_codes, dim, src_fingerprint or "", time.time_ns())],
+        [(nlist, m, k_codes, dim, src_fingerprint or "", time.time_ns(),
+          _LAYOUT_VERSION)],
         _META_SCHEMA,
     ).write.mode("overwrite").parquet(f"{path}/meta")
     # the quantizers themselves are unchanged by an extend, but the meta
@@ -1714,6 +1762,13 @@ def ann_index_ingest_batch(
     meta = ivf_pq_meta(spark, path)
     if meta is None or int(meta["nlist"]) < 0:
         raise ValueError(f"no complete IVF-PQ artifact at {path} to ingest")
+    if _meta_layout(meta) != _LAYOUT_VERSION:
+        # same refusal as extend_ivf_pq: never mix codes schemas
+        raise ValueError(
+            f"artifact at {path} has layout {_meta_layout(meta)} "
+            f"(current {_LAYOUT_VERSION}) — refreeze to upgrade before "
+            "streaming into it"
+        )
     m = int(meta["m"])
     # memoized: under max_files_per_trigger one drain splits into many
     # foreachBatch invocations — the frozen quantizers load once, not
@@ -1726,7 +1781,9 @@ def ann_index_ingest_batch(
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
     ).mapInPandas(
         _cell_assigner(cents, 1), schema="_id long, _v array<double>, _cell int"
-    ).select(F.col("_id").alias(id_col), F.col("_cell").alias("cell"))
+    ).select(
+        F.col("_id").alias(id_col), F.col("_cell").alias("cell")
+    ).localCheckpoint()  # both delta writes read it; assign once per drain
     (
         cells.withColumn("_batch", F.lit(batch_id))
         .write.mode("overwrite")
@@ -1735,7 +1792,11 @@ def ann_index_ingest_batch(
         .parquet(f"{path}/cells_delta")
     )
     (
+        # layout v2: delta codes carry cell (batch-sized join), so the
+        # probe's probed-cell filter and the compact fold see ONE codes
+        # schema across base and deltas
         pq_codes(batch, m, n_codes, id_col, vec_col, seeds=seeds)
+        .join(cells, id_col)
         .withColumn("_batch", F.lit(batch_id))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
@@ -1822,6 +1883,13 @@ def compact_ivf_pq(spark, path: str) -> None:
                 folded = base.unionByName(
                     delta.drop("_batch"), allowMissingColumns=False
                 ).distinct()
+                if "cell" in folded.columns:
+                    # preserve the layout-v2 cell-sorted property across
+                    # folds, so probed-cell row-group pruning keeps
+                    # working on a long-maintained artifact
+                    folded = folded.repartitionByRange(
+                        "cell"
+                    ).sortWithinPartitions("cell")
                 folded.write.mode("overwrite").parquet(tmp_p)
                 _fs_delete(spark, trash_p)
                 _fs_rename(spark, base_p, trash_p)

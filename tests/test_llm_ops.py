@@ -1232,13 +1232,71 @@ def test_frozen_probe_pushes_probed_cells_into_the_scan(spark, tmp_path):
     )
     import re
 
-    scans = [
-        blk for blk in plan.split("\n\n")
-        if "cells" in blk and "PushedFilters" in blk
-    ]
-    assert any(
-        re.search(r"PushedFilters:.*In\(cell", blk) for blk in scans
-    ), f"no pushed In(cell, ...) filter on the cells scan:\n{plan[:2000]}"
+    for table in ("cells", "codes"):
+        scans = [
+            blk for blk in plan.split("\n\n")
+            if table in blk and "PushedFilters" in blk
+        ]
+        assert any(
+            re.search(r"PushedFilters:.*In\(cell", blk) for blk in scans
+        ), f"no pushed In(cell, ...) filter on the {table} scan:\n{plan[:2000]}"
     # and the probe still answers (correctness is pinned elsewhere; this
     # guards the filter not silently emptying the candidate set)
     assert probe.count() > 0
+
+
+def test_layout_v1_artifact_probes_but_refuses_appends(spark, tmp_path):
+    """Back-compat for pre-layout artifacts: a frozen index written
+    before codes carried the cell column (meta without gen/layout) must
+    still PROBE correctly — the probed-cell filter simply skips the big
+    table — while extend/ingest refuse loudly (appending v2 rows onto a
+    v1 base would leave mixed codes schemas), and `ivf_pq_fresh` reports
+    it stale so freeze-when-stale callers transparently upgrade."""
+    import random
+
+    rng = random.Random(29)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(30)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "art")
+    similarity.freeze_ivf_pq(vecs, path, nlist=8, m=4, k_codes=8,
+                             src_fingerprint="v1")
+    want = sorted(
+        tuple(r)
+        for r in similarity.ivf_pq_topk_frozen(
+            vecs.filter(F.col("vec_id") < 2), path, nprobe=8, k=30
+        ).collect()
+    )
+    # rewrite the artifact into the v1 shape: codes without cell, meta
+    # without gen/layout (what round-12 freezes wrote)
+    codes_v1 = (
+        spark.read.parquet(f"{path}/codes")
+        .drop("cell")
+        .localCheckpoint()
+    )
+    codes_v1.write.mode("overwrite").parquet(f"{path}/codes")
+    meta = similarity.ivf_pq_meta(spark, path)
+    spark.createDataFrame(
+        [(meta["nlist"], meta["m"], meta["k_codes"], meta["dim"],
+          meta["src"])],
+        "nlist int, m int, k_codes int, dim int, src string",
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+    similarity._QUANTIZER_CACHE.clear()
+
+    got = sorted(
+        tuple(r)
+        for r in similarity.ivf_pq_topk_frozen(
+            vecs.filter(F.col("vec_id") < 2), path, nprobe=8, k=30
+        ).collect()
+    )
+    assert got == want  # probe identical on the v1 layout
+    assert not similarity.ivf_pq_fresh(spark, path, "v1", nlist=8, m=4,
+                                       k_codes=8)  # reads stale → upgrade
+    extra = spark.createDataFrame(
+        [(100, rows[0][1])], "vec_id long, embedding array<double>"
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="refreeze to upgrade"):
+        similarity.extend_ivf_pq(extra, path, src_fingerprint="v1+")
+    with pytest.raises(ValueError, match="refreeze to upgrade"):
+        similarity.ann_index_ingest_batch(extra, 0, path)
