@@ -951,3 +951,58 @@ def ann_index_ingest_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def ann_probe_stream(
+    spark: SparkSession,
+    input_dir: str,
+    artifact_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    nprobe: int = 4,
+    k: int = 5,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """SERVE approximate top-k from a frozen IVF-PQ artifact over a
+    streaming query drop zone — the serving complement of
+    :func:`ann_index_ingest_stream`'s maintenance path: parquet-shaped
+    batches of ``(vec_id, embedding)`` query vectors arrive in a growing
+    directory; each drain probes the artifact at probe-only cost (the
+    raw corpus is never touched; the frozen quantizers memoize across
+    drains via the artifact's single-slot cache) and lands
+    ``(query_id, neighbor_id, rank, dist, _batch)`` as a
+    ``_batch``-partitioned dynamic partition overwrite, so an
+    at-least-once foreachBatch replay rewrites its own partition instead
+    of double-appending — the same replay contract as the ingest path.
+    Probes and index maintenance compose: a drain that lands between
+    ingest drains sees base ∪ delta exactly like a batch probe would."""
+    from ..operators.similarity import ivf_pq_topk_frozen
+
+    def _body(batch, batch_id: int) -> None:
+        if not batch.take(1):
+            return
+        (
+            ivf_pq_topk_frozen(batch, artifact_dir, nprobe=nprobe, k=k)
+            .withColumn("_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch")
+            .parquet(output_dir)
+        )
+
+    schema = "vec_id long, embedding array<double>"
+    reader = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("recursiveFileLookup", "true")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    q = (
+        reader.load(input_dir)
+        .writeStream.foreachBatch(_body)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

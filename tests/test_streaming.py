@@ -1421,3 +1421,78 @@ def test_ann_delta_stack_auto_compacts(spark, tmp_path):
         ).collect()
     )
     assert got_folded == got_plain
+
+
+def test_ann_probe_stream_serves_frozen_index(spark, tmp_path):
+    """Streaming ANN serving: query vectors dropped into a directory are
+    probed against the frozen artifact per drain (probe-only cost) and
+    land replay-idempotently under their own _batch partition; a second
+    drain probes only the NEW file; results equal the batch probe."""
+    import os
+    import random
+
+    from pyspark.sql import functions as F
+
+    from learn_hbase_spark.operators import similarity
+    from learn_hbase_spark.streaming.events import ann_probe_stream
+
+    rng = random.Random(31)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(40)]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    art = str(tmp_path / "art")
+    similarity.freeze_ivf_pq(corpus, art, nlist=8, m=4, k_codes=8,
+                             src_fingerprint="v1")
+
+    drop = tmp_path / "queries"
+    drop.mkdir()
+    out = str(tmp_path / "results")
+    ckpt = str(tmp_path / "ckpt")
+    q1 = corpus.filter(F.col("vec_id") < 3)
+    q1.write.parquet(str(drop / "q1.parquet"))
+    ann_probe_stream(spark, str(drop), art, out, ckpt, nprobe=4, k=5)
+
+    got1 = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"], r["dist"])
+        for r in spark.read.parquet(out).drop("_batch").collect()
+    )
+    want1 = sorted(
+        tuple(r)
+        for r in similarity.ivf_pq_topk_frozen(
+            q1, art, nprobe=4, k=5
+        ).collect()
+    )
+    assert got1 == want1 and len(got1) > 0
+
+    # second drain: only the new file's queries are probed and appended
+    q2 = corpus.filter(
+        (F.col("vec_id") >= 3) & (F.col("vec_id") < 5)
+    )
+    q2.write.parquet(str(drop / "q2.parquet"))
+    ann_probe_stream(spark, str(drop), art, out, ckpt, nprobe=4, k=5)
+    all_q = corpus.filter(F.col("vec_id") < 5)
+    want_all = sorted(
+        tuple(r)
+        for r in similarity.ivf_pq_topk_frozen(
+            all_q, art, nprobe=4, k=5
+        ).collect()
+    )
+    got_all = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"], r["dist"])
+        for r in spark.read.parquet(out).drop("_batch").collect()
+    )
+    assert got_all == want_all
+
+    # at-least-once replay: re-running the same drained input with the
+    # same checkpoint is a no-op; and the batch body re-invoked with an
+    # already-landed batch id rewrites, not double-appends
+    ann_probe_stream(spark, str(drop), art, out, ckpt, nprobe=4, k=5)
+    assert sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"], r["dist"])
+        for r in spark.read.parquet(out).drop("_batch").collect()
+    ) == want_all
+    n_batches = len(
+        [d for d in os.listdir(out) if d.startswith("_batch=")]
+    )
+    assert n_batches == 2
