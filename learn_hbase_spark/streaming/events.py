@@ -975,7 +975,11 @@ def ann_probe_stream(
     at-least-once foreachBatch replay rewrites its own partition instead
     of double-appending — the same replay contract as the ingest path.
     Probes and index maintenance compose: a drain that lands between
-    ingest drains sees base ∪ delta exactly like a batch probe would."""
+    ingest drains sees base ∪ delta exactly like a batch probe would.
+    Scheduling caveat (the artifact family's standing discipline): a
+    probe drain that races an in-flight fold (compact's meta tombstone
+    window) FAILS LOUDLY and replays on restart — run probe and
+    maintenance streams under one scheduler slot, or accept the retry."""
     from ..operators.similarity import ivf_pq_topk_frozen
 
     def _body(batch, batch_id: int) -> None:
