@@ -305,6 +305,25 @@ _DRIVER_VERIFIED = [
     "pagerank_neardup", "pagerank_iter1", "neardup_canonical",
     "semantic_pairs_seeded", "semantic_decontaminate",
     "widetable_index_incremental",
+    # round 13 (CORRECTNESS_r13.json: 50/50 green, hash_match on all — the
+    # ANN / k-means / SemDeDup rotation front incl. the three exact_replay
+    # promotions plus long-tail controls; sweep order)
+    "ann_ivf_topk", "embedding_kmeans", "semantic_dedup",
+    "curate_from_signals", "hard_negative_topk_lsh", "dsir_weights_frozen",
+    "dsir_select", "dsir_weights", "hard_negative_topk", "embedding_neardup",
+    "embedding_neardup_lsh", "ann_cosine_topk", "kmeans_assign_iter1",
+    "kmeans_update_iter1", "ann_lsh_topk", "lsh_bucket_assign",
+    "ivf_cell_assign", "ivf_lloyd_update", "pq_encode", "pq_ann_topk",
+    "ivf_pq_topk", "ann_ivf_pq_frozen", "ann_ivf_pq_extend",
+    "semantic_pairs_seeded", "semantic_decontaminate", "embedding_stats",
+    "calendar_agg", "json_typed_parse", "null_semantics", "date_arithmetic",
+    "dedup_incremental", "union_by_name", "token_positions",
+    "regex_extract_numbers", "fuzzy_nation_pairs", "stats_agg",
+    "max_concurrency", "argmin_argmax", "sequence_detect",
+    "tumbling_window_agg", "marker_filter_strict", "marker_filter_lenient",
+    "asof_join_forward", "disjunctive_pushdown", "string_agg_nations",
+    "filtered_agg", "cube_agg", "value_histogram", "period_over_period",
+    "retention_cohorts",
 ]
 
 def _keep_latest(names: list[str]) -> list[str]:
@@ -473,17 +492,11 @@ def _still_verified() -> tuple[str, ...]:
 # fingerprints moved only via a shared-module edit. Maintained per round;
 # stale names cost nothing (they sort first only while unverified).
 _SWEEP_PRIORITY: list[str] = [
-    # round 13: new/answer-changed queries first (prepended as this round's
+    # round 14: new/answer-changed queries first (prepended as this round's
     # work lands — DEDUPE: enumerate-rank keeps the LAST index, so a
-    # duplicate silently demotes), then the 6 queries whose fingerprints
-    # moved under r12's module edits without an r12 sweep slot — the
-    # recorder kept them stale, so they re-verify first.
-    # ann_ivf_topk / embedding_kmeans / semantic_dedup: answers CHANGED
-    # by the exact_replay promotions (modulus sample / decimal-exact
-    # means / replayed clustering stage).
+    # duplicate silently demotes). The r13 names below are stale carryover
+    # (verified ⇒ inert) kept so the list is never empty at round start.
     "ann_ivf_topk", "embedding_kmeans", "semantic_dedup",
-    "curate_from_signals", "hard_negative_topk_lsh", "dsir_weights_frozen",
-    "dsir_select", "dsir_weights", "hard_negative_topk",
 ]
 
 
