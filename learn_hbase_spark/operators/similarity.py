@@ -21,6 +21,20 @@ import time
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+# Crash-safe artifact mechanics (tombstone-first, rename-not-rmtree,
+# committed-file-less-dir-as-absent, Hadoop-FS ops) live in the shared
+# storage module — ONE implementation for the ANN artifact and the
+# WideTable index stack. The leading-underscore aliases keep this
+# module's historical internal names stable for tests and docstrings.
+from ..storage.artifact import (
+    delta_partition_count as _delta_partition_count_shared,
+    fs_delete as _fs_delete,
+    fs_rename as _fs_rename,
+    hadoop_fs as _hfs,
+    swap_via_trash as _swap_via_trash,
+    try_parquet as _try_parquet,
+)
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -1158,12 +1172,16 @@ def ivf_pq_fingerprint(corpus: DataFrame) -> str:
     no listing at all. Returns '' for non-file-backed frames (the caller
     then refreezes every time — conservative).
 
-    file: paths stat locally (nanosecond mtimes); other schemes go
-    through the Hadoop FS API — size + millisecond mtime, which is the
-    finest the FS exposes there, so a byte-identical same-size rewrite
-    landing within the same millisecond could still read fresh; the
-    table-format snapshot id is the real answer at that scale. Any
-    stat failure returns '' (never matches — refreeze, conservative)."""
+    file: paths stat locally (nanosecond mtimes); hdfs:// goes through
+    the Hadoop FS API — size + millisecond mtime, the finest HDFS
+    exposes, fine-grained enough in practice for an append-mostly
+    corpus. OBJECT-STORE schemes (s3a/gs/abfs/...) return '' — i.e.
+    always-refreeze, the strictly conservative posture: their mtime
+    resolution is often whole seconds, so a same-size in-place rewrite
+    could read as fresh and a probe would serve stale centroids against
+    new data. The table-format snapshot id is the real answer at that
+    scale — a string compare, no listing, no clock. Any stat failure
+    also returns '' (never matches — refreeze, conservative)."""
     import hashlib
     import os as _os
     import re as _re
@@ -1181,7 +1199,7 @@ def ivf_pq_fingerprint(corpus: DataFrame) -> str:
             except OSError:
                 return ""
             h.update(f"{uri}:{st.st_size}:{st.st_mtime_ns}\n".encode())
-        else:
+        elif uri.startswith("hdfs://"):
             try:
                 fs, jp = _hfs(spark, uri)
                 st = fs.getFileStatus(jp)
@@ -1190,6 +1208,9 @@ def ivf_pq_fingerprint(corpus: DataFrame) -> str:
             h.update(
                 f"{uri}:{st.getLen()}:{st.getModificationTime()}\n".encode()
             )
+        else:
+            # object stores: no reliable mtime granularity — never vouch
+            return ""
     return h.hexdigest()
 
 
@@ -1410,32 +1431,6 @@ def _strip_file_scheme(p: str) -> str:
     return p
 
 
-def _hfs(spark, p: str):
-    """(FileSystem, Path) for ``p`` through the Hadoop FS API, so the
-    artifact maintenance operations (clear, swap, trash) run against
-    whatever filesystem the path's scheme names — file:, hdfs://, s3a://
-    — instead of silently no-opping local deletes on cluster URIs."""
-    jpath = spark._jvm.org.apache.hadoop.fs.Path(p)
-    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
-
-
-def _fs_delete(spark, p: str) -> None:
-    """Recursive delete through the Hadoop FS API; absent paths no-op."""
-    fs, jp = _hfs(spark, p)
-    fs.delete(jp, True)
-
-
-def _fs_rename(spark, src: str, dst: str) -> None:
-    """Atomic directory rename through the Hadoop FS API. Hadoop's
-    ``rename`` reports failure by RETURNING false, not raising — check
-    it, because a swallowed failed swap would fold the stale copy on the
-    next resume. (Atomic on file:/hdfs:; object stores rename by copy —
-    there, stage through the store's committer or a table format, the
-    caveat :func:`compact_ivf_pq` documents.)"""
-    fs, jsrc = _hfs(spark, src)
-    if not fs.rename(jsrc, spark._jvm.org.apache.hadoop.fs.Path(dst)):
-        raise IOError(f"rename failed: {src} -> {dst}")
-
 # one-entry memo for the frozen quantizer matrices: keyed by (path, meta
 # row) so any refreeze/extend — which rewrites meta — naturally invalidates
 # it, while streaming drains (many foreachBatch invocations over one frozen
@@ -1514,7 +1509,15 @@ def ivf_pq_topk_frozen(
     q_cells = q_prepped.mapInPandas(
         _cell_assigner(cents, min(nprobe, cents.shape[0])),
         schema="_id long, _v array<double>, _cell int",
-    ).select(F.col("_id").alias("query_id"), F.col("_cell").alias("cell"))
+    ).select(
+        F.col("_id").alias("query_id"), F.col("_cell").alias("cell")
+    ).localCheckpoint()
+    # ^ localCheckpoint BEFORE the collect below: the probed-cell
+    # literals and the joined q_cells must come from ONE materialization
+    # — re-evaluating a non-deterministic query source (sampled/
+    # rand-derived) in two separate jobs could otherwise collect a
+    # probed set that diverges from the join's cells and silently drop
+    # candidate cells.
 
     # The probed-cell set pulled to the driver and pushed as a LITERAL
     # IN filter on the corpus scan: it is ≤ nlist distinct ints no
@@ -1672,35 +1675,6 @@ def extend_ivf_pq(
     _QUANTIZER_CACHE.clear()
 
 
-def _try_parquet(spark, p: str):
-    """The path's parquet frame, or None ONLY when the path is absent.
-    Any other read failure (corrupt footer, permissions, transient store
-    error) re-raises: swallowing it would make probes silently serve
-    base-only results — the opposite of the loud-refusal posture the
-    meta-tombstone design enforces everywhere else."""
-    from pyspark.errors import AnalysisException
-
-    try:
-        df = spark.read.parquet(p)
-        df.schema  # force resolution
-        return df
-    except AnalysisException as exc:
-        msg = str(exc)
-        # UNABLE_TO_INFER_SCHEMA = a dir with no committed parquet files:
-        # an interrupted rmtree's empty shell, or an uncommitted write's
-        # _temporary remnant. Both are semantically ABSENT (an
-        # uncommitted streaming delta will be re-landed by the replay),
-        # and raising here would make exactly the crash states the
-        # compact protocol resumes from unrecoverable.
-        if (
-            "PATH_NOT_FOUND" in msg
-            or "Path does not exist" in msg
-            or "UNABLE_TO_INFER_SCHEMA" in msg
-        ):
-            return None
-        raise
-
-
 # A maintained stream appends one _batch partition per drain; past this
 # many the ingest body folds the stack itself (compact_ivf_pq between
 # drains), so a long-running stream cannot grow the probe's base ∪ delta
@@ -1710,18 +1684,36 @@ ANN_DELTA_COMPACT_THRESHOLD = 16
 
 
 def _delta_partition_count(spark, p: str) -> int:
-    """Number of committed ``_batch=*`` partitions under a delta table —
-    a driver-side listing of one directory (O(partitions), bounded by the
-    compact threshold, never the data files), through the Hadoop FS API
-    so it counts correctly on cluster URIs."""
-    fs, jp = _hfs(spark, p)
-    if not fs.exists(jp):
-        return 0
-    return sum(
-        1
-        for st in fs.listStatus(jp)
-        if st.getPath().getName().startswith("_batch=")
-    )
+    """Committed ``_batch=*`` partitions under a delta table (shared
+    implementation: one bounded driver-side dir listing via Hadoop FS)."""
+    return _delta_partition_count_shared(spark, p, prefix="_batch=")
+
+
+def resume_crashed_compact(spark, path: str) -> bool:
+    """Self-heal a fold that crashed mid-:func:`compact_ivf_pq`: that
+    crash leaves live meta TOMBSTONED with the ``meta_compact`` recovery
+    sidecar still present — a state every read/append path refuses — and
+    the compact protocol is designed to converge when re-run from it.
+    Returns True iff a resume ran (meta is live again afterwards).
+
+    Only the maintenance paths call this automatically
+    (:func:`ann_index_ingest_batch`, ``ann_probe_stream``'s drain body):
+    without it, the self-bounding unattended stream the auto-compact
+    threshold promises could wedge permanently on the first mid-fold
+    crash — the replayed drain would hit the torn-state refusal before
+    any resume logic ran, forever. Safe under the artifact family's
+    standing single-writer discipline (foreachBatch bodies run serially;
+    maintenance streams share one scheduler slot), which is what
+    guarantees tombstone+sidecar means a CRASHED fold, not a live one.
+    A tombstone WITHOUT the sidecar (a crash mid-freeze/extend) still
+    refuses loudly — there is nothing complete to resume to."""
+    meta = ivf_pq_meta(spark, path)
+    if (meta is None or int(meta["nlist"]) < 0) and _try_parquet(
+        spark, f"{path}/meta_compact"
+    ) is not None:
+        compact_ivf_pq(spark, path)
+        return True
+    return False
 
 
 def ann_index_ingest_batch(
@@ -1760,6 +1752,13 @@ def ann_index_ingest_batch(
         return
     spark = batch.sparkSession
     meta = ivf_pq_meta(spark, path)
+    if meta is None or int(meta["nlist"]) < 0:
+        # a previous drain's auto-compact may have crashed mid-fold
+        # (tombstone + recovery sidecar): resume it, then re-read meta —
+        # otherwise the replayed drain refuses forever and the
+        # self-bounding unattended stream wedges on its first crash
+        if resume_crashed_compact(spark, path):
+            meta = ivf_pq_meta(spark, path)
     if meta is None or int(meta["nlist"]) < 0:
         raise ValueError(f"no complete IVF-PQ artifact at {path} to ingest")
     if _meta_layout(meta) != _LAYOUT_VERSION:
@@ -1891,9 +1890,7 @@ def compact_ivf_pq(spark, path: str) -> None:
                         "cell"
                     ).sortWithinPartitions("cell")
                 folded.write.mode("overwrite").parquet(tmp_p)
-                _fs_delete(spark, trash_p)
-                _fs_rename(spark, base_p, trash_p)
-                _fs_rename(spark, tmp_p, base_p)
+                _swap_via_trash(spark, base_p, tmp_p, trash_p)
         for aux in (delta_p, tmp_p, trash_p):
             _fs_delete(spark, aux)
 

@@ -979,12 +979,69 @@ def ann_probe_stream(
     Scheduling caveat (the artifact family's standing discipline): a
     probe drain that races an in-flight fold (compact's meta tombstone
     window) FAILS LOUDLY and replays on restart — run probe and
-    maintenance streams under one scheduler slot, or accept the retry."""
-    from ..operators.similarity import ivf_pq_topk_frozen
+    maintenance streams under one scheduler slot, or accept the retry.
+    Under that one-slot discipline a tombstone + recovery-sidecar state
+    at drain start can only be a CRASHED fold, so the drain body resumes
+    it (``similarity.resume_crashed_compact``) instead of wedging the
+    serving stream permanently on the torn-state refusal.
+
+    Output ownership: ``_batch`` partition numbers come from THIS
+    checkpoint's batch counter, so the output dir is meaningful only
+    relative to one checkpoint. The stream therefore stamps
+    ``{output_dir}/_probe_owner`` with its checkpoint path on first use
+    and REFUSES an output dir that already holds ``_batch=*`` partitions
+    owned by a different checkpoint (two serving streams would silently
+    cross-overwrite each other's partitions) or written under a
+    checkpoint that has since been reset (the fresh counter restarts at
+    0, so partitions the new run never rewrites would linger as stale
+    duplicates for any consumer unioning the directory)."""
+    from ..operators.similarity import (
+        ivf_pq_meta,
+        ivf_pq_topk_frozen,
+        resume_crashed_compact,
+    )
+    from ..storage.artifact import (
+        delta_partition_count,
+        hadoop_fs,
+        read_text_sidecar,
+        write_text_sidecar,
+    )
+
+    owner_p = f"{output_dir}/_probe_owner"
+    if delta_partition_count(spark, output_dir, prefix="_batch=") > 0:
+        owner = read_text_sidecar(spark, owner_p)
+        if owner != checkpoint_dir:
+            raise ValueError(
+                f"output dir {output_dir} already holds _batch=* results "
+                f"owned by {owner or 'no recorded checkpoint'} — two probe "
+                "streams must not share one output dir (their checkpoint "
+                "batch counters would silently cross-overwrite); use a "
+                "fresh output dir per stream"
+            )
+        commits_fs, commits_jp = hadoop_fs(spark, f"{checkpoint_dir}/commits")
+        if not (
+            commits_fs.exists(commits_jp)
+            and commits_fs.listStatus(commits_jp)
+        ):
+            raise ValueError(
+                f"output dir {output_dir} holds results from checkpoint "
+                f"{checkpoint_dir}, but that checkpoint has no committed "
+                "batches — it was deleted/reset, so its restarted batch "
+                "counter would leave stale _batch=* partitions the new "
+                "run never rewrites; clear the output dir (or use a fresh "
+                "one) before restarting from an empty checkpoint"
+            )
+    else:
+        write_text_sidecar(spark, owner_p, checkpoint_dir)
 
     def _body(batch, batch_id: int) -> None:
         if not batch.take(1):
             return
+        meta = ivf_pq_meta(spark, artifact_dir)
+        if meta is None or int(meta["nlist"]) < 0:
+            # crashed auto-compact (tombstone + sidecar): self-heal; a
+            # tombstone with nothing to resume still refuses loudly below
+            resume_crashed_compact(spark, artifact_dir)
         (
             ivf_pq_topk_frozen(batch, artifact_dir, nprobe=nprobe, k=k)
             .withColumn("_batch", F.lit(batch_id))

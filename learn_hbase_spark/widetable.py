@@ -30,10 +30,13 @@ import time
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-# The index segment stack shares the ANN artifact family's read posture:
-# a committed-file-less directory (interrupted delete, or a crashed write's
-# _temporary remnant) reads as ABSENT; any other failure re-raises loud.
-from .operators.similarity import _try_parquet
+# The index segment stack and the ANN artifact share ONE crash-safety
+# implementation (storage/artifact.py): committed-file-less directories
+# read as ABSENT (interrupted delete, crashed write's _temporary remnant);
+# any other read failure re-raises loud; all moves/deletes go through the
+# Hadoop FS API so they work on cluster URIs.
+from .storage.artifact import hadoop_fs, hadoop_path, sweep_trash
+from .storage.artifact import try_parquet as _try_parquet
 from pyspark.sql.types import (
     IntegerType,
     LongType,
@@ -175,15 +178,14 @@ class WideTable:
     # -- filesystem plumbing (portable across file:/hdfs:/s3a: schemes) -----
 
     def _hpath(self, p: str):
-        return self.spark._jvm.org.apache.hadoop.fs.Path(p)
+        return hadoop_path(self.spark, p)
 
     def _fs(self):
         """The Hadoop FileSystem owning ``self.path`` — resolved through the
         session's hadoopConfiguration so the same code works on local files,
         HDFS and object stores (os.path would silently answer for the driver's
         local disk only)."""
-        hconf = self.spark._jsc.hadoopConfiguration()
-        return self._hpath(self.path).getFileSystem(hconf)
+        return hadoop_fs(self.spark, self.path)[0]
 
     _ASIDE_MANIFEST = "_manifest.json"
 
@@ -1382,13 +1384,9 @@ class WideTable:
                     p,
                     self._hpath(f"{str(trash)}/{p.getName()}"),
                 )
-            fs.delete(trash, True)
-            # sweep trash left by EARLIER interrupted folds, best-effort
-            for st in fs.listStatus(self._hpath(path)):
-                if st.isDirectory() and st.getPath().getName().startswith(
-                    "_trash_fold_"
-                ):
-                    fs.delete(st.getPath(), True)
+            # one sweep deletes the trash just filled AND trash left by
+            # EARLIER interrupted folds, best-effort (shared protocol)
+            sweep_trash(self.spark, path, "_trash_fold_")
         # an all-tombstone (or no-op) upsert still re-stamps — the index
         # is complete for it — but writes NO segment, so a long-running
         # maintained stream doesn't accrete an empty delta dir per drain

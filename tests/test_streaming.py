@@ -1496,3 +1496,167 @@ def test_ann_probe_stream_serves_frozen_index(spark, tmp_path):
         [d for d in os.listdir(out) if d.startswith("_batch=")]
     )
     assert n_batches == 2
+
+
+def _tiny_frozen_artifact(spark, tmp_path, seed=47, n=40, name="art"):
+    """A small frozen IVF-PQ artifact plus its corpus — shared fixture for
+    the serving-stream crash/ownership tests."""
+    import random
+
+    from learn_hbase_spark.operators import similarity
+
+    rng = random.Random(seed)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(n)]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    art = str(tmp_path / name)
+    similarity.freeze_ivf_pq(corpus, art, nlist=8, m=4, k_codes=8,
+                             src_fingerprint="v1")
+    return corpus, art
+
+
+def test_ann_probe_stream_tombstone_race_fails_loud_then_resumes(
+    spark, tmp_path
+):
+    """The documented probe-vs-fold contract, PINNED: a probe drain that
+    lands inside a freeze/extend's meta-tombstone window (tombstone, NO
+    recovery sidecar — nothing complete to resume to) fails loudly
+    instead of serving from a torn artifact; after meta is restored, a
+    restart replays the failed drain from the checkpoint and serves the
+    correct answers."""
+    import pytest
+    from pyspark.errors import StreamingQueryException
+    from pyspark.sql import functions as F
+
+    from learn_hbase_spark.operators import similarity
+    from learn_hbase_spark.streaming.events import ann_probe_stream
+
+    corpus, art = _tiny_frozen_artifact(spark, tmp_path)
+    drop = tmp_path / "queries"
+    drop.mkdir()
+    out = str(tmp_path / "results")
+    ckpt = str(tmp_path / "ckpt")
+
+    q1 = corpus.filter(F.col("vec_id") < 3)
+    q1.write.parquet(str(drop / "q1.parquet"))
+    ann_probe_stream(spark, str(drop), art, out, ckpt, nprobe=4, k=5)
+
+    # freeze/extend crash simulation: live meta tombstoned, no sidecar
+    saved = similarity._meta_values(similarity.ivf_pq_meta(spark, art))
+    spark.createDataFrame(
+        [similarity._meta_tombstone()], similarity._META_SCHEMA
+    ).write.mode("overwrite").parquet(f"{art}/meta")
+
+    q2 = corpus.filter((F.col("vec_id") >= 3) & (F.col("vec_id") < 5))
+    q2.write.parquet(str(drop / "q2.parquet"))
+    with pytest.raises(StreamingQueryException, match="no complete IVF-PQ"):
+        ann_probe_stream(spark, str(drop), art, out, ckpt, nprobe=4, k=5)
+
+    # restore meta (the freeze/extend completing) and restart: the
+    # checkpoint replays the failed drain, output converges
+    spark.createDataFrame(
+        [saved], similarity._META_SCHEMA
+    ).write.mode("overwrite").parquet(f"{art}/meta")
+    ann_probe_stream(spark, str(drop), art, out, ckpt, nprobe=4, k=5)
+    want = sorted(
+        tuple(r)
+        for r in similarity.ivf_pq_topk_frozen(
+            corpus.filter(F.col("vec_id") < 5), art, nprobe=4, k=5
+        ).collect()
+    )
+    got = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"], r["dist"])
+        for r in spark.read.parquet(out).drop("_batch").collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_ann_streams_self_heal_a_crashed_compact(spark, tmp_path):
+    """ADVICE r13: a crash mid-``compact_ivf_pq`` (meta tombstoned, the
+    ``meta_compact`` recovery sidecar still present) must not wedge the
+    unattended streams — both the ingest body and the serving drain
+    resume the fold before refusing, so the self-bounding auto-compact
+    promise survives its own crash."""
+    from pyspark.sql import functions as F
+
+    from learn_hbase_spark.operators import similarity
+    from learn_hbase_spark.streaming.events import ann_probe_stream
+
+    corpus, art = _tiny_frozen_artifact(spark, tmp_path)
+
+    def crash_mid_compact():
+        # exactly compact's step-1 state: sidecar saved, live tombstoned
+        saved = similarity._meta_values(similarity.ivf_pq_meta(spark, art))
+        spark.createDataFrame(
+            [saved], similarity._META_SCHEMA
+        ).write.mode("overwrite").parquet(f"{art}/meta_compact")
+        spark.createDataFrame(
+            [similarity._meta_tombstone()], similarity._META_SCHEMA
+        ).write.mode("overwrite").parquet(f"{art}/meta")
+
+    # (a) the ingest body resumes and then lands its batch
+    crash_mid_compact()
+    batch = spark.createDataFrame(
+        [(100, [0.5] * 16)], "vec_id long, embedding array<double>"
+    )
+    similarity.ann_index_ingest_batch(batch, 0, art)
+    meta = similarity.ivf_pq_meta(spark, art)
+    assert meta is not None and int(meta["nlist"]) == 8  # healed
+    import os
+
+    assert os.path.exists(f"{art}/cells_delta")  # and the batch landed
+
+    # (b) the serving drain resumes and probes
+    crash_mid_compact()
+    drop = tmp_path / "queries"
+    drop.mkdir()
+    out = str(tmp_path / "results")
+    ckpt = str(tmp_path / "ckpt")
+    corpus.filter(F.col("vec_id") < 2).write.parquet(str(drop / "q.parquet"))
+    ann_probe_stream(spark, str(drop), art, out, ckpt, nprobe=4, k=5)
+    assert spark.read.parquet(out).count() > 0
+    meta = similarity.ivf_pq_meta(spark, art)
+    assert meta is not None and int(meta["nlist"]) == 8
+    # the resume folded the crashed state's delta into base
+    assert not os.path.exists(f"{art}/meta_compact")
+
+
+def test_ann_probe_stream_refuses_unowned_output_dir(spark, tmp_path):
+    """Output-ownership hardening: ``_batch`` partition numbers are only
+    meaningful relative to ONE checkpoint's counter, so (a) a second
+    stream with a different checkpoint must refuse to serve into an
+    output dir another stream owns, and (b) a stream whose checkpoint
+    was deleted must refuse its old output dir (the reset counter would
+    leave stale partitions the re-run never rewrites)."""
+    import shutil
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from learn_hbase_spark.streaming.events import ann_probe_stream
+
+    corpus, art = _tiny_frozen_artifact(spark, tmp_path)
+    drop = tmp_path / "queries"
+    drop.mkdir()
+    out = str(tmp_path / "results")
+    ckpt1 = str(tmp_path / "ckpt1")
+    corpus.filter(F.col("vec_id") < 3).write.parquet(str(drop / "q.parquet"))
+    ann_probe_stream(spark, str(drop), art, out, ckpt1, nprobe=4, k=5)
+    served = spark.read.parquet(out).count()
+    assert served > 0
+
+    # (a) a different checkpoint against the same output dir: refused
+    # loudly BEFORE any write, output untouched
+    with pytest.raises(ValueError, match="must not share"):
+        ann_probe_stream(
+            spark, str(drop), art, out, str(tmp_path / "ckpt2"),
+            nprobe=4, k=5,
+        )
+    assert spark.read.parquet(out).count() == served
+
+    # (b) the owning checkpoint deleted (counter reset): refused too
+    shutil.rmtree(ckpt1)
+    with pytest.raises(ValueError, match="no committed batches"):
+        ann_probe_stream(spark, str(drop), art, out, ckpt1, nprobe=4, k=5)
+    assert spark.read.parquet(out).count() == served
