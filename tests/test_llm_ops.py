@@ -256,21 +256,41 @@ def test_lsh_recall_vs_bruteforce(spark, vectors):
 # ---------------------------------------------------------------------------
 
 
+def _real_bmp_pixels():
+    import numpy as np
+
+    # 6x5 BGR gradient: width 5 → row 15 bytes → stride pads to 16,
+    # exercising the 4-byte padding path in every test that decodes it
+    y = np.arange(6)[:, None, None]
+    x = np.arange(5)[None, :, None]
+    c = np.arange(3)[None, None, :]
+    return ((y * 40 + x * 9 + c * 70) % 256).astype(np.uint8)
+
+
+def _real_wav_samples():
+    import numpy as np
+
+    return (np.arange(-300, 300, 3, dtype=np.int64) * 100).astype(np.int16)
+
+
 @pytest.fixture(scope="module")
 def media(spark):
+    bmp = multimodal.encode_bmp(_real_bmp_pixels())
+    wav = multimodal.encode_wav_pcm16(_real_wav_samples(), 8000)
     rows = [
-        (1, "image", bytearray(b"\x89PNG fake"), "image/png", 8, 8, None),
+        (1, "image", bytearray(bmp), "image/bmp", 5, 6, None),
         (2, "video", bytearray(b"\x00\x00vid"), "video/mp4", 16, 16, 3500),
-        (3, "audio", None, "audio/wav", None, None, 2000),
+        (3, "audio", bytearray(wav), "audio/wav", None, None, 2000),
     ]
     return spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
 
 
 def test_extract_features_batched(spark, media):
+    bmp = multimodal.encode_bmp(_real_bmp_pixels())
     got = {r["media_id"]: r.asDict() for r in multimodal.extract_features(media).collect()}
-    assert got[1]["n_bytes"] == 9
-    assert got[1]["checksum"] == sum(b"\x89PNG fake") % (2**31)
-    assert got[3]["n_bytes"] == 0  # null payload handled
+    assert got[1]["n_bytes"] == len(bmp)
+    assert got[1]["checksum"] == sum(bmp) % (2**31)
+    assert got[2]["n_bytes"] == 5  # format-agnostic: profiles any payload
     assert all(v["feature_dim"] == 64 for v in got.values())
 
 
@@ -335,23 +355,80 @@ def test_quality_score_bounds_and_cases(spark):
     assert scores[1] < 0.5
 
 
-def test_resize_images_contract(spark, media):
-    """Resize (stubbed pixels): only image rows, binary out, target dims."""
+def test_resize_images_real_pixels(spark, media):
+    """REAL resize: only image rows; the output payload is a valid BMP
+    whose pixels equal nearest-neighbor sampling of the SOURCE array —
+    verified by decoding the resized bytes and comparing to a NumPy
+    reference over the original pixels."""
+    import numpy as np
+
     out = {r["media_id"]: r.asDict()
-           for r in multimodal.resize_images(media, 32, 32).collect()}
+           for r in multimodal.resize_images(media, 3, 4).collect()}
     assert set(out) == {1}  # only the image row
     r = out[1]
-    assert r["width"] == 32 and r["height"] == 32
-    assert isinstance(r["payload"], (bytes, bytearray))
-    assert len(r["payload"]) == (32 * 32) // 256 + 1
+    assert r["width"] == 3 and r["height"] == 4
+    src = _real_bmp_pixels()  # (6, 5, 3)
+    ys = (np.arange(4) * 6) // 4
+    xs = (np.arange(3) * 5) // 3
+    want = src[ys][:, xs]
+    got = multimodal.decode_bmp(bytes(r["payload"]))
+    assert got.shape == (4, 3, 3) and (got == want).all()
 
 
-def test_audio_features_contract(spark, media):
-    """Audio features (stubbed decode): only audio rows; null payload -> 0s."""
+def test_audio_features_real_samples(spark, media):
+    """REAL audio features: only audio rows; rate from the parsed fmt
+    chunk, n/rms/peak from the decoded sample array (NumPy reference)."""
+    import numpy as np
+
     out = {r["media_id"]: r.asDict()
            for r in multimodal.audio_features(media).collect()}
     assert set(out) == {3}
-    assert out[3]["n_samples"] == 0 and out[3]["rms"] == 0
+    s = _real_wav_samples().astype(np.int64)
+    r = out[3]
+    assert r["sample_rate"] == 8000 and r["n_samples"] == len(s)
+    assert r["rms"] == round(float(np.sqrt((s * s).mean())), 6)
+    assert r["peak"] == int(np.abs(s).max())
+
+
+def test_downsample_audio_real_samples(spark, media):
+    """REAL downsample: decimated payload re-decodes to every 3rd source
+    sample at a third of the rate."""
+    import numpy as np
+
+    out = {r["media_id"]: r.asDict()
+           for r in multimodal.downsample_audio(media, factor=3).collect()}
+    assert set(out) == {3}
+    r = out[3]
+    rate, got = multimodal.decode_wav_pcm16(bytes(r["payload"]))
+    want = _real_wav_samples()[::3]
+    assert rate == 8000 // 3 == r["sample_rate"]
+    assert r["n_samples"] == len(want) and (got == want).all()
+
+
+def test_media_decoders_reject_garbage(spark):
+    """A decode pipeline fails LOUDLY on payloads it can't parse — no
+    fabricated pixels/samples (8bpp BMPs, non-PCM WAVs, other formats)."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not a BMP"):
+        multimodal.decode_bmp(b"\x89PNG not a bmp at all, but long enough" * 3)
+    with _pytest.raises(ValueError, match="not a RIFF"):
+        multimodal.decode_wav_pcm16(b"OggS fake")
+    # an 8bpp BMP header: refused, not mis-parsed
+    bad = bytearray(multimodal.encode_bmp(np.zeros((2, 2, 3), np.uint8)))
+    struct.pack_into("<H", bad, 28, 8)
+    with _pytest.raises(ValueError, match="24bpp"):
+        multimodal.decode_bmp(bytes(bad))
+    # a float-PCM WAV: refused
+    wav = bytearray(
+        multimodal.encode_wav_pcm16(np.zeros(4, np.int16), 8000)
+    )
+    struct.pack_into("<H", wav, 20, 3)  # fmt tag -> IEEE float
+    with _pytest.raises(ValueError, match="16-bit mono PCM"):
+        multimodal.decode_wav_pcm16(bytes(wav))
 
 
 def test_ivf_recall_vs_bruteforce(spark, vectors):
