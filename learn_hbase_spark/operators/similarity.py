@@ -1214,10 +1214,33 @@ def ivf_pq_fingerprint(corpus: DataFrame) -> str:
     return h.hexdigest()
 
 
+# Auto-nlist bounds (freeze_ivf_pq(nlist=None)): the floor keeps tiny
+# corpora from degenerating to one-cell scans; the cap bounds the DRIVER
+# state every probe/extend loads (centroids collect to the driver: cap ×
+# dim doubles — at 65536 × 1024 that is ~512 MB, the k-means-centroid
+# class ceiling; past it, per-cell size should be held by sharding the
+# artifact, not by more centroids in one driver matrix).
+_NLIST_FLOOR = 16
+_NLIST_CAP = 65536
+
+
+def _auto_nlist(n_rows: int) -> int:
+    """nlist ∝ √N: with ``nlist = √N`` the expected per-cell row count is
+    ALSO √N, so the probe's dominant cost — scanning ``nprobe`` cells'
+    codes — grows as √N instead of linearly (the standard IVF sizing rule;
+    FAISS's guidelines recommend the same ``sqrt(N)`` order). Floored and
+    capped by the driver-state bound above, and never above N (a corpus
+    smaller than the floor seeds fewer cells — _load_quantizers sizes by
+    written rows)."""
+    import math
+
+    return max(min(_NLIST_FLOOR, n_rows), min(math.isqrt(n_rows), _NLIST_CAP))
+
+
 def freeze_ivf_pq(
     corpus: DataFrame,
     path: str,
-    nlist: int = 16,
+    nlist: int | None = None,
     m: int = 4,
     k_codes: int = 16,
     id_col: str = "vec_id",
@@ -1258,10 +1281,19 @@ def freeze_ivf_pq(
     query keep `ivf_pq_topk`'s full DuckDB oracle. Cost: the seed pulls
     (bounded: nlist + k_codes rows) plus TWO corpus passes (cell
     assignment, PQ encode), each one Arrow-batched map — paid once,
-    amortized over every subsequent probe."""
+    amortized over every subsequent probe.
+
+    ``nlist=None`` (the default) resolves to :func:`_auto_nlist`'s
+    ``√N`` rule — one corpus count at freeze time, paid once with the
+    encode passes — and the RESOLVED value is what meta records, so
+    probes/extends/freshness checks see a concrete nlist; pass an
+    explicit nlist to pin it (every registered oracle query does, for
+    replayability)."""
     import numpy as np
 
     spark = corpus.sparkSession
+    if nlist is None:
+        nlist = _auto_nlist(corpus.count())
     # ALWAYS tombstone first and clear auxiliary state — unconditionally,
     # not gated on the old meta being readable: a torn previous meta
     # (reads as None) must not let stale delta segments or a stale
@@ -1359,20 +1391,24 @@ def ivf_pq_fresh(
     spark,
     path: str,
     src_fingerprint: str,
-    nlist: int = 16,
+    nlist: int | None = 16,
     m: int = 4,
     k_codes: int = 16,
 ) -> bool:
     """True iff a complete artifact exists at ``path`` frozen from exactly
     this corpus fingerprint under these index parameters. An empty
     fingerprint never matches (non-file-backed corpora refreeze —
-    conservative)."""
+    conservative). ``nlist=None`` accepts whatever nlist meta records —
+    the auto-nlist pairing: the same corpus fingerprint implies the same
+    N, hence the same resolved √N nlist, so the fingerprint equality
+    already pins it."""
     meta = ivf_pq_meta(spark, path)
     return (
         meta is not None
         and bool(src_fingerprint)
         and meta["src"] == src_fingerprint
-        and meta["nlist"] == nlist
+        and int(meta["nlist"]) >= 0
+        and (nlist is None or meta["nlist"] == nlist)
         and meta["m"] == m
         and meta["k_codes"] == k_codes
         # an older physical layout reads as stale, so freeze-when-stale

@@ -1152,6 +1152,56 @@ def test_frozen_ivf_pq_freshness_contract(spark, vectors, tmp_path):
         similarity.ivf_pq_topk_frozen(corpus.limit(1), path)
 
 
+def test_freeze_auto_nlist_sqrt_rule(spark, vectors, tmp_path):
+    """VERDICT r13 #4: freeze_ivf_pq(nlist=None) resolves nlist by the √N
+    rule (floored at 16, capped by the driver-state bound, never above
+    N), records the RESOLVED value in meta, and ivf_pq_fresh(nlist=None)
+    accepts it — while a tombstone still reads stale."""
+    from learn_hbase_spark.operators.similarity import (
+        _NLIST_CAP,
+        _auto_nlist,
+    )
+
+    # the rule itself, across the regimes
+    assert _auto_nlist(5) == 5            # tiny corpus: never above N
+    assert _auto_nlist(200) == 16         # floor until √N passes 16
+    assert _auto_nlist(10_000) == 100     # √N
+    assert _auto_nlist(10**10) == _NLIST_CAP  # driver-state cap
+
+    src = str(tmp_path / "corpus")
+    vectors.write.parquet(src)           # 50 vectors → floor regime
+    corpus = spark.read.parquet(src)
+    fp = similarity.ivf_pq_fingerprint(corpus)
+    path = str(tmp_path / "auto")
+    similarity.freeze_ivf_pq(corpus, path, src_fingerprint=fp)  # nlist=None
+    meta = similarity.ivf_pq_meta(spark, path)
+    assert int(meta["nlist"]) == _auto_nlist(corpus.count()) == 16
+    # fresh under the auto pairing (same fingerprint ⇒ same N ⇒ same
+    # resolved nlist), and under the explicit resolved value
+    assert similarity.ivf_pq_fresh(spark, path, fp, nlist=None)
+    assert similarity.ivf_pq_fresh(spark, path, fp, nlist=16)
+    assert not similarity.ivf_pq_fresh(spark, path, fp, nlist=8)
+    # the probe serves the auto-frozen artifact identically to the live path
+    q = corpus.filter(F.col("vec_id") < 3)
+    frozen = sorted(
+        tuple(r)
+        for r in similarity.ivf_pq_topk_frozen(q, path, nprobe=4, k=5)
+        .collect()
+    )
+    live = sorted(
+        tuple(r)
+        for r in similarity.ivf_pq_topk(
+            q, corpus, nlist=16, nprobe=4, m=4, k_codes=16, k=5
+        ).collect()
+    )
+    assert frozen == live and frozen
+    # a tombstone is NEVER fresh, even with the nlist check waived
+    spark.createDataFrame(
+        [similarity._meta_tombstone()], similarity._META_SCHEMA
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+    assert not similarity.ivf_pq_fresh(spark, path, fp, nlist=None)
+
+
 def test_frozen_ivf_pq_small_corpus_no_phantom_cells(spark, vectors, tmp_path):
     """Corpus smaller than nlist/k_codes: the probe must size its driver
     matrices by the WRITTEN seed rows — zero-padding to meta's requested

@@ -5,8 +5,11 @@
   (the FAISS ``add()`` deployment trade — the reason the artifact exists);
 - ivf_pq_topk_frozen scans the probed cells' codes → with FIXED nlist the
   candidate set is ∝ N/nlist·nprobe, so expect ≈ linear at fixed nlist
-  (production grows nlist ∝ √N to hold per-cell size; the probe never
-  touches raw embeddings either way).
+  (the probe never touches raw embeddings either way);
+- probe_grown_nlist re-freezes both arms with nlist=None (the √N
+  auto-rule) and probes those → per-cell size is ~√N, so expect an
+  exponent well BELOW the fixed-nlist probe's — the measured form of
+  the "grow nlist ∝ √N to hold per-cell size" production guidance.
 
 Protocol mirrors tools/scaling_slope.py: a K× corpus built from sf0.1's
 embeddings by cyclic-shift replication (norms and geometry preserved,
@@ -138,6 +141,21 @@ def main() -> int:
         q = base.filter(F.col("vec_id") < 10)
         timed("probe", arm, lambda: similarity.ivf_pq_topk_frozen(
             q, art, nprobe=4, k=50,
+        ).write.mode("overwrite").format("noop").save())
+
+        # probe under GROWN nlist: freeze with the √N auto-rule (once —
+        # the freeze cost is already measured above) and time the probe.
+        # Same nprobe, so the scan is nprobe cells of ~√N rows instead
+        # of nprobe cells of N/16 rows.
+        art_auto = f"{WORK}/art_auto_{arm}"
+        similarity.freeze_ivf_pq(
+            corpus, art_auto, nlist=None, m=4, k_codes=16,
+            src_fingerprint=arm,
+        )
+        resolved = int(similarity.ivf_pq_meta(spark, art_auto)["nlist"])
+        results.setdefault("probe_grown_nlist", {})[f"nlist_{arm}"] = resolved
+        timed("probe_grown_nlist", arm, lambda: similarity.ivf_pq_topk_frozen(
+            q, art_auto, nprobe=4, k=50,
         ).write.mode("overwrite").format("noop").save())
 
     print(json.dumps({
