@@ -421,6 +421,63 @@ def rule_signals(
     return metrics.join(rep, "doc_id")
 
 
+def _signal_rule_flags(
+    signals_columns,
+    c4_clean: bool,
+    gopher_quality: bool,
+    gopher_quality_kwargs: dict | None,
+    gopher_repetition: bool,
+    gopher_repetition_kwargs: dict | None,
+) -> dict[str, Column]:
+    """The rule-stage flags as boolean expressions over a published
+    :func:`rule_signals` table's columns — the single thresholding
+    implementation shared by :func:`curate_from_signals` (which conjoins
+    them into one gate) and :func:`audit_from_signals` (which needs each
+    stage's flag separately for the verdict precedence). The threshold
+    expressions are the SAME rule conjunctions the inline flag operators
+    apply (``functions.text.gopher_quality_rules``,
+    ``operators.corpus.repetition_rules``) over metrics those operators
+    rounded before publishing, so the signals path cannot drift from the
+    inline path. Validates column coverage up front and names any gap
+    (a table built with narrower repetition ``widths`` than the
+    requested thresholds read)."""
+    flags: dict[str, Column] = {
+        "_c4": F.col("c4_keep") if c4_clean else F.lit(True),
+        "_gq": F.lit(True),
+        "_gr": F.lit(True),
+    }
+    needed = {"doc_id", "n_tokens"}
+    if c4_clean:
+        needed.add("c4_keep")
+    if gopher_quality:
+        for rule in T.gopher_quality_rules(
+            **(gopher_quality_kwargs or {})
+        ).values():
+            flags["_gq"] = flags["_gq"] & rule
+        needed.update(
+            ("n_words", "mean_word_len", "symbol_ratio", "bullet_frac",
+             "ellipsis_frac", "alpha_word_frac", "n_stopwords")
+        )
+    if gopher_repetition:
+        rep_rules = corpus_rules.repetition_rules(
+            **(gopher_repetition_kwargs or {})
+        )
+        for rule in rep_rules.values():
+            flags["_gr"] = flags["_gr"] & rule
+        needed.update(
+            name.replace("ok_", "") + "_char_frac" for name in rep_rules
+        )
+    missing = sorted(needed - set(signals_columns))
+    if missing:
+        raise ValueError(
+            "signals table lacks columns the requested thresholds read: "
+            f"{missing} — rebuild rule_signals with matching widths, or "
+            "pass gopher_repetition_kwargs={'widths': ...} matching the "
+            "published table"
+        )
+    return flags
+
+
 def curate_from_signals(
     docs: DataFrame,
     signals: DataFrame,
@@ -472,36 +529,15 @@ def curate_from_signals(
     corpus-scale cache entries (the same opt-out contract as the
     streaming callers of :func:`curate`'s stages)."""
     _require_scoreable(min_tokens, lm_quantile, ccnet_keep)
-    keep_cond = F.col("n_tokens") >= min_tokens
-    needed = {"doc_id", "n_tokens"}
-    if c4_clean:
-        keep_cond = F.col("c4_keep") & keep_cond
-        needed.add("c4_keep")
-    if gopher_quality:
-        rules = T.gopher_quality_rules(**(gopher_quality_kwargs or {}))
-        for rule in rules.values():
-            keep_cond = keep_cond & rule
-        needed.update(
-            ("n_words", "mean_word_len", "symbol_ratio", "bullet_frac",
-             "ellipsis_frac", "alpha_word_frac", "n_stopwords")
-        )
-    if gopher_repetition:
-        rep_rules = corpus_rules.repetition_rules(
-            **(gopher_repetition_kwargs or {})
-        )
-        for rule in rep_rules.values():
-            keep_cond = keep_cond & rule
-        needed.update(
-            name.replace("ok_", "") + "_char_frac" for name in rep_rules
-        )
-    missing = sorted(needed - set(signals.columns))
-    if missing:
-        raise ValueError(
-            "signals table lacks columns the requested thresholds read: "
-            f"{missing} — rebuild rule_signals with matching widths, or "
-            "pass gopher_repetition_kwargs={'widths': ...} matching the "
-            "published table"
-        )
+    flags = _signal_rule_flags(
+        signals.columns, c4_clean,
+        gopher_quality, gopher_quality_kwargs,
+        gopher_repetition, gopher_repetition_kwargs,
+    )
+    keep_cond = (
+        flags["_c4"] & (F.col("n_tokens") >= min_tokens)
+        & flags["_gq"] & flags["_gr"]
+    )
     keep_ids = signals.filter(keep_cond).select("doc_id")
     if c4_clean:
         others = [c for c in docs.columns if c not in ("doc_id", "text")]
@@ -605,7 +641,36 @@ def audit(
     else:
         work = work.withColumn("_gr", F.lit(True))
 
-    work = _pin(work)  # verdict output + every stage set derives from it
+    return _audit_tail(
+        work, benchmark, min_tokens, rates, default_rate,
+        lm_quantile, approx_threshold, ccnet_keep, strata_col,
+    )
+
+
+def _audit_tail(
+    work: DataFrame,
+    benchmark: DataFrame,
+    min_tokens: int,
+    rates: dict[str, float] | None,
+    default_rate: float,
+    lm_quantile: float | None,
+    approx_threshold: bool,
+    ccnet_keep: tuple[str, ...] | None,
+    strata_col: str,
+    pin: bool = True,
+) -> DataFrame:
+    """Stages 5-9 of the audit verdict over a flagged corpus frame —
+    ``work`` carries ``(doc_id, text, source, _c4, _n, _gq, _gr)`` with
+    the rule flags already resolved (inline by :func:`audit`, or by
+    thresholding a published signals table in
+    :func:`audit_from_signals` — the two entry points share THIS body,
+    so their verdicts cannot drift). Dedup winners, contamination, and
+    the band memberships are computed over the pipeline's own stage
+    input sets; the verdict is the first failing stage in
+    :data:`STAGE_ORDER`."""
+    if pin:
+        # verdict output + every stage set derives from it
+        work = _pin(work)
     gated = work.filter(
         F.col("_c4") & (F.col("_n") >= min_tokens)
         & F.col("_gq") & (F.col("_gr") == F.lit(True))
@@ -632,18 +697,18 @@ def audit(
     # survivors (the model is trained on the set it filters, so the
     # thresholds match curate()'s bit for bit)
     clean = survivors.join(cont.select("doc_id"), "doc_id", "left_anti")
-    if lm_quantile is not None or ccnet_keep is not None:
+    if (lm_quantile is not None or ccnet_keep is not None) and pin:
         clean = _pin(clean)
     if lm_quantile is not None:
-        band = _lm_band_ids(clean, lm_quantile, approx_threshold).select(
-            "doc_id", F.lit(True).alias("_band")
-        )
+        band = _lm_band_ids(
+            clean, lm_quantile, approx_threshold, pin=pin
+        ).select("doc_id", F.lit(True).alias("_band"))
         out = out.join(band, "doc_id", "left")
         verdict = verdict.when(F.col("_band").isNull(), "low_quality")
         clean = clean.join(band.select("doc_id"), "doc_id", "left_semi")
     if ccnet_keep is not None:
         cc = _ccnet_band_ids(
-            clean, ccnet_keep, strata_col, approx_threshold
+            clean, ccnet_keep, strata_col, approx_threshold, pin=pin
         ).select("doc_id", F.lit(True).alias("_cc"))
         out = out.join(cc, "doc_id", "left")
         verdict = verdict.when(F.col("_cc").isNull(), "ppl_tail")
@@ -653,4 +718,73 @@ def audit(
     return out.select(
         "doc_id",
         verdict.when(~keep, "sampled_out").otherwise("kept").alias("verdict"),
+    )
+
+
+def audit_from_signals(
+    docs: DataFrame,
+    signals: DataFrame,
+    benchmark: DataFrame,
+    min_tokens: int = 5,
+    rates: dict[str, float] | None = None,
+    default_rate: float = 0.1,
+    lm_quantile: float | None = None,
+    approx_threshold: bool = False,
+    c4_clean: bool = False,
+    c4_kwargs: dict | None = None,
+    gopher_quality: bool = False,
+    gopher_quality_kwargs: dict | None = None,
+    gopher_repetition: bool = False,
+    gopher_repetition_kwargs: dict | None = None,
+    ccnet_keep: tuple[str, ...] | None = None,
+    strata_col: str = "source",
+    pin: bool = True,
+) -> DataFrame:
+    """:func:`audit`'s verdict derived from a published
+    :func:`rule_signals` table (VERDICT r13 #5): the rule-stage flags
+    (C4 keep, token count, Gopher quality, Gopher repetition) come from
+    THRESHOLDING the signals columns — :func:`_signal_rule_flags`, the
+    same expressions :func:`curate_from_signals` gates with — instead of
+    re-running the metric operators, which collapses the audit plan from
+    the inline path's full rule recomputation (the registry's heaviest
+    plan: 216 exchanges / 143 scans at r13) to one signals scan plus the
+    corpus-interdependent tail. The tail (dedup winners, contamination,
+    band memberships, sampling verdict) is :func:`_audit_tail`, shared
+    verbatim with :func:`audit`, so the two audit paths cannot drift;
+    the equivalence contract with the inline audit is
+    :func:`curate_from_signals`'s (same rounded metrics, same rule
+    conjunctions, verdicts commute with the conjunction).
+
+    Coverage contract: ``signals`` must hold one row per ``docs`` row
+    (:func:`rule_signals` emits exactly that); the flag join is inner,
+    so a doc absent from the signals table gets NO verdict — publish
+    signals and corpus from the same snapshot. With ``c4_clean`` the
+    deterministic line REWRITE is re-applied here (a projection — the
+    keep decision itself comes from the signals column) because every
+    tail stage judges the cleaned text."""
+    _require_scoreable(min_tokens, lm_quantile, ccnet_keep)
+    flags = _signal_rule_flags(
+        signals.columns, c4_clean,
+        gopher_quality, gopher_quality_kwargs,
+        gopher_repetition, gopher_repetition_kwargs,
+    )
+    sig = signals.select(
+        "doc_id",
+        flags["_c4"].alias("_c4"),
+        F.col("n_tokens").alias("_n"),
+        flags["_gq"].alias("_gq"),
+        flags["_gr"].alias("_gr"),
+    )
+    if c4_clean:
+        others = [c for c in docs.columns if c not in ("doc_id", "text")]
+        work_docs = T.c4_line_clean(
+            docs, "text", "doc_id",
+            passthrough=tuple(others), **(c4_kwargs or {}),
+        ).select("doc_id", F.col("clean_text").alias("text"), *others)
+    else:
+        work_docs = docs
+    work = work_docs.select("doc_id", "text", "source").join(sig, "doc_id")
+    return _audit_tail(
+        work, benchmark, min_tokens, rates, default_rate,
+        lm_quantile, approx_threshold, ccnet_keep, strata_col, pin=pin,
     )

@@ -496,7 +496,10 @@ _SWEEP_PRIORITY: list[str] = [
     # work lands — DEDUPE: enumerate-rank keeps the LAST index, so a
     # duplicate silently demotes). The r13 names below are stale carryover
     # (verified ⇒ inert) kept so the list is never empty at round start.
-    "multimodal_decode_real",
+    # curation_audit_rules / curate_from_signals: answers UNCHANGED but
+    # plans rebuilt on the published-signals artifact (freshness-skipped)
+    # — re-verify first.
+    "multimodal_decode_real", "curation_audit_rules", "curate_from_signals",
     "ann_ivf_topk", "embedding_kmeans", "semantic_dedup",
 ]
 
@@ -9989,13 +9992,21 @@ def curation_pipeline_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def curation_audit_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document verdict for the rules-composed pipeline
-    (pipeline/curation.py audit, STAGE_ORDER): the FIRST stage that
-    dropped each doc — c4_dropped → short → gopher_quality →
+    (pipeline/curation.py audit_from_signals, STAGE_ORDER): the FIRST
+    stage that dropped each doc — c4_dropped → short → gopher_quality →
     gopher_repetition → duplicate → contaminated → ppl_tail →
-    sampled_out — or 'kept'. Same parameters as curation_pipeline_rules;
-    verdicts derive from the SAME operator expressions over the SAME
-    stage input sets, so audit and pipeline cannot disagree (the kept
-    set here == curation_pipeline_rules' input to packing)."""
+    sampled_out — or 'kept'. Same parameters as curation_pipeline_rules.
+
+    r14: the verdict derives from the PUBLISHED rule-signals table
+    (materialized to scratch, the same two-phase artifact
+    curate_from_signals consumes) instead of re-running every rule
+    operator inline — this was the registry's heaviest plan (216
+    exchanges / 143 scans); thresholding the signals collapses the rule
+    phase to one signals scan. Verdict equivalence is structural: the
+    threshold expressions are the operators' own rule conjunctions over
+    metrics they rounded before publishing, and the tail (_audit_tail)
+    is shared verbatim with the inline audit — pinned by the
+    audit-agreement pytests."""
     raw = _t(spark, sf_dir, "documents")
     docs = raw.select(
         "doc_id",
@@ -10003,20 +10014,63 @@ def curation_audit_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
     )
     bench = raw.filter(F.col("doc_id") % 97 == 0)
-    return curation.audit(
+    c4_kwargs = {"min_words_per_line": 5, "min_lines": 2}
+    return curation.audit_from_signals(
         docs,
+        _published_signals(spark, sf_dir, docs, c4_kwargs),
         bench,
         min_tokens=5,
         rates={"src0": 1.0, "src1": 0.5, "src2": 0.25},
         default_rate=0.1,
         c4_clean=True,
-        c4_kwargs={"min_words_per_line": 5, "min_lines": 2},
+        c4_kwargs=c4_kwargs,
         gopher_quality=True,
         gopher_quality_kwargs={"min_words": 10, "min_stopwords": 1},
         gopher_repetition=True,
         gopher_repetition_kwargs={"widths": (2, 3, 4, 9)},
         ccnet_keep=("head", "middle"),
     )
+
+
+_SIGNALS_WIDTHS = (2, 3, 4, 9)
+
+
+def _published_signals(
+    spark: SparkSession, sf_dir: str, docs: DataFrame, c4_kwargs: dict
+) -> DataFrame:
+    """The PUBLISHED rule-signals artifact both two-phase queries consume
+    (curate_from_signals thresholds it into a gate; curation_audit_rules
+    maps it through the verdict precedence): rebuilt only when STALE —
+    the sidecar records a fingerprint of the corpus files plus the build
+    params, written AFTER the table (validity marker last, the artifact
+    family's torn-write posture), so steady state re-pays neither the C4
+    rewrite nor the repetition gram shuffle. This is the deployment
+    shape the RedPajama-v2 pattern implies: signals are computed once
+    per corpus snapshot and iterated over many times; the same
+    freshness-skip form as the frozen ANN artifact."""
+    from .storage.artifact import read_text_sidecar, write_text_sidecar
+
+    sig_path = os.path.join(
+        _SCRATCH_ROOT,
+        f"rule_signals_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    # the generic file-list fingerprint (path, size, mtime md5 — named
+    # for its first user, the frozen ANN index); '' = not file-backed,
+    # which must never read fresh
+    src = similarity.ivf_pq_fingerprint(docs)
+    stamp = (
+        f"{src}|c4={sorted(c4_kwargs.items())}|w={_SIGNALS_WIDTHS}"
+        if src
+        else ""
+    )
+    marker = sig_path + "__src"
+    if not stamp or read_text_sidecar(spark, marker) != stamp:
+        curation.rule_signals(
+            docs, c4_clean=True, c4_kwargs=c4_kwargs,
+            widths=_SIGNALS_WIDTHS,
+        ).write.mode("overwrite").parquet(sig_path)
+        write_text_sidecar(spark, marker, stamp)
+    return spark.read.parquet(sig_path)
 
 
 @_register(
@@ -10059,17 +10113,9 @@ def curate_from_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bench = raw.filter(F.col("doc_id") % 97 == 0)
     c4_kwargs = {"min_words_per_line": 5, "min_lines": 2}
-    sig_path = os.path.join(
-        _SCRATCH_ROOT,
-        f"rule_signals_{os.path.basename(sf_dir.rstrip('/'))}",
-    )
-    curation.rule_signals(
-        docs, c4_clean=True, c4_kwargs=c4_kwargs, widths=(2, 3, 4, 9)
-    ).write.mode("overwrite").parquet(sig_path)
-    signals = spark.read.parquet(sig_path)
     return curation.curate_from_signals(
         docs,
-        signals,
+        _published_signals(spark, sf_dir, docs, c4_kwargs),
         bench,
         min_tokens=5,
         rates={"src0": 1.0, "src1": 0.5, "src2": 0.25},

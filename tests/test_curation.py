@@ -317,3 +317,83 @@ def test_signals_path_matches_inline_pipeline_under_defaults(spark):
         ).collect()
     }
     assert got == inline_narrow
+
+
+def test_audit_from_signals_matches_inline_audit(spark):
+    """VERDICT r13 #5: the audit verdict derived from a PUBLISHED
+    rule_signals table (audit_from_signals — one signals scan + the
+    shared _audit_tail) equals the inline audit's verdict for EVERY doc
+    on the corpus crafted to drop one doc at every stage, including the
+    C4-rewrite composition; a signals table narrower than the requested
+    repetition widths is refused by name."""
+    import pytest
+
+    from learn_hbase_spark.pipeline import curation
+
+    def long_doc(tag: str, lines: int = 6, first: str | None = None) -> str:
+        built = [
+            "the " + " ".join(f"{tag}{k}w{j}" for j in range(7)) + "."
+            for k in range(lines)
+        ]
+        if first is not None:
+            built[0] = first
+        return "\n".join(built)
+
+    rep_line = "the abc def abc def abc def abc def abc def abc def ok."
+    noswd = "zebra quagga okapi lemur tapir runs fast today."
+    noswd2 = "bison gaur saola addax turns left quite quickly."
+    cont1 = "the held out secret phrase appears right here today."
+    doc1 = long_doc("a")
+    docs = spark.createDataFrame(
+        [
+            (1, doc1, "src0"),
+            (2, "{ tiny }", "src0"),
+            (3, "the small cat sat.\nthe big dog ran.", "src0"),
+            (4, f"{noswd}\n{noswd2}", "src0"),
+            (5, f"{rep_line}\n{rep_line}", "src0"),
+            (6, doc1.upper(), "src0"),
+            (7, long_doc("c", first=cont1), "src0"),
+            (8, long_doc("m"), "srcX"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    bench = spark.createDataFrame(
+        [(99, "contains the held out secret phrase indeed", "src0")],
+        "doc_id long, text string, source string",
+    )
+    c4_kwargs = {"min_words_per_line": 4, "min_lines": 2}
+    kw = dict(
+        min_tokens=12,
+        rates={"src0": 1.0},
+        default_rate=0.0,
+        c4_clean=True,
+        c4_kwargs=c4_kwargs,
+        gopher_quality=True,
+        gopher_quality_kwargs={"min_words": 8, "min_stopwords": 1},
+        gopher_repetition=True,
+        gopher_repetition_kwargs={"widths": (2, 3, 4, 9)},
+    )
+    inline = {
+        r["doc_id"]: r["verdict"]
+        for r in curation.audit(docs, bench, **kw).collect()
+    }
+    signals = curation.rule_signals(
+        docs, c4_clean=True, c4_kwargs=c4_kwargs, widths=(2, 3, 4, 9)
+    )
+    via_signals = {
+        r["doc_id"]: r["verdict"]
+        for r in curation.audit_from_signals(
+            docs, signals, bench, pin=False, **kw
+        ).collect()
+    }
+    assert via_signals == inline
+    assert set(inline.values()) >= {
+        "kept", "c4_dropped", "short", "gopher_quality",
+        "gopher_repetition", "duplicate", "contaminated", "sampled_out",
+    }
+    # a table built without dup9 cannot answer widths=(2,3,4,9,10)
+    with pytest.raises(ValueError, match="dup10_char_frac"):
+        curation.audit_from_signals(
+            docs, signals, bench, pin=False,
+            **{**kw, "gopher_repetition_kwargs": {"widths": (2, 3, 4, 9, 10)}},
+        )
