@@ -318,6 +318,31 @@ def _curate_tail(
     drift. ``pin=False`` disables every stage-seam persist (including
     the band stages\' internal scored-frame pins) for repeated callers —
     see :func:`_pin` on CacheManager lifetime."""
+    mixed = _curate_survivors(
+        gated, benchmark, rates, default_rate,
+        lm_quantile, approx_threshold, ccnet_keep, strata_col,
+        pin_gated, pin,
+    )
+    return packing.pack_sequences(mixed, "doc_id", tokens, budget=budget)
+
+
+def _curate_survivors(
+    gated: DataFrame,
+    benchmark: DataFrame,
+    rates: dict[str, float] | None,
+    default_rate: float,
+    lm_quantile: float | None,
+    approx_threshold: bool,
+    ccnet_keep: tuple[str, ...] | None,
+    strata_col: str,
+    pin_gated: bool,
+    pin: bool = True,
+) -> DataFrame:
+    """Stages 5-9 (everything in :func:`_curate_tail` but the final
+    packing): the curated surviving DOCUMENT frame, exposed so
+    compositions that chain further corpus-level stages before packing
+    (near-dup dedup, chunking, tokenization — the ``pretraining_run``
+    lineage) build on exactly the pipeline's own survivor set."""
     if pin_gated and pin:
         # the gate output feeds several downstream consumers (dedup's
         # winner join, decontamination, the band stages) under different
@@ -349,10 +374,52 @@ def _curate_tail(
             "doc_id",
             "left_semi",
         )
-    mixed = sampling.stratified_sample(
+    return sampling.stratified_sample(
         clean, "doc_id", "source", rates or {}, default=default_rate
     )
-    return packing.pack_sequences(mixed, "doc_id", tokens, budget=budget)
+
+
+def curate_docs(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    min_tokens: int = 5,
+    rates: dict[str, float] | None = None,
+    default_rate: float = 0.1,
+    token_count: Column | None = None,
+    lm_quantile: float | None = None,
+    approx_threshold: bool = False,
+    c4_clean: bool = False,
+    c4_kwargs: dict | None = None,
+    gopher_quality: bool = False,
+    gopher_quality_kwargs: dict | None = None,
+    gopher_repetition: bool = False,
+    gopher_repetition_kwargs: dict | None = None,
+    ccnet_keep: tuple[str, ...] | None = None,
+    strata_col: str = "source",
+) -> DataFrame:
+    """:func:`curate` minus the final packing: the curated surviving
+    DOCUMENTS (cleaned text, post-mixing) — the frame a pretraining data
+    path hands to its NEXT corpus-level stages (near-dup dedup, chunking,
+    tokenization) before any packing happens. Same parameters and same
+    stage bodies as :func:`curate` (:func:`_apply_rule_gates` +
+    :func:`_curate_survivors` are shared verbatim), so a composition
+    built on this can never drift from the pipeline's own survivor
+    set."""
+    _require_scoreable(min_tokens, lm_quantile, ccnet_keep)
+    tokens = (
+        token_count if token_count is not None else T.token_count(F.col("text"))
+    )
+    gated = _apply_rule_gates(
+        docs, min_tokens, tokens,
+        c4_clean, c4_kwargs,
+        gopher_quality, gopher_quality_kwargs,
+        gopher_repetition, gopher_repetition_kwargs,
+    )
+    return _curate_survivors(
+        gated, benchmark, rates, default_rate,
+        lm_quantile, approx_threshold, ccnet_keep, strata_col,
+        pin_gated=gopher_repetition,
+    )
 
 
 def rule_signals(
