@@ -1622,6 +1622,46 @@ def ivf_pq_topk_frozen(
     )
 
 
+def rerank_exact(
+    shortlist: DataFrame,
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact-cosine re-rank of an ANN shortlist — the standard two-stage
+    production pattern (FAISS ``IndexRefine`` over IVF-PQ): the
+    quantized ADC pass only has to put the true neighbors inside a
+    top-R SUPERSET; the final order comes from exact similarity over R
+    raw vectors per query. Corpus access is a candidate-set-sized
+    gather (the nq×R shortlist broadcast into one corpus scan — at
+    100 TB this is the point: the raw vectors are touched for R rows
+    per query, never re-scanned), the query side is broadcast, ranking
+    is the `cosine_topk` window. ``shortlist`` needs (query_id,
+    neighbor_id); returns (query_id, neighbor_id, rank, sim)."""
+    cand = F.broadcast(shortlist.select("query_id", "neighbor_id"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    scored = (
+        cand.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn("sim", F.round(cosine(F.col("_qv"), F.col("_cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
 def extend_ivf_pq(
     new_vectors: DataFrame,
     path: str,

@@ -499,8 +499,8 @@ _SWEEP_PRIORITY: list[str] = [
     # curation_audit_rules / curate_from_signals: answers UNCHANGED but
     # plans rebuilt on the published-signals artifact (freshness-skipped)
     # — re-verify first.
-    "multimodal_decode_real", "pretraining_run", "curation_audit_rules",
-    "curate_from_signals",
+    "multimodal_decode_real", "pretraining_run", "ann_ivf_pq_rerank",
+    "multimodal_resize_real", "curation_audit_rules", "curate_from_signals",
     "ann_ivf_topk", "embedding_kmeans", "semantic_dedup",
 ]
 
@@ -4886,6 +4886,83 @@ def ann_ivf_pq_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     q = emb.filter(F.col("vec_id") < 10)
     return similarity.ivf_pq_topk_frozen(q, path, nprobe=4, k=5)
+
+
+_IVF_PQ_RERANK_SQL = (
+    _IVF_PQ_SQL.replace(
+        """
+    SELECT query_id, neighbor_id, rank, dist FROM (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY dist ASC, neighbor_id ASC) AS rank,
+             dist
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+        """,
+    shortlist AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY dist ASC, neighbor_id ASC)
+                 AS adc_rank
+        FROM scored
+      ) WHERE adc_rank <= 20
+    ),
+    exact AS (
+      SELECT s.query_id, s.neighbor_id,
+             round(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                    CAST(n.embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                        CAST(q.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(n.embedding AS DOUBLE[]),
+                                          CAST(n.embedding AS DOUBLE[])))),
+               6) AS sim
+      FROM shortlist s
+      JOIN embeddings q ON q.vec_id = s.query_id
+      JOIN embeddings n ON n.vec_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, rank, sim FROM (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id ASC) AS rank,
+             sim
+      FROM exact
+    ) WHERE rank <= 5
+    """,
+    )
+)
+
+
+@_register("ann_ivf_pq_rerank", _IVF_PQ_RERANK_SQL)
+def ann_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN: the frozen IVF-PQ probe produces a top-20 ADC
+    SHORTLIST, then `similarity.rerank_exact` re-orders it by exact
+    cosine over the raw vectors (FAISS's IndexRefine deployment
+    pattern — quantization error only has to preserve the superset;
+    the answer the user sees is exact over R candidates). Reuses
+    `ann_ivf_pq_frozen`'s artifact (same params, freshness-skipped),
+    so steady state pays one probe + an nq×20 gather join — the raw
+    corpus is scanned once, filtered by the broadcast shortlist, never
+    re-scored wholesale. The oracle chains the shared IVF-PQ replay
+    into the exact-cosine re-rank, so the COMPOSITION is value-hash
+    verified end to end."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    path = os.path.join(
+        _SCRATCH_ROOT, f"ivf_pq_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    src = similarity.ivf_pq_fingerprint(emb)
+    if not similarity.ivf_pq_fresh(
+        spark, path, src, nlist=16, m=4, k_codes=16
+    ):
+        similarity.freeze_ivf_pq(
+            emb, path, nlist=16, m=4, k_codes=16, src_fingerprint=src
+        )
+    shortlist = similarity.ivf_pq_topk_frozen(
+        q, path, nprobe=4, k=20
+    ).select("query_id", "neighbor_id")
+    return similarity.rerank_exact(shortlist, q, emb, k=5)
 
 
 @_register("ann_ivf_pq_extend", _IVF_PQ_SQL)
@@ -10321,6 +10398,48 @@ def pretraining_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(tok, "cuid")
         .join(addressed, "cuid")
         .select("doc_id", "chunk_id", "n_tokens", "pack_group", "seq_id")
+    )
+
+
+@_register(
+    "multimodal_resize_real",
+    """
+    WITH img AS (
+      SELECT doc_id, 8 + doc_id % 5 AS w, 8 + doc_id % 3 AS h
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    rp AS (
+      SELECT i.doc_id,
+             (i.doc_id*7 + ((y.y * i.h) // 3)*5 + ((x.x * i.w) // 4)*3)
+               % 256 AS b,
+             (i.doc_id*7 + ((y.y * i.h) // 3)*5 + ((x.x * i.w) // 4)*3
+               + 11) % 256 AS g,
+             (i.doc_id*7 + ((y.y * i.h) // 3)*5 + ((x.x * i.w) // 4)*3
+               + 22) % 256 AS r
+      FROM img i, range(3) y(y), range(4) x(x)
+    )
+    SELECT doc_id AS media_id, CAST(4 AS INT) AS width,
+           CAST(3 AS INT) AS height,
+           ROUND(AVG(CAST(b AS DOUBLE)), 6) AS mean_b,
+           ROUND(AVG(CAST(g AS DOUBLE)), 6) AS mean_g,
+           ROUND(AVG(CAST(r AS DOUBLE)), 6) AS mean_r
+    FROM rp GROUP BY doc_id
+    """,
+)
+def multimodal_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL resize verified end to end through TWO full codec
+    round-trips: the deterministic BMP fixtures are decoded,
+    nearest-neighbor resampled to 4×3 (pure NumPy index selection),
+    re-ENCODED as BMP, decoded AGAIN by the feature kernel, and the
+    resized pixel means compared against DuckDB's replay of the
+    ``src[(y'·h)//th][(x'·w)//tw]`` sampling arithmetic — any bug in
+    the resample grid OR in either codec direction breaks the hash.
+    All Python work is Arrow-batched mapInPandas over the
+    parity-pruned scan."""
+    media = _encoded_media(spark, sf_dir, "image")
+    resized = multimodal.resize_images(media, target_w=4, target_h=3)
+    return multimodal.image_pixel_features(
+        resized.select("media_id", F.lit("image").alias("kind"), "payload")
     )
 
 
