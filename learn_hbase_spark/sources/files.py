@@ -147,6 +147,7 @@ def read_xml(
 # extensions ingest as kind='binary' (opaque) rather than being dropped —
 # a corpus crawl must never silently lose files.
 _MEDIA_EXT = {
+    "bmp": ("image", "image/bmp"),
     "jpg": ("image", "image/jpeg"),
     "jpeg": ("image", "image/jpeg"),
     "png": ("image", "image/png"),

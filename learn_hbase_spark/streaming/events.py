@@ -953,6 +953,157 @@ def ann_index_ingest_stream(
     q.awaitTermination()
 
 
+def _claim_stream_output(
+    spark: SparkSession, output_dir: str, checkpoint_dir: str, marker: str
+) -> None:
+    """Ownership guard for streams that land ``_batch``-partitioned
+    dynamic partition overwrites: ``_batch`` numbers come from ONE
+    checkpoint's counter, so the output dir is meaningful only relative
+    to that checkpoint. Stamps ``{output_dir}/{marker}`` with the
+    checkpoint path on first use; REFUSES an output dir whose ``_batch=*``
+    partitions are owned by a different checkpoint (two streams would
+    silently cross-overwrite each other's partitions) or by a checkpoint
+    that has since been deleted/reset (the fresh counter restarts at 0,
+    so partitions the new run never rewrites would linger as stale
+    duplicates for any consumer unioning the directory)."""
+    from ..storage.artifact import (
+        delta_partition_count,
+        hadoop_fs,
+        read_text_sidecar,
+        write_text_sidecar,
+    )
+
+    owner_p = f"{output_dir}/{marker}"
+    if delta_partition_count(spark, output_dir, prefix="_batch=") > 0:
+        owner = read_text_sidecar(spark, owner_p)
+        if owner != checkpoint_dir:
+            raise ValueError(
+                f"output dir {output_dir} already holds _batch=* results "
+                f"owned by {owner or 'no recorded checkpoint'} — two "
+                "streams must not share one output dir (their checkpoint "
+                "batch counters would silently cross-overwrite); use a "
+                "fresh output dir per stream"
+            )
+        commits_fs, commits_jp = hadoop_fs(spark, f"{checkpoint_dir}/commits")
+        if not (
+            commits_fs.exists(commits_jp)
+            and commits_fs.listStatus(commits_jp)
+        ):
+            raise ValueError(
+                f"output dir {output_dir} holds results from checkpoint "
+                f"{checkpoint_dir}, but that checkpoint has no committed "
+                "batches — it was deleted/reset, so its restarted batch "
+                "counter would leave stale _batch=* partitions the new "
+                "run never rewrites; clear the output dir (or use a fresh "
+                "one) before restarting from an empty checkpoint"
+            )
+    else:
+        write_text_sidecar(spark, owner_p, checkpoint_dir)
+
+
+def media_feature_stream(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    pattern: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Streaming multimodal feature extraction over a media DROP ZONE —
+    the file edge of the multimodal pipeline run continuously: media
+    files land in a directory (the crawl/ingest pattern), each drain
+    reads ONLY the new files via the checkpointed ``binaryFile`` listing
+    and decodes them with the REAL codec kernels
+    (``operators.multimodal``): BMP → dimensions + per-channel pixel
+    means, WAV → sample rate / count / RMS / peak; every other kind gets
+    the format-agnostic payload profile (byte length + checksum) — the
+    triage a crawl runs before deciding what to decode. Results land as
+    ``(media_id, kind, path, n_bytes, …features)`` under this batch's
+    own ``_batch`` partition (dynamic partition overwrite → at-least-once
+    replays rewrite, never double-append — the ANN serving contract),
+    and the output dir is ownership-guarded against a second stream or
+    a reset checkpoint. ``media_id`` is ``md5(path)`` (the
+    ``read_binary_files`` id rule — collision-safe at crawl scale).
+    Decode failures FAIL THE DRAIN loudly (a malformed payload is data
+    the pipeline must see, not silently skip); quarantine-and-continue
+    is a caller policy built by pre-filtering ``pattern``."""
+    from ..operators.multimodal import audio_features, image_pixel_features
+    from ..sources.files import _MEDIA_EXT
+
+    _claim_stream_output(spark, output_dir, checkpoint_dir, "_media_owner")
+
+    # the binaryFile source's fixed schema (required for readStream)
+    schema = (
+        "path string, modificationTime timestamp, length long, "
+        "content binary"
+    )
+    reader = spark.readStream.format("binaryFile").schema(schema)
+    if pattern is not None:
+        reader = reader.option("pathGlobFilter", pattern)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.load(input_dir)
+
+    ext = F.lower(F.element_at(F.split(F.col("path"), r"\."), -1))
+    kind_map = F.create_map(
+        *[F.lit(x) for kv in _MEDIA_EXT.items() for x in (kv[0], kv[1][0])]
+    )
+
+    def _body(batch, batch_id: int) -> None:
+        if not batch.take(1):
+            return
+        media = batch.select(
+            F.md5(F.col("path").cast("binary")).alias("media_id"),
+            F.coalesce(kind_map[ext], F.lit("binary")).alias("kind"),
+            F.col("content").alias("payload"),
+            F.col("path"),
+            F.col("length").alias("n_bytes"),
+        ).localCheckpoint()  # three kind-split consumers; list/decode once
+        null_i = F.lit(None).cast("int")
+        null_l = F.lit(None).cast("long")
+        null_d = F.lit(None).cast("double")
+        base = media.select("media_id", "kind", "path", "n_bytes")
+        img = image_pixel_features(media).join(
+            base, "media_id"
+        ).select(
+            "media_id", "kind", "path", "n_bytes",
+            "width", "height", "mean_b", "mean_g", "mean_r",
+            null_i.alias("sample_rate"), null_l.alias("n_samples"),
+            null_d.alias("rms"), null_i.alias("peak"),
+        )
+        aud = audio_features(media).join(base, "media_id").select(
+            "media_id", "kind", "path", "n_bytes",
+            null_i.alias("width"), null_i.alias("height"),
+            null_d.alias("mean_b"), null_d.alias("mean_g"),
+            null_d.alias("mean_r"),
+            "sample_rate", "n_samples", "rms", "peak",
+        )
+        other = base.filter(~F.col("kind").isin("image", "audio")).select(
+            "media_id", "kind", "path", "n_bytes",
+            null_i.alias("width"), null_i.alias("height"),
+            null_d.alias("mean_b"), null_d.alias("mean_g"),
+            null_d.alias("mean_r"),
+            null_i.alias("sample_rate"), null_l.alias("n_samples"),
+            null_d.alias("rms"), null_i.alias("peak"),
+        )
+        (
+            img.unionByName(aud).unionByName(other)
+            .withColumn("_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch")
+            .parquet(output_dir)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_body)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def ann_probe_stream(
     spark: SparkSession,
     input_dir: str,
@@ -1000,39 +1151,8 @@ def ann_probe_stream(
         ivf_pq_topk_frozen,
         resume_crashed_compact,
     )
-    from ..storage.artifact import (
-        delta_partition_count,
-        hadoop_fs,
-        read_text_sidecar,
-        write_text_sidecar,
-    )
 
-    owner_p = f"{output_dir}/_probe_owner"
-    if delta_partition_count(spark, output_dir, prefix="_batch=") > 0:
-        owner = read_text_sidecar(spark, owner_p)
-        if owner != checkpoint_dir:
-            raise ValueError(
-                f"output dir {output_dir} already holds _batch=* results "
-                f"owned by {owner or 'no recorded checkpoint'} — two probe "
-                "streams must not share one output dir (their checkpoint "
-                "batch counters would silently cross-overwrite); use a "
-                "fresh output dir per stream"
-            )
-        commits_fs, commits_jp = hadoop_fs(spark, f"{checkpoint_dir}/commits")
-        if not (
-            commits_fs.exists(commits_jp)
-            and commits_fs.listStatus(commits_jp)
-        ):
-            raise ValueError(
-                f"output dir {output_dir} holds results from checkpoint "
-                f"{checkpoint_dir}, but that checkpoint has no committed "
-                "batches — it was deleted/reset, so its restarted batch "
-                "counter would leave stale _batch=* partitions the new "
-                "run never rewrites; clear the output dir (or use a fresh "
-                "one) before restarting from an empty checkpoint"
-            )
-    else:
-        write_text_sidecar(spark, owner_p, checkpoint_dir)
+    _claim_stream_output(spark, output_dir, checkpoint_dir, "_probe_owner")
 
     def _body(batch, batch_id: int) -> None:
         if not batch.take(1):

@@ -1660,3 +1660,77 @@ def test_ann_probe_stream_refuses_unowned_output_dir(spark, tmp_path):
     with pytest.raises(ValueError, match="no committed batches"):
         ann_probe_stream(spark, str(drop), art, out, ckpt1, nprobe=4, k=5)
     assert spark.read.parquet(out).count() == served
+
+
+def test_media_feature_stream_decodes_new_files_per_drain(spark, tmp_path):
+    """Streaming multimodal features over a drop zone: drain 1 decodes
+    the first BMP + WAV with the REAL codecs (values match NumPy
+    references), drain 2 touches only the newly dropped file, unknown
+    kinds get the payload profile row, replay with the same checkpoint
+    is a no-op, and a second stream on the same output dir is refused."""
+    import hashlib
+
+    import numpy as np
+    import pytest
+
+    from learn_hbase_spark.operators import multimodal
+    from learn_hbase_spark.streaming.events import media_feature_stream
+
+    drop = tmp_path / "media"
+    drop.mkdir()
+    px = np.arange(4 * 5 * 3, dtype=np.uint8).reshape(4, 5, 3) % 251
+    (drop / "a.bmp").write_bytes(multimodal.encode_bmp(px))
+    s = (np.arange(-50, 50, dtype=np.int64) * 300).astype(np.int16)
+    (drop / "b.wav").write_bytes(multimodal.encode_wav_pcm16(s, 16000))
+    (drop / "c.bin").write_bytes(b"\x00opaque")
+
+    out = str(tmp_path / "features")
+    ckpt = str(tmp_path / "ckpt")
+    media_feature_stream(spark, str(drop), out, ckpt)
+
+    def by_name():
+        rows = spark.read.parquet(out).collect()
+        got = {}
+        for r in rows:
+            got[r["path"].rsplit("/", 1)[-1]] = r.asDict()
+        return got
+
+    got = by_name()
+    assert set(got) == {"a.bmp", "b.wav", "c.bin"}
+    img = got["a.bmp"]
+    assert (img["kind"], img["width"], img["height"]) == ("image", 5, 4)
+    means = px.astype(np.float64).mean(axis=(0, 1))
+    assert img["mean_b"] == round(float(means[0]), 6)
+    aud = got["b.wav"]
+    assert (aud["kind"], aud["sample_rate"], aud["n_samples"]) == (
+        "audio", 16000, 100,
+    )
+    s64 = s.astype(np.int64)
+    assert aud["rms"] == round(float(np.sqrt((s64 * s64).mean())), 6)
+    assert aud["peak"] == int(np.abs(s64).max())
+    other = got["c.bin"]
+    assert other["kind"] == "binary" and other["width"] is None
+    assert other["n_bytes"] == 7
+    # media_id follows the read_binary_files rule: md5 of the source path
+    assert img["media_id"] == hashlib.md5(
+        img["path"].encode()
+    ).hexdigest()
+
+    # drain 2: only the new file is decoded and appended
+    px2 = (px[::-1] + 7).astype(np.uint8)
+    (drop / "d.bmp").write_bytes(multimodal.encode_bmp(px2))
+    media_feature_stream(spark, str(drop), out, ckpt)
+    got2 = by_name()
+    assert set(got2) == {"a.bmp", "b.wav", "c.bin", "d.bmp"}
+    means2 = px2.astype(np.float64).mean(axis=(0, 1))
+    assert got2["d.bmp"]["mean_g"] == round(float(means2[1]), 6)
+
+    # replay: same checkpoint, no new files -> no-op
+    media_feature_stream(spark, str(drop), out, ckpt)
+    assert len(by_name()) == 4
+
+    # ownership: a different checkpoint must not serve into this dir
+    with pytest.raises(ValueError, match="must not share"):
+        media_feature_stream(
+            spark, str(drop), out, str(tmp_path / "ckpt2")
+        )
