@@ -1515,6 +1515,7 @@ def ivf_pq_topk_frozen(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ top-k over a :func:`freeze_ivf_pq` artifact — the PROBE-ONLY
     deployment path: centroids + codebook load to the driver (bounded:
@@ -1527,7 +1528,18 @@ def ivf_pq_topk_frozen(
     :func:`_adc_table`), so the frozen probe inherits its full DuckDB
     oracle. At 100 TB the probe cost is (query set) x (probed cells'
     codes) — independent of corpus encode cost, which is the point of
-    freezing."""
+    freezing.
+
+    ``allowed`` (optional, a frame with ``id_col``) enables FILTERED
+    vector search — top-k among the vectors satisfying a metadata
+    predicate, the production pattern behind "similar docs in license
+    class X". The restriction applies to the CANDIDATE set before ADC
+    ranking (rank-then-filter would silently return < k rows whenever
+    the filter is selective). Pre-filtering is the right regime when the
+    predicate passes a nontrivial fraction of each probed cell; for
+    needle-sharp predicates, flip to an exact scan over the allowed set
+    (`cosine_topk` against the filtered corpus) — the standard
+    crossover every filtered-ANN system documents."""
     spark = queries.sparkSession
     meta = ivf_pq_meta(spark, path)
     if meta is None or int(meta["nlist"]) < 0:
@@ -1576,6 +1588,15 @@ def ivf_pq_topk_frozen(
     corpus_cells = corpus_cells.filter(F.col("cell").isin(probed)).select(
         F.col(id_col).alias("neighbor_id"), "cell"
     )
+    if allowed is not None:
+        # metadata predicate → candidate restriction BEFORE ranking; a
+        # semi-join, so the filter frame's other columns never widen the
+        # probe rows, and at scale it rides the same id partitioning
+        corpus_cells = corpus_cells.join(
+            allowed.select(F.col(id_col).alias("neighbor_id")),
+            "neighbor_id",
+            "left_semi",
+        )
     cand = corpus_cells.join(F.broadcast(q_cells), "cell").select(
         "query_id", "neighbor_id"
     )

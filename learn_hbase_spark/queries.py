@@ -500,7 +500,8 @@ _SWEEP_PRIORITY: list[str] = [
     # plans rebuilt on the published-signals artifact (freshness-skipped)
     # — re-verify first.
     "multimodal_decode_real", "pretraining_run", "ann_ivf_pq_rerank",
-    "multimodal_resize_real", "curation_audit_rules", "curate_from_signals",
+    "ann_ivf_pq_filtered", "multimodal_resize_real", "curation_audit_rules",
+    "curate_from_signals",
     "ann_ivf_topk", "embedding_kmeans", "semantic_dedup",
 ]
 
@@ -4888,6 +4889,58 @@ def ann_ivf_pq_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_pq_topk_frozen(q, path, nprobe=4, k=5)
 
 
+_IVF_PQ_FILTERED_SQL = _IVF_PQ_SQL.replace(
+    """
+    cand AS (
+      SELECT q.query_id, c.neighbor_id
+      FROM ccells c JOIN qcells q USING (cell)
+    ),
+    """,
+    """
+    cand AS (
+      SELECT q.query_id, c.neighbor_id
+      FROM ccells c JOIN qcells q USING (cell)
+      WHERE c.neighbor_id % 3 = 0
+    ),
+    """,
+)
+
+
+# a silently-failed replace would leave the UNFILTERED oracle paired with
+# the filtered query — make that impossible to miss at import time
+assert "neighbor_id % 3 = 0" in _IVF_PQ_FILTERED_SQL
+
+
+@_register("ann_ivf_pq_filtered", _IVF_PQ_FILTERED_SQL)
+def ann_ivf_pq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search over the frozen IVF-PQ artifact
+    (similarity.ivf_pq_topk_frozen(allowed=...)): top-5 among the
+    vectors satisfying a metadata predicate (here ``vec_id % 3 = 0`` —
+    standing in for 'license class X' / 'language = en'), restricting
+    the CANDIDATE set before ADC ranking, never after (rank-then-filter
+    under-returns whenever the filter is selective). The predicate is a
+    semi-join into the probed cells' int rows — the artifact layout and
+    pushed probed-cell scan filter are untouched. Reuses the shared
+    frozen artifact (freshness-skipped); the oracle is the IVF-PQ
+    replay with the same candidate restriction."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    path = os.path.join(
+        _SCRATCH_ROOT, f"ivf_pq_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    src = similarity.ivf_pq_fingerprint(emb)
+    if not similarity.ivf_pq_fresh(
+        spark, path, src, nlist=16, m=4, k_codes=16
+    ):
+        similarity.freeze_ivf_pq(
+            emb, path, nlist=16, m=4, k_codes=16, src_fingerprint=src
+        )
+    allowed = emb.filter(F.col("vec_id") % 3 == 0).select("vec_id")
+    return similarity.ivf_pq_topk_frozen(
+        q, path, nprobe=4, k=5, allowed=allowed
+    )
+
+
 _IVF_PQ_RERANK_SQL = (
     _IVF_PQ_SQL.replace(
         """
@@ -4932,6 +4985,9 @@ _IVF_PQ_RERANK_SQL = (
     """,
     )
 )
+
+
+assert "adc_rank <= 20" in _IVF_PQ_RERANK_SQL  # same failed-replace guard
 
 
 @_register("ann_ivf_pq_rerank", _IVF_PQ_RERANK_SQL)

@@ -1427,3 +1427,36 @@ def test_layout_v1_artifact_probes_but_refuses_appends(spark, tmp_path):
         similarity.extend_ivf_pq(extra, path, src_fingerprint="v1+")
     with pytest.raises(ValueError, match="refreeze to upgrade"):
         similarity.ann_index_ingest_batch(extra, 0, path)
+
+
+def test_frozen_probe_filtered_search(spark, vectors, tmp_path):
+    """Filtered vector search: ivf_pq_topk_frozen(allowed=...) restricts
+    the CANDIDATE set before ADC ranking — every neighbor satisfies the
+    predicate, k rows still come back where the filtered cells hold
+    enough candidates, and the result equals the unfiltered probe with
+    disallowed neighbors removed and re-ranked (same ADC distances)."""
+    path = str(tmp_path / "art")
+    similarity.freeze_ivf_pq(vectors, path, nlist=8, m=4, k_codes=8,
+                             src_fingerprint="v1")
+    q = vectors.filter(F.col("vec_id") < 3)
+    allowed = vectors.filter(F.col("vec_id") % 2 == 0).select("vec_id")
+    got = similarity.ivf_pq_topk_frozen(
+        q, path, nprobe=8, k=5, allowed=allowed
+    ).collect()
+    assert got and all(r["neighbor_id"] % 2 == 0 for r in got)
+    # reference: unfiltered probe at full depth, filter, re-rank
+    full = similarity.ivf_pq_topk_frozen(q, path, nprobe=8, k=10**6)
+    want = {}
+    for r in sorted(
+        (r for r in full.collect() if r["neighbor_id"] % 2 == 0),
+        key=lambda r: (r["query_id"], r["dist"], r["neighbor_id"]),
+    ):
+        want.setdefault(r["query_id"], [])
+        if len(want[r["query_id"]]) < 5:
+            want[r["query_id"]].append((r["neighbor_id"], r["dist"]))
+    got_by_q = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rank"])):
+        got_by_q.setdefault(r["query_id"], []).append(
+            (r["neighbor_id"], r["dist"])
+        )
+    assert got_by_q == want
