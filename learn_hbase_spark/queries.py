@@ -500,8 +500,8 @@ _SWEEP_PRIORITY: list[str] = [
     # plans rebuilt on the published-signals artifact (freshness-skipped)
     # — re-verify first.
     "multimodal_decode_real", "pretraining_run", "ann_ivf_pq_rerank",
-    "ann_ivf_pq_filtered", "multimodal_resize_real", "curation_audit_rules",
-    "curate_from_signals",
+    "ann_ivf_pq_filtered", "sq8_encode", "ann_sq8_topk",
+    "multimodal_resize_real", "curation_audit_rules", "curate_from_signals",
     "ann_ivf_topk", "embedding_kmeans", "semantic_dedup",
 ]
 
@@ -4887,6 +4887,93 @@ def ann_ivf_pq_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     q = emb.filter(F.col("vec_id") < 10)
     return similarity.ivf_pq_topk_frozen(q, path, nprobe=4, k=5)
+
+
+_SQ8_BOUNDS_CTE = """
+    dims AS (SELECT CAST(i AS INT) AS i FROM range(1, 65) t(i)),
+    bounds AS (
+      SELECT d.i,
+             min(list_extract(CAST(e.embedding AS DOUBLE[]), d.i)) AS lo,
+             max(list_extract(CAST(e.embedding AS DOUBLE[]), d.i)) AS hi
+      FROM embeddings e, dims d GROUP BY d.i
+    )
+"""
+
+
+@_register(
+    "sq8_encode",
+    f"""
+    WITH {_SQ8_BOUNDS_CTE}
+    SELECT e.vec_id, b.i,
+           CAST(CASE WHEN b.hi = b.lo THEN 0
+                ELSE least(255, floor(
+                  (list_extract(CAST(e.embedding AS DOUBLE[]), b.i) - b.lo)
+                  / (b.hi - b.lo) * 256)) END AS INT) AS code
+    FROM embeddings e, bounds b
+    WHERE e.vec_id < 200
+    """,
+)
+def sq8_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar quantization to int8-range codes
+    (operators.similarity.sq8_encode_long — the FAISS SQ8 alternative to
+    PQ: per-dimension trained buckets, no codebook state, 4-8× memory-
+    bandwidth reduction): bounds from ONE 2×dim-cell aggregate pass,
+    bucket = min(255, floor((x-lo)/(hi-lo)·256)) — FLOOR so the
+    assignment has no engine-dependent tie rule. Integer output ⇒ exact
+    value-hash; vec_id < 200 bounds the long-format row count."""
+    emb = _t(spark, sf_dir, "embeddings")
+    los, his = similarity.sq8_bounds(emb)
+    return similarity.sq8_encode_long(
+        emb.filter(F.col("vec_id") < 200), los, his
+    )
+
+
+@_register(
+    "ann_sq8_topk",
+    f"""
+    WITH {_SQ8_BOUNDS_CTE},
+    b AS (SELECT list(lo ORDER BY i) AS los, list(hi ORDER BY i) AS his
+          FROM bounds),
+    deq AS (
+      SELECT e.vec_id,
+             list_transform(generate_series(1, 64), i ->
+               b.los[i]
+               + ((CASE WHEN b.his[i] = b.los[i] THEN 0
+                   ELSE least(255, floor(
+                     (list_extract(CAST(e.embedding AS DOUBLE[]), i)
+                      - b.los[i]) / (b.his[i] - b.los[i]) * 256)) END)
+                  + 0.5)
+                 * (b.his[i] - b.los[i]) / 256) AS xq
+      FROM embeddings e, b
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+             round(list_dot_product(CAST(q.embedding AS DOUBLE[]), d.xq),
+                   6) AS score
+      FROM embeddings q, deq d
+      WHERE q.vec_id < 10 AND q.vec_id <> d.vec_id
+    )
+    SELECT query_id, neighbor_id, rank, score FROM (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id ASC)
+               AS rank,
+             score
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric top-k against the SQ8-reconstructed corpus
+    (operators.similarity.sq8_topk): full-precision queries (vec_id <
+    10) score against bucket-center reconstructions — the SQ sibling of
+    PQ's ADC. The whole dequantize+dot is one JVM expression tree per
+    corpus row (no Python, no shuffle beyond the broadcast query side);
+    the oracle replays bounds, bucket assignment (floor — no tie rule),
+    reconstruction, and the sequential dot exactly."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    return similarity.sq8_topk(q, emb, k=5)
 
 
 _IVF_PQ_FILTERED_SQL = _IVF_PQ_SQL.replace(

@@ -364,3 +364,53 @@ def test_ngram_containment_capped_pairs_law(spark, docs, max_bucket):
     assert set(got) == set(expect)
     for p, v in expect.items():
         assert got[p] == pytest.approx(v)
+
+
+@given(
+    h=st.integers(min_value=1, max_value=12),
+    w=st.integers(min_value=1, max_value=12),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_bmp_roundtrip_is_identity(h, w, seed):
+    """encode_bmp ∘ decode_bmp is the identity for every shape — the
+    4-byte row padding (any width), the bottom-up flip, and single-pixel
+    edge cases all land exactly; file size matches the header's claim."""
+    import numpy as np
+
+    from learn_hbase_spark.operators.multimodal import decode_bmp, encode_bmp
+
+    rng = np.random.RandomState(seed)
+    px = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+    payload = encode_bmp(px)
+    stride = (w * 3 + 3) // 4 * 4
+    assert len(payload) == 54 + stride * h
+    back = decode_bmp(payload)
+    assert back.shape == (h, w, 3) and (back == px).all()
+
+
+@given(
+    n=st.integers(min_value=0, max_value=400),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_wav_roundtrip_is_identity(n, rate, seed):
+    """encode_wav_pcm16 ∘ decode_wav_pcm16 is the identity for any
+    sample count (odd data-chunk sizes never occur at 16-bit, but the
+    chunk walk is exercised at every n incl. 0) and preserves the rate
+    and extreme int16 values."""
+    import numpy as np
+
+    from learn_hbase_spark.operators.multimodal import (
+        decode_wav_pcm16,
+        encode_wav_pcm16,
+    )
+
+    rng = np.random.RandomState(seed)
+    s = rng.randint(-32768, 32768, size=n).astype(np.int16)
+    if n >= 2:  # pin the extremes explicitly
+        s[0], s[1] = -32768, 32767
+    got_rate, back = decode_wav_pcm16(encode_wav_pcm16(s, rate))
+    assert got_rate == rate
+    assert back.shape == s.shape and (back == s).all()

@@ -28,6 +28,11 @@ NESTED_LOOP_ALLOWED: dict[str, str] = {
     # approximate variants (ann_lsh_topk, ann_ivf_topk) are measured against;
     # the broadcast side is the bounded query set, not the corpus.
     "ann_cosine_topk": "intentional bounded cross join (query set broadcast)",
+    # Same bounded shape over the SQ8-reconstructed corpus: the query set
+    # broadcasts, the corpus streams through one codegen'd stage — SQ8's
+    # value is the 4-8x smaller corpus representation, not candidate
+    # pruning (compose the IVF prefilter for that).
+    "ann_sq8_topk": "intentional bounded cross join (query set broadcast)",
     # Same bounded shape: the benchmark set (tiny by construction — eval
     # suites vs a billion-doc corpus) is the broadcast side; corpus never
     # shuffles. The LSH-bucketed equi-join is the documented alternative
