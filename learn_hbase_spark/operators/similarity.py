@@ -569,12 +569,6 @@ def kmeans_clusters(
     final scoring are unchanged; cross-engine argmax/round agreement
     rests on the same separation argument as the assignment oracles.
     """
-    import numpy as np
-    import pandas as pd
-
-    def _norm_rows(m: "np.ndarray") -> "np.ndarray":
-        return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-
     prepped = corpus.select(
         F.col(id_col).alias("_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
@@ -583,21 +577,59 @@ def kmeans_clusters(
     # round (the standard cache-the-input shape for iterative ML). At
     # cluster scale this is a persist of (id, double[]) — strictly smaller
     # than re-decoding the source each round.
+    cents = _kmeans_fit(prepped, k, n_iter, exact_replay)
+    final = prepped.mapInPandas(
+        _kmeans_assigner(cents), schema="_id long, _v array<double>, _cell int"
+    )
+    cent_rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)]
+    cent_df = corpus.sparkSession.createDataFrame(
+        cent_rows, "_cell int, _cv array<double>"
+    )
+    return (
+        final.join(F.broadcast(cent_df), "_cell")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_cell").alias("cluster_id"),
+            F.round(cosine(F.col("_v"), F.col("_cv")), 6).alias("sim"),
+        )
+    )
+
+
+def _kmeans_assigner(cent_matrix):
+    """Arrow-batched max-cosine assignment against a fixed centroid
+    matrix (ties → lowest cell, the numpy argmax rule) — THE assignment
+    kernel, shared by every Lloyd round, the final labeling pass, and
+    the frozen-artifact deployment assign so they cannot drift."""
+    import numpy as np
+
+    def fn(batches):
+        for pdf in batches:
+            m = _np_norm_rows(
+                np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
+            )
+            pdf = pdf[["_id", "_v"]].copy()
+            pdf["_cell"] = np.argmax(m @ cent_matrix.T, axis=1).astype("int32")
+            yield pdf
+
+    return fn
+
+
+def _kmeans_fit(prepped, k: int, n_iter: int, exact_replay: bool):
+    """The deterministic Lloyd loop over a prepped ``(_id, _v)`` frame:
+    k lowest-id seeds, ``n_iter`` fixed rounds, per-round driver state =
+    the k×dim centroid matrix. Shared by :func:`kmeans_clusters` (which
+    labels the corpus with the result) and :func:`freeze_kmeans` (which
+    persists it as the deployment artifact)."""
+    import numpy as np
+    import pandas as pd
+
+    def _norm_rows(m: "np.ndarray") -> "np.ndarray":
+        return _np_norm_rows(m)
+
     seeds = (
         prepped.orderBy(F.col("_id").asc()).limit(k).toPandas()["_v"]
     )
     cents = _norm_rows(np.stack([np.asarray(v, dtype=np.float64) for v in seeds]))
-
-    def _assign(cent_matrix: "np.ndarray"):
-        def fn(batches):
-            for pdf in batches:
-                m = _norm_rows(
-                    np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
-                )
-                pdf = pdf[["_id", "_v"]].copy()
-                pdf["_cell"] = np.argmax(m @ cent_matrix.T, axis=1).astype("int32")
-                yield pdf
-        return fn
 
     schema = "_id long, _v array<double>, _cell int"
 
@@ -609,7 +641,7 @@ def kmeans_clusters(
         return pd.DataFrame({"_cell": [key[0]], "_v": [m.mean(axis=0).tolist()]})
 
     for _ in range(n_iter):
-        assigned = prepped.mapInPandas(_assign(cents), schema=schema)
+        assigned = prepped.mapInPandas(_kmeans_assigner(cents), schema=schema)
         new_cents = cents.copy()
         if exact_replay:
             # decimal-exact component means (see docstring); driver pull
@@ -649,18 +681,109 @@ def kmeans_clusters(
             )
         cents = new_cents  # empty cells keep their previous centroid
 
-    final = prepped.mapInPandas(_assign(cents), schema=schema)
-    cent_rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)]
-    cent_df = corpus.sparkSession.createDataFrame(
-        cent_rows, "_cell int, _cv array<double>"
+    return cents
+
+
+def freeze_kmeans(
+    corpus: DataFrame,
+    path: str,
+    k: int = 8,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    src_fingerprint: str | None = None,
+    exact_replay: bool = False,
+) -> None:
+    """Persist the trained k-means centroids as a deployment artifact —
+    train-once/assign-many for domain clustering, exactly the frozen
+    posture the IVF-PQ index, bigram LM, and DSIR weights already have:
+    a curation pipeline clusters the corpus ONCE, then every daily batch
+    assigns against the frozen centroids at O(new) cost
+    (:func:`kmeans_assign_frozen`) instead of re-running Lloyd.
+
+    Layout: ``{path}/centroids`` (cell, c) + a ``{path}/_src`` text
+    sidecar recording the corpus fingerprint and train params, written
+    AFTER the table (validity marker last — a torn rewrite reads stale
+    and refreezes; the sidecar is deleted before the rewrite so a stale
+    marker can never vouch for mixed halves). Fresh ⇒ skip. An empty
+    fingerprint (non-file-backed corpus) always refreezes."""
+    from ..storage.artifact import (
+        fs_delete,
+        read_text_sidecar,
+        write_text_sidecar,
+    )
+
+    spark = corpus.sparkSession
+    src = (
+        src_fingerprint
+        if src_fingerprint is not None
+        else ivf_pq_fingerprint(corpus)
+    )
+    stamp = (
+        f"{src}|k={k}|n={n_iter}|replay={int(bool(exact_replay))}"
+        if src
+        else ""
+    )
+    marker = f"{path}/_src"
+    if stamp and read_text_sidecar(spark, marker) == stamp:
+        return
+    fs_delete(spark, marker)
+    prepped = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    ).localCheckpoint()
+    cents = _kmeans_fit(prepped, k, n_iter, exact_replay)
+    spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cell int, c array<double>",
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+    write_text_sidecar(spark, marker, stamp)
+
+
+def kmeans_assign_frozen(
+    batch: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign a batch of vectors to a :func:`freeze_kmeans` artifact's
+    clusters — the O(new) deployment pass: centroids load from the
+    written table (k rows), the batch cross-joins the broadcast centroid
+    frame JVM-side (cosine via ``zip_with``/``aggregate`` — no Python in
+    the loop), and a per-vector window picks the max-cosine cell (ties →
+    lowest cell). Returns ``(id_col, cluster_id, sim)``, sim rounded to
+    6 — the :func:`kmeans_clusters` output contract, so downstream
+    consumers (within-cluster pairs, cluster-balanced sampling) take
+    either source. Refuses a torn artifact (missing ``_src`` marker)
+    loudly."""
+    from ..storage.artifact import read_text_sidecar
+
+    spark = batch.sparkSession
+    if read_text_sidecar(spark, f"{path}/_src") is None:
+        raise ValueError(
+            f"no complete k-means artifact at {path} (missing _src "
+            "marker) — freeze_kmeans first"
+        )
+    cents = spark.read.parquet(f"{path}/centroids").select(
+        F.col("cell").alias("cluster_id"), F.col("c").alias("_cv")
+    )
+    q = batch.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    )
+    # rank on the RAW cosine (round only the output): rounding before
+    # the argmax would manufacture ties at 1e-6 resolution that the
+    # separation argument doesn't cover
+    scored = q.join(F.broadcast(cents), how="cross").withColumn(
+        "_sc", cosine(F.col("_v"), F.col("_cv"))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("_sc").desc(), F.col("cluster_id").asc()
     )
     return (
-        final.join(F.broadcast(cent_df), "_cell")
-        .select(
-            F.col("_id").alias(id_col),
-            F.col("_cell").alias("cluster_id"),
-            F.round(cosine(F.col("_v"), F.col("_cv")), 6).alias("sim"),
-        )
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "cluster_id", F.round("_sc", 6).alias("sim"))
     )
 
 

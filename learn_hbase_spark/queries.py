@@ -501,7 +501,8 @@ _SWEEP_PRIORITY: list[str] = [
     # — re-verify first.
     "multimodal_decode_real", "pretraining_run", "ann_ivf_pq_rerank",
     "ann_ivf_pq_filtered", "sq8_encode", "ann_sq8_topk",
-    "multimodal_resize_real", "curation_audit_rules", "curate_from_signals",
+    "kmeans_assign_frozen", "multimodal_resize_real",
+    "curation_audit_rules", "curate_from_signals",
     "ann_ivf_topk", "embedding_kmeans", "semantic_dedup",
 ]
 
@@ -4326,6 +4327,49 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-node numpy reference pytest-pinned (tests/test_llm_ops.py)."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.kmeans_clusters(emb, k=8, n_iter=5, exact_replay=True)
+
+
+@_register(
+    "kmeans_assign_frozen",
+    f"""
+    WITH {_kmeans_replay_ctes(5, 8)},
+    sfin AS (
+      SELECT e.vec_id, c2.cell,
+             list_dot_product(CAST(e.embedding AS DOUBLE[]), c2.c)
+               / sqrt(list_dot_product(c2.c, c2.c))
+               / sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                       CAST(e.embedding AS DOUBLE[]))) AS sc
+      FROM embeddings e CROSS JOIN cent5 c2
+      WHERE e.vec_id % 5 = 0
+    )
+    SELECT vec_id, CAST(cell AS INT) AS cluster_id, round(sc, 6) AS sim
+    FROM (
+      SELECT vec_id, cell, sc,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY sc DESC, cell ASC) AS rn
+      FROM sfin
+    ) WHERE rn = 1
+    """,
+)
+def kmeans_assign_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-clustering DEPLOYMENT (similarity.freeze_kmeans /
+    kmeans_assign_frozen): the exact-replay Lloyd centroids are frozen
+    to a parquet artifact ONCE per corpus fingerprint (sidecar-after-
+    write freshness, the published-signals / frozen-ANN posture), then
+    arriving batches (here ``vec_id % 5 = 0`` standing in for a daily
+    shard) assign against the written centroids at O(new) cost — k
+    centroid rows broadcast, JVM-side cosine, per-vector window argmax
+    on the RAW score. The oracle chains the same 5-round decimal-exact
+    replay as ``embedding_kmeans`` and scores only the batch."""
+    emb = _t(spark, sf_dir, "embeddings")
+    path = os.path.join(
+        _SCRATCH_ROOT, f"kmeans_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    similarity.freeze_kmeans(
+        emb, path, k=8, n_iter=5, exact_replay=True
+    )
+    batch = emb.filter(F.col("vec_id") % 5 == 0)
+    return similarity.kmeans_assign_frozen(batch, path)
 
 
 @_register(

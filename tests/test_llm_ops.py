@@ -1485,3 +1485,43 @@ def test_sq8_topk_recall_vs_bruteforce(spark, vectors):
     vals = [r["code"] for r in codes]
     assert min(vals) == 0 and max(vals) == 255
     assert all(0 <= v <= 255 for v in vals)
+
+
+def test_freeze_kmeans_artifact_lifecycle(spark, vectors, tmp_path):
+    """Frozen clustering artifact: assignments from the written centroids
+    equal kmeans_clusters' labels on the same corpus; a fresh artifact
+    skips retraining (centroid file mtimes unchanged); a corpus change
+    refreezes; a torn artifact (missing _src marker) refuses loudly."""
+    import os
+
+    import pytest
+
+    src = str(tmp_path / "corpus")
+    vectors.write.parquet(src)
+    corpus = spark.read.parquet(src)
+    path = str(tmp_path / "km")
+    similarity.freeze_kmeans(corpus, path, k=4, n_iter=3)
+    live = {
+        r["vec_id"]: (r["cluster_id"], r["sim"])
+        for r in similarity.kmeans_clusters(corpus, k=4, n_iter=3).collect()
+    }
+    frozen = {
+        r["vec_id"]: (r["cluster_id"], r["sim"])
+        for r in similarity.kmeans_assign_frozen(corpus, path).collect()
+    }
+    assert frozen == live and frozen
+
+    def newest_mtime():
+        d = f"{path}/centroids"
+        return max(os.path.getmtime(os.path.join(d, f)) for f in os.listdir(d))
+
+    m0 = newest_mtime()
+    similarity.freeze_kmeans(corpus, path, k=4, n_iter=3)  # fresh -> skip
+    assert newest_mtime() == m0
+    # param change -> stale -> refreeze
+    similarity.freeze_kmeans(corpus, path, k=3, n_iter=3)
+    assert spark.read.parquet(f"{path}/centroids").count() == 3
+    # torn artifact: marker gone -> assign refuses
+    os.remove(f"{path}/_src")
+    with pytest.raises(ValueError, match="no complete k-means artifact"):
+        similarity.kmeans_assign_frozen(corpus, path)
