@@ -502,7 +502,7 @@ _SWEEP_PRIORITY: list[str] = [
     "multimodal_decode_real", "pretraining_run", "ann_ivf_pq_rerank",
     "ann_ivf_pq_filtered", "sq8_encode", "ann_sq8_topk",
     "kmeans_assign_frozen", "multimodal_resize_real",
-    "curation_audit_rules", "curate_from_signals",
+    "multimodal_downsample", "curation_audit_rules", "curate_from_signals",
     "ann_ivf_topk", "embedding_kmeans", "semantic_dedup",
 ]
 
@@ -10627,6 +10627,42 @@ def multimodal_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     resized = multimodal.resize_images(media, target_w=4, target_h=3)
     return multimodal.image_pixel_features(
         resized.select("media_id", F.lit("image").alias("kind"), "payload")
+    )
+
+
+@_register(
+    "multimodal_downsample",
+    """
+    WITH aud AS (
+      SELECT doc_id, 8000 + (doc_id % 3) * 4000 AS rate,
+             256 + (doc_id % 7) * 64 AS n
+      FROM documents WHERE doc_id % 2 = 1
+    ),
+    smp AS (
+      SELECT a.doc_id, a.rate, a.n,
+             ((a.doc_id*31 + i.i*17) % 65536) - 32768 AS s
+      FROM aud a, range(640) i(i)
+      WHERE i.i < a.n AND i.i % 4 = 0
+    )
+    SELECT doc_id AS media_id, CAST(rate // 4 AS INT) AS sample_rate,
+           CAST(n // 4 AS BIGINT) AS n_samples,
+           ROUND(SQRT(AVG(CAST(s*s AS DOUBLE))), 6) AS rms,
+           CAST(MAX(ABS(s)) AS INT) AS peak
+    FROM smp GROUP BY doc_id, rate, n
+    """,
+)
+def multimodal_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio downsample verified through TWO full WAV codec
+    round-trips (the resize query's audio sibling): deterministic PCM
+    fixtures are decoded, decimated 4× (every 4th sample, rate/4),
+    re-ENCODED, decoded AGAIN by the feature kernel, and the decimated
+    stream's rate/count/RMS/peak compared against DuckDB's replay of
+    the kept-sample arithmetic — a chunk-walk, rate-header, or
+    decimation-grid bug in either direction breaks the hash."""
+    media = _encoded_media(spark, sf_dir, "audio")
+    down = multimodal.downsample_audio(media, factor=4)
+    return multimodal.audio_features(
+        down.select("media_id", F.lit("audio").alias("kind"), "payload")
     )
 
 
