@@ -324,6 +324,25 @@ _DRIVER_VERIFIED = [
     "asof_join_forward", "disjunctive_pushdown", "string_agg_nations",
     "filtered_agg", "cube_agg", "value_histogram", "period_over_period",
     "retention_cohorts",
+    # round 14 (CORRECTNESS_r14.json: 49/50 green, hash_match on all; the
+    # one non-green is approx_profile, declared rows-only by necessity —
+    # sketch bytes — and deliberately NOT listed here; sweep order)
+    "multimodal_decode_real", "pretraining_run", "ann_ivf_pq_rerank",
+    "ann_ivf_pq_filtered", "sq8_encode", "ann_sq8_topk",
+    "kmeans_assign_frozen", "multimodal_resize_real", "multimodal_downsample",
+    "curation_audit_rules", "curate_from_signals", "ann_ivf_topk",
+    "embedding_kmeans", "semantic_dedup", "file_corpus_dedup",
+    "embedding_neardup", "embedding_neardup_lsh", "curation_pipeline",
+    "multimodal_features", "multimodal_frame_plan", "ann_cosine_topk",
+    "kmeans_assign_iter1", "kmeans_update_iter1", "ann_lsh_topk",
+    "lsh_bucket_assign", "ivf_cell_assign", "ivf_lloyd_update", "pq_encode",
+    "pq_ann_topk", "ivf_pq_topk", "ann_ivf_pq_frozen", "ann_ivf_pq_extend",
+    "semantic_pairs_seeded", "semantic_decontaminate", "curation_audit",
+    "curation_pipeline_rules", "hard_negative_topk", "hard_negative_topk_lsh",
+    "scalar_funcs", "json_extract", "range_join_events", "heavy_hitters",
+    "sql_passthrough_q5", "scd2_user_state", "ntile_quartiles",
+    "percentile_bands", "window_frame_values", "grouping_sets_explicit",
+    "collect_set_groups",
 ]
 
 def _keep_latest(names: list[str]) -> list[str]:
@@ -492,18 +511,12 @@ def _still_verified() -> tuple[str, ...]:
 # fingerprints moved only via a shared-module edit. Maintained per round;
 # stale names cost nothing (they sort first only while unverified).
 _SWEEP_PRIORITY: list[str] = [
-    # round 14: new/answer-changed queries first (prepended as this round's
+    # round 15: new/answer-changed queries first (prepended as this round's
     # work lands — DEDUPE: enumerate-rank keeps the LAST index, so a
-    # duplicate silently demotes). The r13 names below are stale carryover
+    # duplicate silently demotes). The r14 names below are stale carryover
     # (verified ⇒ inert) kept so the list is never empty at round start.
-    # curation_audit_rules / curate_from_signals: answers UNCHANGED but
-    # plans rebuilt on the published-signals artifact (freshness-skipped)
-    # — re-verify first.
     "multimodal_decode_real", "pretraining_run", "ann_ivf_pq_rerank",
-    "ann_ivf_pq_filtered", "sq8_encode", "ann_sq8_topk",
-    "kmeans_assign_frozen", "multimodal_resize_real",
-    "multimodal_downsample", "curation_audit_rules", "curate_from_signals",
-    "ann_ivf_topk", "embedding_kmeans", "semantic_dedup",
+    "ann_sq8_topk", "kmeans_assign_frozen",
 ]
 
 
