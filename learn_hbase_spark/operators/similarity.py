@@ -721,6 +721,7 @@ def freeze_kmeans(
     )
     stamp = (
         f"{src}|k={k}|n={n_iter}|replay={int(bool(exact_replay))}"
+        f"|id={id_col}|vec={vec_col}"
         if src
         else ""
     )
@@ -1773,7 +1774,13 @@ def sq8_bounds(
     ONE aggregate pass emitting 2×dim cells (no explode: each dimension
     is its own min/max expression in a single agg), driver state 2×dim
     doubles. The SQ analog of the k-means-centroid driver-state class."""
-    dim = len(corpus.select(vec_col).first()[0])
+    head = corpus.select(vec_col).first()
+    if head is None or head[0] is None:
+        raise ValueError(
+            f"sq8_bounds: corpus is empty (or {vec_col!r} is null in the "
+            "first row) — cannot train quantization bounds"
+        )
+    dim = len(head[0])
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     prepped = corpus.select(v.alias("_v"))
     aggs = []
@@ -1792,10 +1799,16 @@ def _sq8_code(x: Column, lo: Column, hi: Column) -> Column:
     (hi-lo)*256))`` — FLOOR, not round, so the assignment is a
     deterministic function of the double inputs in any engine (round's
     half-way tie rules differ across engines; floor doesn't have ties).
-    Degenerate dimensions (hi == lo) code to 0."""
+    Degenerate dimensions (hi == lo) code to 0. Out-of-range inputs
+    clamp to the nearest bucket (0 below ``lo``, 255 above ``hi``) the
+    way FAISS SQ8 does — callers may pass frozen bounds trained on an
+    older corpus slice, so new values can legitimately fall outside."""
     return F.when(hi == lo, F.lit(0)).otherwise(
-        F.least(
-            F.lit(255.0), F.floor((x - lo) / (hi - lo) * F.lit(256.0))
+        F.greatest(
+            F.lit(0.0),
+            F.least(
+                F.lit(255.0), F.floor((x - lo) / (hi - lo) * F.lit(256.0))
+            ),
         )
     )
 

@@ -10334,7 +10334,11 @@ def _published_signals(
     shape the RedPajama-v2 pattern implies: signals are computed once
     per corpus snapshot and iterated over many times; the same
     freshness-skip form as the frozen ANN artifact."""
-    from .storage.artifact import read_text_sidecar, write_text_sidecar
+    from .storage.artifact import (
+        fs_delete,
+        read_text_sidecar,
+        write_text_sidecar,
+    )
 
     sig_path = os.path.join(
         _SCRATCH_ROOT,
@@ -10351,6 +10355,9 @@ def _published_signals(
     )
     marker = sig_path + "__src"
     if not stamp or read_text_sidecar(spark, marker) != stamp:
+        # tombstone FIRST (artifact-family ordering): a crash mid-overwrite
+        # must not leave the old stamp vouching for a torn table
+        fs_delete(spark, marker)
         curation.rule_signals(
             docs, c4_clean=True, c4_kwargs=c4_kwargs,
             widths=_SIGNALS_WIDTHS,

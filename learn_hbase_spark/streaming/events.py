@@ -1015,18 +1015,23 @@ def media_feature_stream(
     reads ONLY the new files via the checkpointed ``binaryFile`` listing
     and decodes them with the REAL codec kernels
     (``operators.multimodal``): BMP → dimensions + per-channel pixel
-    means, WAV → sample rate / count / RMS / peak; every other kind gets
-    the format-agnostic payload profile (byte length + checksum) — the
-    triage a crawl runs before deciding what to decode. Results land as
-    ``(media_id, kind, path, n_bytes, …features)`` under this batch's
-    own ``_batch`` partition (dynamic partition overwrite → at-least-once
-    replays rewrite, never double-append — the ANN serving contract),
-    and the output dir is ownership-guarded against a second stream or
-    a reset checkpoint. ``media_id`` is ``md5(path)`` (the
-    ``read_binary_files`` id rule — collision-safe at crawl scale).
-    Decode failures FAIL THE DRAIN loudly (a malformed payload is data
-    the pipeline must see, not silently skip); quarantine-and-continue
-    is a caller policy built by pre-filtering ``pattern``."""
+    means, WAV → sample rate / count / RMS / peak; everything else —
+    opaque kinds AND media formats the real codecs can't parse (jpg/png/
+    mp3/…, which ``_MEDIA_EXT`` still classifies as image/audio) — gets
+    the format-agnostic payload profile row (byte length), with
+    ``decode_note='undecodable_format'`` marking the media-kind rows
+    that arrived in a format this build can't decode. Routing is BY
+    EXTENSION, so one JPEG dropped in a mixed zone can never wedge the
+    stream in a decode-raise replay loop; a corrupt ``.bmp``/``.wav``
+    still FAILS THE DRAIN loudly (a malformed payload in a decodable
+    format is data the pipeline must see, not silently skip). Results
+    land as ``(media_id, kind, path, n_bytes, …features, decode_note)``
+    under this batch's own ``_batch`` partition (dynamic partition
+    overwrite → at-least-once replays rewrite, never double-append — the
+    ANN serving contract), and the output dir is ownership-guarded
+    against a second stream or a reset checkpoint. ``media_id`` is
+    ``md5(path)`` (the ``read_binary_files`` id rule — collision-safe at
+    crawl scale)."""
     from ..operators.multimodal import audio_features, image_pixel_features
     from ..sources.files import _MEDIA_EXT
 
@@ -1055,6 +1060,7 @@ def media_feature_stream(
         media = batch.select(
             F.md5(F.col("path").cast("binary")).alias("media_id"),
             F.coalesce(kind_map[ext], F.lit("binary")).alias("kind"),
+            ext.alias("_ext"),
             F.col("content").alias("payload"),
             F.col("path"),
             F.col("length").alias("n_bytes"),
@@ -1062,29 +1068,46 @@ def media_feature_stream(
         null_i = F.lit(None).cast("int")
         null_l = F.lit(None).cast("long")
         null_d = F.lit(None).cast("double")
-        base = media.select("media_id", "kind", "path", "n_bytes")
-        img = image_pixel_features(media).join(
+        null_s = F.lit(None).cast("string")
+        # decode routing is by EXTENSION (the formats the real codecs
+        # parse), not by kind — _MEDIA_EXT classifies jpg/mp3/… as
+        # image/audio, and sending those through the BMP/WAV decoders
+        # would fail every drain forever on one undecodable file
+        decodable = (
+            ((F.col("kind") == "image") & (F.col("_ext") == "bmp"))
+            | ((F.col("kind") == "audio") & (F.col("_ext") == "wav"))
+        )
+        base = media.select("media_id", "kind", "path", "n_bytes", "_ext")
+        img = image_pixel_features(media.filter(decodable)).join(
             base, "media_id"
         ).select(
             "media_id", "kind", "path", "n_bytes",
             "width", "height", "mean_b", "mean_g", "mean_r",
             null_i.alias("sample_rate"), null_l.alias("n_samples"),
             null_d.alias("rms"), null_i.alias("peak"),
+            null_s.alias("decode_note"),
         )
-        aud = audio_features(media).join(base, "media_id").select(
+        aud = audio_features(media.filter(decodable)).join(
+            base, "media_id"
+        ).select(
             "media_id", "kind", "path", "n_bytes",
             null_i.alias("width"), null_i.alias("height"),
             null_d.alias("mean_b"), null_d.alias("mean_g"),
             null_d.alias("mean_r"),
             "sample_rate", "n_samples", "rms", "peak",
+            null_s.alias("decode_note"),
         )
-        other = base.filter(~F.col("kind").isin("image", "audio")).select(
+        other = base.filter(~decodable).select(
             "media_id", "kind", "path", "n_bytes",
             null_i.alias("width"), null_i.alias("height"),
             null_d.alias("mean_b"), null_d.alias("mean_g"),
             null_d.alias("mean_r"),
             null_i.alias("sample_rate"), null_l.alias("n_samples"),
             null_d.alias("rms"), null_i.alias("peak"),
+            F.when(
+                F.col("kind").isin("image", "audio", "video"),
+                F.lit("undecodable_format"),
+            ).alias("decode_note"),
         )
         (
             img.unionByName(aud).unionByName(other)

@@ -1487,6 +1487,29 @@ def test_sq8_topk_recall_vs_bruteforce(spark, vectors):
     assert all(0 <= v <= 255 for v in vals)
 
 
+def test_sq8_edge_contracts(spark, vectors):
+    """The SQ8 range contract holds under caller-supplied bounds: values
+    below lo bucket to 0 and above hi to 255 (the FAISS clamp), never
+    out of int8 range; an empty training corpus raises a clear error
+    instead of an opaque TypeError."""
+    import pytest
+
+    # shrink the trained bounds so out-of-range inputs exist on BOTH
+    # sides (trained lo/hi are attained by some corpus value)
+    los, his = similarity.sq8_bounds(vectors)
+    los2 = [lo + 0.25 * (hi - lo) for lo, hi in zip(los, his)]
+    his2 = [lo + 0.75 * (hi - lo) for lo, hi in zip(los, his)]
+    vals = [
+        r["code"]
+        for r in similarity.sq8_encode_long(vectors, los2, his2).collect()
+    ]
+    assert min(vals) == 0 and max(vals) == 255
+    assert all(0 <= v <= 255 for v in vals)
+
+    with pytest.raises(ValueError, match="empty"):
+        similarity.sq8_bounds(vectors.filter(F.col("vec_id") < 0))
+
+
 def test_freeze_kmeans_artifact_lifecycle(spark, vectors, tmp_path):
     """Frozen clustering artifact: assignments from the written centroids
     equal kmeans_clusters' labels on the same corpus; a fresh artifact
@@ -1521,6 +1544,18 @@ def test_freeze_kmeans_artifact_lifecycle(spark, vectors, tmp_path):
     # param change -> stale -> refreeze
     similarity.freeze_kmeans(corpus, path, k=3, n_iter=3)
     assert spark.read.parquet(f"{path}/centroids").count() == 3
+    # column change -> stale -> refreeze (the stamp is keyed on
+    # id_col/vec_col too: same corpus, different vector column must NOT
+    # read as fresh, or assignment serves wrong-column centroids)
+    src2 = str(tmp_path / "corpus2")
+    vectors.withColumn(
+        "emb2", F.transform("embedding", lambda x: -x)
+    ).write.parquet(src2)
+    corpus2 = spark.read.parquet(src2)
+    similarity.freeze_kmeans(corpus2, path, k=3, n_iter=3)
+    m1 = newest_mtime()
+    similarity.freeze_kmeans(corpus2, path, k=3, n_iter=3, vec_col="emb2")
+    assert newest_mtime() > m1
     # torn artifact: marker gone -> assign refuses
     os.remove(f"{path}/_src")
     with pytest.raises(ValueError, match="no complete k-means artifact"):

@@ -1683,6 +1683,10 @@ def test_media_feature_stream_decodes_new_files_per_drain(spark, tmp_path):
     s = (np.arange(-50, 50, dtype=np.int64) * 300).astype(np.int16)
     (drop / "b.wav").write_bytes(multimodal.encode_wav_pcm16(s, 16000))
     (drop / "c.bin").write_bytes(b"\x00opaque")
+    # an image-KIND file in a format the real codecs can't parse: must
+    # route to the profile row (decode_note marker), never to decode_bmp
+    # — one JPEG in a mixed zone must not wedge the stream
+    (drop / "e.jpg").write_bytes(b"\xff\xd8\xff\xe0notabmp")
 
     out = str(tmp_path / "features")
     ckpt = str(tmp_path / "ckpt")
@@ -1696,8 +1700,13 @@ def test_media_feature_stream_decodes_new_files_per_drain(spark, tmp_path):
         return got
 
     got = by_name()
-    assert set(got) == {"a.bmp", "b.wav", "c.bin"}
+    assert set(got) == {"a.bmp", "b.wav", "c.bin", "e.jpg"}
+    jpg = got["e.jpg"]
+    assert (jpg["kind"], jpg["width"], jpg["decode_note"]) == (
+        "image", None, "undecodable_format",
+    )
     img = got["a.bmp"]
+    assert img["decode_note"] is None
     assert (img["kind"], img["width"], img["height"]) == ("image", 5, 4)
     means = px.astype(np.float64).mean(axis=(0, 1))
     assert img["mean_b"] == round(float(means[0]), 6)
@@ -1721,13 +1730,13 @@ def test_media_feature_stream_decodes_new_files_per_drain(spark, tmp_path):
     (drop / "d.bmp").write_bytes(multimodal.encode_bmp(px2))
     media_feature_stream(spark, str(drop), out, ckpt)
     got2 = by_name()
-    assert set(got2) == {"a.bmp", "b.wav", "c.bin", "d.bmp"}
+    assert set(got2) == {"a.bmp", "b.wav", "c.bin", "e.jpg", "d.bmp"}
     means2 = px2.astype(np.float64).mean(axis=(0, 1))
     assert got2["d.bmp"]["mean_g"] == round(float(means2[1]), 6)
 
     # replay: same checkpoint, no new files -> no-op
     media_feature_stream(spark, str(drop), out, ckpt)
-    assert len(by_name()) == 4
+    assert len(by_name()) == 5
 
     # ownership: a different checkpoint must not serve into this dir
     with pytest.raises(ValueError, match="must not share"):
