@@ -53,6 +53,37 @@ def test_plan_audit_has_no_blind_rows():
     assert not blind, f"plan-audit rows blind to their executed plan: {blind}"
 
 
+def test_plan_audit_summary_matches_rows():
+    """The trailing summary line must be recomputable from the query rows
+    (VERDICT r14: two registrations bumped rows without bumping the
+    summary — the visible record of the registry-wide no-NLJ invariant
+    must not be able to drift from the rows it summarizes)."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    import plan_audit
+
+    with open("plan_audit.jsonl") as f:
+        lines = [json.loads(line) for line in f if line.strip()]
+    qrows = [r for r in lines if "query" in r]
+    summary_rows = [r for r in lines if "summary" in r]
+    assert len(summary_rows) == 1 and "summary" in lines[-1], (
+        "exactly one summary line, and it must be LAST"
+    )
+    allowed = set(plan_audit.NESTED_LOOP_ALLOWED)
+    want = {
+        "queries": len(qrows),
+        "exchanges": sum(r.get("exchanges", 0) for r in qrows),
+        "nested_loop_joins": sum(
+            r.get("nested_loop_joins", 0)
+            for r in qrows
+            if r["query"] not in allowed
+        ),
+    }
+    assert summary_rows[0]["summary"] == want
+    assert summary_rows[0]["nested_loop_failures"] == []
+
+
 def test_plan_audit_iterative_queries_are_covered():
     """Every UNCHECKPOINTED_AUDIT / _AUDIT_BODIES name must be a registered
     query (a rename would silently drop the un-truncated audit), and the
