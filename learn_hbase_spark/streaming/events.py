@@ -504,7 +504,15 @@ def neardup_ingest_stream(
     exactly-once output from an at-least-once sink. The batch body is
     :func:`neardup_ingest_batch` (module-level so the replay path is
     directly testable by re-invoking it with the same batch id).
+
+    Both output dirs are ownership-guarded (``_claim_stream_output``):
+    their ``_batch`` numbers are meaningful only relative to THIS
+    stream's checkpoint counter, so a second stream (or a reset
+    checkpoint) sharing either dir would silently cross-overwrite the
+    accepted corpus / the band index.
     """
+    _claim_stream_output(spark, accepted_dir, checkpoint_dir, "_ingest_owner")
+    _claim_stream_output(spark, index_dir, checkpoint_dir, "_ingest_owner")
     docs_schema = "doc_id long, text string"
     stream = (
         spark.readStream.format("json")
@@ -552,9 +560,11 @@ def neardup_ingest_file_stream(
     file keeps its id. The per-batch gate/land body is the SAME
     :func:`neardup_ingest_batch` (string id type); everything proven for
     the parquet-shaped stream — replay idempotence, engine-recovery
-    restart, exactly-once landing — holds here because the body is
-    shared.
+    restart, exactly-once landing, output-dir ownership — holds here
+    because the body is shared.
     """
+    _claim_stream_output(spark, accepted_dir, checkpoint_dir, "_ingest_owner")
+    _claim_stream_output(spark, index_dir, checkpoint_dir, "_ingest_owner")
     reader = (
         spark.readStream.format("text")
         .option("wholetext", "true")
@@ -648,6 +658,8 @@ def curation_ingest_file_stream(
     from ..operators.corpus import load_bigram_lm
     from ..pipeline.curation import _require_scoreable
 
+    _claim_stream_output(spark, curated_dir, checkpoint_dir, "_ingest_owner")
+    _claim_stream_output(spark, index_dir, checkpoint_dir, "_ingest_owner")
     _require_scoreable(
         min_tokens, lm_quantile if lm_model_dir is None else 0.0
     )

@@ -1662,6 +1662,78 @@ def test_ann_probe_stream_refuses_unowned_output_dir(spark, tmp_path):
     assert spark.read.parquet(out).count() == served
 
 
+def test_neardup_ingest_refuses_unowned_output_dirs(spark, tmp_path):
+    """The ownership guard retrofitted to the older ingest streams
+    (VERDICT r14): a second checkpoint must not land into an accepted /
+    index dir another stream owns (cross-overwrite of the curated corpus
+    and the band index), and a reset checkpoint must refuse its old
+    dirs — same contract as ``ann_probe_stream``."""
+    import json
+    import shutil
+
+    import pytest
+
+    from learn_hbase_spark.streaming.events import neardup_ingest_stream
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    idx = str(tmp_path / "index")
+    acc = str(tmp_path / "accepted")
+    ckpt1 = str(tmp_path / "ckpt1")
+    with open(inp / "b1.json", "w") as fh:
+        fh.write(json.dumps({"doc_id": 1, "text": "alpha beta gamma"}) + "\n")
+    neardup_ingest_stream(spark, str(inp), idx, acc, ckpt1)
+    accepted = spark.read.parquet(acc).count()
+    assert accepted == 1
+
+    # (a) a different checkpoint against the same dirs: refused loudly
+    # BEFORE any write, both outputs untouched
+    with pytest.raises(ValueError, match="must not share"):
+        neardup_ingest_stream(
+            spark, str(inp), idx, acc, str(tmp_path / "ckpt2")
+        )
+    assert spark.read.parquet(acc).count() == accepted
+
+    # (b) the owning checkpoint deleted (counter reset): refused too
+    shutil.rmtree(ckpt1)
+    with pytest.raises(ValueError, match="no committed batches"):
+        neardup_ingest_stream(spark, str(inp), idx, acc, ckpt1)
+    assert spark.read.parquet(acc).count() == accepted
+
+
+def test_curation_ingest_refuses_unowned_output_dirs(spark, tmp_path):
+    """Same ownership contract for the curation file stream's curated /
+    index dirs."""
+    import shutil
+
+    import pytest
+
+    from learn_hbase_spark.streaming.events import curation_ingest_file_stream
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    idx = str(tmp_path / "index")
+    cur = str(tmp_path / "curated")
+    ckpt1 = str(tmp_path / "ckpt1")
+    (drop / "d1.txt").write_text(
+        "plenty of perfectly ordinary words to clear the token floor here"
+    )
+    curation_ingest_file_stream(spark, str(drop), idx, cur, ckpt1)
+    curated = spark.read.parquet(cur).count()
+    assert curated == 1
+
+    with pytest.raises(ValueError, match="must not share"):
+        curation_ingest_file_stream(
+            spark, str(drop), idx, cur, str(tmp_path / "ckpt2")
+        )
+    assert spark.read.parquet(cur).count() == curated
+
+    shutil.rmtree(ckpt1)
+    with pytest.raises(ValueError, match="no committed batches"):
+        curation_ingest_file_stream(spark, str(drop), idx, cur, ckpt1)
+    assert spark.read.parquet(cur).count() == curated
+
+
 def test_media_feature_stream_decodes_new_files_per_drain(spark, tmp_path):
     """Streaming multimodal features over a drop zone: drain 1 decodes
     the first BMP + WAV with the REAL codecs (values match NumPy
