@@ -1864,6 +1864,22 @@ def sq8_topk(
     (query_id, neighbor_id, rank, score) — rank by score desc, ties by
     ascending neighbor id; round-6 scores for engine parity."""
     los, his = sq8_bounds(corpus, vec_col)
+    return _sq8_score_topk(queries, corpus, los, his, k, id_col, vec_col)
+
+
+def _sq8_score_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    los: list[float],
+    his: list[float],
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """The quantize→reconstruct→score→rank body shared by
+    :func:`sq8_topk` (bounds trained per call) and
+    :func:`sq8_topk_frozen` (bounds loaded from a frozen artifact) —
+    one implementation so the two paths cannot drift."""
     dim = len(los)
     lo_arr = F.array(*[F.lit(float(x)) for x in los])
     hi_arr = F.array(*[F.lit(float(x)) for x in his])
@@ -1903,6 +1919,107 @@ def sq8_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "score")
     )
+
+
+def freeze_sq8(
+    corpus: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    src_fingerprint: str | None = None,
+) -> None:
+    """Train SQ8 per-dimension bounds ONCE and persist them as a
+    deployment artifact — the train-once/encode-many form the other
+    trained operators (IVF-PQ, k-means, bigram LM, DSIR) already have:
+    a production pipeline trains quantization bounds on a corpus
+    snapshot, then every arriving batch encodes against the FROZEN
+    bounds at O(new) cost (:func:`sq8_assign_frozen`) instead of
+    re-aggregating the corpus per call, and — critically for serving —
+    every consumer decodes with the SAME bounds the codes were written
+    with (per-call re-training would silently shift every stored code's
+    meaning as the corpus grows).
+
+    Layout mirrors :func:`freeze_kmeans`: ``{path}/bounds`` (i, lo, hi —
+    dim rows) + a ``{path}/_src`` text sidecar recording the corpus
+    fingerprint and vec_col, written AFTER the table and deleted BEFORE
+    the rewrite (validity marker last — a torn rewrite reads stale and
+    refreezes; a stale marker can never vouch for mixed halves). Fresh ⇒
+    skip. An empty fingerprint (non-file-backed corpus) always
+    refreezes."""
+    from ..storage.artifact import (
+        fs_delete,
+        read_text_sidecar,
+        write_text_sidecar,
+    )
+
+    spark = corpus.sparkSession
+    src = (
+        src_fingerprint
+        if src_fingerprint is not None
+        else ivf_pq_fingerprint(corpus)
+    )
+    stamp = f"{src}|vec={vec_col}" if src else ""
+    marker = f"{path}/_src"
+    if stamp and read_text_sidecar(spark, marker) == stamp:
+        return
+    fs_delete(spark, marker)
+    los, his = sq8_bounds(corpus, vec_col)
+    spark.createDataFrame(
+        [(i + 1, float(lo), float(hi))
+         for i, (lo, hi) in enumerate(zip(los, his))],
+        "i int, lo double, hi double",
+    ).write.mode("overwrite").parquet(f"{path}/bounds")
+    write_text_sidecar(spark, marker, stamp)
+
+
+def sq8_load_bounds(spark: SparkSession, path: str) -> tuple[list, list]:
+    """The frozen (los, his) of a :func:`freeze_sq8` artifact — a
+    dim-row driver read. Refuses a torn artifact (missing ``_src``
+    marker) loudly."""
+    from ..storage.artifact import read_text_sidecar
+
+    if read_text_sidecar(spark, f"{path}/_src") is None:
+        raise ValueError(
+            f"no complete SQ8 artifact at {path} (missing _src marker) "
+            "— freeze_sq8 first"
+        )
+    rows = spark.read.parquet(f"{path}/bounds").orderBy("i").collect()
+    return [r["lo"] for r in rows], [r["hi"] for r in rows]
+
+
+def sq8_assign_frozen(
+    batch: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode a batch against a :func:`freeze_sq8` artifact's bounds —
+    the O(new) deployment pass: dim (lo, hi) pairs load from the written
+    table (driver state 2×dim doubles riding the expression tree as
+    literals), the batch encodes in one JVM expression pass, no corpus
+    re-aggregation. Output is :func:`sq8_encode_long`'s ``(id, i,
+    code)`` contract; out-of-range values (the batch arrived AFTER the
+    bounds were trained) clamp to buckets 0/255 per the FAISS SQ8
+    rule."""
+    los, his = sq8_load_bounds(batch.sparkSession, path)
+    return sq8_encode_long(batch, los, his, id_col, vec_col)
+
+
+def sq8_topk_frozen(
+    queries: DataFrame,
+    corpus: DataFrame,
+    path: str,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """:func:`sq8_topk` serving against FROZEN bounds: the asymmetric
+    quantize→reconstruct→score pass (shared body, so the trained and
+    frozen paths cannot drift) with bounds loaded from the artifact
+    instead of re-trained per call — the full-corpus 2×dim aggregate
+    disappears from the serving path, leaving the codes-table stream as
+    the only corpus touch."""
+    los, his = sq8_load_bounds(queries.sparkSession, path)
+    return _sq8_score_topk(queries, corpus, los, his, k, id_col, vec_col)
 
 
 def rerank_exact(

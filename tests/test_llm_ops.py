@@ -1510,6 +1510,65 @@ def test_sq8_edge_contracts(spark, vectors):
         similarity.sq8_bounds(vectors.filter(F.col("vec_id") < 0))
 
 
+def test_freeze_sq8_artifact_lifecycle(spark, vectors, tmp_path):
+    """Frozen SQ8 bounds artifact: frozen-path encodes and top-k equal
+    the per-call-trained path on the same corpus; a fresh artifact skips
+    retraining (bounds file mtimes unchanged); a vec_col change
+    refreezes; a torn artifact (missing _src marker) refuses loudly."""
+    import os
+
+    import pytest
+
+    src = str(tmp_path / "corpus")
+    vectors.write.parquet(src)
+    corpus = spark.read.parquet(src)
+    path = str(tmp_path / "sq8")
+    similarity.freeze_sq8(corpus, path)
+
+    los, his = similarity.sq8_bounds(corpus)
+    assert similarity.sq8_load_bounds(spark, path) == (los, his)
+    trained = {
+        (r["vec_id"], r["i"]): r["code"]
+        for r in similarity.sq8_encode_long(corpus, los, his).collect()
+    }
+    frozen = {
+        (r["vec_id"], r["i"]): r["code"]
+        for r in similarity.sq8_assign_frozen(corpus, path).collect()
+    }
+    assert frozen == trained and frozen
+
+    q = corpus.filter(F.col("vec_id") < 3)
+    t_topk = sorted(
+        map(tuple, similarity.sq8_topk(q, corpus, k=3).collect())
+    )
+    f_topk = sorted(
+        map(tuple, similarity.sq8_topk_frozen(q, corpus, path, k=3).collect())
+    )
+    assert f_topk == t_topk and f_topk
+
+    def newest_mtime():
+        d = f"{path}/bounds"
+        return max(os.path.getmtime(os.path.join(d, f)) for f in os.listdir(d))
+
+    m0 = newest_mtime()
+    similarity.freeze_sq8(corpus, path)  # fresh -> skip
+    assert newest_mtime() == m0
+    # vec_col change -> stale -> refreeze (stamp is column-keyed)
+    src2 = str(tmp_path / "corpus2")
+    vectors.withColumn(
+        "emb2", F.transform("embedding", lambda x: x * 2.0)
+    ).write.parquet(src2)
+    corpus2 = spark.read.parquet(src2)
+    similarity.freeze_sq8(corpus2, path)
+    m1 = newest_mtime()
+    similarity.freeze_sq8(corpus2, path, vec_col="emb2")
+    assert newest_mtime() > m1
+    # torn artifact: marker gone -> assign refuses
+    os.remove(f"{path}/_src")
+    with pytest.raises(ValueError, match="no complete SQ8 artifact"):
+        similarity.sq8_assign_frozen(corpus, path)
+
+
 def test_freeze_kmeans_artifact_lifecycle(spark, vectors, tmp_path):
     """Frozen clustering artifact: assignments from the written centroids
     equal kmeans_clusters' labels on the same corpus; a fresh artifact

@@ -33,6 +33,8 @@ NESTED_LOOP_ALLOWED: dict[str, str] = {
     # value is the 4-8x smaller corpus representation, not candidate
     # pruning (compose the IVF prefilter for that).
     "ann_sq8_topk": "intentional bounded cross join (query set broadcast)",
+    # Same bounded shape, serving from the frozen bounds artifact.
+    "ann_sq8_frozen": "intentional bounded cross join (query set broadcast)",
     # k centroid rows broadcast into the batch — the k-means-centroid
     # bounded class (cross of the batch with a k-row frame, never N x N).
     "kmeans_assign_frozen": "k-row centroid frame broadcast into the batch",
