@@ -15,6 +15,13 @@ fully-specified, and parse with nothing beyond ``struct`` + NumPy:
   :func:`decode_wav_pcm16`, with sample features
   (:func:`audio_pcm_features`) and decimating downsample
   (:func:`downsample_audio`) over the actual sample arrays.
+- **AVI** (RIFF/AVI, uncompressed 24-bit DIB 'vids' stream): the two
+  parsers above COMPOSED — the WAV walker's RIFF chunk scan (nested
+  LIST chunks, odd-size padding) finds the stream headers and the
+  ``movi`` frame chunks; each frame's pixel data is the BMP parser's
+  DIB layout (4-byte row stride, bottom-up). :func:`encode_avi` /
+  :func:`decode_avi_frames`, with per-sampled-frame features
+  (:func:`video_frame_features`) over the actual decoded frames.
 
 Compressed codecs (PNG/JPEG/MP4/FLAC — external libraries) are out of
 scope in this container; a deployment swaps the per-batch decode call for
@@ -410,11 +417,217 @@ def downsample_audio(media: DataFrame, factor: int = 2) -> DataFrame:
     )
 
 
+def encode_avi(frames, fps: int) -> bytes:
+    """Encode a ``uint8 (n, h, w, 3)`` array (BGR, top-down) as an
+    uncompressed RIFF/AVI: ``LIST hdrl`` (``avih`` main header +
+    ``LIST strl`` with a 'vids'/'DIB ' ``strh`` stream header and a
+    BITMAPINFOHEADER ``strf``) followed by ``LIST movi`` holding one
+    ``00db`` chunk per frame. Frame pixel data is the DIB layout BMP
+    uses — rows BOTTOM-UP, padded to 4-byte boundaries — so the decode
+    side genuinely composes the existing BMP pixel parser with the
+    existing RIFF chunk walk."""
+    import struct
+
+    import numpy as np
+
+    fr = np.asarray(frames, dtype=np.uint8)
+    if fr.ndim != 4 or fr.shape[3] != 3:
+        raise ValueError("encode_avi expects (n, h, w, 3) BGR frames")
+    if fps <= 0:
+        raise ValueError("fps must be positive")
+    n, h, w, _ = fr.shape
+    row = w * 3
+    stride = (row + 3) // 4 * 4
+    frame_size = stride * h
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        # RIFF pads odd-sized chunk bodies to even offsets
+        return (
+            cid + struct.pack("<I", len(body)) + body
+            + (b"\x00" if len(body) & 1 else b"")
+        )
+
+    def list_chunk(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps, 0, 0, 0, n, 0, 1, frame_size, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII4h",
+        b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, n, frame_size, 0, 0,
+        0, 0, w, h,
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 0, 0, 0, 0
+    )
+    hdrl = list_chunk(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + list_chunk(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi_body = b"".join(
+        chunk(
+            b"00db",
+            _dib_rows(fr[i], stride).tobytes(),
+        )
+        for i in range(n)
+    )
+    movi = list_chunk(b"movi", movi_body)
+    return chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+def _dib_rows(px, stride: int):
+    """One frame as DIB pixel rows: bottom-up, 4-byte-padded — the exact
+    layout :func:`encode_bmp` writes after its headers."""
+    import numpy as np
+
+    h, w, _ = px.shape
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = px[::-1].reshape(h, w * 3)
+    return rows
+
+
+def _riff_chunks(buf: bytes, pos: int, end: int):
+    """Walk ``(chunk_id, body)`` pairs in ``buf[pos:end]`` — the same
+    scan-with-odd-padding discipline :func:`decode_wav_pcm16` uses,
+    factored so AVI's nested LIST chunks reuse it at every level."""
+    import struct
+
+    while pos + 8 <= end:
+        cid = buf[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", buf, pos + 4)
+        yield cid, buf[pos + 8:pos + 8 + size]
+        pos += 8 + size + (size & 1)
+
+
+def decode_avi_frames(payload: bytes):
+    """Decode an uncompressed 24-bit AVI to ``(fps, uint8 (n, h, w, 3)
+    BGR top-down frames)``: RIFF walk → ``hdrl`` for the stream headers
+    (fps from the 'vids' ``strh``'s rate/scale, geometry from the
+    ``strf`` BITMAPINFOHEADER) → ``movi`` for the ``..db``/``..dc``
+    frame chunks, each parsed as DIB rows (stride, bottom-up — the BMP
+    pixel layout). Only 24bpp uncompressed video is accepted; anything
+    else — wrong magic, compressed codec, missing headers — raises
+    loudly (a decode pipeline must never emit fabricated pixels)."""
+    import struct
+
+    import numpy as np
+
+    buf = bytes(payload)
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    w = h = None
+    fps = None
+    frames = []
+    for cid, body in _riff_chunks(buf, 12, len(buf)):
+        if cid != b"LIST":
+            continue
+        ltype = body[:4]
+        if ltype == b"hdrl":
+            for hcid, hbody in _riff_chunks(body, 4, len(body)):
+                if hcid == b"LIST" and hbody[:4] == b"strl":
+                    for scid, sbody in _riff_chunks(hbody, 4, len(hbody)):
+                        if scid == b"strh":
+                            fcc, _, _, _, _, _, scale, rate = (
+                                struct.unpack_from("<4s4sIHHIII", sbody, 0)
+                            )
+                            if fcc == b"vids" and scale:
+                                fps = rate // scale
+                        elif scid == b"strf":
+                            _, w, h, _, bpp, comp, *_ = struct.unpack_from(
+                                "<IiiHHI", sbody, 0
+                            )
+                            if bpp != 24 or comp != 0:
+                                raise ValueError(
+                                    "only 24bpp uncompressed AVI supported "
+                                    f"(got bpp={bpp}, compression={comp})"
+                                )
+        elif ltype == b"movi":
+            for mcid, mbody in _riff_chunks(body, 4, len(body)):
+                if mcid[2:4] in (b"db", b"dc"):
+                    frames.append(mbody)
+    if w is None or h is None or fps is None or fps <= 0:
+        raise ValueError("missing vids strh/strf headers")
+    hh = abs(h)
+    stride = (w * 3 + 3) // 4 * 4
+    out = np.empty((len(frames), hh, w, 3), dtype=np.uint8)
+    for i, raw in enumerate(frames):
+        if len(raw) < stride * hh:
+            raise ValueError(f"frame {i} truncated")
+        arr = np.frombuffer(
+            raw, dtype=np.uint8, count=stride * hh
+        ).reshape(hh, stride)
+        px = arr[:, : w * 3].reshape(hh, w, 3)
+        out[i] = px[::-1] if h > 0 else px
+    return fps, out
+
+
+def _video_feature_schema(id_type: DataType) -> StructType:
+    return StructType(
+        [
+            StructField("media_id", id_type, False),
+            StructField("frame_ms", LongType(), False),
+            StructField("width", IntegerType(), False),
+            StructField("height", IntegerType(), False),
+            StructField("mean_b", DoubleType(), False),
+            StructField("mean_g", DoubleType(), False),
+            StructField("mean_r", DoubleType(), False),
+        ]
+    )
+
+
+def video_frame_features(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """REAL video frame features: decode the AVI, sample one frame per
+    ``every_ms`` of stream time, and compute the image feature set
+    (dimensions + per-channel means) over each sampled frame's ACTUAL
+    pixels. The sampled timestamps are exactly
+    :func:`frame_sample_plan`'s sequence — ``0, every_ms, …`` up to
+    ``duration_ms - 1`` with ``duration_ms = n·1000/fps`` — so the plan
+    (metadata-only, JVM explode) and the decode (this kernel) agree row
+    for row; the frame at ``t`` is ``floor(t·fps/1000)``. Arrow-batched
+    ``mapInPandas``, one decode per payload however many frames are
+    sampled from it."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out: dict[str, list] = {
+            "media_id": [], "frame_ms": [], "width": [], "height": [],
+            "mean_b": [], "mean_g": [], "mean_r": [],
+        }
+        for pdf in batches:
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                fps, frames = decode_avi_frames(payload)
+                n, h, w, _ = frames.shape
+                if n == 0:  # a frameless stream samples nothing
+                    continue
+                duration_ms = n * 1000 // fps
+                for t in range(0, max(duration_ms - 1, 0) + 1, every_ms):
+                    f = frames[min(t * fps // 1000, n - 1)].astype(
+                        "float64"
+                    )
+                    means = f.mean(axis=(0, 1))
+                    out["media_id"].append(mid)
+                    out["frame_ms"].append(t)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["mean_b"].append(round(float(means[0]), 6))
+                    out["mean_g"].append(round(float(means[1]), 6))
+                    out["mean_r"].append(round(float(means[2]), 6))
+        yield pd.DataFrame(out)
+
+    return media.filter(F.col("kind") == "video").mapInPandas(
+        _extract, schema=_video_feature_schema(_id_type(media))
+    )
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one output row per frame timestamp.
 
-    The explode happens JVM-side (sequence over duration); only the actual
-    pixel decode would cross into Python. Decode itself is stubbed."""
+    The explode happens JVM-side (sequence over duration); only the
+    actual pixel decode crosses into Python — that decode is
+    :func:`video_frame_features` for uncompressed AVI (real), or the
+    deployment's ffmpeg call for compressed codecs."""
     return (
         media.filter(F.col("kind") == "video")
         .withColumn(

@@ -515,7 +515,7 @@ _SWEEP_PRIORITY: list[str] = [
     # work lands — DEDUPE: enumerate-rank keeps the LAST index, so a
     # duplicate silently demotes). The r14 names below are stale carryover
     # (verified ⇒ inert) kept so the list is never empty at round start.
-    "sq8_assign_frozen", "ann_sq8_frozen",
+    "sq8_assign_frozen", "ann_sq8_frozen", "multimodal_video_frames",
     "multimodal_decode_real", "pretraining_run", "ann_ivf_pq_rerank",
     "ann_sq8_topk", "kmeans_assign_frozen",
 ]
@@ -4099,6 +4099,95 @@ def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sample_rate", "n_samples", "rms", "peak",
     )
     return img_rows.unionByName(aud_rows)
+
+
+def _encoded_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic REAL video fixture: every ``doc_id % 3 = 2`` doc
+    (the 'video' rows of :func:`_media`) becomes an uncompressed 24-bit
+    AVI at 2 fps with ``2 + doc_id%4`` frames of ``(8 + doc_id%5) ×
+    (8 + doc_id%4)`` pixels, frame ``f`` pixel ``(y, x, c)`` =
+    ``(doc_id*7 + f*13 + y*5 + x*3 + c*11) % 256`` — the image fixture's
+    generator with a per-frame term. Encoded through the real
+    :func:`multimodal.encode_avi` writer, so the decode query parses
+    actual RIFF/AVI chunk structure and DIB frame layout."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 3 == 2)
+    )
+
+    def _encode(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"media_id": [], "kind": [], "payload": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h, n = 8 + did % 5, 8 + did % 4, 2 + did % 4
+                f = np.arange(n)[:, None, None, None]
+                y = np.arange(h)[None, :, None, None]
+                x = np.arange(w)[None, None, :, None]
+                c = np.arange(3)[None, None, None, :]
+                px = (
+                    (did * 7 + f * 13 + y * 5 + x * 3 + c * 11) % 256
+                ).astype(np.uint8)
+                out["media_id"].append(did)
+                out["kind"].append("video")
+                out["payload"].append(multimodal.encode_avi(px, fps=2))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        _encode, schema="media_id long, kind string, payload binary"
+    )
+
+
+@_register(
+    "multimodal_video_frames",
+    """
+    WITH vid AS (
+      SELECT doc_id, 8 + doc_id % 5 AS w, 8 + doc_id % 4 AS h,
+             2 + doc_id % 4 AS n
+      FROM documents WHERE doc_id % 3 = 2
+    ),
+    fr AS (
+      SELECT v.doc_id, v.w, v.h, f.f
+      FROM vid v, range(6) f(f) WHERE f.f < v.n
+    ),
+    px AS (
+      SELECT r.doc_id, r.f, r.w, r.h,
+             ROUND(AVG(CAST((r.doc_id*7 + r.f*13 + y.y*5 + x.x*3) % 256
+                            AS DOUBLE)), 6) AS mean_b,
+             ROUND(AVG(CAST((r.doc_id*7 + r.f*13 + y.y*5 + x.x*3 + 11) % 256
+                            AS DOUBLE)), 6) AS mean_g,
+             ROUND(AVG(CAST((r.doc_id*7 + r.f*13 + y.y*5 + x.x*3 + 22) % 256
+                            AS DOUBLE)), 6) AS mean_r
+      FROM fr r, range(11) y(y), range(12) x(x)
+      WHERE y.y < r.h AND x.x < r.w
+      GROUP BY r.doc_id, r.f, r.w, r.h
+    )
+    SELECT doc_id AS media_id, CAST(f * 500 AS BIGINT) AS frame_ms,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           mean_b, mean_g, mean_r
+    FROM px
+    """,
+)
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame decode (VERDICT r14 #4 — the last multimodal
+    stub retired): deterministic uncompressed AVIs are ENCODED through
+    the real RIFF/AVI writer, then PARSED BACK by
+    multimodal.decode_avi_frames — the WAV walker's chunk scan (nested
+    LISTs, odd-size padding) composed with the BMP parser's DIB frame
+    layout (stride, bottom-up) — and one frame per 500 ms is sampled
+    with per-channel means over the DECODED pixels
+    (multimodal.video_frame_features). At 2 fps every frame lands on a
+    sample tick, so the oracle replays the generator arithmetic per
+    (doc, frame): any chunk-walk, header, stride, or frame-indexing bug
+    breaks the hash. The sampled timestamps equal frame_sample_plan's
+    sequence (pytest-pinned), so the metadata plan and the real decode
+    agree row for row."""
+    media = _encoded_video(spark, sf_dir)
+    return multimodal.video_frame_features(media, every_ms=500)
 
 
 # ---------------------------------------------------------------------------

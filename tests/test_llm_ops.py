@@ -405,6 +405,43 @@ def test_downsample_audio_real_samples(spark, media):
     assert r["n_samples"] == len(want) and (got == want).all()
 
 
+def test_video_frame_features_real_pixels(spark):
+    """Real AVI decode end-to-end: features come from the DECODED frame
+    pixels (NumPy reference match), the sampled (media_id, frame_ms)
+    set EQUALS frame_sample_plan's metadata-driven sequence, and the
+    frame index rule picks the right frame at each tick."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    frames = rng.randint(0, 256, size=(4, 6, 5, 3)).astype(np.uint8)
+    fps = 2  # 4 frames @ 2fps -> 2000 ms
+    avi = multimodal.encode_avi(frames, fps)
+    rows = [(9, "video", bytearray(avi), "video/avi", 5, 6, 2000)]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+
+    got = {
+        r["frame_ms"]: r.asDict()
+        for r in multimodal.video_frame_features(media, every_ms=500)
+        .collect()
+    }
+    plan = {
+        (r["media_id"], r["frame_ms"])
+        for r in multimodal.frame_sample_plan(media, every_ms=500)
+        .collect()
+    }
+    # plan equality: duration metadata (2000 ms) and decoded stream
+    # (4 frames @ 2 fps) describe the same ticks
+    assert {(9, t) for t in got} == plan == {(9, t) for t in
+                                             (0, 500, 1000, 1500)}
+    for t, r in got.items():
+        f = frames[t * fps // 1000].astype(np.float64)
+        means = f.mean(axis=(0, 1))
+        assert (r["width"], r["height"]) == (5, 6)
+        assert r["mean_b"] == round(float(means[0]), 6)
+        assert r["mean_g"] == round(float(means[1]), 6)
+        assert r["mean_r"] == round(float(means[2]), 6)
+
+
 def test_media_decoders_reject_garbage(spark):
     """A decode pipeline fails LOUDLY on payloads it can't parse — no
     fabricated pixels/samples (8bpp BMPs, non-PCM WAVs, other formats)."""
@@ -429,6 +466,19 @@ def test_media_decoders_reject_garbage(spark):
     struct.pack_into("<H", wav, 20, 3)  # fmt tag -> IEEE float
     with _pytest.raises(ValueError, match="16-bit mono PCM"):
         multimodal.decode_wav_pcm16(bytes(wav))
+    # AVI: wrong magic (a WAV is RIFF but not AVI), compressed codec,
+    # and headerless payloads are all refused, never mis-parsed
+    with _pytest.raises(ValueError, match="not a RIFF/AVI"):
+        multimodal.decode_avi_frames(bytes(wav))
+    avi = bytearray(
+        multimodal.encode_avi(np.zeros((1, 2, 2, 3), np.uint8), fps=1)
+    )
+    bpp_off = bytes(avi).index(b"strf") + 8 + 14  # biBitCount in strf
+    struct.pack_into("<H", avi, bpp_off, 8)
+    with _pytest.raises(ValueError, match="24bpp uncompressed AVI"):
+        multimodal.decode_avi_frames(bytes(avi))
+    with _pytest.raises(ValueError, match="missing vids"):
+        multimodal.decode_avi_frames(b"RIFF\x04\x00\x00\x00AVI ")
 
 
 def test_ivf_recall_vs_bruteforce(spark, vectors):

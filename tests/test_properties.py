@@ -414,3 +414,30 @@ def test_wav_roundtrip_is_identity(n, rate, seed):
     got_rate, back = decode_wav_pcm16(encode_wav_pcm16(s, rate))
     assert got_rate == rate
     assert back.shape == s.shape and (back == s).all()
+
+
+@given(
+    n=st.integers(min_value=1, max_value=5),
+    h=st.integers(min_value=1, max_value=10),
+    w=st.integers(min_value=1, max_value=10),
+    fps=st.sampled_from([1, 2, 5, 24, 30]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_avi_roundtrip_is_identity(n, h, w, fps, seed):
+    """encode_avi ∘ decode_avi_frames is the identity for every frame
+    count / geometry / rate — the nested RIFF LIST walk, per-frame DIB
+    stride padding (any width), and the bottom-up flip all land exactly,
+    and the fps survives the strh rate/scale round trip."""
+    import numpy as np
+
+    from learn_hbase_spark.operators.multimodal import (
+        decode_avi_frames,
+        encode_avi,
+    )
+
+    rng = np.random.RandomState(seed)
+    fr = rng.randint(0, 256, size=(n, h, w, 3)).astype(np.uint8)
+    got_fps, back = decode_avi_frames(encode_avi(fr, fps))
+    assert got_fps == fps
+    assert back.shape == fr.shape and (back == fr).all()
