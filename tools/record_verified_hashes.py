@@ -49,6 +49,10 @@ _ROWS_ONLY_CHECKS = {
         "tests/test_llm_ops.py::test_simhash_close_for_near_dups",
         "tests/test_llm_ops.py::test_simhash_md5_deterministic_and_near",
     ],
+    # approx_profile additionally has a FULL-oracle tolerance twin since
+    # r15 (approx_profile_bounds: per-source boolean error-bound verdicts
+    # the DuckDB oracle asserts TRUE), so every sweep value-checks the
+    # estimates; the sketch-valued query itself stays rows-only.
     "approx_profile": [
         "tests/test_sketches.py::test_approx_distinct_within_rsd",
         "tests/test_sketches.py::test_approx_quantiles_near_exact",
