@@ -1813,6 +1813,32 @@ def _sq8_code(x: Column, lo: Column, hi: Column) -> Column:
     )
 
 
+def _sq8_dequant(v: Column, los: list[float], his: list[float]) -> Column:
+    """The SQ8 quantize→reconstruct round trip as one JVM expression:
+    each element buckets via :func:`_sq8_code` and reconstructs at its
+    bucket CENTER (``lo + (code+0.5)·(hi-lo)/256``). Numerically
+    identical to storing the int code and decoding it later — the
+    expression every asymmetric SQ8 scorer shares."""
+    dim = len(los)
+    lo_arr = F.array(*[F.lit(float(x)) for x in los])
+    hi_arr = F.array(*[F.lit(float(x)) for x in his])
+    idx = F.sequence(F.lit(1), F.lit(dim))
+    return F.transform(
+        idx,
+        lambda i: F.element_at(lo_arr, i)
+        + (
+            _sq8_code(
+                F.element_at(v, i),
+                F.element_at(lo_arr, i),
+                F.element_at(hi_arr, i),
+            )
+            + F.lit(0.5)
+        )
+        * (F.element_at(hi_arr, i) - F.element_at(lo_arr, i))
+        / F.lit(256.0),
+    )
+
+
 def sq8_encode_long(
     corpus: DataFrame,
     los: list[float],
@@ -1880,27 +1906,10 @@ def _sq8_score_topk(
     :func:`sq8_topk` (bounds trained per call) and
     :func:`sq8_topk_frozen` (bounds loaded from a frozen artifact) —
     one implementation so the two paths cannot drift."""
-    dim = len(los)
-    lo_arr = F.array(*[F.lit(float(x)) for x in los])
-    hi_arr = F.array(*[F.lit(float(x)) for x in his])
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    idx = F.sequence(F.lit(1), F.lit(dim))
-    xq = F.transform(
-        idx,
-        lambda i: F.element_at(lo_arr, i)
-        + (
-            _sq8_code(
-                F.element_at(v, i),
-                F.element_at(lo_arr, i),
-                F.element_at(hi_arr, i),
-            )
-            + F.lit(0.5)
-        )
-        * (F.element_at(hi_arr, i) - F.element_at(lo_arr, i))
-        / F.lit(256.0),
-    )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), xq.alias("_xq")
+        F.col(id_col).alias("neighbor_id"),
+        _sq8_dequant(v, los, his).alias("_xq"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -2020,6 +2029,90 @@ def sq8_topk_frozen(
     the only corpus touch."""
     los, his = sq8_load_bounds(queries.sparkSession, path)
     return _sq8_score_topk(queries, corpus, los, his, k, id_col, vec_col)
+
+
+def ivf_sq8_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    nlist: int = 16,
+    nprobe: int = 4,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bounds: tuple[list, list] | None = None,
+) -> DataFrame:
+    """IVF + SQ8 — FAISS's ``IndexIVFScalarQuantizer``, the OTHER
+    standard pairing of the coarse quantizer (the first being IVF-PQ):
+    the seeded IVF cells restrict each query to its ``nprobe`` probed
+    cells' members, and the asymmetric SQ8 score (full-precision query
+    vs bucket-center reconstruction) runs over ONLY those candidates.
+    Versus IVF-PQ: per-dimension buckets instead of per-subspace
+    codebooks — cheaper train (one min/max agg, no codebook k-means),
+    higher fidelity per byte at small dims, same candidate pruning.
+
+    Scale: IVF cuts the scored set by ~nlist/nprobe and the cell id is
+    the storage partition key; the SQ8 representation is dim bytes per
+    candidate and the quantize→reconstruct→dot is one JVM expression —
+    no Python, no shuffle beyond the bounded broadcast query side
+    (nq×nprobe cell rows + nq query vectors). Fully deterministic in
+    the seeded form (cells = lowest-``nlist`` normalized vectors, the
+    ``ivf_pq_topk`` rule; floor-bucket SQ8 — no tie rule), so the whole
+    composition is oracle-twinnable end to end. ``bounds`` accepts a
+    frozen (los, his) pair (:func:`freeze_sq8`) — default trains on the
+    corpus in one agg. Returns (query_id, neighbor_id, rank, score):
+    score desc, ties by ascending neighbor id, round-6."""
+    import numpy as np
+
+    los, his = bounds if bounds is not None else sq8_bounds(corpus, vec_col)
+
+    # coarse quantizer: corpus cells (1 probe) + query cells (nprobe) —
+    # the ivf_pq_topk seeded form, verbatim
+    cell_seeds = (
+        corpus.orderBy(F.col(id_col).asc()).limit(nlist)
+        .select(vec_col).toPandas()[vec_col]
+    )
+    cents = _np_norm_rows(
+        np.stack([np.asarray(v, dtype=np.float64) for v in cell_seeds])
+    )
+    corpus_cells = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    ).mapInPandas(
+        _cell_assigner(cents, 1),
+        schema="_id long, _v array<double>, _cell int",
+    ).select(
+        F.col("_id").alias("neighbor_id"),
+        F.col("_cell").alias("cell"),
+        # reconstruct AT THE CANDIDATE ROW: the quantize→dequantize
+        # round trip equals decoding a stored dim-byte code, so this is
+        # the artifact path's arithmetic without materializing codes
+        _sq8_dequant(F.col("_v"), los, his).alias("_xq"),
+    )
+    q_cells = queries.select(
+        F.col(id_col).alias("_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    ).mapInPandas(
+        _cell_assigner(cents, min(nprobe, nlist)),
+        schema="_id long, _v array<double>, _cell int",
+    ).select(
+        F.col("_id").alias("query_id"),
+        F.col("_cell").alias("cell"),
+        F.col("_v").alias("_qv"),
+    )
+
+    scored = (
+        corpus_cells.join(F.broadcast(q_cells), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("score", F.round(_dot(F.col("_qv"), F.col("_xq")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )
 
 
 def rerank_exact(

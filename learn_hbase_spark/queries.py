@@ -516,7 +516,7 @@ _SWEEP_PRIORITY: list[str] = [
     # duplicate silently demotes). The r14 names below are stale carryover
     # (verified ⇒ inert) kept so the list is never empty at round start.
     "sq8_assign_frozen", "ann_sq8_frozen", "multimodal_video_frames",
-    "approx_profile_bounds",
+    "approx_profile_bounds", "ann_ivf_sq8_topk",
     "multimodal_decode_real", "pretraining_run", "ann_ivf_pq_rerank",
     "ann_sq8_topk", "kmeans_assign_frozen",
 ]
@@ -5291,6 +5291,93 @@ def ann_sq8_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _sq8_artifact(spark, sf_dir, emb)
     q = emb.filter(F.col("vec_id") < 10)
     return similarity.sq8_topk_frozen(q, emb, path, k=5)
+
+
+@_register(
+    "ann_ivf_sq8_topk",
+    f"""
+    WITH iseeds AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cell, c
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS c
+            FROM embeddings ORDER BY vec_id LIMIT 16)
+    ),
+    iscored AS (
+      SELECT e.vec_id, s.cell,
+             list_dot_product(CAST(e.embedding AS DOUBLE[]), s.c)
+               / sqrt(list_dot_product(s.c, s.c))
+               / sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                       CAST(e.embedding AS DOUBLE[]))) AS sc
+      FROM embeddings e CROSS JOIN iseeds s
+    ),
+    ccells AS (
+      SELECT vec_id AS neighbor_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sc DESC, cell ASC) AS rn
+        FROM iscored
+      ) WHERE rn = 1
+    ),
+    qcells AS (
+      SELECT vec_id AS query_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sc DESC, cell ASC) AS rn
+        FROM iscored WHERE vec_id < 10
+      ) WHERE rn <= 4
+    ),
+    cand AS (
+      SELECT q.query_id, c.neighbor_id
+      FROM ccells c JOIN qcells q USING (cell)
+    ),
+    {_SQ8_BOUNDS_CTE},
+    b AS (SELECT list(lo ORDER BY i) AS los, list(hi ORDER BY i) AS his
+          FROM bounds),
+    deq AS (
+      SELECT e.vec_id,
+             list_transform(generate_series(1, 64), i ->
+               b.los[i]
+               + ((CASE WHEN b.his[i] = b.los[i] THEN 0
+                   ELSE least(255, floor(
+                     (list_extract(CAST(e.embedding AS DOUBLE[]), i)
+                      - b.los[i]) / (b.his[i] - b.los[i]) * 256)) END)
+                  + 0.5)
+                 * (b.his[i] - b.los[i]) / 256) AS xq
+      FROM embeddings e, b
+    ),
+    scored AS (
+      SELECT cd.query_id, cd.neighbor_id,
+             round(list_dot_product(CAST(q.embedding AS DOUBLE[]), d.xq),
+                   6) AS score
+      FROM cand cd
+      JOIN deq d ON d.vec_id = cd.neighbor_id
+      JOIN embeddings q ON q.vec_id = cd.query_id
+      WHERE cd.neighbor_id <> cd.query_id
+    )
+    SELECT query_id, neighbor_id, rank, score FROM (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id ASC)
+               AS rank,
+             score
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def ann_ivf_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + SQ8 (similarity.ivf_sq8_topk — FAISS's
+    IndexIVFScalarQuantizer, the second standard coarse-quantizer
+    pairing alongside IVF-PQ): the seeded IVF cells restrict each query
+    (vec_id < 10) to its 4 probed cells' members, and the asymmetric
+    SQ8 score — full-precision query against bucket-center
+    reconstruction — runs over only those candidates, one JVM
+    expression per candidate row. The oracle splices the two existing
+    replays: the IVF-PQ coarse-assign CTEs (iseeds/ccells/qcells/cand)
+    feed the SQ8 bounds/reconstruct scoring restricted to the candidate
+    set — both halves already independently oracled, here the
+    COMPOSITION is value-hash verified."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivf_sq8_topk(q, emb, nlist=16, nprobe=4, k=5)
 
 
 _IVF_PQ_FILTERED_SQL = _IVF_PQ_SQL.replace(

@@ -1560,6 +1560,35 @@ def test_sq8_edge_contracts(spark, vectors):
         similarity.sq8_bounds(vectors.filter(F.col("vec_id") < 0))
 
 
+def test_ivf_sq8_recall_and_frozen_bounds(spark, vectors, tmp_path):
+    """IVF+SQ8 (IndexIVFScalarQuantizer) recovers most exact top-5
+    neighbors at nprobe=half the cells, and passing frozen bounds gives
+    the same ranking as per-call training (the bounds are the same
+    numbers either way)."""
+    q = vectors.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk(q, vectors, k=5).collect()
+    }
+    got = similarity.ivf_sq8_topk(q, vectors, nlist=8, nprobe=4, k=5)
+    approx = {(r["query_id"], r["neighbor_id"]) for r in got.collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF+SQ8 recall {recall} too low"
+
+    src = str(tmp_path / "corpus")
+    vectors.write.parquet(src)
+    corpus = spark.read.parquet(src)
+    path = str(tmp_path / "sq8")
+    similarity.freeze_sq8(corpus, path)
+    frozen = similarity.ivf_sq8_topk(
+        q, vectors, nlist=8, nprobe=4, k=5,
+        bounds=similarity.sq8_load_bounds(spark, path),
+    )
+    assert sorted(map(tuple, frozen.collect())) == sorted(
+        map(tuple, got.collect())
+    )
+
+
 def test_freeze_sq8_artifact_lifecycle(spark, vectors, tmp_path):
     """Frozen SQ8 bounds artifact: frozen-path encodes and top-k equal
     the per-call-trained path on the same corpus; a fresh artifact skips
