@@ -152,9 +152,7 @@ def encode_bmp(pixels) -> bytes:
     info_header = struct.pack(
         "<IiiHHIIiiII", 40, w, h, 1, 24, 0, data_size, 2835, 2835, 0, 0
     )
-    rows = np.zeros((h, stride), dtype=np.uint8)
-    rows[:, :row] = px[::-1].reshape(h, row)
-    return file_header + info_header + rows.tobytes()
+    return file_header + info_header + _dib_rows(px, stride).tobytes()
 
 
 def decode_bmp(payload: bytes):
@@ -165,8 +163,6 @@ def decode_bmp(payload: bytes):
     fabricated pixels."""
     import struct
 
-    import numpy as np
-
     if len(payload) < 54 or bytes(payload[:2]) != b"BM":
         raise ValueError("not a BMP payload")
     (off,) = struct.unpack_from("<I", payload, 10)
@@ -174,14 +170,25 @@ def decode_bmp(payload: bytes):
     if bpp != 24 or comp != 0:
         raise ValueError(f"only 24bpp uncompressed BMP supported "
                          f"(got bpp={bpp}, compression={comp})")
-    bottom_up = h > 0
-    hh = abs(h)
+    return _parse_dib(payload[off:], w, h)
+
+
+def _parse_dib(raw, w: int, h_signed: int):
+    """Parse one DIB pixel block (the layout after a BMP's headers and
+    inside each AVI ``00db`` frame chunk): 4-byte row stride, bottom-up
+    when the header height is positive. Returns a top-down ``uint8
+    (h, w, 3)`` BGR array; truncated blocks raise."""
+    import numpy as np
+
+    hh = abs(h_signed)
     stride = (w * 3 + 3) // 4 * 4
+    if len(raw) < stride * hh:
+        raise ValueError("DIB pixel block truncated")
     arr = np.frombuffer(
-        payload, dtype=np.uint8, count=stride * hh, offset=off
+        raw, dtype=np.uint8, count=stride * hh
     ).reshape(hh, stride)
     px = arr[:, : w * 3].reshape(hh, w, 3)
-    return px[::-1] if bottom_up else px
+    return px[::-1] if h_signed > 0 else px
 
 
 def encode_wav_pcm16(samples, sample_rate: int) -> bytes:
@@ -528,14 +535,22 @@ def decode_avi_frames(payload: bytes):
         if ltype == b"hdrl":
             for hcid, hbody in _riff_chunks(body, 4, len(body)):
                 if hcid == b"LIST" and hbody[:4] == b"strl":
+                    # a strl describes ONE stream; its strh comes before
+                    # its strf (AVI spec order), so gate the strf parse
+                    # on THIS strl being the video stream — an audio
+                    # strl's strf is a WAVEFORMATEX, not a
+                    # BITMAPINFOHEADER, and must be skipped, not
+                    # misparsed
+                    in_vids = False
                     for scid, sbody in _riff_chunks(hbody, 4, len(hbody)):
                         if scid == b"strh":
                             fcc, _, _, _, _, _, scale, rate = (
                                 struct.unpack_from("<4s4sIHHIII", sbody, 0)
                             )
-                            if fcc == b"vids" and scale:
+                            in_vids = fcc == b"vids"
+                            if in_vids and scale:
                                 fps = rate // scale
-                        elif scid == b"strf":
+                        elif scid == b"strf" and in_vids:
                             _, w, h, _, bpp, comp, *_ = struct.unpack_from(
                                 "<IiiHHI", sbody, 0
                             )
@@ -550,17 +565,9 @@ def decode_avi_frames(payload: bytes):
                     frames.append(mbody)
     if w is None or h is None or fps is None or fps <= 0:
         raise ValueError("missing vids strh/strf headers")
-    hh = abs(h)
-    stride = (w * 3 + 3) // 4 * 4
-    out = np.empty((len(frames), hh, w, 3), dtype=np.uint8)
+    out = np.empty((len(frames), abs(h), w, 3), dtype=np.uint8)
     for i, raw in enumerate(frames):
-        if len(raw) < stride * hh:
-            raise ValueError(f"frame {i} truncated")
-        arr = np.frombuffer(
-            raw, dtype=np.uint8, count=stride * hh
-        ).reshape(hh, stride)
-        px = arr[:, : w * 3].reshape(hh, w, 3)
-        out[i] = px[::-1] if h > 0 else px
+        out[i] = _parse_dib(raw, w, h)  # the BMP pixel parser, shared
     return fps, out
 
 

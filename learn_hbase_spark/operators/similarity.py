@@ -1189,6 +1189,46 @@ def pq_adc_topk(
     )
 
 
+def _ivf_seeded_cells(
+    queries: DataFrame,
+    corpus: DataFrame,
+    nlist: int,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """The deterministic seeded IVF coarse quantizer shared by every
+    oracle-twinned IVF composition (``ivf_pq_topk``, ``ivf_sq8_topk``):
+    seed centroids = the ``nlist`` lowest-id vectors normalized, corpus
+    assigned 1 cell, queries ``nprobe`` cells. ONE implementation so
+    the compositions cannot drift from each other (or from the shared
+    iseeds/ccells/qcells oracle CTEs). Returns ``(corpus_cells,
+    q_cells)``, both ``(_id, _v, cell)`` — ``_v`` rides along for
+    scorers that need the vector at the candidate row."""
+    import numpy as np
+
+    cell_seeds = (
+        corpus.orderBy(F.col(id_col).asc()).limit(nlist)
+        .select(vec_col).toPandas()[vec_col]
+    )
+    cents = _np_norm_rows(
+        np.stack([np.asarray(v, dtype=np.float64) for v in cell_seeds])
+    )
+    prep = lambda df: df.select(  # noqa: E731 - local shaping lambda
+        F.col(id_col).alias("_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    )
+    corpus_cells = prep(corpus).mapInPandas(
+        _cell_assigner(cents, 1),
+        schema="_id long, _v array<double>, _cell int",
+    ).select("_id", "_v", F.col("_cell").alias("cell"))
+    q_cells = prep(queries).mapInPandas(
+        _cell_assigner(cents, min(nprobe, nlist)),
+        schema="_id long, _v array<double>, _cell int",
+    ).select("_id", "_v", F.col("_cell").alias("cell"))
+    return corpus_cells, q_cells
+
+
 def ivf_pq_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -1218,33 +1258,20 @@ def ivf_pq_topk(
     partial-aggregable. Ranking: ascending ADC distance, ties by
     ascending neighbor id, round-6 — the `pq_adc_topk` contract.
     """
-    import numpy as np
-
-    # coarse quantizer: corpus cells (1 probe) + query cells (nprobe)
-    cell_seeds = (
-        corpus.orderBy(F.col(id_col).asc()).limit(nlist)
-        .select(vec_col).toPandas()[vec_col]
+    corpus_cells, q_cells = _ivf_seeded_cells(
+        queries, corpus, nlist, nprobe, id_col, vec_col
     )
-    cents = _np_norm_rows(
-        np.stack([np.asarray(v, dtype=np.float64) for v in cell_seeds])
-    )
-    corpus_cells = corpus.select(
-        F.col(id_col).alias("_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
-    ).mapInPandas(
-        _cell_assigner(cents, 1), schema="_id long, _v array<double>, _cell int"
-    ).select(F.col("_id").alias("neighbor_id"), F.col("_cell").alias("cell"))
-    q_cells = queries.select(
-        F.col(id_col).alias("_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
-    ).mapInPandas(
-        _cell_assigner(cents, min(nprobe, nlist)),
-        schema="_id long, _v array<double>, _cell int",
-    ).select(F.col("_id").alias("query_id"), F.col("_cell").alias("cell"))
 
     # candidate set: corpus members of each query's probed cells
-    cand = corpus_cells.join(F.broadcast(q_cells), "cell").select(
-        "query_id", "neighbor_id"
+    cand = (
+        corpus_cells.select(F.col("_id").alias("neighbor_id"), "cell")
+        .join(
+            F.broadcast(
+                q_cells.select(F.col("_id").alias("query_id"), "cell")
+            ),
+            "cell",
+        )
+        .select("query_id", "neighbor_id")
     )
 
     # ADC scoring restricted to candidates
@@ -2061,43 +2088,21 @@ def ivf_sq8_topk(
     frozen (los, his) pair (:func:`freeze_sq8`) — default trains on the
     corpus in one agg. Returns (query_id, neighbor_id, rank, score):
     score desc, ties by ascending neighbor id, round-6."""
-    import numpy as np
-
     los, his = bounds if bounds is not None else sq8_bounds(corpus, vec_col)
 
-    # coarse quantizer: corpus cells (1 probe) + query cells (nprobe) —
-    # the ivf_pq_topk seeded form, verbatim
-    cell_seeds = (
-        corpus.orderBy(F.col(id_col).asc()).limit(nlist)
-        .select(vec_col).toPandas()[vec_col]
+    cells, qc = _ivf_seeded_cells(
+        queries, corpus, nlist, nprobe, id_col, vec_col
     )
-    cents = _np_norm_rows(
-        np.stack([np.asarray(v, dtype=np.float64) for v in cell_seeds])
-    )
-    corpus_cells = corpus.select(
-        F.col(id_col).alias("_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
-    ).mapInPandas(
-        _cell_assigner(cents, 1),
-        schema="_id long, _v array<double>, _cell int",
-    ).select(
+    corpus_cells = cells.select(
         F.col("_id").alias("neighbor_id"),
-        F.col("_cell").alias("cell"),
+        "cell",
         # reconstruct AT THE CANDIDATE ROW: the quantize→dequantize
         # round trip equals decoding a stored dim-byte code, so this is
         # the artifact path's arithmetic without materializing codes
         _sq8_dequant(F.col("_v"), los, his).alias("_xq"),
     )
-    q_cells = queries.select(
-        F.col(id_col).alias("_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
-    ).mapInPandas(
-        _cell_assigner(cents, min(nprobe, nlist)),
-        schema="_id long, _v array<double>, _cell int",
-    ).select(
-        F.col("_id").alias("query_id"),
-        F.col("_cell").alias("cell"),
-        F.col("_v").alias("_qv"),
+    q_cells = qc.select(
+        F.col("_id").alias("query_id"), "cell", F.col("_v").alias("_qv")
     )
 
     scored = (

@@ -5131,9 +5131,9 @@ _SQ8_BOUNDS_CTE = """
     WITH {_SQ8_BOUNDS_CTE}
     SELECT e.vec_id, b.i,
            CAST(CASE WHEN b.hi = b.lo THEN 0
-                ELSE least(255, floor(
+                ELSE greatest(0, least(255, floor(
                   (list_extract(CAST(e.embedding AS DOUBLE[]), b.i) - b.lo)
-                  / (b.hi - b.lo) * 256)) END AS INT) AS code
+                  / (b.hi - b.lo) * 256))) END AS INT) AS code
     FROM embeddings e, bounds b
     WHERE e.vec_id < 200
     """,
@@ -5143,9 +5143,11 @@ def sq8_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators.similarity.sq8_encode_long — the FAISS SQ8 alternative to
     PQ: per-dimension trained buckets, no codebook state, 4-8× memory-
     bandwidth reduction): bounds from ONE 2×dim-cell aggregate pass,
-    bucket = min(255, floor((x-lo)/(hi-lo)·256)) — FLOOR so the
-    assignment has no engine-dependent tie rule. Integer output ⇒ exact
-    value-hash; vec_id < 200 bounds the long-format row count."""
+    bucket = clamp(0, 255, floor((x-lo)/(hi-lo)·256)) — FLOOR so the
+    assignment has no engine-dependent tie rule, clamped BOTH ends (the
+    FAISS rule; below-lo inputs arise under frozen bounds). Integer
+    output ⇒ exact value-hash; vec_id < 200 bounds the long-format row
+    count."""
     emb = _t(spark, sf_dir, "embeddings")
     los, his = similarity.sq8_bounds(emb)
     return similarity.sq8_encode_long(
@@ -5164,9 +5166,9 @@ def sq8_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_transform(generate_series(1, 64), i ->
                b.los[i]
                + ((CASE WHEN b.his[i] = b.los[i] THEN 0
-                   ELSE least(255, floor(
+                   ELSE greatest(0, least(255, floor(
                      (list_extract(CAST(e.embedding AS DOUBLE[]), i)
-                      - b.los[i]) / (b.his[i] - b.los[i]) * 256)) END)
+                      - b.los[i]) / (b.his[i] - b.los[i]) * 256))) END)
                   + 0.5)
                  * (b.his[i] - b.los[i]) / 256) AS xq
       FROM embeddings e, b
@@ -5254,9 +5256,9 @@ def sq8_assign_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_transform(generate_series(1, 64), i ->
                b.los[i]
                + ((CASE WHEN b.his[i] = b.los[i] THEN 0
-                   ELSE least(255, floor(
+                   ELSE greatest(0, least(255, floor(
                      (list_extract(CAST(e.embedding AS DOUBLE[]), i)
-                      - b.los[i]) / (b.his[i] - b.los[i]) * 256)) END)
+                      - b.los[i]) / (b.his[i] - b.los[i]) * 256))) END)
                   + 0.5)
                  * (b.his[i] - b.los[i]) / 256) AS xq
       FROM embeddings e, b
@@ -5337,9 +5339,9 @@ def ann_sq8_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_transform(generate_series(1, 64), i ->
                b.los[i]
                + ((CASE WHEN b.his[i] = b.los[i] THEN 0
-                   ELSE least(255, floor(
+                   ELSE greatest(0, least(255, floor(
                      (list_extract(CAST(e.embedding AS DOUBLE[]), i)
-                      - b.los[i]) / (b.his[i] - b.los[i]) * 256)) END)
+                      - b.los[i]) / (b.his[i] - b.los[i]) * 256))) END)
                   + 0.5)
                  * (b.his[i] - b.los[i]) / 256) AS xq
       FROM embeddings e, b

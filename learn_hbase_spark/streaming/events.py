@@ -658,11 +658,11 @@ def curation_ingest_file_stream(
     from ..operators.corpus import load_bigram_lm
     from ..pipeline.curation import _require_scoreable
 
-    _claim_stream_output(spark, curated_dir, checkpoint_dir, "_ingest_owner")
-    _claim_stream_output(spark, index_dir, checkpoint_dir, "_ingest_owner")
     _require_scoreable(
         min_tokens, lm_quantile if lm_model_dir is None else 0.0
     )
+    _claim_stream_output(spark, curated_dir, checkpoint_dir, "_ingest_owner")
+    _claim_stream_output(spark, index_dir, checkpoint_dir, "_ingest_owner")
     lm_cutoff = lm_k = None
     if lm_model_dir is not None:
         _, _, _, lm_k, frozen_thr = load_bigram_lm(spark, lm_model_dir)
@@ -977,7 +977,16 @@ def _claim_stream_output(
     silently cross-overwrite each other's partitions) or by a checkpoint
     that has since been deleted/reset (the fresh counter restarts at 0,
     so partitions the new run never rewrites would linger as stale
-    duplicates for any consumer unioning the directory)."""
+    duplicates for any consumer unioning the directory).
+
+    Migration: partitions with NO sidecar (written by a pre-guard
+    version of the stream) are ADOPTED when the restarting checkpoint
+    has committed batches — that is the legitimate owner resuming, and
+    refusing would strand the accumulated state; an uncommitted (fresh
+    or reset) checkpoint over an unowned populated dir still refuses.
+    The residual risk — an unrelated committed stream adopting a
+    pre-guard dir it never wrote — is a misconfiguration the pre-guard
+    code corrupted silently; this path at least stamps it visibly."""
     from ..storage.artifact import (
         delta_partition_count,
         hadoop_fs,
@@ -986,8 +995,20 @@ def _claim_stream_output(
     )
 
     owner_p = f"{output_dir}/{marker}"
+    commits_fs, commits_jp = hadoop_fs(spark, f"{checkpoint_dir}/commits")
+    has_commits = bool(
+        commits_fs.exists(commits_jp) and commits_fs.listStatus(commits_jp)
+    )
     if delta_partition_count(spark, output_dir, prefix="_batch=") > 0:
         owner = read_text_sidecar(spark, owner_p)
+        if owner is None and has_commits:
+            # migration: a dir written by the pre-guard version of this
+            # stream has partitions but no sidecar; a checkpoint WITH
+            # committed batches restarting over it is the legitimate
+            # owner resuming (its counter continues where the partitions
+            # left off) — adopt, don't strand the accumulated state
+            write_text_sidecar(spark, owner_p, checkpoint_dir)
+            return
         if owner != checkpoint_dir:
             raise ValueError(
                 f"output dir {output_dir} already holds _batch=* results "
@@ -996,11 +1017,7 @@ def _claim_stream_output(
                 "batch counters would silently cross-overwrite); use a "
                 "fresh output dir per stream"
             )
-        commits_fs, commits_jp = hadoop_fs(spark, f"{checkpoint_dir}/commits")
-        if not (
-            commits_fs.exists(commits_jp)
-            and commits_fs.listStatus(commits_jp)
-        ):
+        if not has_commits:
             raise ValueError(
                 f"output dir {output_dir} holds results from checkpoint "
                 f"{checkpoint_dir}, but that checkpoint has no committed "

@@ -442,6 +442,69 @@ def test_video_frame_features_real_pixels(spark):
         assert r["mean_r"] == round(float(means[2]), 6)
 
 
+def test_decode_avi_ignores_audio_streams():
+    """A real-world AVI interleaves an audio stream: its strl carries a
+    WAVEFORMATEX strf (not a BITMAPINFOHEADER) and its movi chunks are
+    '01wb' — the decoder must take geometry/fps from the vids strl only
+    and frames from the ..db chunks only, never misparse the audio
+    headers (the pre-fix behavior raised struct.error or a bogus
+    '24bpp' refusal on a perfectly decodable file)."""
+    import struct
+
+    import numpy as np
+
+    from learn_hbase_spark.operators import multimodal as M
+
+    def chunk(cid, body):
+        return (
+            cid + struct.pack("<I", len(body)) + body
+            + (b"\x00" if len(body) & 1 else b"")
+        )
+
+    def lst(t, body):
+        return chunk(b"LIST", t + body)
+
+    frames = (np.arange(2 * 3 * 4 * 3).reshape(2, 3, 4, 3) % 256).astype(
+        np.uint8
+    )
+    n, h, w, _ = frames.shape
+    stride = (w * 3 + 3) // 4 * 4
+    avih = struct.pack(
+        "<14I", 500000, 0, 0, 0, n, 0, 2, stride * h, w, h, 0, 0, 0, 0
+    )
+    vids_strh = struct.pack(
+        "<4s4sIHHIIIIIIII4h",
+        b"vids", b"DIB ", 0, 0, 0, 0, 1, 2, 0, n, stride * h, 0, 0,
+        0, 0, w, h,
+    )
+    vids_strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 0, 0, 0, 0
+    )
+    auds_strh = struct.pack(
+        "<4s4sIHHIIIIIIII4h",
+        b"auds", b"\x00\x00\x00\x00", 0, 0, 0, 0, 1, 8000, 0, 16, 32, 0,
+        2, 0, 0, 0, 0,
+    )
+    # 18-byte WAVEFORMATEX (16-bit mono PCM) — SHORTER than a
+    # BITMAPINFOHEADER, the exact shape that crashed the ungated parse
+    auds_strf = struct.pack("<HHIIHHH", 1, 1, 8000, 16000, 2, 16, 0)
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", vids_strh) + chunk(b"strf", vids_strf))
+        + lst(b"strl", chunk(b"strh", auds_strh) + chunk(b"strf", auds_strf)),
+    )
+    movi_body = b""
+    for i in range(n):
+        movi_body += chunk(b"00db", M._dib_rows(frames[i], stride).tobytes())
+        movi_body += chunk(b"01wb", b"\x00\x01" * 8)  # interleaved audio
+    payload = chunk(b"RIFF", b"AVI " + hdrl + lst(b"movi", movi_body))
+
+    fps, back = M.decode_avi_frames(payload)
+    assert fps == 2
+    assert back.shape == frames.shape and (back == frames).all()
+
+
 def test_media_decoders_reject_garbage(spark):
     """A decode pipeline fails LOUDLY on payloads it can't parse — no
     fabricated pixels/samples (8bpp BMPs, non-PCM WAVs, other formats)."""

@@ -1701,6 +1701,46 @@ def test_neardup_ingest_refuses_unowned_output_dirs(spark, tmp_path):
     assert spark.read.parquet(acc).count() == accepted
 
 
+def test_ingest_guard_adopts_preguard_output_dirs(spark, tmp_path):
+    """Migration: output dirs written BEFORE the ownership guard existed
+    have _batch=* partitions but no sidecar. The legitimate owner — a
+    checkpoint WITH committed batches — must be adopted on restart (not
+    stranded), while a fresh/reset checkpoint over the unowned populated
+    dir still refuses."""
+    import json
+    import os
+
+    import pytest
+
+    from learn_hbase_spark.streaming.events import neardup_ingest_stream
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    idx = str(tmp_path / "index")
+    acc = str(tmp_path / "accepted")
+    ckpt = str(tmp_path / "ckpt")
+    with open(inp / "b1.json", "w") as fh:
+        fh.write(json.dumps({"doc_id": 1, "text": "alpha beta gamma"}) + "\n")
+    neardup_ingest_stream(spark, str(inp), idx, acc, ckpt)
+    # simulate the pre-guard state: partitions present, sidecar absent
+    for d in (idx, acc):
+        os.remove(f"{d}/_ingest_owner")
+    with open(inp / "b2.json", "w") as fh:
+        fh.write(json.dumps({"doc_id": 2, "text": "delta epsilon zeta"}) + "\n")
+    # the owning (committed) checkpoint restarts: adopted, state grows
+    neardup_ingest_stream(spark, str(inp), idx, acc, ckpt)
+    assert {r["doc_id"] for r in spark.read.parquet(acc).collect()} == {1, 2}
+    assert os.path.exists(f"{acc}/_ingest_owner")
+
+    # a FRESH checkpoint over the unowned populated dir: still refused
+    for d in (idx, acc):
+        os.remove(f"{d}/_ingest_owner")
+    with pytest.raises(ValueError, match="must not share"):
+        neardup_ingest_stream(
+            spark, str(inp), idx, acc, str(tmp_path / "ckpt_new")
+        )
+
+
 def test_curation_ingest_refuses_unowned_output_dirs(spark, tmp_path):
     """Same ownership contract for the curation file stream's curated /
     index dirs."""
