@@ -1022,17 +1022,30 @@ def test_curation_file_stream_frozen_lm_band(spark, tmp_path):
     assert names() == {"good.txt", "fresh.txt"}
     assert spark.read.parquet(idx).select("_id").distinct().count() == 2
 
-    # restart with a FRESH checkpoint: the full drop zone replays in ONE
-    # batch, and because the frozen verdicts are content-determined and
-    # the landings are dynamic-partition overwrites, the curated CONTENT
-    # set is reproduced exactly. The near-dup representative may differ
-    # (good vs good2 now tie-break inside one batch instead of
-    # first-drain-wins) — content identity, not path identity, is the
-    # replay invariant
+    # restart with a FRESH checkpoint into FRESH output dirs: the full
+    # drop zone replays in ONE batch, and because the frozen verdicts
+    # are content-determined, the curated CONTENT set is reproduced
+    # exactly. The near-dup representative may differ (good vs good2 now
+    # tie-break inside one batch instead of first-drain-wins) — content
+    # identity, not path identity, is the replay invariant. The OLD dirs
+    # are refused (ownership guard): a fresh checkpoint's restarted
+    # batch counter over the two-drain dirs would strand drain 2's
+    # partition as a stale duplicate — the r14-verdict hazard
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="must not share"):
+        curation_ingest_file_stream(
+            spark, str(inp), idx, cur, str(tmp_path / "ckpt2"), **kw
+        )
+    curR = str(tmp_path / "curated_replay")
+    idxR = str(tmp_path / "index_replay")
     curation_ingest_file_stream(
-        spark, str(inp), idx, cur, str(tmp_path / "ckpt2"), **kw
+        spark, str(inp), idxR, curR, str(tmp_path / "ckpt2"), **kw
     )
-    replayed = names()
+    replayed = {
+        r["path"].rsplit("/", 1)[-1]
+        for r in spark.read.parquet(curR).collect()
+    }
     assert len(replayed) == 2 and "fresh.txt" in replayed
     assert replayed & {"good.txt", "good2.txt"}
 
