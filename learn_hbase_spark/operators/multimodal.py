@@ -589,13 +589,19 @@ def video_frame_features(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """REAL video frame features: decode the AVI, sample one frame per
     ``every_ms`` of stream time, and compute the image feature set
     (dimensions + per-channel means) over each sampled frame's ACTUAL
-    pixels. The sampled timestamps are exactly
-    :func:`frame_sample_plan`'s sequence — ``0, every_ms, …`` up to
-    ``duration_ms - 1`` with ``duration_ms = n·1000/fps`` — so the plan
-    (metadata-only, JVM explode) and the decode (this kernel) agree row
-    for row; the frame at ``t`` is ``floor(t·fps/1000)``. Arrow-batched
-    ``mapInPandas``, one decode per payload however many frames are
-    sampled from it."""
+    pixels. Tick timestamps follow :func:`frame_sample_plan`'s rule —
+    ``0, every_ms, …`` up to ``duration_ms - 1`` — but with
+    ``duration_ms = n·1000/fps`` derived from the DECODED stream
+    (payload truth), where the plan uses the ``duration_ms`` METADATA
+    column: the two agree row for row exactly when the metadata is
+    consistent with the payload (the registered query's fixtures are;
+    pytest pins that case), and when they disagree the features are
+    authoritative — a metadata-only plan row for stream time the
+    payload doesn't contain has nothing to decode (including the
+    degenerate frameless stream, which plans tick 0 but yields no
+    feature rows). The frame at ``t`` is ``floor(t·fps/1000)``.
+    Arrow-batched ``mapInPandas``, one decode per payload however many
+    frames are sampled from it."""
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         out: dict[str, list] = {
@@ -625,6 +631,54 @@ def video_frame_features(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 
     return media.filter(F.col("kind") == "video").mapInPandas(
         _extract, schema=_video_feature_schema(_id_type(media))
+    )
+
+
+def video_summary_features(media: DataFrame) -> DataFrame:
+    """Per-MEDIA video features over AVI payloads (the whole-stream
+    analog of :func:`image_pixel_features`, for consumers that want one
+    row per video rather than one per sampled frame): geometry and
+    frame count from the decoded stream, per-channel means over ALL
+    frames' pixels. Arrow-batched like every media kernel; undecodable
+    payloads raise loudly."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out: dict[str, list] = {
+            "media_id": [], "width": [], "height": [], "n_frames": [],
+            "mean_b": [], "mean_g": [], "mean_r": [],
+        }
+        for pdf in batches:
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                _, frames = decode_avi_frames(payload)
+                n, h, w, _ = frames.shape
+                means = (
+                    frames.astype("float64").mean(axis=(0, 1, 2))
+                    if n
+                    else [0.0, 0.0, 0.0]
+                )
+                out["media_id"].append(mid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_frames"].append(n)
+                out["mean_b"].append(round(float(means[0]), 6))
+                out["mean_g"].append(round(float(means[1]), 6))
+                out["mean_r"].append(round(float(means[2]), 6))
+        yield pd.DataFrame(out)
+
+    id_type = _id_type(media)
+    schema = StructType(
+        [
+            StructField("media_id", id_type, False),
+            StructField("width", IntegerType(), False),
+            StructField("height", IntegerType(), False),
+            StructField("n_frames", LongType(), False),
+            StructField("mean_b", DoubleType(), False),
+            StructField("mean_g", DoubleType(), False),
+            StructField("mean_r", DoubleType(), False),
+        ]
+    )
+    return media.filter(F.col("kind") == "video").mapInPandas(
+        _extract, schema=schema
     )
 
 

@@ -5125,6 +5125,29 @@ _SQ8_BOUNDS_CTE = """
 """
 
 
+# the SQ8 quantize->reconstruct round trip as a replayable fragment
+# (consumes the `bounds` CTE above) -- ONE copy so the three asymmetric
+# scorers' oracles cannot drift from each other or from _sq8_code's
+# two-sided clamp (the r15 latent-divergence lesson)
+_SQ8_DEQ_CTE = """\
+    b AS (SELECT list(lo ORDER BY i) AS los, list(hi ORDER BY i) AS his
+          FROM bounds),
+    deq AS (
+      SELECT e.vec_id,
+             list_transform(generate_series(1, 64), i ->
+               b.los[i]
+               + ((CASE WHEN b.his[i] = b.los[i] THEN 0
+                   ELSE greatest(0, least(255, floor(
+                     (list_extract(CAST(e.embedding AS DOUBLE[]), i)
+                      - b.los[i]) / (b.his[i] - b.los[i]) * 256))) END)
+                  + 0.5)
+                 * (b.his[i] - b.los[i]) / 256) AS xq
+      FROM embeddings e, b
+    )
+"""
+
+
+
 @_register(
     "sq8_encode",
     f"""
@@ -5159,20 +5182,7 @@ def sq8_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_sq8_topk",
     f"""
     WITH {_SQ8_BOUNDS_CTE},
-    b AS (SELECT list(lo ORDER BY i) AS los, list(hi ORDER BY i) AS his
-          FROM bounds),
-    deq AS (
-      SELECT e.vec_id,
-             list_transform(generate_series(1, 64), i ->
-               b.los[i]
-               + ((CASE WHEN b.his[i] = b.los[i] THEN 0
-                   ELSE greatest(0, least(255, floor(
-                     (list_extract(CAST(e.embedding AS DOUBLE[]), i)
-                      - b.los[i]) / (b.his[i] - b.los[i]) * 256))) END)
-                  + 0.5)
-                 * (b.his[i] - b.los[i]) / 256) AS xq
-      FROM embeddings e, b
-    ),
+{_SQ8_DEQ_CTE},
     scored AS (
       SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
              round(list_dot_product(CAST(q.embedding AS DOUBLE[]), d.xq),
@@ -5249,20 +5259,7 @@ def sq8_assign_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
     # on the same corpus must serve the same answers as per-call training
     f"""
     WITH {_SQ8_BOUNDS_CTE},
-    b AS (SELECT list(lo ORDER BY i) AS los, list(hi ORDER BY i) AS his
-          FROM bounds),
-    deq AS (
-      SELECT e.vec_id,
-             list_transform(generate_series(1, 64), i ->
-               b.los[i]
-               + ((CASE WHEN b.his[i] = b.los[i] THEN 0
-                   ELSE greatest(0, least(255, floor(
-                     (list_extract(CAST(e.embedding AS DOUBLE[]), i)
-                      - b.los[i]) / (b.his[i] - b.los[i]) * 256))) END)
-                  + 0.5)
-                 * (b.his[i] - b.los[i]) / 256) AS xq
-      FROM embeddings e, b
-    ),
+{_SQ8_DEQ_CTE},
     scored AS (
       SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
              round(list_dot_product(CAST(q.embedding AS DOUBLE[]), d.xq),
@@ -5332,20 +5329,7 @@ def ann_sq8_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ccells c JOIN qcells q USING (cell)
     ),
     {_SQ8_BOUNDS_CTE},
-    b AS (SELECT list(lo ORDER BY i) AS los, list(hi ORDER BY i) AS his
-          FROM bounds),
-    deq AS (
-      SELECT e.vec_id,
-             list_transform(generate_series(1, 64), i ->
-               b.los[i]
-               + ((CASE WHEN b.his[i] = b.los[i] THEN 0
-                   ELSE greatest(0, least(255, floor(
-                     (list_extract(CAST(e.embedding AS DOUBLE[]), i)
-                      - b.los[i]) / (b.his[i] - b.los[i]) * 256))) END)
-                  + 0.5)
-                 * (b.his[i] - b.los[i]) / 256) AS xq
-      FROM embeddings e, b
-    ),
+{_SQ8_DEQ_CTE},
     scored AS (
       SELECT cd.query_id, cd.neighbor_id,
              round(list_dot_product(CAST(q.embedding AS DOUBLE[]), d.xq),

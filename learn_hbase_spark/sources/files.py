@@ -153,6 +153,7 @@ _MEDIA_EXT = {
     "png": ("image", "image/png"),
     "wav": ("audio", "audio/wav"),
     "mp3": ("audio", "audio/mpeg"),
+    "avi": ("video", "video/x-msvideo"),
     "mp4": ("video", "video/mp4"),
     "mkv": ("video", "video/x-matroska"),
 }

@@ -995,13 +995,22 @@ def _claim_stream_output(
     )
 
     owner_p = f"{output_dir}/{marker}"
-    commits_fs, commits_jp = hadoop_fs(spark, f"{checkpoint_dir}/commits")
-    has_commits = bool(
-        commits_fs.exists(commits_jp) and commits_fs.listStatus(commits_jp)
-    )
+    # progress = the OFFSETS log, not commits: offsets/N is written
+    # BEFORE batch N runs, so a crash between the output landing and the
+    # commit record leaves offsets present — that restart must be
+    # allowed (the engine replays batch N and the dynamic partition
+    # overwrite rewrites its own _batch=N), or the stream's very first
+    # mid-batch crash wedges it. A deleted/reset checkpoint has neither
+    # offsets nor commits and still refuses.
+    has_progress = False
+    for sub in ("offsets", "commits"):
+        fs, jp = hadoop_fs(spark, f"{checkpoint_dir}/{sub}")
+        if fs.exists(jp) and fs.listStatus(jp):
+            has_progress = True
+            break
     if delta_partition_count(spark, output_dir, prefix="_batch=") > 0:
         owner = read_text_sidecar(spark, owner_p)
-        if owner is None and has_commits:
+        if owner is None and has_progress:
             # migration: a dir written by the pre-guard version of this
             # stream has partitions but no sidecar; a checkpoint WITH
             # committed batches restarting over it is the legitimate
@@ -1017,14 +1026,15 @@ def _claim_stream_output(
                 "batch counters would silently cross-overwrite); use a "
                 "fresh output dir per stream"
             )
-        if not has_commits:
+        if not has_progress:
             raise ValueError(
                 f"output dir {output_dir} holds results from checkpoint "
                 f"{checkpoint_dir}, but that checkpoint has no committed "
-                "batches — it was deleted/reset, so its restarted batch "
-                "counter would leave stale _batch=* partitions the new "
-                "run never rewrites; clear the output dir (or use a fresh "
-                "one) before restarting from an empty checkpoint"
+                "batches or recorded offsets — it was deleted/reset, so "
+                "its restarted batch counter would leave stale _batch=* "
+                "partitions the new run never rewrites; clear the output "
+                "dir (or use a fresh one) before restarting from an "
+                "empty checkpoint"
             )
     else:
         write_text_sidecar(spark, owner_p, checkpoint_dir)
@@ -1044,27 +1054,58 @@ def media_feature_stream(
     reads ONLY the new files via the checkpointed ``binaryFile`` listing
     and decodes them with the REAL codec kernels
     (``operators.multimodal``): BMP → dimensions + per-channel pixel
-    means, WAV → sample rate / count / RMS / peak; everything else —
+    means, WAV → sample rate / count / RMS / peak, AVI → geometry /
+    frame count / per-channel means over all frames; everything else —
     opaque kinds AND media formats the real codecs can't parse (jpg/png/
-    mp3/…, which ``_MEDIA_EXT`` still classifies as image/audio) — gets
-    the format-agnostic payload profile row (byte length), with
-    ``decode_note='undecodable_format'`` marking the media-kind rows
-    that arrived in a format this build can't decode. Routing is BY
+    mp3/mp4/…, which ``_MEDIA_EXT`` still classifies as image/audio/
+    video) — gets the format-agnostic payload profile row (byte length),
+    with ``decode_note='undecodable_format'`` marking the media-kind
+    rows that arrived in a format this build can't decode. Routing is BY
     EXTENSION, so one JPEG dropped in a mixed zone can never wedge the
-    stream in a decode-raise replay loop; a corrupt ``.bmp``/``.wav``
-    still FAILS THE DRAIN loudly (a malformed payload in a decodable
-    format is data the pipeline must see, not silently skip). Results
-    land as ``(media_id, kind, path, n_bytes, …features, decode_note)``
-    under this batch's own ``_batch`` partition (dynamic partition
+    stream in a decode-raise replay loop; a corrupt ``.bmp``/``.wav``/
+    ``.avi`` still FAILS THE DRAIN loudly (a malformed payload in a
+    decodable format is data the pipeline must see, not silently skip).
+    Results land as ``(media_id, kind, path, n_bytes, …features,
+    n_frames, decode_note)`` — schema v2, version-stamped on the output
+    dir so a resumed pre-v2 dir refuses instead of mixing parquet
+    schemas — under this batch's own ``_batch`` partition (dynamic partition
     overwrite → at-least-once replays rewrite, never double-append — the
     ANN serving contract), and the output dir is ownership-guarded
     against a second stream or a reset checkpoint. ``media_id`` is
     ``md5(path)`` (the ``read_binary_files`` id rule — collision-safe at
     crawl scale)."""
-    from ..operators.multimodal import audio_features, image_pixel_features
+    from ..operators.multimodal import (
+        audio_features,
+        image_pixel_features,
+        video_summary_features,
+    )
     from ..sources.files import _MEDIA_EXT
+    from ..storage.artifact import (
+        delta_partition_count,
+        read_text_sidecar,
+        write_text_sidecar,
+    )
 
     _claim_stream_output(spark, output_dir, checkpoint_dir, "_media_owner")
+    # output-SCHEMA version guard: v2 added decode_note/n_frames, so
+    # partitions written by an older build would give the union dir a
+    # nondeterministic schema (parquet infers from one sampled footer).
+    # Features are derived data — recomputable — so a version mismatch
+    # REFUSES toward a fresh dir rather than adopting mixed schemas.
+    schema_p = f"{output_dir}/_media_schema"
+    if delta_partition_count(spark, output_dir, prefix="_batch=") > 0:
+        ver = read_text_sidecar(spark, schema_p)
+        if ver != "v2":
+            raise ValueError(
+                f"output dir {output_dir} holds feature partitions with "
+                f"schema {ver or 'v1 (pre-decode_note)'} — this build "
+                "writes schema v2 (decode_note, n_frames), and mixing "
+                "versions in one dir reads nondeterministically; use a "
+                "fresh output dir (features are recomputable from the "
+                "drop zone)"
+            )
+    else:
+        write_text_sidecar(spark, schema_p, "v2")
 
     # the binaryFile source's fixed schema (required for readStream)
     schema = (
@@ -1105,6 +1146,7 @@ def media_feature_stream(
         decodable = (
             ((F.col("kind") == "image") & (F.col("_ext") == "bmp"))
             | ((F.col("kind") == "audio") & (F.col("_ext") == "wav"))
+            | ((F.col("kind") == "video") & (F.col("_ext") == "avi"))
         )
         base = media.select("media_id", "kind", "path", "n_bytes", "_ext")
         img = image_pixel_features(media.filter(decodable)).join(
@@ -1114,7 +1156,7 @@ def media_feature_stream(
             "width", "height", "mean_b", "mean_g", "mean_r",
             null_i.alias("sample_rate"), null_l.alias("n_samples"),
             null_d.alias("rms"), null_i.alias("peak"),
-            null_s.alias("decode_note"),
+            null_l.alias("n_frames"), null_s.alias("decode_note"),
         )
         aud = audio_features(media.filter(decodable)).join(
             base, "media_id"
@@ -1124,7 +1166,16 @@ def media_feature_stream(
             null_d.alias("mean_b"), null_d.alias("mean_g"),
             null_d.alias("mean_r"),
             "sample_rate", "n_samples", "rms", "peak",
-            null_s.alias("decode_note"),
+            null_l.alias("n_frames"), null_s.alias("decode_note"),
+        )
+        vid = video_summary_features(media.filter(decodable)).join(
+            base, "media_id"
+        ).select(
+            "media_id", "kind", "path", "n_bytes",
+            "width", "height", "mean_b", "mean_g", "mean_r",
+            null_i.alias("sample_rate"), null_l.alias("n_samples"),
+            null_d.alias("rms"), null_i.alias("peak"),
+            "n_frames", null_s.alias("decode_note"),
         )
         other = base.filter(~decodable).select(
             "media_id", "kind", "path", "n_bytes",
@@ -1133,13 +1184,14 @@ def media_feature_stream(
             null_d.alias("mean_r"),
             null_i.alias("sample_rate"), null_l.alias("n_samples"),
             null_d.alias("rms"), null_i.alias("peak"),
+            null_l.alias("n_frames"),
             F.when(
                 F.col("kind").isin("image", "audio", "video"),
                 F.lit("undecodable_format"),
             ).alias("decode_note"),
         )
         (
-            img.unionByName(aud).unionByName(other)
+            img.unionByName(aud).unionByName(vid).unionByName(other)
             .withColumn("_batch", F.lit(batch_id))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")

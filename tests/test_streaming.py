@@ -1754,6 +1754,36 @@ def test_ingest_guard_adopts_preguard_output_dirs(spark, tmp_path):
         )
 
 
+def test_claim_guard_allows_crash_before_first_commit(spark, tmp_path):
+    """The guard keys on recorded OFFSETS, not commits: offsets/N is
+    written before batch N runs, so a crash after the output landed but
+    before the commit record leaves offsets-without-commits — the SAME
+    checkpoint's restart must be allowed (the engine replays batch N
+    over its own partition), or the stream's first mid-batch crash
+    wedges it permanently. A checkpoint with neither (deleted/reset)
+    still refuses."""
+    import os
+
+    import pytest
+
+    from learn_hbase_spark.streaming.events import _claim_stream_output
+
+    out = tmp_path / "out"
+    (out / "_batch=0").mkdir(parents=True)
+    (out / "_batch=0" / "part-0.parquet").write_bytes(b"")
+    ckpt = tmp_path / "ckpt"
+    (ckpt / "offsets").mkdir(parents=True)
+    (ckpt / "offsets" / "0").write_text("v1")
+    # exactly the crash state: output landed, sidecar stamped, offsets
+    # recorded, NO commit yet
+    _claim_stream_output(spark, str(out), str(ckpt), "_owner")  # stamps
+    _claim_stream_output(spark, str(out), str(ckpt), "_owner")  # resumes
+    # reset checkpoint (no offsets, no commits): refused
+    os.remove(ckpt / "offsets" / "0")
+    with pytest.raises(ValueError, match="no committed batches"):
+        _claim_stream_output(spark, str(out), str(ckpt), "_owner")
+
+
 def test_curation_ingest_refuses_unowned_output_dirs(spark, tmp_path):
     """Same ownership contract for the curation file stream's curated /
     index dirs."""
@@ -1812,6 +1842,11 @@ def test_media_feature_stream_decodes_new_files_per_drain(spark, tmp_path):
     # route to the profile row (decode_note marker), never to decode_bmp
     # — one JPEG in a mixed zone must not wedge the stream
     (drop / "e.jpg").write_bytes(b"\xff\xd8\xff\xe0notabmp")
+    # a decodable VIDEO: real AVI decode fills geometry/means/n_frames
+    vf = (np.arange(3 * 4 * 6 * 3, dtype=np.int64) % 256).astype(
+        np.uint8
+    ).reshape(3, 4, 6, 3)
+    (drop / "v.avi").write_bytes(multimodal.encode_avi(vf, fps=2))
 
     out = str(tmp_path / "features")
     ckpt = str(tmp_path / "ckpt")
@@ -1825,13 +1860,20 @@ def test_media_feature_stream_decodes_new_files_per_drain(spark, tmp_path):
         return got
 
     got = by_name()
-    assert set(got) == {"a.bmp", "b.wav", "c.bin", "e.jpg"}
+    assert set(got) == {"a.bmp", "b.wav", "c.bin", "e.jpg", "v.avi"}
     jpg = got["e.jpg"]
     assert (jpg["kind"], jpg["width"], jpg["decode_note"]) == (
         "image", None, "undecodable_format",
     )
     img = got["a.bmp"]
     assert img["decode_note"] is None
+    vid = got["v.avi"]
+    assert (vid["kind"], vid["width"], vid["height"], vid["n_frames"]) == (
+        "video", 6, 4, 3,
+    )
+    vmeans = vf.astype(np.float64).mean(axis=(0, 1, 2))
+    assert vid["mean_g"] == round(float(vmeans[1]), 6)
+    assert vid["decode_note"] is None and vid["sample_rate"] is None
     assert (img["kind"], img["width"], img["height"]) == ("image", 5, 4)
     means = px.astype(np.float64).mean(axis=(0, 1))
     assert img["mean_b"] == round(float(means[0]), 6)
@@ -1855,16 +1897,25 @@ def test_media_feature_stream_decodes_new_files_per_drain(spark, tmp_path):
     (drop / "d.bmp").write_bytes(multimodal.encode_bmp(px2))
     media_feature_stream(spark, str(drop), out, ckpt)
     got2 = by_name()
-    assert set(got2) == {"a.bmp", "b.wav", "c.bin", "e.jpg", "d.bmp"}
+    assert set(got2) == {"a.bmp", "b.wav", "c.bin", "e.jpg", "v.avi",
+                         "d.bmp"}
     means2 = px2.astype(np.float64).mean(axis=(0, 1))
     assert got2["d.bmp"]["mean_g"] == round(float(means2[1]), 6)
 
     # replay: same checkpoint, no new files -> no-op
     media_feature_stream(spark, str(drop), out, ckpt)
-    assert len(by_name()) == 5
+    assert len(by_name()) == 6
 
     # ownership: a different checkpoint must not serve into this dir
     with pytest.raises(ValueError, match="must not share"):
         media_feature_stream(
             spark, str(drop), out, str(tmp_path / "ckpt2")
         )
+
+    # schema versioning: a pre-v2 dir (partitions, no _media_schema
+    # stamp) must refuse toward a fresh dir, not mix parquet schemas
+    import os
+
+    os.remove(f"{out}/_media_schema")
+    with pytest.raises(ValueError, match="schema"):
+        media_feature_stream(spark, str(drop), out, ckpt)
