@@ -788,6 +788,73 @@ def kmeans_assign_frozen(
     )
 
 
+def semdedup_gate(
+    batch: DataFrame,
+    history: DataFrame,
+    path: str,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup at O(new) — the incremental deployment form the exact
+    and MinHash dedup families already have (``dedup_incremental``,
+    ``minhash_incremental``), completing the set: instead of
+    re-clustering corpus ∪ batch, the ARRIVING batch assigns against
+    the :func:`freeze_kmeans` centroids at ``path`` (k-row broadcast)
+    and is gated per cell — rejected if any same-cell HISTORY vector
+    sits at cosine ≥ threshold (the SemDeDup duplicate criterion), or
+    if a smaller-id same-cell batch mate does (min-id-wins, the
+    ``_neardup_gate`` intra-batch rule, deliberately non-recursive so a
+    replay reproduces the verdict without chaining).
+
+    Cost shape at 100 TB: the batch side is broadcast EVERYWHERE — the
+    history scan is one pass joined on the cell key against a
+    batch-sized build side (never shuffled, never re-clustered), and
+    the intra-batch pair search is Σ|batch-cell|². History assignments
+    are recomputed here from the frozen centroids for self-containment;
+    a production pipeline reads them from its stored assignment table
+    (the freeze/assign contract guarantees they're identical). Returns
+    ``(id_col, keep boolean)`` for the batch."""
+    prep_v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    a_new = kmeans_assign_frozen(batch, path, id_col, vec_col).select(
+        id_col, "cluster_id"
+    )
+    n_frame = a_new.join(
+        batch.select(id_col, prep_v.alias("_nv")), id_col
+    ).select(F.col(id_col).alias("_nid"), "cluster_id", "_nv")
+    a_hist = kmeans_assign_frozen(history, path, id_col, vec_col).select(
+        id_col, "cluster_id"
+    )
+    h_frame = a_hist.join(
+        history.select(id_col, prep_v.alias("_hv")), id_col
+    ).select(F.col(id_col).alias("_hid"), "cluster_id", "_hv")
+    hist_hits = (
+        h_frame.join(F.broadcast(n_frame), "cluster_id")
+        .filter(
+            F.round(cosine(F.col("_nv"), F.col("_hv")), 6)
+            >= F.lit(float(threshold))
+        )
+        .select(F.col("_nid").alias(id_col))
+        .distinct()
+    )
+    intra = (
+        within_cluster_pairs(
+            a_new.join(batch.select(id_col, vec_col), id_col),
+            threshold, id_col, vec_col,
+        )
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    rejected = hist_hits.union(intra).distinct().withColumn(
+        "_r", F.lit(True)
+    )
+    return (
+        batch.select(id_col)
+        .join(rejected, id_col, "left")
+        .select(id_col, F.col("_r").isNull().alias("keep"))
+    )
+
+
 def within_cluster_pairs(
     assigned: DataFrame,
     threshold: float = 0.95,

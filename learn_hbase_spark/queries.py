@@ -516,7 +516,7 @@ _SWEEP_PRIORITY: list[str] = [
     # duplicate silently demotes). The r14 names below are stale carryover
     # (verified ⇒ inert) kept so the list is never empty at round start.
     "sq8_assign_frozen", "ann_sq8_frozen", "multimodal_video_frames",
-    "approx_profile_bounds", "ann_ivf_sq8_topk",
+    "approx_profile_bounds", "ann_ivf_sq8_topk", "semdedup_incremental",
     "multimodal_decode_real", "pretraining_run", "ann_ivf_pq_rerank",
     "ann_sq8_topk", "kmeans_assign_frozen",
 ]
@@ -4418,7 +4418,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_replay_ctes(n_rounds: int = 5, k: int = 8) -> str:
+def _kmeans_replay_ctes(
+    n_rounds: int = 5, k: int = 8, src: str = "embeddings"
+) -> str:
     """Chained-CTE replay of ``kmeans_clusters(exact_replay=True)``'s
     fixed ``n_rounds`` Lloyd rounds — the pagerank/BPE/ann_ivf_topk
     promotion recipe applied to the k-means fixpoint: each round is
@@ -4434,7 +4436,7 @@ def _kmeans_replay_ctes(n_rounds: int = 5, k: int = 8) -> str:
     cent0 AS (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cell, c
       FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS c
-            FROM embeddings ORDER BY vec_id LIMIT {k})
+            FROM {src} ORDER BY vec_id LIMIT {k})
     )"""]
     for r in range(n_rounds):
         parts.append(f"""
@@ -4444,7 +4446,7 @@ def _kmeans_replay_ctes(n_rounds: int = 5, k: int = 8) -> str:
                / sqrt(list_dot_product(c2.c, c2.c))
                / sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
                                        CAST(e.embedding AS DOUBLE[]))) AS sc
-      FROM embeddings e CROSS JOIN cent{r} c2
+      FROM {src} e CROSS JOIN cent{r} c2
     ),
     a{r} AS (
       SELECT vec_id, cell FROM (
@@ -4460,7 +4462,7 @@ def _kmeans_replay_ctes(n_rounds: int = 5, k: int = 8) -> str:
                                  AS DECIMAL(18,6))) AS DOUBLE)
                    / count(*), 6) AS m
       FROM a{r} a
-      JOIN embeddings e USING (vec_id),
+      JOIN {src} e USING (vec_id),
            unnest(generate_series(1, len(e.embedding))) AS t(i)
       GROUP BY a.cell, i - 1
     ),
@@ -7969,6 +7971,83 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``_semantic_dedup_impl`` (k_cells=8 here; production scales k ∝ N —
     measured in SCALE.md's 25× table, which keeps the float path)."""
     return _semantic_dedup_impl(spark, sf_dir, k_cells=8, exact_replay=True)
+
+
+_SEMDEDUP_COS = """round(
+        list_dot_product(CAST(ea.embedding AS DOUBLE[]),
+                         CAST(eb.embedding AS DOUBLE[]))
+        / (sqrt(list_dot_product(CAST(ea.embedding AS DOUBLE[]),
+                                 CAST(ea.embedding AS DOUBLE[])))
+           * sqrt(list_dot_product(CAST(eb.embedding AS DOUBLE[]),
+                                   CAST(eb.embedding AS DOUBLE[])))), 6
+      ) >= 0.35"""
+
+
+@_register(
+    "semdedup_incremental",
+    f"""
+    WITH hist AS (SELECT * FROM embeddings WHERE vec_id % 5 <> 0),
+    {_kmeans_replay_ctes(3, 8, src="hist")},
+    sall AS (
+      SELECT e.vec_id, c2.cell,
+             list_dot_product(CAST(e.embedding AS DOUBLE[]), c2.c)
+               / sqrt(list_dot_product(c2.c, c2.c))
+               / sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                       CAST(e.embedding AS DOUBLE[]))) AS sc
+      FROM embeddings e CROSS JOIN cent3 c2
+    ),
+    aall AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sc DESC, cell ASC) AS rn
+        FROM sall
+      ) WHERE rn = 1
+    ),
+    anew AS (SELECT * FROM aall WHERE vec_id % 5 = 0),
+    ahist AS (SELECT * FROM aall WHERE vec_id % 5 <> 0),
+    hh AS (
+      SELECT DISTINCT n.vec_id
+      FROM anew n JOIN ahist h ON n.cell = h.cell
+      JOIN embeddings ea ON ea.vec_id = n.vec_id
+      JOIN embeddings eb ON eb.vec_id = h.vec_id
+      WHERE {_SEMDEDUP_COS}
+    ),
+    ib AS (
+      SELECT DISTINCT b.vec_id
+      FROM anew a JOIN anew b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      JOIN embeddings ea ON ea.vec_id = a.vec_id
+      JOIN embeddings eb ON eb.vec_id = b.vec_id
+      WHERE {_SEMDEDUP_COS}
+    )
+    SELECT e.vec_id,
+           e.vec_id NOT IN (SELECT vec_id FROM hh)
+           AND e.vec_id NOT IN (SELECT vec_id FROM ib) AS keep
+    FROM embeddings e WHERE e.vec_id % 5 = 0
+    """,
+)
+def semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup at O(new) (similarity.semdedup_gate — VERDICT-pattern
+    completion: exact and MinHash dedup have had incremental deployment
+    forms since r8/r11; the semantic family now does too): centroids
+    freeze ONCE on the historical corpus (vec_id % 5 ≠ 0, exact-replay
+    Lloyd — the frozen-k-means artifact), then the arriving batch
+    (vec_id % 5 = 0) assigns at k-row-broadcast cost and is gated per
+    cell against same-cell history (any cosine ≥ 0.35 rejects — one
+    history scan against the broadcast batch, never a re-cluster) and
+    against smaller-id batch mates (min-id-wins, the streaming gate's
+    non-recursive rule). The oracle replays the history-trained Lloyd
+    rounds (``_kmeans_replay_ctes(src='hist')``), assigns BOTH halves
+    against the frozen cent3, and applies the two rounded-cosine
+    threshold joins."""
+    emb = _t(spark, sf_dir, "embeddings")
+    hist = emb.filter(F.col("vec_id") % 5 != 0)
+    new = emb.filter(F.col("vec_id") % 5 == 0)
+    path = os.path.join(
+        _SCRATCH_ROOT, f"semdedup_km_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    similarity.freeze_kmeans(hist, path, k=8, n_iter=3, exact_replay=True)
+    return similarity.semdedup_gate(new, hist, path, threshold=0.35)
 
 
 @_register(

@@ -1623,6 +1623,56 @@ def test_sq8_edge_contracts(spark, vectors):
         similarity.sq8_bounds(vectors.filter(F.col("vec_id") < 0))
 
 
+def test_semdedup_gate_matches_numpy_reference(spark, vectors, tmp_path):
+    """The O(new) SemDeDup gate agrees with a direct NumPy reference:
+    a batch vector is rejected iff a same-cell HISTORY vector sits at
+    round-6 cosine >= threshold, or a smaller-id same-cell BATCH mate
+    does (min-id-wins, non-recursive)."""
+    import numpy as np
+
+    hist = vectors.filter(F.col("vec_id") % 4 != 0)
+    batch = vectors.filter(F.col("vec_id") % 4 == 0)
+    path = str(tmp_path / "km")
+    similarity.freeze_kmeans(hist, path, k=4, n_iter=2)
+    got = {
+        r["vec_id"]: r["keep"]
+        for r in similarity.semdedup_gate(
+            batch, hist, path, threshold=0.45
+        ).collect()
+    }
+
+    cells = {
+        r["vec_id"]: r["cluster_id"]
+        for r in similarity.kmeans_assign_frozen(
+            vectors, path
+        ).collect()
+    }
+    rows = {r["vec_id"]: np.asarray(r["embedding"], float)
+            for r in vectors.collect()}
+
+    def cos(a, b):
+        return round(
+            float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 6
+        )
+
+    hist_ids = [i for i in rows if i % 4 != 0]
+    batch_ids = [i for i in rows if i % 4 == 0]
+    want = {}
+    for b in batch_ids:
+        hit = any(
+            cells[h] == cells[b] and cos(rows[b], rows[h]) >= 0.45
+            for h in hist_ids
+        ) or any(
+            a < b and cells[a] == cells[b] and cos(rows[a], rows[b]) >= 0.45
+            for a in batch_ids
+        )
+        want[b] = not hit
+    assert got == want and got
+    assert any(not k for k in got.values()) and any(got.values()), (
+        "fixture should exercise both verdicts"
+    )
+
+
 def test_ivf_sq8_recall_and_frozen_bounds(spark, vectors, tmp_path):
     """IVF+SQ8 (IndexIVFScalarQuantizer) recovers most exact top-5
     neighbors at nprobe=half the cells, and passing frozen bounds gives

@@ -38,6 +38,10 @@ NESTED_LOOP_ALLOWED: dict[str, str] = {
     # k centroid rows broadcast into the batch — the k-means-centroid
     # bounded class (cross of the batch with a k-row frame, never N x N).
     "kmeans_assign_frozen": "k-row centroid frame broadcast into the batch",
+    # Two frozen-centroid assignments (batch + history), each the same
+    # k-row broadcast; the history-vs-batch gate itself is an equi-join
+    # on the cell key.
+    "semdedup_incremental": "k-row centroid broadcasts (batch + history assign)",
     # Same bounded shape: the benchmark set (tiny by construction — eval
     # suites vs a billion-doc corpus) is the broadcast side; corpus never
     # shuffles. The LSH-bucketed equi-join is the documented alternative
