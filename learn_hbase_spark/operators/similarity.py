@@ -795,6 +795,7 @@ def semdedup_gate(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    history_assigned: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup at O(new) — the incremental deployment form the exact
     and MinHash dedup families already have (``dedup_incremental``,
@@ -810,11 +811,15 @@ def semdedup_gate(
     Cost shape at 100 TB: the batch side is broadcast EVERYWHERE — the
     history scan is one pass joined on the cell key against a
     batch-sized build side (never shuffled, never re-clustered), and
-    the intra-batch pair search is Σ|batch-cell|². History assignments
-    are recomputed here from the frozen centroids for self-containment;
-    a production pipeline reads them from its stored assignment table
-    (the freeze/assign contract guarantees they're identical). Returns
-    ``(id_col, keep boolean)`` for the batch."""
+    the intra-batch pair search is Σ|batch-cell|². Pass
+    ``history_assigned`` (an ``(id_col, cluster_id)`` frame — the
+    STORED assignment table a production pipeline maintains; the
+    freeze/assign contract guarantees it equals a recompute) to make
+    the history side a pure equi-join scan; when omitted, assignments
+    are recomputed from the frozen centroids for self-containment,
+    which adds a history×k argmax pass (measured ~4× the gate's
+    deployment cost at 25× — SCALE.md r15). Returns ``(id_col, keep
+    boolean)`` for the batch."""
     prep_v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     a_new = kmeans_assign_frozen(batch, path, id_col, vec_col).select(
         id_col, "cluster_id"
@@ -822,8 +827,12 @@ def semdedup_gate(
     n_frame = a_new.join(
         batch.select(id_col, prep_v.alias("_nv")), id_col
     ).select(F.col(id_col).alias("_nid"), "cluster_id", "_nv")
-    a_hist = kmeans_assign_frozen(history, path, id_col, vec_col).select(
-        id_col, "cluster_id"
+    a_hist = (
+        history_assigned.select(id_col, "cluster_id")
+        if history_assigned is not None
+        else kmeans_assign_frozen(history, path, id_col, vec_col).select(
+            id_col, "cluster_id"
+        )
     )
     h_frame = a_hist.join(
         history.select(id_col, prep_v.alias("_hv")), id_col

@@ -1672,6 +1672,19 @@ def test_semdedup_gate_matches_numpy_reference(spark, vectors, tmp_path):
         "fixture should exercise both verdicts"
     )
 
+    # the deployment form (stored assignment table) gives the same
+    # verdicts as the self-contained recompute
+    stored = similarity.kmeans_assign_frozen(hist, path).select(
+        "vec_id", "cluster_id"
+    )
+    got2 = {
+        r["vec_id"]: r["keep"]
+        for r in similarity.semdedup_gate(
+            batch, hist, path, threshold=0.45, history_assigned=stored
+        ).collect()
+    }
+    assert got2 == got
+
 
 def test_ivf_sq8_recall_and_frozen_bounds(spark, vectors, tmp_path):
     """IVF+SQ8 (IndexIVFScalarQuantizer) recovers most exact top-5
