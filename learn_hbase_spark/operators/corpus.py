@@ -199,12 +199,27 @@ def bigram_lm_score(
     cross-engine float posture as ``lm_score``: identical double ratios
     into ``ln``, summation ulps ~1e-15 against a 1e-6 grid).
     """
-    pairs = _bigram_pairs(df, text_col, id_col)
-    c2 = pairs.groupBy("w1", "w2").agg(F.count("*").alias("_c2"))
-    c1 = pairs.groupBy("w1").agg(F.count("*").alias("_c1"))
+    # ONE extraction pass (r15 optimization): the per-(doc, bigram)
+    # occurrence counts sit behind a single exchange that both the count
+    # tables and the per-doc score reuse; c1 and V derive from c2 by
+    # exact integer aggregation (C(w1) = Σ_w2 C(w1,w2), V = |distinct
+    # w2 keys| — the identities freeze_bigram_lm already relies on).
+    # The original four independent consumers of the pair lineage (c2,
+    # c1, V, score) re-ran the scan + normalize + explode four times.
+    # The per-doc average becomes the count-weighted mean over distinct
+    # (doc, bigram) rows — the same multiset of addends up to float
+    # summation order (round-6 grid vs ~1e-15 ulps, the documented
+    # cross-engine posture).
+    pc = (
+        _bigram_pairs(df, text_col, id_col)
+        .groupBy("_id", "w1", "w2")
+        .agg(F.count("*").alias("_cn"))
+    )
+    c2 = pc.groupBy("w1", "w2").agg(F.sum("_cn").alias("_c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("_c2").alias("_c1"))
     # V = distinct real tokens: every token occurrence appears as w2
     # (BOS-prefixing makes position 1..n all right-hand sides)
-    vocab_n = pairs.select("w2").distinct().agg(
+    vocab_n = c2.select("w2").distinct().agg(
         F.count("*").alias("_v")
     )
     logp = F.log(
@@ -212,13 +227,15 @@ def bigram_lm_score(
         / (F.col("_c1") + F.lit(float(k)) * F.col("_v"))
     )
     return (
-        pairs.join(c2, ["w1", "w2"])
+        pc.join(c2, ["w1", "w2"])
         .join(c1, "w1")
         .crossJoin(F.broadcast(vocab_n))
         .groupBy(F.col("_id").alias(id_col))
         .agg(
-            F.count("*").alias("n_bigrams"),
-            F.round(F.avg(logp), 6).alias("avg_logprob"),
+            F.sum("_cn").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("_cn") * logp) / F.sum("_cn"), 6
+            ).alias("avg_logprob"),
         )
     )
 
@@ -263,10 +280,13 @@ def _bigram_lm_tables(
     :func:`freeze_bigram_lm` (tables materialized to parquet for
     train-once / deploy-many callers like the streaming drop zone), so
     the two deployment shapes cannot drift."""
+    # one extraction pass: c1 and V derive from c2 by exact integer
+    # aggregation (the freeze_bigram_lm identities) instead of re-running
+    # the pair extraction per table (r15 optimization)
     mp = _bigram_pairs(model, text_col, id_col)
     c2 = mp.groupBy("w1", "w2").agg(F.count("*").alias("_c2"))
-    c1 = mp.groupBy("w1").agg(F.count("*").alias("_c1"))
-    vocab_n = mp.select("w2").distinct().agg(F.count("*").alias("_v"))
+    c1 = c2.groupBy("w1").agg(F.sum("_c2").alias("_c1"))
+    vocab_n = c2.select("w2").distinct().agg(F.count("*").alias("_v"))
     return c2, c1, vocab_n
 
 
@@ -417,14 +437,16 @@ def hashed_gram_buckets(
     the corpus size — that is the entire point of hashed features at
     100 TB (vocabulary-sized state would be unbounded; bucket state is a
     constant ~10k rows).
+
+    ONE scan and ONE explode: unigrams and bigrams are concatenated into
+    a single per-doc gram array before the explode (a union of two
+    exploded projections reads + normalizes the text twice — measured in
+    the r15 optimization pass; same multiset either way).
     """
     arr = F.filter(
         F.split(normalize_text(F.col(text_col)), " "), lambda w: w != ""
     )
     docs = df.select(F.col(id_col).alias("_id"), arr.alias("_a"))
-    uni = docs.filter(F.size("_a") >= 1).select(
-        "_id", F.explode("_a").alias("_g")
-    )
     # size>=2 guard BEFORE sequence(): Spark's sequence(1, 0) infers a
     # descending step and yields [1, 0] instead of the empty array
     bi_arr = F.transform(
@@ -433,14 +455,14 @@ def hashed_gram_buckets(
             " ", F.try_element_at("_a", i), F.try_element_at("_a", i + 1)
         ),
     )
-    bi = docs.filter(F.size("_a") >= 2).select(
-        "_id", F.explode(bi_arr).alias("_g")
-    )
+    grams = F.when(
+        F.size("_a") >= 2, F.concat(F.col("_a"), bi_arr)
+    ).otherwise(F.col("_a"))
     bucket = (
         F.conv(F.substring(F.md5(F.col("_g")), 1, 6), 16, 10).cast("long")
         % F.lit(int(buckets))
     )
-    return uni.unionByName(bi).select(
+    return docs.select("_id", F.explode(grams).alias("_g")).select(
         F.col("_id").alias(id_col), bucket.alias("bucket")
     )
 
@@ -476,13 +498,32 @@ def dsir_weights(
     allowlisted bounded-NLJ class). Returns ``(id, n_grams,
     log_weight)``; sum rounded to 6 (identical integer counts feed ln in
     both engines; summation ulps ~1e-12 against the 1e-6 grid).
+
+    One pass per corpus (r15 optimization): the raw gram stream is
+    pre-aggregated to (id, bucket, count) rows behind a single exchange
+    that BOTH consumers (the bucket-count fit and the per-doc score)
+    reuse — the original three independent consumers of the raw gram
+    lineage (fit, total, score) re-ran the scan + normalize + md5
+    extraction three times (and the target side twice); the totals are
+    now exact integer sums of the fit tables (``Σ_bucket c = N``) and
+    the per-doc log-weight is the count-weighted sum over distinct
+    (id, bucket) rows — the same multiset of addends up to float
+    summation order, which both engines already tolerate (round-6 grid
+    vs ~1e-12 ulps).
     """
-    tg = hashed_gram_buckets(target, text_col, id_col, buckets)
-    rg = hashed_gram_buckets(raw, text_col, id_col, buckets)
-    tc = tg.groupBy("bucket").agg(F.count("*").alias("_tc"))
-    rc = rg.groupBy("bucket").agg(F.count("*").alias("_rc"))
-    tn = tg.agg(F.count("*").alias("_tn"))
-    rn = rg.agg(F.count("*").alias("_rn"))
+    tc = (
+        hashed_gram_buckets(target, text_col, id_col, buckets)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("_tc"))
+    )
+    rgc = (
+        hashed_gram_buckets(raw, text_col, id_col, buckets)
+        .groupBy(id_col, "bucket")
+        .agg(F.count("*").alias("_cn"))
+    )
+    rc = rgc.groupBy("bucket").agg(F.sum("_cn").alias("_rc"))
+    tn = tc.agg(F.sum("_tc").alias("_tn"))
+    rn = rc.agg(F.sum("_rc").alias("_rn"))
     kk = F.lit(float(k))
     kb = F.lit(float(k) * buckets)
     # every scored bucket exists in rc (the scored docs ARE the raw fit
@@ -501,11 +542,11 @@ def dsir_weights(
         )
     )
     return (
-        rg.join(F.broadcast(ratios), "bucket")
+        rgc.join(F.broadcast(ratios), "bucket")
         .groupBy(id_col)
         .agg(
-            F.count("*").alias("n_grams"),
-            F.round(F.sum("_lr"), 6).alias("log_weight"),
+            F.sum("_cn").alias("n_grams"),
+            F.round(F.sum(F.col("_cn") * F.col("_lr")), 6).alias("log_weight"),
         )
     )
 
@@ -589,13 +630,22 @@ def dsir_weights_frozen(
     per-doc sum — O(new) per batch at any corpus size. Returns
     ``(id, n_grams, log_weight)``, round-6 like :func:`dsir_weights`.
     """
-    tg = hashed_gram_buckets(target, text_col, id_col, buckets)
-    rg = hashed_gram_buckets(raw_ref, text_col, id_col, buckets)
+    # totals are exact integer sums of the fit tables (Σ_bucket c = N),
+    # so each reference corpus is scanned + gram-extracted ONCE (the
+    # separate count(*) totals re-ran the extraction — r15 optimization)
     ng = hashed_gram_buckets(new, text_col, id_col, buckets)
-    tc = tg.groupBy("bucket").agg(F.count("*").alias("_tc"))
-    rc = rg.groupBy("bucket").agg(F.count("*").alias("_rc"))
-    tn = tg.agg(F.count("*").alias("_tn"))
-    rn = rg.agg(F.count("*").alias("_rn"))
+    tc = (
+        hashed_gram_buckets(target, text_col, id_col, buckets)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("_tc"))
+    )
+    rc = (
+        hashed_gram_buckets(raw_ref, text_col, id_col, buckets)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("_rc"))
+    )
+    tn = tc.agg(F.sum("_tc").alias("_tn"))
+    rn = rc.agg(F.sum("_rc").alias("_rn"))
     kk = F.lit(float(k))
     kb = F.lit(float(k) * buckets)
     lr = F.log(
@@ -649,15 +699,23 @@ def gopher_repetition_flags(
     (the largest char fraction — conservative toward dropping), a rule
     both engines apply to the same (count, chars) pairs.
 
-    Scale: ONE explode of word positions (the round-8 winnow lesson:
-    explode ints and build grams post-explode, never materialized gram
-    arrays), grams for all selected n values built as O(1)-offset
-    substrings of the once-joined text in the same pass, then hash-keyed
-    partial-aggregable counts — the shuffle carries (id, n, hash, chars)
-    int rows, never gram strings — and a second partial-aggregable
-    max/sum per (id, n); no window anywhere. Docs with fewer than n+1
-    words have no n-gram rows and coalesce to 0.0 (no repetition
-    possible).
+    Scale (r15 optimization — the guide §4.2 shape): the metrics are
+    per-DOCUMENT statistics, so they need no shuffle at all — one
+    Arrow-batched ``mapInPandas`` kernel computes every width's counts
+    per document with vectorized NumPy (factorized word ids,
+    sliding-window views, C-speed unique/counts), replacing the previous
+    explode → 2-shuffle hash-aggregation plan (9 gram rows per word
+    position shuffled twice; measured ~4 µs/gram in JVM expressions vs
+    well under 1 µs/gram here, and the exchanges are gone — the plan is
+    scan → ArrowEval → project, embarrassingly parallel at any corpus
+    size). Tokenization stays in the JVM (``split(trim(text), '\\s+')``,
+    the exact expression the oracle replays) so the kernel sees the same
+    word arrays; only (id, words) crosses the Python boundary. Grouping
+    is by exact gram identity (word-id tuples), which the oracle's
+    group-by-gram-text replays exactly (the old path grouped by
+    xxhash64(gram) — same answer up to accepted ~1e-19 collisions).
+    Docs with fewer than n+1 words have no n-gram rows and report 0.0
+    (no repetition possible).
 
     ``widths`` selects which gram widths to audit (default: the paper's
     full 2..10). Cost is linear in emitted gram volume (~4 µs/gram on
@@ -672,128 +730,81 @@ def gopher_repetition_flags(
     widths = tuple(sorted(set(widths)))
     top_widths = [n for n in widths if n <= 4]
     dup_widths = [n for n in widths if n >= 5]
+    id_type = df.schema[id_col].dataType.simpleString()
+    metric_cols = [f"top{n}_char_frac" for n in top_widths] + [
+        f"dup{n}_char_frac" for n in dup_widths
+    ]
+    out_schema = ", ".join(
+        [f"_id {id_type}"] + [f"`{c}` double" for c in metric_cols]
+    )
+    width_list = list(widths)
+
+    def _rep_metrics(batches):
+        import numpy as np
+        import pandas as pd
+        from decimal import Decimal, ROUND_HALF_UP
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        six = Decimal("0.000001")
+
+        def r6(x):
+            # Spark's round(double, 6): HALF_UP over the shortest decimal
+            # representation (BigDecimal.valueOf) — repr() is Python's
+            # shortest-roundtrip equivalent
+            return float(Decimal(repr(x)).quantize(six, rounding=ROUND_HALF_UP))
+
+        for pdf in batches:
+            n_rows = len(pdf)
+            out_arrs = {
+                c: np.zeros(n_rows, dtype=np.float64) for c in metric_cols
+            }
+            words_col = pdf["_w"]
+            for r in range(n_rows):
+                words = words_col.iloc[r]
+                if words is None or len(words) < 2:
+                    continue
+                w_np = np.asarray(words, dtype=object)
+                nw = len(w_np)
+                lens = np.fromiter(
+                    (len(w) for w in w_np), dtype=np.int64, count=nw
+                )
+                chars = int(lens.sum())
+                if chars == 0:
+                    continue
+                ids = pd.factorize(w_np)[0].astype(np.int64)
+                pl = np.concatenate((np.zeros(1, dtype=np.int64), np.cumsum(lens)))
+                for n in width_list:
+                    if nw < n:
+                        continue
+                    win = np.ascontiguousarray(sliding_window_view(ids, n))
+                    glen = pl[n:] - pl[: nw - n + 1]
+                    view = win.view([("", win.dtype)] * n).ravel()
+                    _, first, counts = np.unique(
+                        view, return_index=True, return_counts=True
+                    )
+                    g = glen[first]
+                    if n <= 4:
+                        cmax = int(counts.max())
+                        best = int(g[counts == cmax].max())
+                        out_arrs[f"top{n}_char_frac"][r] = r6(
+                            cmax * best / chars
+                        )
+                    else:
+                        dmask = counts > 1
+                        dup = int((counts[dmask] * g[dmask]).sum())
+                        if dup:
+                            out_arrs[f"dup{n}_char_frac"][r] = r6(dup / chars)
+            res = {"_id": pdf["_id"]}
+            res.update(out_arrs)
+            yield pd.DataFrame(res)
+
     base = df.select(
         F.col(id_col).alias("_id"),
         F.filter(
             F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: w != ""
         ).alias("_w"),
-    ).select(
-        "_id",
-        F.aggregate(
-            "_w", F.lit(0).cast("long"), lambda a, w: a + F.length(w)
-        ).alias("_chars"),
-        # grams are SUBSTRINGS of the once-joined text, located by a
-        # once-per-doc cumulative offsets array — the first draft rebuilt
-        # every gram with slice+array_join (O(gram) array churn x 9 widths
-        # per position; measured 11.0 s at sf0.1); with O(1) offset
-        # lookups the only per-gram work is the one substring copy
-        F.array_join("_w", " ").alias("_j"),
-        # _ends[k] = 1-based char position of the separator AFTER word k
-        # in _j (cumulative word lens + spaces)
-        F.aggregate(
-            F.transform("_w", F.length),
-            F.array().cast("array<int>"),
-            lambda acc, x: F.array_append(
-                # try_element_at: ANSI element_at throws on the empty
-                # accumulator at the fold's first step
-                acc, F.coalesce(F.try_element_at(acc, F.lit(-1)), F.lit(0)) + x + 1
-            ),
-        ).alias("_ends"),
-        F.size("_w").alias("_nw"),
     )
-    pos = base.filter(F.col("_nw") >= 2).select(
-        "_id",
-        "_chars",
-        "_j",
-        "_ends",
-        "_nw",
-        F.explode(F.sequence(F.lit(1), F.col("_nw") - 1)).alias("_i"),
-    ).withColumn(
-        # separator position before word _i (0 for the first word)
-        "_prev",
-        F.when(F.col("_i") == 1, F.lit(0)).otherwise(
-            F.element_at("_ends", F.col("_i") - 1)
-        ),
-    )
-    # all 9 gram widths from one position row; per width: two O(1)
-    # offset lookups + one substring
-    gram_structs = F.filter(
-        F.transform(
-            F.array(*[F.lit(n) for n in widths]),
-            lambda n: F.struct(
-                n.cast("int").alias("n"),
-                F.when(
-                    F.col("_i") + n - 1 <= F.col("_nw"),
-                    F.substring(
-                        F.col("_j"),
-                        F.col("_prev") + 1,
-                        F.element_at("_ends", F.col("_i") + n - 1)
-                        - F.col("_prev")
-                        - 1,
-                    ),
-                ).alias("gram"),
-            ),
-        ),
-        lambda s: s["gram"].isNotNull(),
-    )
-    # Shuffle HASHES, not gram strings: the metrics need only each gram
-    # group's count and char length (length minus the n-1 join spaces, so
-    # numerator and denominator share a unit), never the gram identity —
-    # so grouping rides xxhash64(gram) (8 bytes vs ~30-char strings; the
-    # oracle groups by the gram text itself — equivalent up to same-length
-    # 64-bit collisions WITHIN one document, which would merge two distinct
-    # grams and overstate repetition; at ~1e-19 per doc-gram pair that is
-    # accepted, and any false merge errs toward dropping) and the top gram
-    # is the partial-aggregable max of (count, chars) — no row_number
-    # window, no gram bytes past the projection. Tie rule, pinned in both
-    # engines: among count-tied grams take the LONGEST (the largest char
-    # fraction — conservative toward dropping).
-    grams = pos.select(
-        "_id", "_chars", F.explode(gram_structs).alias("_g")
-    ).select(
-        "_id",
-        "_chars",
-        F.col("_g.n").alias("_n"),
-        F.xxhash64("_g.gram").alias("_h"),
-        (F.length("_g.gram") - (F.col("_g.n") - 1)).alias("_glen"),
-    )
-    counts = grams.groupBy("_id", "_chars", "_n", "_h", "_glen").agg(
-        F.count("*").alias("_c")
-    )
-    stats = (
-        counts.groupBy("_id", "_chars", "_n")
-        .agg(
-            F.max(F.struct("_c", "_glen")).alias("_t"),
-            F.sum(
-                F.when(F.col("_c") > 1, F.col("_c") * F.col("_glen"))
-            ).alias("_dupchars"),
-        )
-        .select(
-            "_id",
-            "_n",
-            F.round(
-                (F.col("_t._c") * F.col("_t._glen")) / F.col("_chars"), 6
-            ).alias("_top"),
-            F.round(
-                F.coalesce(F.col("_dupchars"), F.lit(0)) / F.col("_chars"), 6
-            ).alias("_dup"),
-        )
-    )
-    aggs = []
-    for n in top_widths:
-        aggs.append(
-            F.coalesce(
-                F.max(F.when(F.col("_n") == n, F.col("_top"))), F.lit(0.0)
-            ).alias(f"top{n}_char_frac")
-        )
-    for n in dup_widths:
-        aggs.append(
-            F.coalesce(
-                F.max(F.when(F.col("_n") == n, F.col("_dup"))), F.lit(0.0)
-            ).alias(f"dup{n}_char_frac")
-        )
-    ids = df.select(F.col(id_col).alias("_id"))
-    out = ids.join(stats, "_id", "left").groupBy("_id").agg(*aggs)
+    out = base.mapInPandas(_rep_metrics, schema=out_schema)
     flags = repetition_rules(widths, thresholds)
     for name, expr in flags.items():
         out = out.withColumn(name, expr)
@@ -1070,7 +1081,10 @@ def classifier_feature_frame(
         F.col(id_col), F.col(label_col).cast("double").alias("_y")
     )
     counts = g.groupBy(id_col, "bucket").agg(F.count("*").alias("_c"))
-    nd = g.groupBy(id_col).agg(F.count("*").alias("_n"))
+    # n_grams per doc = Σ_bucket count — derived from counts (whose
+    # exchange both consumers then share) instead of re-running the gram
+    # extraction for a second aggregate (r15 optimization)
+    nd = counts.groupBy(id_col).agg(F.sum("_c").alias("_n"))
     return (
         counts.join(nd, id_col)
         .join(labels, id_col)

@@ -179,8 +179,26 @@ def connected_components(
     )
     e, sig = init, (-1, None)
 
-    for _round in range(max_iter):
-        e, new_sig = _observed_write(_cc_round(e), _round)
+    # TWO star-rounds per materialization (r15 optimization): the
+    # per-round parquet write/read is the fixed cost that dominates the
+    # loop (the star rewrites themselves are two windows over a shrinking
+    # edge set), and a 2-round lineage is still trivially plannable — so
+    # half the materializations for the same total round count. The
+    # fixpoint is unique (min-reachable-id labels) and _cc_round is
+    # stable on it, so batching cannot change the result; convergence is
+    # still detected by the same count+hash signature, at 2-round
+    # granularity. max_iter keeps counting individual star-rounds (the
+    # cap tests pin that).
+    done = 0
+    sync = 0
+    while done < max_iter:
+        body = e
+        steps = min(2, max_iter - done)
+        for _ in range(steps):
+            body = _cc_round(body)
+        e, new_sig = _observed_write(body, sync)
+        sync += 1
+        done += steps
         if new_sig == sig:
             break
         sig = new_sig
