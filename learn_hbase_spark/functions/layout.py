@@ -113,3 +113,21 @@ def morton2(a: Column, b: Column) -> Column:
     return _spread16(a.cast("long")).bitwiseOR(
         F.shiftleft(_spread16(b.cast("long")), 1)
     )
+
+
+def rebalance_for_compute(df, *key_cols: str):
+    """Conditionally hash-repartition a frame to the session's core count
+    before CPU-heavy per-row work (expensive expression trees, Arrow
+    kernels). A small input arrives as one scan split = ONE task,
+    serializing everything until the first exchange; at production scale
+    the scan's split count already meets/exceeds the core count and this
+    is a NO-OP — the condition (not the call) is what makes it
+    scale-safe: it never adds a corpus-wide text shuffle to a well-split
+    100 TB scan. Keyed repartition (no round-robin) so the exchange
+    skips sortBeforeRepartition and stays deterministic under retries.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, *[F.col(c) for c in key_cols])

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.layout import rebalance_for_compute
 from .dedup import normalize_text
 
 
@@ -151,10 +152,13 @@ def _bigram_pairs(
     arr = F.filter(
         F.split(normalize_text(F.col(text_col)), " "), lambda w: w != ""
     )
-    docs = df.select(
-        F.col(id_col).alias("_id"),
-        F.concat(F.array(F.lit(BOS)), arr).alias("_a"),
-    ).filter(F.size("_a") >= 2)
+    docs = rebalance_for_compute(
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.concat(F.array(F.lit(BOS)), arr).alias("_a"),
+        ).filter(F.size("_a") >= 2),
+        "_id",
+    )
     big = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size("_a") - 2, F.lit(0))),
         lambda i: F.struct(
@@ -446,7 +450,9 @@ def hashed_gram_buckets(
     arr = F.filter(
         F.split(normalize_text(F.col(text_col)), " "), lambda w: w != ""
     )
-    docs = df.select(F.col(id_col).alias("_id"), arr.alias("_a"))
+    docs = rebalance_for_compute(
+        df.select(F.col(id_col).alias("_id"), arr.alias("_a")), "_id"
+    )
     # size>=2 guard BEFORE sequence(): Spark's sequence(1, 0) infers a
     # descending step and yields [1, 0] instead of the empty array
     bi_arr = F.transform(
@@ -798,12 +804,19 @@ def gopher_repetition_flags(
             res.update(out_arrs)
             yield pd.DataFrame(res)
 
+    # id-hash repartition before the kernel (the dedup-shingle idiom):
+    # the counting is CPU-heavy and must not inherit the scan's split
+    # count — a small corpus arrives as one split = ONE Python worker.
+    # The exchange carries (id, words); at cluster scale the scan's own
+    # split count already saturates the executors and this rebalance is
+    # a cheap narrow-row shuffle.
+    sc = df.sparkSession.sparkContext
     base = df.select(
         F.col(id_col).alias("_id"),
         F.filter(
             F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: w != ""
         ).alias("_w"),
-    )
+    ).repartition(sc.defaultParallelism, F.col("_id"))
     out = base.mapInPandas(_rep_metrics, schema=out_schema)
     flags = repetition_rules(widths, thresholds)
     for name, expr in flags.items():

@@ -12,6 +12,8 @@ import itertools
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.layout import rebalance_for_compute
+
 _OBSERVE_IDS = itertools.count()  # observation names must be plan-unique
 
 
@@ -585,10 +587,18 @@ def simhash(
     if bits % 2 != 0:
         raise ValueError(f"bits must be even (lane packing), got {bits}")
     half = bits // 2
-    words = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("_w"),
-    ).withColumn("_h", F.xxhash64("_w"))
+    # rebalance BEFORE the explode (r15): the per-word hash + packed-lane
+    # partial aggregation otherwise runs inside the scan stage — one task
+    # on a single-split input; no-op when the scan is already well-split
+    words = rebalance_for_compute(
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.split(normalize_text(F.col(text_col)), " ").alias("_wa"),
+        ),
+        "_id",
+    ).select("_id", F.explode("_wa").alias("_w")).withColumn(
+        "_h", F.xxhash64("_w")
+    )
     one = F.lit(1).cast("long")
     aggs = [F.count("*").alias("_n")]
     for i in range(half):
@@ -641,10 +651,13 @@ def simhash_md5(
         raise ValueError(f"bits must be in 1..32, got {bits}")
     if bits % 4 != 0:
         raise ValueError(f"bits must be a multiple of 4 (lane packing), got {bits}")
-    words = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("_w"),
-    ).withColumn(
+    words = rebalance_for_compute(
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.split(normalize_text(F.col(text_col)), " ").alias("_wa"),
+        ),
+        "_id",
+    ).select("_id", F.explode("_wa").alias("_w")).withColumn(
         "_h", F.conv(F.substring(F.md5("_w"), 1, 8), 16, 10).cast("long")
     )
     one = F.lit(1).cast("long")

@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.layout import rebalance_for_compute
 from .dedup import normalize_text
 
 END_OF_WORD = "</w>"
@@ -231,7 +232,13 @@ def bpe_encode(
                 }
             )
 
-    prepped = df.select(
-        F.col(id_col), normalize_text(F.col(text_col)).alias("_norm")
+    # rebalance before the kernel (r15): the per-word merge loop is the
+    # CPU cost and must not inherit a single-split scan's one-task layout;
+    # no-op when the scan is already well-split
+    prepped = rebalance_for_compute(
+        df.select(
+            F.col(id_col), normalize_text(F.col(text_col)).alias("_norm")
+        ),
+        id_col,
     )
     return prepped.mapInPandas(_encode, schema=out_schema)

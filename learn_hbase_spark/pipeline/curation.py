@@ -52,6 +52,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from ..functions import text as T
+from ..functions.layout import rebalance_for_compute
 from ..operators import corpus as corpus_rules
 from ..operators import dedup, packing, sampling
 from ..operators.corpus import bigram_lm_score, perplexity_buckets
@@ -207,7 +208,12 @@ def _apply_rule_gates(
     filters, dedup, LM scoring, packing — all judge the cleaned text, the
     text that would actually be trained on); the Gopher gates are
     projection-fused filters (quality) or a key-only semi-join
-    (repetition, whose metric aggregation shuffles regardless)."""
+    (repetition, whose metric aggregation shuffles regardless).
+
+    The gate phase is projection-fused into the scan stage, so on a
+    small/single-split input it would run on ONE task — rebalance first
+    (conditional: a no-op when the scan is already well-split)."""
+    work = rebalance_for_compute(work, "doc_id")
     if c4_clean:
         others = [c for c in work.columns if c not in ("doc_id", "text")]
         work = (
@@ -470,7 +476,7 @@ def rule_signals(
     tokens = (
         token_count if token_count is not None else T.token_count(F.col("text"))
     )
-    base = base.withColumn("n_tokens", tokens)
+    base = rebalance_for_compute(base.withColumn("n_tokens", tokens), "doc_id")
     metrics = T.gopher_quality_flags(
         base, "text", "doc_id",
         passthrough=(strata_col, "c4_keep", "n_tokens"),
@@ -679,7 +685,10 @@ def audit(
         base = docs.select(
             "doc_id", "text", "source", F.lit(True).alias("_c4")
         )
-    base = base.select("doc_id", "text", "source", "_c4", tokens.alias("_n"))
+    base = rebalance_for_compute(
+        base.select("doc_id", "text", "source", "_c4", tokens.alias("_n")),
+        "doc_id",
+    )
     work = base
     if gopher_quality:
         work = T.gopher_quality_flags(
