@@ -12267,7 +12267,12 @@ def quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     the joins are doc_id-partitioned with no fan-out, and the expensive
     members (repetition grams, LM counts, classifier grams) keep their
     own bounded-shuffle plans."""
-    docs = _t(spark, sf_dir, "documents")
+    # one rebalanced scan shared by all seven signal branches (r15): each
+    # branch's heavy text projection otherwise runs on the single-split
+    # scan's one task; the keyed exchange is reused across the branches
+    docs = layout.rebalance_for_compute(
+        _t(spark, sf_dir, "documents"), "doc_id"
+    )
     lined = docs.select(
         "doc_id",
         F.replace(F.col("text"), F.lit(" table "), F.lit(".\n")).alias("text"),
