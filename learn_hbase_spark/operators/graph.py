@@ -152,19 +152,20 @@ def connected_components(
     owns_scratch = scratch_dir is None
     scratch = scratch_dir or tempfile.mkdtemp(prefix="cc_edges_")
 
-    def _observed_write(df: DataFrame, rnd: int):
+    def _observed(df: DataFrame):
         obs = Observation()
-        df = df.observe(
+        return df.observe(
             obs,
             F.count(F.lit(1)).alias("n"),
             F.sum(
                 F.xxhash64(F.col("u"), F.col("v")).cast("decimal(38,0)")
             ).alias("sig"),
-        )
+        ), obs
+
+    def _write(df: DataFrame, rnd: int) -> DataFrame:
         path = f"{scratch}/r{rnd % 2}"
         df.write.mode("overwrite").parquet(path)
-        got = obs.get
-        return spark.read.parquet(path), (got["n"], got["sig"])
+        return spark.read.parquet(path)
 
     # canonical undirected edge set, self-loops dropped; materialized once
     # to its own slot — the touched-node set for the output stage derives
@@ -186,17 +187,21 @@ def connected_components(
     # half the materializations for the same total round count. The
     # fixpoint is unique (min-reachable-id labels) and _cc_round is
     # stable on it, so batching cannot change the result; convergence is
-    # still detected by the same count+hash signature, at 2-round
-    # granularity. max_iter keeps counting individual star-rounds (the
-    # cap tests pin that).
+    # detected by the same count+hash signature at 2-round granularity
+    # (an intra-pair Observation is NOT possible: the next round consumes
+    # its input twice via the symmetrizing self-union, which double-fires
+    # a mid-plan CollectMetrics). max_iter keeps counting individual
+    # star-rounds (the cap tests pin that).
     done = 0
     sync = 0
     while done < max_iter:
-        body = e
         steps = min(2, max_iter - done)
+        body = e
         for _ in range(steps):
             body = _cc_round(body)
-        e, new_sig = _observed_write(body, sync)
+        body, obs = _observed(body)
+        e = _write(body, sync)
+        new_sig = (obs.get["n"], obs.get["sig"])
         sync += 1
         done += steps
         if new_sig == sig:

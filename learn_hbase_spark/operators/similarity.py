@@ -1567,14 +1567,21 @@ def freeze_ivf_pq(
     # cell assignment through ivf_seed_cells — THE cell-assignment rule
     # has one implementation, so the frozen artifact cannot drift from
     # the live `ivf_pq_topk` / `ivf_cell_assign` paths. Written
-    # CELL-SORTED (range partition + in-partition sort): the probe pushes
-    # its probed-cell set as a literal IN filter, so row-group min/max
-    # stats skip every unprobed cell's rows — the same sorted-segment
-    # pruning the WideTable index uses; at table-format scale the cell id
-    # is the partition key and the same filter prunes whole partitions.
+    # CELL-SORTED: the probe pushes its probed-cell set as a literal IN
+    # filter, so row-group min/max stats skip every unprobed cell's rows
+    # — the same sorted-segment pruning the WideTable index uses; at
+    # table-format scale the cell id is the partition key and the same
+    # filter prunes whole partitions.
+    # hash-partition by cell (not repartitionByRange): every row of a
+    # given cell still lands in ONE partition and files stay cell-sorted,
+    # so the probe's literal IN-set prunes row groups identically — but
+    # the range variant pays an extra boundary-sampling pass over the
+    # corpus per write (r15: two sampling jobs dropped from the freeze).
+    # Range order only helps range predicates; probes select discrete
+    # cell ids.
     ivf_seed_cells(corpus, nlist, id_col, vec_col).select(
         F.col(id_col), "cell"
-    ).repartitionByRange("cell").sortWithinPartitions(
+    ).repartition(F.col("cell")).sortWithinPartitions(
         "cell"
     ).write.mode("overwrite").parquet(f"{path}/cells")
 
@@ -1586,7 +1593,7 @@ def freeze_ivf_pq(
     # freeze time — the paid-once path.
     pq_codes(corpus, m, k_codes, id_col, vec_col, seeds=seeds).join(
         spark.read.parquet(f"{path}/cells"), id_col
-    ).repartitionByRange("cell").sortWithinPartitions(
+    ).repartition(F.col("cell")).sortWithinPartitions(
         "cell"
     ).write.mode("overwrite").parquet(f"{path}/codes")
 
@@ -2535,9 +2542,11 @@ def compact_ivf_pq(spark, path: str) -> None:
                 if "cell" in folded.columns:
                     # preserve the layout-v2 cell-sorted property across
                     # folds, so probed-cell row-group pruning keeps
-                    # working on a long-maintained artifact
-                    folded = folded.repartitionByRange(
-                        "cell"
+                    # working on a long-maintained artifact (hash by cell:
+                    # same one-partition-per-cell pruning as the freeze,
+                    # without the range variant's boundary-sampling pass)
+                    folded = folded.repartition(
+                        F.col("cell")
                     ).sortWithinPartitions("cell")
                 folded.write.mode("overwrite").parquet(tmp_p)
                 _swap_via_trash(spark, base_p, tmp_p, trash_p)
