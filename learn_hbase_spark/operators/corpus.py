@@ -203,23 +203,17 @@ def bigram_lm_score(
     cross-engine float posture as ``lm_score``: identical double ratios
     into ``ln``, summation ulps ~1e-15 against a 1e-6 grid).
     """
-    # ONE extraction pass (r15 optimization): the per-(doc, bigram)
-    # occurrence counts sit behind a single exchange that both the count
-    # tables and the per-doc score reuse; c1 and V derive from c2 by
-    # exact integer aggregation (C(w1) = Σ_w2 C(w1,w2), V = |distinct
-    # w2 keys| — the identities freeze_bigram_lm already relies on).
-    # The original four independent consumers of the pair lineage (c2,
-    # c1, V, score) re-ran the scan + normalize + explode four times.
-    # The per-doc average becomes the count-weighted mean over distinct
-    # (doc, bigram) rows — the same multiset of addends up to float
-    # summation order (round-6 grid vs ~1e-15 ulps, the documented
-    # cross-engine posture).
-    pc = (
-        _bigram_pairs(df, text_col, id_col)
-        .groupBy("_id", "w1", "w2")
-        .agg(F.count("*").alias("_cn"))
-    )
-    c2 = pc.groupBy("w1", "w2").agg(F.sum("_cn").alias("_c2"))
+    # ONE normalize/split pass (r15 optimization): the pair extraction's
+    # rebalance exchange (inside _bigram_pairs) is the shared subtree both
+    # remaining consumers — the c2 count fit and the per-doc score —
+    # reuse at runtime, so the text is normalized and tokenized once (the
+    # post-exchange explode re-runs per consumer, a cheap generator over
+    # already-split word arrays); c1 and V derive from c2 by exact
+    # integer aggregation (C(w1) = Σ_w2 C(w1,w2), V = |distinct w2 keys|
+    # — the identities freeze_bigram_lm already relies on), removing the
+    # other two of the original FOUR independent extraction lineages.
+    pairs = _bigram_pairs(df, text_col, id_col)
+    c2 = pairs.groupBy("w1", "w2").agg(F.count("*").alias("_c2"))
     c1 = c2.groupBy("w1").agg(F.sum("_c2").alias("_c1"))
     # V = distinct real tokens: every token occurrence appears as w2
     # (BOS-prefixing makes position 1..n all right-hand sides)
@@ -231,15 +225,13 @@ def bigram_lm_score(
         / (F.col("_c1") + F.lit(float(k)) * F.col("_v"))
     )
     return (
-        pc.join(c2, ["w1", "w2"])
+        pairs.join(c2, ["w1", "w2"])
         .join(c1, "w1")
         .crossJoin(F.broadcast(vocab_n))
         .groupBy(F.col("_id").alias(id_col))
         .agg(
-            F.sum("_cn").alias("n_bigrams"),
-            F.round(
-                F.sum(F.col("_cn") * logp) / F.sum("_cn"), 6
-            ).alias("avg_logprob"),
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(logp), 6).alias("avg_logprob"),
         )
     )
 
