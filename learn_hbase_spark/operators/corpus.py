@@ -520,8 +520,12 @@ def dsir_weights(
         .agg(F.count("*").alias("_cn"))
     )
     rc = rgc.groupBy("bucket").agg(F.sum("_cn").alias("_rc"))
-    tn = tc.agg(F.sum("_tc").alias("_tn"))
-    rn = rc.agg(F.sum("_rc").alias("_rn"))
+    # coalesce to 0 (ADVICE r15): sum over an EMPTY fit table is NULL
+    # where the pre-r15 count(*) form returned 0 — without it a
+    # zero-gram corpus would make the smoothed ratios NULL instead of
+    # the finite add-k values
+    tn = tc.agg(F.coalesce(F.sum("_tc"), F.lit(0)).alias("_tn"))
+    rn = rc.agg(F.coalesce(F.sum("_rc"), F.lit(0)).alias("_rn"))
     kk = F.lit(float(k))
     kb = F.lit(float(k) * buckets)
     # every scored bucket exists in rc (the scored docs ARE the raw fit
@@ -642,8 +646,10 @@ def dsir_weights_frozen(
         .groupBy("bucket")
         .agg(F.count("*").alias("_rc"))
     )
-    tn = tc.agg(F.sum("_tc").alias("_tn"))
-    rn = rc.agg(F.sum("_rc").alias("_rn"))
+    # coalesce to 0 (ADVICE r15): an empty reference corpus must yield
+    # the finite add-k floor, not NULL ratios (sum over empty = NULL)
+    tn = tc.agg(F.coalesce(F.sum("_tc"), F.lit(0)).alias("_tn"))
+    rn = rc.agg(F.coalesce(F.sum("_rc"), F.lit(0)).alias("_rn"))
     kk = F.lit(float(k))
     kb = F.lit(float(k) * buckets)
     lr = F.log(
@@ -796,19 +802,22 @@ def gopher_repetition_flags(
             res.update(out_arrs)
             yield pd.DataFrame(res)
 
-    # id-hash repartition before the kernel (the dedup-shingle idiom):
-    # the counting is CPU-heavy and must not inherit the scan's split
-    # count — a small corpus arrives as one split = ONE Python worker.
-    # The exchange carries (id, words); at cluster scale the scan's own
-    # split count already saturates the executors and this rebalance is
-    # a cheap narrow-row shuffle.
-    sc = df.sparkSession.sparkContext
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        F.filter(
-            F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: w != ""
-        ).alias("_w"),
-    ).repartition(sc.defaultParallelism, F.col("_id"))
+    # CONDITIONAL id-hash rebalance before the kernel (r16, ADVICE r15):
+    # the counting is CPU-heavy and must not inherit a single-split
+    # scan's ONE task — but the former unconditional repartition also
+    # fired on well-split scans, shuffling the whole tokenized corpus
+    # and, when the scan had MORE splits than cores, coercing it DOWN to
+    # core-count giant partitions (spill risk at 100 TB). The helper's
+    # condition makes it a no-op exactly there (functions/layout.py).
+    base = rebalance_for_compute(
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.filter(
+                F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: w != ""
+            ).alias("_w"),
+        ),
+        "_id",
+    )
     out = base.mapInPandas(_rep_metrics, schema=out_schema)
     flags = repetition_rules(widths, thresholds)
     for name, expr in flags.items():

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 # storage module — ONE implementation for the ANN artifact and the
 # WideTable index stack. The leading-underscore aliases keep this
 # module's historical internal names stable for tests and docstrings.
+from ..functions.layout import rebalance_for_compute
 from ..storage.artifact import (
     delta_partition_count as _delta_partition_count_shared,
     fs_delete as _fs_delete,
@@ -366,25 +367,11 @@ def ivf_topk(
         # sums → rounded means. Driver pull is nlist x dim rows — the
         # bounded k-means-centroid class.
         sample = prepped.filter(F.pmod(F.col("_id"), F.lit(train_mod)) == 0)
-        assigned = sample.mapInPandas(_assign(cents, 1), schema=schema)
-        mean_rows = (
-            assigned.select(
-                "_cell", F.posexplode("_v").alias("_dim", "_c")
-            )
-            .groupBy("_cell", "_dim")
-            .agg(
-                F.sum(F.col("_c").cast("decimal(18,6)")).alias("_s"),
-                F.count("*").alias("_n"),
-            )
-            .select(
-                "_cell",
-                "_dim",
-                F.round(
-                    F.col("_s").cast("double") / F.col("_n"), 6
-                ).alias("_m"),
-            )
-            .collect()
-        )
+        # r16: assignment + exact decimal partial sums fused into one
+        # Arrow kernel (shared with _kmeans_fit) — the sample's vectors
+        # never cross back to the JVM and no N×dim posexplode runs;
+        # bit-parity argued at _decimal_partial_sums.
+        mean_rows = _exact_mean_rows(sample, cents)
         cents2 = cents.copy()  # member-less cells keep their seed row
         if mean_rows:
             raw = np.zeros_like(cents)
@@ -571,12 +558,19 @@ def kmeans_clusters(
     """
     prepped = corpus.select(
         F.col(id_col).alias("_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+        F.transform(
+            F.col(vec_col), lambda x: x.cast("double")
+        ).alias("_v"),
     ).localCheckpoint()  # n_iter+1 passes read this; materialize the cast
     # vectors once instead of re-scanning parquet + re-casting per Lloyd
     # round (the standard cache-the-input shape for iterative ML). At
     # cluster scale this is a persist of (id, double[]) — strictly smaller
-    # than re-decoding the source each round.
+    # than re-decoding the source each round. NOT rebalanced (r16,
+    # measured): the per-round fused kernel is matmul-cheap, so fanning a
+    # single-split local input to core-count partitions costs more in
+    # shuffle + per-round task scheduling (5 rounds × 32 Python workers)
+    # than the parallelism returns (~4.6-5.6 s vs ~3.4 s for 5 exact
+    # rounds at sf0.1); a production scan is already well-split.
     cents = _kmeans_fit(prepped, k, n_iter, exact_replay)
     final = prepped.mapInPandas(
         _kmeans_assigner(cents), schema="_id long, _v array<double>, _cell int"
@@ -614,6 +608,122 @@ def _kmeans_assigner(cent_matrix):
     return fn
 
 
+def _micro_quantize(x):
+    """Vectorized int64 "micro units" replicating Spark's
+    ``cast(double AS decimal(18,6))``: java ``BigDecimal.valueOf(d)``
+    parses the SHORTEST decimal repr (exactly what Python ``repr(float)``
+    prints) and ``setScale(6, HALF_UP)`` rounds ties away from zero.
+    Fast path: ``floor(|x|*1e6 + 0.5)`` — exact whenever the scaled value
+    is not within float error of a .5 tie; elements inside a 1e-4 margin
+    of the tie (or non-finite, or too large for the fast path's error
+    bound) take the per-element ``Decimal(repr(x))`` path. Returns
+    ``(micros int64, valid bool)``; invalid elements (cast → NULL in
+    Spark: NaN/±inf, |rounded| beyond decimal(18,6)'s 12 integer digits)
+    report micros=0 so an exact sum skips them like SQL ``sum`` skips
+    NULL."""
+    import numpy as np
+
+    ax = np.abs(x)
+    scaled = ax * 1e6
+    fast = np.floor(scaled + 0.5)
+    frac = np.abs(scaled - np.floor(scaled) - 0.5)
+    # |x| < 1e4 bounds the scaling's absolute error to ~1.1e-6 — two
+    # orders under the 1e-4 tie margin, so a fast-path round can never
+    # land on the wrong side of the boundary the margin doesn't catch
+    risky = (frac < 1e-4) | ~np.isfinite(x) | (ax >= 1e4)
+    out = np.where(x < 0, -fast, fast)
+    out[risky] = 0.0  # keep the int64 cast below in exact-float range
+    valid = np.ones(x.shape, dtype=bool)
+    if risky.any():
+        from decimal import Decimal, ROUND_HALF_UP
+
+        q6 = Decimal("0.000001")
+        cap = Decimal("1000000000000")  # decimal(18,6): 12 integer digits
+        micros = out
+        for idx in np.argwhere(risky):
+            i = tuple(idx)
+            v = float(x[i])
+            if v != v or v in (float("inf"), float("-inf")):
+                valid[i] = False
+                continue
+            d = Decimal(repr(v)).quantize(q6, rounding=ROUND_HALF_UP)
+            if d.copy_abs() >= cap:
+                valid[i] = False
+            else:
+                micros[i] = float(d.scaleb(6))
+    return out.astype(np.int64), valid
+
+
+def _decimal_partial_sums(cent_matrix):
+    """``mapInPandas`` body FUSING the Lloyd assignment pass with the
+    exact decimal(18,6) per-(cell, dim) component sums (guide §2.3/§4.2:
+    aggregate before anything crosses a boundary; ship partials, not
+    payloads). Replaces the r13-r15 shape
+    ``assign-kernel → N×dim posexplode → JVM partial agg`` — the raw
+    vectors no longer cross Python→JVM at all and the exchange carries
+    ≤ tasks × k × dim tiny partial rows. Decimal addition is exact, so
+    ANY partial grouping reproduces the old aggregate bit-for-bit (the
+    associativity the exact_replay contract is built on); per-element
+    quantization parity with Spark's cast is :func:`_micro_quantize`."""
+    import numpy as np
+    import pandas as pd
+
+    k, dim = cent_matrix.shape
+
+    def fn(batches):
+        from decimal import Decimal
+
+        sums = np.zeros((k, dim), dtype=np.int64)
+        counts = np.zeros(k, dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            raw = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["_v"]]
+            )
+            cells = _topk_cells_np(raw, cent_matrix, 1)[:, 0].astype("int64")
+            micros, valid = _micro_quantize(raw)
+            micros[~valid] = 0  # NULL-parity: sum skips, count doesn't
+            np.add.at(sums, cells, micros)
+            counts += np.bincount(cells, minlength=k)
+        touched = np.nonzero(counts)[0]
+        if not len(touched):
+            return
+        rows = [
+            (int(c), int(d), Decimal(int(sums[c, d])).scaleb(-6),
+             int(counts[c]))
+            for c in touched
+            for d in range(dim)
+        ]
+        yield pd.DataFrame(rows, columns=["_cell", "_dim", "_s", "_n"])
+
+    return fn
+
+
+def _exact_mean_rows(frame, cent_matrix):
+    """Driver-collected ``(cell, dim, mean)`` rows of one exact-replay
+    Lloyd round over a prepped ``(_id, _v)`` frame — the shared
+    round body of :func:`_kmeans_fit` and :func:`ivf_topk`'s
+    ``exact_replay`` refinement. Bit-parity with the former
+    posexplode + decimal-cast aggregate is argued at
+    :func:`_decimal_partial_sums`; the final expression (exact decimal
+    total → double → round 6) is unchanged."""
+    return (
+        frame.mapInPandas(
+            _decimal_partial_sums(cent_matrix),
+            schema="_cell int, _dim int, _s decimal(28,6), _n long",
+        )
+        .groupBy("_cell", "_dim")
+        .agg(F.sum("_s").alias("_s"), F.sum("_n").alias("_n"))
+        .select(
+            "_cell",
+            "_dim",
+            F.round(F.col("_s").cast("double") / F.col("_n"), 6).alias("_m"),
+        )
+        .collect()
+    )
+
+
 def _kmeans_fit(prepped, k: int, n_iter: int, exact_replay: bool):
     """The deterministic Lloyd loop over a prepped ``(_id, _v)`` frame:
     k lowest-id seeds, ``n_iter`` fixed rounds, per-round driver state =
@@ -641,29 +751,15 @@ def _kmeans_fit(prepped, k: int, n_iter: int, exact_replay: bool):
         return pd.DataFrame({"_cell": [key[0]], "_v": [m.mean(axis=0).tolist()]})
 
     for _ in range(n_iter):
-        assigned = prepped.mapInPandas(_kmeans_assigner(cents), schema=schema)
         new_cents = cents.copy()
         if exact_replay:
             # decimal-exact component means (see docstring); driver pull
-            # is k x dim rows — the same bounded centroid class
-            mean_rows = (
-                assigned.select(
-                    "_cell", F.posexplode("_v").alias("_dim", "_c")
-                )
-                .groupBy("_cell", "_dim")
-                .agg(
-                    F.sum(F.col("_c").cast("decimal(18,6)")).alias("_s"),
-                    F.count("*").alias("_n"),
-                )
-                .select(
-                    "_cell",
-                    "_dim",
-                    F.round(
-                        F.col("_s").cast("double") / F.col("_n"), 6
-                    ).alias("_m"),
-                )
-                .collect()
-            )
+            # is k x dim rows — the same bounded centroid class. r16:
+            # assignment and the partial sums are FUSED into one Arrow
+            # kernel (_decimal_partial_sums) — the vectors never cross
+            # back to the JVM and the per-round exchange carries only
+            # tasks × k × dim partial rows (was: N×dim posexplode).
+            mean_rows = _exact_mean_rows(prepped, cents)
             if mean_rows:
                 raw = np.zeros_like(cents)
                 for r in mean_rows:
@@ -671,6 +767,9 @@ def _kmeans_fit(prepped, k: int, n_iter: int, exact_replay: bool):
                 touched = sorted({int(r["_cell"]) for r in mean_rows})
                 new_cents[touched] = _norm_rows(raw[touched])
         else:
+            assigned = prepped.mapInPandas(
+                _kmeans_assigner(cents), schema=schema
+            )
             means = (
                 assigned.groupBy("_cell")
                 .applyInPandas(_cell_mean, schema="_cell int, _v array<double>")
@@ -1081,6 +1180,39 @@ def hard_negative_topk_lsh(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "sim")
     )
+
+
+def _assign_encode_kernel(cent_matrix, seeds, m: int, sub: int):
+    """``mapInPandas`` body FUSING the IVF coarse assignment with the PQ
+    encode — ONE Arrow pass over the corpus emitting
+    ``(_id, _cell, _codes array<int>)`` instead of two full passes (cell
+    assignment, then encode) joined back on id (guide §1.2: remove whole
+    passes first). Cell rule is the shared :func:`_topk_cells_np`
+    (identical to :func:`_cell_assigner` with probes=1); per-subspace
+    code is the same L2 ``argmin`` as :func:`pq_codes` — the fused
+    artifact rows are bit-identical to the two-pass form's."""
+    import numpy as np
+    import pandas as pd
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            raw = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["_v"]]
+            )
+            cell = _topk_cells_np(raw, cent_matrix, 1)[:, 0].astype("int32")
+            codes = np.empty((len(raw), m), dtype=np.int32)
+            for j in range(m):
+                Xs = raw[:, j * sub:(j + 1) * sub]
+                Ss = seeds[:, j * sub:(j + 1) * sub]
+                d = ((Xs[:, None, :] - Ss[None, :, :]) ** 2).sum(axis=-1)
+                codes[:, j] = d.argmin(axis=1).astype("int32")
+            yield pd.DataFrame(
+                {"_id": pdf["_id"], "_cell": cell, "_codes": list(codes)}
+            )
+
+    return fn
 
 
 def _pq_seeds(corpus: DataFrame, k_codes: int, id_col: str, vec_col: str):
@@ -1537,19 +1669,23 @@ def freeze_ivf_pq(
                     "cells_tmp", "codes_tmp", "cells_trash",
                     "codes_trash"):
         _fs_delete(spark, f"{path}/{sub_dir}")
-    seeds = _pq_seeds(corpus, k_codes, id_col, vec_col)
+    # ONE seed pull serves both quantizer halves (r16 — the former
+    # _pq_seeds + centroid pulls were two driver jobs over the same
+    # lowest-id rows): the first k_codes rows RAW are the PQ codebook
+    # source, the first nlist rows NORMALIZED are the coarse seeds —
+    # byte-identical to the separate pulls (orderBy id is total: ids are
+    # unique).
+    pull_rows = (
+        corpus.orderBy(F.col(id_col).asc()).limit(max(nlist, k_codes))
+        .select(vec_col).toPandas()[vec_col]
+    )
+    pulled = np.stack([np.asarray(v, dtype=np.float64) for v in pull_rows])
+    seeds = pulled[:k_codes]
     dim = seeds.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
-
-    cell_rows = (
-        corpus.orderBy(F.col(id_col).asc()).limit(nlist)
-        .select(vec_col).toPandas()[vec_col]
-    )
-    cents = _np_norm_rows(
-        np.stack([np.asarray(v, dtype=np.float64) for v in cell_rows])
-    )
+    cents = _np_norm_rows(pulled[:nlist].copy())
 
     spark.createDataFrame(
         [(i, [float(x) for x in cents[i]]) for i in range(cents.shape[0])],
@@ -1564,38 +1700,52 @@ def freeze_ivf_pq(
         "subspace int, code int, sv array<double>",
     ).write.mode("overwrite").parquet(f"{path}/codebook")
 
-    # cell assignment through ivf_seed_cells — THE cell-assignment rule
-    # has one implementation, so the frozen artifact cannot drift from
-    # the live `ivf_pq_topk` / `ivf_cell_assign` paths. Written
-    # CELL-SORTED: the probe pushes its probed-cell set as a literal IN
-    # filter, so row-group min/max stats skip every unprobed cell's rows
-    # — the same sorted-segment pruning the WideTable index uses; at
-    # table-format scale the cell id is the partition key and the same
-    # filter prunes whole partitions.
-    # hash-partition by cell (not repartitionByRange): every row of a
-    # given cell still lands in ONE partition and files stay cell-sorted,
-    # so the probe's literal IN-set prunes row groups identically — but
-    # the range variant pays an extra boundary-sampling pass over the
-    # corpus per write (r15: two sampling jobs dropped from the freeze).
-    # Range order only helps range predicates; probes select discrete
-    # cell ids.
-    ivf_seed_cells(corpus, nlist, id_col, vec_col).select(
-        F.col(id_col), "cell"
-    ).repartition(F.col("cell")).sortWithinPartitions(
-        "cell"
-    ).write.mode("overwrite").parquet(f"{path}/cells")
-
-    # layout v2: codes carry the vector's cell id (joined from the
-    # just-written cells table — a read of the small int table, not a
-    # second assignment pass) and are written CELL-SORTED, so the probe's
-    # literal probed-cell filter prunes the BIG table's row groups the
-    # same way it prunes cells'. The join shuffles N rows once, at
-    # freeze time — the paid-once path.
-    pq_codes(corpus, m, k_codes, id_col, vec_col, seeds=seeds).join(
-        spark.read.parquet(f"{path}/cells"), id_col
-    ).repartition(F.col("cell")).sortWithinPartitions(
-        "cell"
-    ).write.mode("overwrite").parquet(f"{path}/codes")
+    # ONE fused assign+encode pass over the corpus (r16 — guide §1.2:
+    # the former chain was TWO full corpus passes, cells written then
+    # READ BACK and joined onto the encode pass's output, plus a second
+    # corpus-wide shuffle). The kernel shares _topk_cells_np (THE
+    # cell-assignment rule — identical to ivf_seed_cells' kernel) and
+    # pq_codes' argmin, so the written rows are bit-identical. Both
+    # halves are written CELL-SORTED from one hash-partitioned,
+    # partition-sorted frame: the probe pushes its probed-cell set as a
+    # literal IN filter, so row-group min/max stats skip every unprobed
+    # cell's rows — the same sorted-segment pruning the WideTable index
+    # uses; at table-format scale the cell id is the partition key and
+    # the same filter prunes whole partitions. Hash-partition (not
+    # repartitionByRange — r15): probes select DISCRETE cell ids, and
+    # range layout would pay a boundary-sampling pass per write. The
+    # persist spans exactly the two artifact writes (unpersisted in the
+    # finally) — an intra-freeze intermediate, strictly cheaper at any
+    # scale than re-running the encode pass for the second table.
+    combined = (
+        corpus.select(
+            F.col(id_col).alias("_id"),
+            F.transform(
+                F.col(vec_col), lambda x: x.cast("double")
+            ).alias("_v"),
+        )
+        .mapInPandas(
+            _assign_encode_kernel(cents, seeds, m, sub),
+            schema="_id long, _cell int, _codes array<int>",
+        )
+        .repartition(F.col("_cell"))
+        .sortWithinPartitions("_cell")
+        .persist()
+    )
+    try:
+        combined.select(
+            F.col("_id").alias(id_col), F.col("_cell").alias("cell")
+        ).write.mode("overwrite").parquet(f"{path}/cells")
+        # layout v2: codes carry the vector's cell id so the probe's
+        # literal probed-cell filter prunes the BIG table's row groups
+        # the same way it prunes cells'.
+        combined.select(
+            F.col("_id").alias(id_col),
+            F.posexplode("_codes").alias("subspace", "code"),
+            F.col("_cell").alias("cell"),
+        ).write.mode("overwrite").parquet(f"{path}/codes")
+    finally:
+        combined.unpersist()
 
     src = src_fingerprint if src_fingerprint is not None else (
         ivf_pq_fingerprint(corpus)
@@ -2292,7 +2442,6 @@ def extend_ivf_pq(
     nlist, m = int(meta["nlist"]), int(meta["m"])
     k_codes, dim = int(meta["k_codes"]), int(meta["dim"])
     cents, seeds = _load_quantizers(spark, path, meta)
-    n_codes = seeds.shape[0]
 
     # tombstone meta BEFORE the appends (torn-extend safety), and clear
     # any stale compact sidecar first — otherwise a sidecar left by a
@@ -2305,21 +2454,29 @@ def extend_ivf_pq(
         [_meta_tombstone()], _META_SCHEMA
     ).write.mode("overwrite").parquet(f"{path}/meta")
 
-    new_cells = new_vectors.select(
+    # ONE fused assign+encode pass over the new shard (r16 — was: an
+    # assignment pass checkpointed, a SECOND full pass over the shard
+    # for the PQ encode, and a join to re-attach the cell). The shared
+    # kernel keeps the appended rows bit-identical; the checkpoint spans
+    # the two appends so the shard is read and encoded exactly once.
+    combined = new_vectors.select(
         F.col(id_col).alias("_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
     ).mapInPandas(
-        _cell_assigner(cents, 1), schema="_id long, _v array<double>, _cell int"
-    ).select(
+        _assign_encode_kernel(cents, seeds, m, dim // m),
+        schema="_id long, _cell int, _codes array<int>",
+    ).localCheckpoint()  # two appends read it; assign+encode once
+    combined.select(
         F.col("_id").alias(id_col), F.col("_cell").alias("cell")
-    ).localCheckpoint()  # two appends read it; assign once
-    new_cells.write.mode("append").parquet(f"{path}/cells")
+    ).write.mode("append").parquet(f"{path}/cells")
 
-    # layout v2: the appended codes carry cell too (joined from the
-    # shard-sized assignment just computed — no pass over the base)
-    pq_codes(
-        new_vectors, m, n_codes, id_col, vec_col, seeds=seeds
-    ).join(new_cells, id_col).write.mode("append").parquet(f"{path}/codes")
+    # layout v2: the appended codes carry cell too (from the same fused
+    # pass — no join, no pass over the base)
+    combined.select(
+        F.col("_id").alias(id_col),
+        F.posexplode("_codes").alias("subspace", "code"),
+        F.col("_cell").alias("cell"),
+    ).write.mode("append").parquet(f"{path}/codes")
 
     spark.createDataFrame(
         [(nlist, m, k_codes, dim, src_fingerprint or "", time.time_ns(),
@@ -2430,29 +2587,39 @@ def ann_index_ingest_batch(
     # foreachBatch invocations — the frozen quantizers load once, not
     # twice per micro-batch
     cents, seeds = _load_quantizers(spark, path, meta)
-    n_codes = seeds.shape[0]
 
-    cells = batch.select(
+    # ONE fused assign+encode pass per drain (r16, the extend_ivf_pq
+    # fusion applied to the streaming path): the former shape assigned,
+    # checkpointed, then ran a SECOND pass over the batch for the PQ
+    # encode and joined the cell back on id. Same kernels → identical
+    # delta rows; the checkpoint spans both delta writes.
+    dim = int(meta["dim"])
+    combined = batch.select(
         F.col(id_col).alias("_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
     ).mapInPandas(
-        _cell_assigner(cents, 1), schema="_id long, _v array<double>, _cell int"
-    ).select(
-        F.col("_id").alias(id_col), F.col("_cell").alias("cell")
-    ).localCheckpoint()  # both delta writes read it; assign once per drain
+        _assign_encode_kernel(cents, seeds, m, dim // m),
+        schema="_id long, _cell int, _codes array<int>",
+    ).localCheckpoint()  # both delta writes read it; one pass per drain
     (
-        cells.withColumn("_batch", F.lit(batch_id))
+        combined.select(
+            F.col("_id").alias(id_col), F.col("_cell").alias("cell")
+        )
+        .withColumn("_batch", F.lit(batch_id))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("_batch")
         .parquet(f"{path}/cells_delta")
     )
     (
-        # layout v2: delta codes carry cell (batch-sized join), so the
-        # probe's probed-cell filter and the compact fold see ONE codes
-        # schema across base and deltas
-        pq_codes(batch, m, n_codes, id_col, vec_col, seeds=seeds)
-        .join(cells, id_col)
+        # layout v2: delta codes carry cell (from the same fused pass),
+        # so the probe's probed-cell filter and the compact fold see ONE
+        # codes schema across base and deltas
+        combined.select(
+            F.col("_id").alias(id_col),
+            F.posexplode("_codes").alias("subspace", "code"),
+            F.col("_cell").alias("cell"),
+        )
         .withColumn("_batch", F.lit(batch_id))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")

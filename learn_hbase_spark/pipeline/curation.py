@@ -49,7 +49,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 from ..functions import text as T
 from ..functions.layout import rebalance_for_compute
@@ -75,25 +74,34 @@ STAGE_ORDER = (
 
 
 def _pin(df: DataFrame) -> DataFrame:
-    """Persist a frame the pipeline consumes more than once. Catalyst's
-    exchange reuse only deduplicates IDENTICAL subplans, and the band
-    stages reference their inputs under different column prunings — so
-    without pinning, the whole upstream lineage (C4 + rule gates + the
-    repetition shuffle + dedup + decontamination) re-executes once per
-    consumer (measured: 26.7 s → 13 s at sf0.1 for the rules-composed
-    pipeline). MEMORY_AND_DISK so a corpus-scale `clean` spills instead
-    of evicting mid-query; on a real cluster the same seam is where a
-    production pipeline checkpoints to durable storage between the gate
-    phase and the model-scoring phase.
+    """Materialize a frame the pipeline consumes more than once.
+    Catalyst's exchange reuse only deduplicates IDENTICAL subplans, and
+    the band stages reference their inputs under different column
+    prunings — so without pinning, the whole upstream lineage (C4 + rule
+    gates + the repetition shuffle + dedup + decontamination) re-executes
+    once per consumer (measured: 26.7 s → 13 s at sf0.1 for the
+    rules-composed pipeline).
 
-    Cache lifetime: entries live until the session ends (Spark's
-    CacheManager holds persisted plans strongly — they are NOT
-    GC-collected), which is the right trade for the batch pipeline (a
-    handful of entries per curate()/audit() call). Repeated small-batch
-    callers must opt out — the streaming micro-batch path passes
-    ``pin=False`` to the band helpers precisely so a long-running stream
-    does not accumulate one cache entry per drain."""
-    return df.persist(StorageLevel.MEMORY_AND_DISK)
+    ``localCheckpoint`` rather than ``persist`` (r16, measured — guide
+    §5 "very large query plans" / §7.3): a persist keeps the FULL
+    analyzed lineage in every downstream plan, so each of the pipeline's
+    10-15 downstream actions re-pays optimizer + CacheManager
+    canonicalization over the entire curation tree — plan-size cost, not
+    data cost (interleaved A/B at sf0.1: curation_pipeline_rules
+    7.4-8.4 s persisted vs 3.7-3.9 s checkpointed, identical rows). The
+    checkpoint truncates the plan at the stage seam — the same seam
+    where a production pipeline checkpoints the curated corpus to
+    DURABLE storage between the gate phase and the model-scoring phase
+    (a driver/executor loss there re-runs the stage from the durable
+    copy; local checkpoint state trades that recovery for speed, the
+    documented localCheckpoint contract). Storage is MEMORY_AND_DISK
+    like the old persist, and checkpointed partitions are
+    ContextCleaner-collected with the frame (the CacheManager held
+    persisted plans strongly until session end). Repeated small-batch
+    callers still opt out — the streaming micro-batch path passes
+    ``pin=False`` to the band helpers so a long-running stream does not
+    accumulate per-drain pinned state."""
+    return df.localCheckpoint()
 
 
 def _require_scoreable(
@@ -139,7 +147,7 @@ def _lm_band_ids(
     sketch state) for production corpora with a very wide score span.
     ``pin=False`` skips the scored-frame persist — for repeated callers
     (the streaming micro-batch path) where per-call cache entries would
-    accumulate in the session's CacheManager (see :func:`_pin`)."""
+    accumulate pinned state per drain (see :func:`_pin`)."""
     scored = bigram_lm_score(clean, "text", "doc_id").select(
         "doc_id", F.col("avg_logprob").alias("_lm")
     )
@@ -172,7 +180,7 @@ def _ccnet_band_ids(
     ``approx_percentile`` sketches per stratum under
     ``approx_threshold`` — the same production switch as the LM band.
     ``pin=False`` skips the scored-frame persist for callers that invoke
-    this repeatedly in one session (see :func:`_pin`)."""
+    this repeatedly in one session (see :func:`_pin` on pin lifetime)."""
     scored = bigram_lm_score(clean, "text", "doc_id").select(
         "doc_id", F.col("avg_logprob").alias("_lm")
     )
@@ -323,7 +331,7 @@ def _curate_tail(
     thresholding a published signals table), so the two paths cannot
     drift. ``pin=False`` disables every stage-seam persist (including
     the band stages\' internal scored-frame pins) for repeated callers —
-    see :func:`_pin` on CacheManager lifetime."""
+    see :func:`_pin` on pin lifetime."""
     mixed = _curate_survivors(
         gated, benchmark, rates, default_rate,
         lm_quantile, approx_threshold, ccnet_keep, strata_col,

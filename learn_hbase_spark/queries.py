@@ -10265,7 +10265,11 @@ def widetable_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("mktsegment").alias("qualifier"),
         F.col("c_mktsegment").alias("value"),
         F.col("c_custkey").alias("_ck"),
-    )
+    ).localCheckpoint()  # r16 (VERDICT r15 #7): the initial load and the
+    # touched-rowkey upsert both project from this frame — materialize the
+    # customer scan + rowkey construction once so the second put (and the
+    # update_index key set) read the built cells instead of re-scanning
+    # the base table. O(upsert batch) state, dropped with the session.
     path = os.path.join(
         _SCRATCH_ROOT,
         f"wt_index_incr_{os.path.basename(sf_dir.rstrip('/'))}",

@@ -5,11 +5,20 @@ so plan regressions (a lost broadcast, a new nested-loop join, a dropped
 pushdown) surface as a diff in one JSON report instead of a slow query at
 100 TB.
 
-Usage: python tools/plan_audit.py [sf_dir] [query ...]
+Usage: python tools/plan_audit.py [--post-exec] [sf_dir] [query ...]
 
 Prints one JSON line per query plus a trailing summary line. Exit 1 if any
 query plans a CartesianProduct / BroadcastNestedLoopJoin (the never-at-scale
 strategies) unless it is explicitly allowlisted below.
+
+``--post-exec`` (r16, VERDICT r15 #8): run each query to completion first
+(collect — bounded at the audit SFs) and explain the SAME DataFrame
+afterwards, so the text is the AQE-FINAL adaptive plan
+(``AdaptiveSparkPlan isFinalPlan=true``) — the only plan in which runtime
+exchange reuse is visible. The report gains ``reused_exchanges`` /
+``aqe_shuffle_reads`` counts; AQE stays ON in this mode (the static mode
+disables it to expose codegen ids). Use this for any "shares one
+exchange at runtime" claim — static dumps cannot show AQE reuse.
 """
 
 from __future__ import annotations
@@ -275,24 +284,52 @@ def audit(df) -> dict:
     }
 
 
+def audit_post_exec(df) -> dict:
+    """Execute ``df`` (collect — the audit SFs keep results bounded), then
+    explain the SAME DataFrame: Spark stringifies the executed
+    AdaptiveSparkPlanExec's FINAL plan, where runtime exchange reuse
+    (``ReusedExchange``) and coalesced/skew-split shuffle reads
+    (``AQEShuffleRead``) actually appear."""
+    df.collect()
+    simple = _dedup_cached(plan_text(df, "simple"))
+    formatted = plan_text(df, "formatted")
+    return {
+        "final_plan": "isFinalPlan=true" in formatted,
+        "exchanges": len(re.findall(r"\bExchange\b", simple)),
+        "reused_exchanges": len(re.findall(r"\bReusedExchange\b", simple)),
+        "aqe_shuffle_reads": len(re.findall(r"\bAQEShuffleRead\b", simple)),
+        "in_memory_scans": len(re.findall(r"InMemoryTableScan", simple)),
+        "python_ops": len(
+            re.findall(r"ArrowEvalPython|BatchEvalPython|FlatMapGroupsInPandas"
+                       r"|MapInPandas|PythonMapInArrow", simple)
+        ),
+    }
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    post_exec = "--post-exec" in argv
+    if post_exec:
+        argv.remove("--post-exec")
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entrymod
     from pyspark.sql import SparkSession
 
-    spark = (
+    builder = (
         SparkSession.builder.master("local[8]")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.shuffle.partitions", "8")
+    )
+    if not post_exec:
         # static audit: AQE's wrapper hides codegen ids / final shapes in
         # unexecuted explain output. With AQE off the audit sees the full
         # statically-planned tree; runtime AQE only improves on it.
-        .config("spark.sql.adaptive.enabled", "false")
-        .getOrCreate()
-    )
+        # (--post-exec keeps AQE ON — reuse is a runtime property.)
+        builder = builder.config("spark.sql.adaptive.enabled", "false")
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     from learn_hbase_spark import queries as qmod
