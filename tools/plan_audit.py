@@ -342,6 +342,12 @@ def main() -> int:
         if only and name not in only:
             continue
         try:
+            if post_exec:
+                report = audit_post_exec(fn(spark, sf_dir))
+                print(json.dumps({"query": name, **report}))
+                totals["queries"] += 1
+                totals["exchanges"] += report["exchanges"]
+                continue
             if name in audit_bodies:
                 # bodies also run un-checkpointed: a kmeans/feature-table
                 # localCheckpoint inside the body's upstream would
