@@ -155,6 +155,19 @@ UNCHECKPOINTED_AUDIT: dict[str, str] = {
     "embedding_kmeans": "assignment pass over un-truncated feature cast",
     "kmeans_assign_iter1": "assignment pass over un-truncated feature cast",
     "bpe_tokenize": "encode pass over the corpus, un-truncated",
+    # r16: curation's stage-seam pins became localCheckpoints (plan-size
+    # fix) — identity-patch them here so the registry-wide NLJ/pushdown
+    # audit keeps seeing the FULL gate→band lineage these queries
+    # execute, not just the post-pin tail. (pretraining_run stays
+    # truncated: its curate→dedup seam exists precisely because the
+    # un-truncated composition plan is driver-hostile; its curation
+    # prefix is covered by the five queries below and its dedup/CC tail
+    # by the _AUDIT_BODIES row.)
+    "curation_pipeline": "full gate→pack lineage through the pins",
+    "curation_pipeline_rules": "full rules gate→pack lineage through the pins",
+    "curation_audit": "full audit lineage through the pins",
+    "curation_audit_rules": "full rules audit lineage through the pins",
+    "curate_from_signals": "signals gate→pack lineage through the pins",
 }
 # NOTE: the CC-family queries (neardup_clusters, semantic_dedup,
 # entity_resolution) truncate per round through PARQUET state, which this
